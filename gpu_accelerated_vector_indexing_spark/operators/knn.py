@@ -1,0 +1,119 @@
+"""Brute-force k-nearest-neighbor search (the reference's hot path).
+
+Covers SURVEY.md §2 operators O7 (query load), O8 (cosine scoring),
+O12/O13 (batched scan + bounded-heap top-k), O6/O19 (doc mapback +
+truncation) — re-expressed as one declarative DataFrame chain:
+
+    scan embeddings → score (codegen'd expression) → TakeOrderedAndProject
+
+``orderBy(desc).limit(k)`` compiles to ``TakeOrderedAndProject`` — a
+per-partition bounded heap merged on the driver, structurally identical
+to the reference's min-heap top-k (IVF.cpp:185-191, 241-252), but
+distributed. Tie-break is the canonical ``(score DESC, vec_id DESC)``
+(reference IVF.cpp:247; SURVEY.md §7.3).
+
+Scale notes: the query vector rides along as a broadcast single-row
+relation (never a driver-side loop); at 100 TB the scan is partition-
+parallel and the only data movement is each task's k-row heap to the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from gpu_accelerated_vector_indexing_spark.functions.vector import (
+    as_double_array,
+    cosine_similarity,
+    cosine_similarity_pandas,
+)
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+SCORE_SCALE = 6  # score comparison precision (reference check_cos_sim.cpp:72: 1e-5)
+
+
+def query_vectors(spark: SparkSession, sf_dir: str, query_ids: Sequence[int]) -> DataFrame:
+    """Query vectors as a (tiny) relation — ≙ reference queries_data/*.bin
+    (IVF.cpp:650-672), except identity travels as a column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qvec")
+    )
+
+
+def scored_embeddings(
+    emb: DataFrame, queries: DataFrame, use_pandas: bool = False
+) -> DataFrame:
+    """Cross-score every (embedding, query) pair via a broadcast of the
+    tiny query relation; scoring stays JVM-side unless ``use_pandas``
+    selects the NumPy kernel (≙ reference's CPU/CUDA mode switch)."""
+    score_fn = cosine_similarity_pandas if use_pandas else cosine_similarity
+    return (
+        emb.join(F.broadcast(queries))
+        .withColumn("score", F.round(score_fn(as_double_array("embedding"), F.col("qvec")), SCORE_SCALE))
+    )
+
+
+def knn_bruteforce(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine similarity — full scan, no pruning.
+
+    ≙ reference ``findSimilar`` over the whole corpus (IVF.cpp:168-264).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    scored = scored_embeddings(emb, q, use_pandas=use_pandas)
+    return (
+        scored.select("vec_id", "score")
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_with_docs(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
+) -> DataFrame:
+    """Top-k joined back to article text, truncated to 200 chars.
+
+    ≙ reference ``mapBack.get`` + print loop (IVF.cpp:688-710); the
+    positional file lookup becomes an equi-join on ``doc_id``, and the
+    k-row side is broadcast so no shuffle of ``documents`` occurs.
+    """
+    topk = knn_bruteforce(spark, sf_dir, query_id=query_id, k=k)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(topk), docs.doc_id == topk.vec_id)
+        .select("vec_id", "score", F.substring("text", 1, 200).alias("snippet"))
+    )
+
+
+def multi_query_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: Sequence[int] = (0, 1, 2, 3, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Batched KNN for many queries in ONE job.
+
+    The reference runs its 5 canned queries one process at a time
+    (README.md:33-39); here the query set is a broadcast relation and
+    per-query top-k is a window — one scan of the corpus total.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = query_vectors(spark, sf_dir, query_ids)
+    scored = scored_embeddings(emb, qs)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "score", "rn")
+    )

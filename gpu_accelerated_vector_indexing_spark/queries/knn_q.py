@@ -1,0 +1,71 @@
+"""KNN query family (SURVEY.md §2: O6-O8, O12, O13, O19 + multi-query).
+
+Oracle policy: cosine math is replicated in DuckDB in float64
+(``embedding::DOUBLE[]``) with the reference's ``+1e-8`` guard
+(IVF.cpp:150), rounded to 6 d.p. on both sides, tie-broken
+``(score DESC, vec_id DESC)`` (IVF.cpp:247).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from gpu_accelerated_vector_indexing_spark.operators import knn
+
+# Shared parameters — keep Spark callables and oracle SQL in lockstep.
+QUERY_ID = 0
+K = 5
+MULTI_QUERY_IDS = (0, 1, 2, 3, 4)
+
+_COS = (
+    "round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /"
+    " (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6)"
+)
+
+QUERIES = {
+    "knn_bruteforce": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K),
+    "knn_bruteforce_pandas": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K, use_pandas=True),
+    "knn_with_docs": partial(knn.knn_with_docs, query_id=QUERY_ID, k=K),
+    "multi_query_knn": partial(knn.multi_query_knn, query_ids=MULTI_QUERY_IDS, k=K),
+}
+
+ORACLES = {
+    "knn_bruteforce": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+scored AS (
+  SELECT e.vec_id, {_COS} AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id DESC LIMIT {K}
+""",
+    "knn_with_docs": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+scored AS (
+  SELECT e.vec_id, {_COS} AS score
+  FROM embeddings e CROSS JOIN q
+),
+topk AS (SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id DESC LIMIT {K})
+SELECT t.vec_id, t.score, substr(d.text, 1, 200) AS snippet
+FROM documents d JOIN topk t ON d.doc_id = t.vec_id
+""",
+    "multi_query_knn": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN {tuple(MULTI_QUERY_IDS)}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id DESC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= {K}
+""",
+}
+# knn_bruteforce_pandas: same semantics as knn_bruteforce through the
+# NumPy kernel path — reuse the same oracle.
+ORACLES["knn_bruteforce_pandas"] = ORACLES["knn_bruteforce"]

@@ -1,0 +1,55 @@
+"""Parquet fixture sources (TESTDATA.md tables).
+
+The canonical storage format of the engine is Parquet: columnar,
+predicate-pushdown- and partition-pruning-capable — the Spark-native
+replacement for the reference's raw float32 ``.bin`` cluster files
+(reference IVF.cpp:456-486) and JSON article directories
+(reference IVF.cpp:84-101). Raw-binary/NPY ingestion parity lives in
+``sources.binary``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gpu_accelerated_vector_indexing_spark.session import tune_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table.
+
+    Column pruning and predicate pushdown reach the scan because this
+    returns the bare relation — callers compose filters/projections on
+    top and Catalyst pushes them down (SURVEY.md §4).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    tune_session(spark)
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

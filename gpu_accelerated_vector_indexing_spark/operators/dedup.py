@@ -1,0 +1,285 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+EXT surface (SURVEY.md §2.3): exact dedup, MinHash-LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup over ``documents`` /
+``embeddings``.
+
+Scale design: every variant is blocked/bucketed so the candidate set is
+a fraction of the n² pair space —
+  - exact: hash group-by (one shuffle on the content hash)
+  - MinHash: signature agg (one shuffle) + band-bucket equi-join
+  - SimHash: byte-band equi-join + popcount verify
+  - n-gram Jaccard: (lang, length-bucket) blocking
+  - embedding: cluster blocking (reuses the IVF partitioning idea)
+Nothing ever materializes the full cross product, so the same plans
+hold when documents is 100 TB: the joins shuffle on bucket keys, and
+skewed buckets are AQE-split.
+
+Cross-engine portability: shingle hashing is plain integer arithmetic
+over code points (no engine hash builtins), so DuckDB can replicate
+signatures bit-for-bit — see ``queries/dedup_q.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+SHINGLE_LEN = 5
+HASH_MOD = 1_000_003  # shingle-hash modulus (keeps a*h+b inside int64)
+MINHASH_PRIME = 2_147_483_647
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+# fixed affine hash family (aᵢ·h + bᵢ) mod P — constants shared with the oracle
+MINHASH_AS = [7919, 104729, 224737, 350377, 479909, 611953, 746773, 882377,
+              15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939]
+MINHASH_BS = [104723, 1299709, 2750159, 4256233, 5800079, 7368787, 8960453, 10570841,
+              12195257, 13834103, 15485857, 17144507, 18815231, 20495843, 22182343, 23879519]
+SIMHASH_BITS = 32
+
+
+def char_shingles(text: Column, n: int = SHINGLE_LEN) -> Column:
+    """All n-char shingles of a string as ``ARRAY<STRING>``."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(n)),
+    )
+
+
+def shingle_hash(sh: Column, n: int = SHINGLE_LEN) -> Column:
+    """Portable polynomial hash: Σ code(sᵢ)·31^(n-i), then mod HASH_MOD.
+
+    Uses only ascii/substring/integer math so any SQL engine reproduces
+    it exactly (no engine-specific hash functions).
+    """
+    total = F.lit(0).cast("long")
+    for i in range(1, n + 1):
+        total = total + F.ascii(F.substring(sh, i, 1)).cast("long") * F.lit(31 ** (n - i)).cast("long")
+    return total % F.lit(HASH_MOD)
+
+
+def _doc_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) — one row per shingle occurrence, hashed.
+
+    Documents shorter than one shingle are excluded (their hash would
+    depend on engine-specific ascii('') behavior).
+    """
+    return (
+        docs.filter(F.length("text") >= SHINGLE_LEN)
+        .select("doc_id", F.explode(char_shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", shingle_hash(F.col("sh")).alias("h"))
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-duplicate stats via content-hash group-by."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.count("*").alias("n_copies")
+    )
+    return groups.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.sum((F.col("n_copies") > 1).cast("long")).alias("n_dup_groups"),
+    )
+
+
+def exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list: lowest doc_id per distinct content (the dedup survivor
+    set a pipeline would write back out)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """16-component MinHash signature per document, one aggregation pass.
+
+    Partial aggregation (map-side min) keeps the shuffle at
+    n_docs × n_hashes regardless of document length.
+    """
+    hashes = _doc_shingle_hashes(docs)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_AS, MINHASH_BS))
+    ]
+    return hashes.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, scored by signature agreement.
+
+    shingle→minhash→band→bucket-join: docs sharing ANY of the 4 bands
+    become candidates; estimated Jaccard = fraction of agreeing
+    signature components; pairs ≥ threshold survive.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "-", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    ).alias("key"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    b = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (agree / F.lit(float(N_MINHASH))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash_docs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Bit j of the fingerprint is the sign of Σ±1 over shingle-hash bit j
+    — expressed as 32 conditional sums in ONE aggregation (the two-phase
+    accumulate/finalize shape of the reference's Atomic kernel,
+    cosine_similarity.cu:247-276, is exactly Spark partial/final agg).
+    """
+    hashes = _doc_shingle_hashes(docs)
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = hashes.groupBy("doc_id").agg(*aggs)
+    fp = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    )
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs: byte-band LSH over SimHash + popcount verify.
+
+    Candidates share at least one of the 4 bytes of the fingerprint at
+    the same position (any pair within hamming ≤ 3 must agree on ≥1
+    whole byte — pigeonhole), then exact Hamming distance filters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_docs(docs).cache()
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("bpos"), F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("bval"))
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.bpos", "b.bval")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["bpos", "bval"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6, length_bucket: int = 64
+) -> DataFrame:
+    """Exact Jaccard over distinct 5-gram sets, (lang, length-bucket) blocked.
+
+    The blocked equi-join keeps candidates linear-ish; exact set
+    intersection/union sizes computed with native array functions.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.length("text") / length_bucket).cast("long").alias("lbucket"),
+        F.array_distinct(char_shingles(F.col("text"))).alias("grams"),
+    )
+    x, y = docs.alias("x"), docs.alias("y")
+    pairs = (
+        x.join(y, ["lang", "lbucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect(F.col("x.grams"), F.col("y.grams")))
+                / F.size(F.array_union(F.col("x.grams"), F.col("y.grams")))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def embedding_neardup_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k most-similar embedding pairs within each IVF cluster.
+
+    Cluster blocking ≙ the IVF insight (SURVEY.md §4 P1): near-dups land
+    in the same coarse cell, so the pair join is per-cluster, not n².
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array, cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    x, y = emb.alias("x"), emb.alias("y")
+    pairs = (
+        x.join(y, "label")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.round(cosine_similarity(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.orderBy(F.desc("cos_sim"), F.desc("vec_a"), F.desc("vec_b")).limit(k)

@@ -1,0 +1,116 @@
+"""Offline IVF index build — the reference's Python pipeline, as one job.
+
+≙ reference ``clusters.py``: sklearn KMeans(k=128, seed=42) over the
+embedding matrix, then per-cluster matrix slices + a cluster→global-id
+mapping (clusters.py:15-35). Here the three-process filesystem relay
+(embedding.py → clusters.py → convert_npy_bin.py, SURVEY.md §3.2)
+collapses into one lazy DAG:
+
+    read embeddings → MLlib KMeans.fit → transform (cluster column)
+        → write.partitionBy("cluster") parquet  +  centroids parquet
+
+- The per-cluster ``.bin`` files (clusters.py:32-35) become partition
+  directories of ONE parquet table — identical physical layout
+  (cluster-major contiguous vectors) with schema, stats and pruning.
+- ``cluster_mappings.json`` (clusters.py:26-30) is obviated: ``vec_id``
+  is a column, so identity survives partitioning.
+- sklearn k-means++ vs MLlib k-means‖ yield different-but-equally-valid
+  clusterings (SURVEY.md §7.3): correctness asserts invariants
+  (assignment = nearest centroid, k non-empty clusters, recall), never
+  exact centroid values.
+
+Float handling: storage is ARRAY<FLOAT>; MLlib Vectors are float64 —
+conversion happens only at the KMeans boundary via
+``pyspark.ml.functions.array_to_vector`` / ``vector_to_array``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 10, seed: int = 42, max_iter: int = 20
+) -> tuple[DataFrame, DataFrame]:
+    """Fit KMeans and return ``(assigned, centroids)``.
+
+    ``assigned``  = embeddings + ``cluster INT`` prediction column
+    ``centroids`` = ``(cluster INT, centroid ARRAY<DOUBLE>)``
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cluster").fit(feats)
+    assigned = model.transform(feats).drop("features")
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    return assigned, centroids
+
+
+def build_partitioned_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    k: int = 10,
+    seed: int = 42,
+) -> tuple[str, str]:
+    """Materialize the IVF index as cluster-partitioned parquet.
+
+    Layout ≙ reference index dir (cluster_embeddings_{i}.bin +
+    cluster_centroids.bin, IVF.cpp:456-510) but lazy and prunable:
+    a fine search with ``cluster IN (probes)`` opens only the probed
+    partition directories — at 100 TB nothing else is even listed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_assign(emb, k=k, seed=seed)
+    emb_path = f"{out_dir}/embeddings_indexed"
+    cent_path = f"{out_dir}/centroids"
+    (
+        assigned.repartition("cluster")  # one shuffle → cluster-major files
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(emb_path)
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(cent_path)
+    return emb_path, cent_path
+
+
+def cluster_invariants(spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42) -> DataFrame:
+    """Property-style summary of a KMeans build (SURVEY.md §5.3).
+
+    One row: n_clusters (must = k), n_rows (must = corpus), and how many
+    rows sit with their nearest centroid (must = n_rows — i.e. the
+    assignment IS the argmin, reference clusters.py:20 semantics).
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_assign(emb, k=k, seed=seed)
+
+    # squared L2 distance to every centroid; nearest must equal assignment
+    dists = assigned.join(F.broadcast(centroids.withColumnRenamed("cluster", "cand"))).select(
+        "vec_id",
+        "cluster",
+        "cand",
+        F.aggregate(
+            F.zip_with(as_double_array("embedding"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cand"))
+    nearest = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return nearest.agg(
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("cluster") == F.col("cand")).cast("long")).alias("n_nearest_ok"),
+    )

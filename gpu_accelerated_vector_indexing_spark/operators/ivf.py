@@ -1,0 +1,138 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The reference's core design (SURVEY.md §2 O14-O17, §4 P1): a coarse
+search picks the top-``n_probe`` of 128 centroids by cosine similarity
+(IVF.cpp:271-282), then the fine search scans ONLY the probed clusters
+(IVF.cpp:296-299, 353-357) — an
+n_probe/128 fraction of the corpus.
+
+Spark-first re-expression:
+
+- The cluster column travels WITH the data (no positional
+  ``cluster_mappings`` indirection — reference IVF.cpp:441-449 exists
+  only because raw .bin files lose row identity).
+- Coarse search runs over a tiny centroid relation (≤ a few hundred
+  rows) and its result is collected to the driver to parameterize the
+  fine scan — the same materialize-then-prune control flow as the
+  reference (IVF.cpp:282), and the ONLY driver collect in the engine.
+- Probe pruning is a ``cluster IN (...)`` predicate. Against the
+  partitioned index layout (``write.partitionBy("cluster")``) this is
+  Parquet **partition pruning**: a 1000-executor job never opens the
+  other clusters' files. That is what makes this work at 100 TB.
+- "Combined" fine search (IVF.cpp:344-434) = one global top-k over the
+  pruned union. "Sequential" (IVF.cpp:286-342) = per-cluster window
+  top-k then global top-k (partial + final top-k). Both are physical
+  strategies over the SAME logical query and must agree (§5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array, cosine_similarity
+from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE, query_vectors
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+CENTROID_SCALE = 8  # centroid components rounded for cross-engine determinism
+
+
+def label_centroids(emb: DataFrame, cluster_col: str = "label") -> DataFrame:
+    """Per-cluster mean embedding → ``(label, centroid ARRAY<DOUBLE>)``.
+
+    ≙ the reference's KMeans ``cluster_centers_`` (clusters.py:22-24)
+    for the fixture's precomputed ``label`` partitioning. posexplode +
+    partial-aggregated avg keeps the shuffle to (n_clusters × dim) rows.
+    """
+    exploded = emb.select(
+        F.col(cluster_col).alias("label"),
+        F.posexplode(as_double_array("embedding")).alias("pos", "x"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), CENTROID_SCALE).alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("centroid")
+        )
+    )
+
+
+def coarse_search(centroids: DataFrame, queries: DataFrame, n_probe: int) -> DataFrame:
+    """Top-``n_probe`` clusters by cosine(query, centroid).
+
+    ≙ reference ``findSimilar`` over the 128×384 centroid matrix
+    (IVF.cpp:271-282). The centroid relation is tiny → broadcast.
+    """
+    scored = F.broadcast(centroids).join(F.broadcast(queries)).select(
+        "query_id",
+        "label",
+        F.round(cosine_similarity(F.col("centroid"), F.col("qvec")), SCORE_SCALE).alias("cscore"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cscore"), F.desc("label"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n_probe)
+
+
+def knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    sequential: bool = False,
+) -> DataFrame:
+    """IVF-pruned top-k cosine search over the fixture ``label`` clusters.
+
+    ≙ reference ``IVFIndex::search`` (IVF.cpp:267-436). ``sequential``
+    selects the per-cluster-window physical strategy
+    (``sequential_fine_search`` flag, IVF.cpp:286).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    cents = label_centroids(emb)
+    probes = [
+        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
+    ]  # ≤ n_clusters rows — plan-time pruning, mirrors IVF.cpp:282
+
+    fine = (
+        emb.filter(F.col("label").isin(probes))  # ⇒ partition pruning on a partitioned layout
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("label"),
+            F.round(
+                cosine_similarity(as_double_array("embedding"), F.col("qvec")), SCORE_SCALE
+            ).alias("score"),
+        )
+    )
+    if sequential:
+        w = W.partitionBy("label").orderBy(F.desc("score"), F.desc("vec_id"))
+        fine = fine.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return fine.select("vec_id", "score").orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+
+
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """recall@k of IVF vs exact brute force — one row ``(n_hits, recall)``.
+
+    Generalizes the reference's GPU-vs-CPU agreement check
+    (check_cos_sim.cpp:72; SURVEY.md §5.2): ``n_probe = n_clusters``
+    must give recall 1.0.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    approx = knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=n_probe)
+    exact = knn_bruteforce(spark, sf_dir, query_id=query_id, k=k)
+    hits = approx.select("vec_id").join(exact.select("vec_id"), "vec_id", "left_semi")
+    return hits.agg(
+        F.count("*").alias("n_hits"),
+        F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
+    )

@@ -1,0 +1,361 @@
+"""Relational operator breadth over the TPC-H-ish fixtures.
+
+The reference's relational surface is implicit (SURVEY.md §2.2):
+probe-set membership ≙ semi join, doc lookup ≙ equi join, per-cluster
+top-k ≙ window, heap top-k ≙ orderBy/limit. This module makes each
+category an explicit, named, oracle-checked query — plus the breadth a
+real analytics engine needs (outer joins, rollup/cube, frames, set ops,
+scalar function families).
+
+Cross-engine numeric policy: any SUM/AVG over double columns goes
+through ``DECIMAL(18,2)`` — exact and summation-order-independent, so
+Spark and DuckDB produce bit-identical doubles after the final cast.
+Transcendentals (ln/exp) are rounded to 6 d.p.; +,*,sqrt are IEEE-exact
+and left unrounded. Every aggregate/computed column is aliased
+identically to the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+
+def dec(col: Column | str, scale: int = 2) -> Column:
+    """Exact decimal view of a 2-dp money/quantity double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent double sum: decimal-sum then widen."""
+    return F.sum(dec(col, scale)).cast("double").alias(alias)
+
+
+# --- scans / filters / projections -------------------------------------------
+
+
+def filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate that must push down to the parquet scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# --- aggregations ------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    # re-narrow before the second multiply: keeping the full (37,4) precision
+    # would overflow 38 digits and trigger engine-specific precision loss
+    charge = disc_price.cast("decimal(18,4)") * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal hierarchy: nation → order priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return joined.rollup("n_name", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price")
+    )
+
+
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag × linestatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty")
+    )
+
+
+def having_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "revenue"))
+        .filter(F.col("n_items") > 500)
+    )
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("o_totalprice") > 100000).cast("long")).alias("n_big"),
+    )
+
+
+# --- joins -------------------------------------------------------------------
+
+
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join with broadcast dims (TPC-H Q5 shape).
+
+    region/nation are broadcast; the orders⋈lineitem fact join shuffles
+    on the key both sides already share.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers who have at least one open order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + null-aware aggregation (count of nullable column)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)).alias("big_total"),
+        )
+    )
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the (deterministic, decimal-derived) global mean price."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
+
+
+# --- windows -----------------------------------------------------------------
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer in orderdate order (cumulative frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum(dec("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment (dense window top-k)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def window_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + bounded sliding frame (3-row centered moving sum)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.sum(dec("o_totalprice")).over(w.rowsBetween(-1, 1)).cast("double").alias("moving_sum"),
+        F.rank().over(W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))).alias("price_rank"),
+    )
+
+
+# --- set operations ----------------------------------------------------------
+
+
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer vs supplier nations."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    cust_only = c.distinct().exceptAll(s.distinct()).withColumn("src", F.lit("customer_only"))
+    supp_only = s.distinct().exceptAll(c.distinct()).withColumn("src", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+# --- scalar function families ------------------------------------------------
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_1999"
+        ),
+        # dates are surfaced as timestamps: pandas renders DATE columns
+        # engine-dependently (datetime.date vs datetime64), breaking hashes
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
+    )
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # NOTE: no round() on raw money values — Spark rounds the shortest
+        # decimal repr (HALF_UP on Double.toString) while DuckDB rounds the
+        # scaled binary double, so .X5 inputs diverge. Rounding is reserved
+        # for computed transcendentals where exact-boundary values can't occur.
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.sign(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over the embedding column: size, slice, posexplode."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    sliced = emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 3)).alias("pos", "val"),
+    )
+    return sliced.select("vec_id", "n_dims", F.col("pos").cast("int").alias("pos"), "val")
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props payload (≙ O5/O6's
+    JSON-field access, IVF.cpp:117)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding + aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return orders.groupBy(band.alias("price_band"), "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "band_total"),
+    )
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT event counts per user (first 30 users)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+    )
+    cols = [F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in ["view", "click", "purchase", "signup", "error"]]
+    return pivoted.select("user_id", *cols)

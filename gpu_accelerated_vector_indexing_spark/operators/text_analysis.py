@@ -1,0 +1,162 @@
+"""Text analysis for training-data pipelines (EXT, SURVEY.md §2.3).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+corpus vocabulary stats, and document fingerprinting — all as native
+column expressions over ``documents`` (JVM-side, codegen'd; the only
+Python in this module is the winnowing fingerprint, which is a
+deliberate ``mapInPandas`` showcase with a rows-only check).
+
+The reference's only text handling is projection + truncation
+(embedding.py:31; IVF.cpp:698); this family is the pipeline breadth a
+100 TB corpus needs before embedding/indexing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+TOKEN_RE = "[A-Za-z0-9]+"
+PUNCT_CLASS = "[.,!?;:]"
+
+# tiny per-language stopword sets for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+    "it": ["il", "la", "gli", "e", "di"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Word tokens via regex extraction (BPE-ish boundary: alnum runs)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics + a composite quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    punct = F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    stop = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        (token_chars / n_tokens).alias("avg_token_len"),
+        (punct / F.length("text")).alias("punct_ratio"),
+        stop.alias("n_stopwords"),
+        (stop / n_tokens).alias("stopword_ratio"),
+        # composite quality: long enough, words not too long, some stopwords
+        (
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+            + F.least(stop / F.greatest(n_tokens, F.lit(1)) * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Deterministic tie-break: first language in fixed order wins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hit_cols = {lg: _stopword_hits(toks, ws) for lg, ws in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    max_hits = F.greatest(*[hit_cols[lg] for lg in langs])
+    # argmax with deterministic tie-break: first language (in fixed order)
+    # whose hit count equals the maximum
+    guess = F.when(hit_cols[langs[0]] == max_hits, F.lit(langs[0]))
+    for lg in langs[1:]:
+        guess = guess.when(hit_cols[lg] == max_hits, F.lit(lg))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[hit_cols[lg].alias(f"hits_{lg}") for lg in langs],
+        guess.alias("lang_guess"),
+    )
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
+    """Corpus-level vocabulary: top-N tokens by frequency.
+
+    explode → groupBy benefits from map-side partial aggregation; at
+    100 TB this is the canonical word-count shuffle, bounded by
+    vocabulary size, not corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the whitespace-normalized text plus
+    a 64-bit prefix as a numeric key (join-friendly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    fp = F.md5(norm)
+    # numeric key as portable code-point polynomial over the first 8 hex
+    # chars (base 31) — any SQL engine reproduces it without a conv() builtin
+    fp_key = sum(
+        F.ascii(F.substring(fp, i, 1)).cast("long") * F.lit(31 ** (i - 1)).cast("long")
+        for i in range(1, 9)
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"), fp_key.alias("fp_key"))
+
+
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash min-sampling) via mapInPandas.
+
+    The classic local-minimum document fingerprint (Schleimer et al.,
+    SIGMOD'03 'Winnowing: Local Algorithms for Document Fingerprinting'
+    — public algorithm): k-gram rolling hashes, minimum per sliding
+    window, deduplicated. Python-side by design: a showcase of the
+    Arrow-batched escape hatch for operators outside SQL semantics
+    (rows-only correctness check per driver contract).
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compute(batches):
+        B = 131
+        MOD = (1 << 61) - 1
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = " ".join(str(text).lower().split())
+                if len(t) < k:
+                    out.append((doc_id, []))
+                    continue
+                hs, h, power = [], 0, pow(B, k - 1, MOD)
+                for i, ch in enumerate(t):
+                    h = (h * B + ord(ch)) % MOD
+                    if i >= k:
+                        h = (h - ord(t[i - k]) * power * B) % MOD
+                    if i >= k - 1:
+                        hs.append(h)
+                fps = sorted({min(hs[i : i + window]) for i in range(max(len(hs) - window + 1, 1))})
+                out.append((doc_id, fps))
+            yield pd.DataFrame(out, columns=["doc_id", "fingerprints"])
+
+    fp = docs.mapInPandas(compute, schema="doc_id long, fingerprints array<long>")
+    return fp.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))

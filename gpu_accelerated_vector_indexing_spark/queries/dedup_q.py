@@ -1,2 +1,132 @@
-QUERIES = {}
-ORACLES = {}
+"""Dedup query family (EXT surface, SURVEY.md §2.3).
+
+The MinHash/SimHash oracles are generated from the SAME constants as
+the Spark operators (``operators/dedup.py``), and the shingle hash is
+plain code-point arithmetic, so DuckDB reproduces every signature
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.operators import dedup as D
+from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+    HASH_MOD,
+    MINHASH_AS,
+    MINHASH_BS,
+    MINHASH_PRIME,
+    N_BANDS,
+    N_MINHASH,
+    ROWS_PER_BAND,
+    SHINGLE_LEN,
+    SIMHASH_BITS,
+)
+
+QUERIES = {
+    "dedup_exact_summary": D.exact_dedup_summary,
+    "dedup_exact_keep": D.exact_dedup_keep,
+    "dedup_minhash_lsh": D.minhash_lsh_pairs,
+    "dedup_simhash_pairs": D.simhash_pairs,
+    "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
+    "dedup_embedding_topk": D.embedding_neardup_topk,
+}
+
+# --- shared SQL fragments ----------------------------------------------------
+
+_POLY = " + ".join(
+    f"ascii(substr(s, {i}, 1))::BIGINT * {31 ** (SHINGLE_LEN - i)}"
+    for i in range(1, SHINGLE_LEN + 1)
+)
+
+_SHINGLE_CTES = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - {SHINGLE_LEN - 1} + 1),
+                               i -> substr(text, i, {SHINGLE_LEN}))) AS s
+  FROM documents WHERE length(text) >= {SHINGLE_LEN}
+),
+h AS (SELECT doc_id, ({_POLY}) % {HASH_MOD} AS h FROM sh)
+"""
+
+_SIG_COLS = ", ".join(
+    f"min(({a}::BIGINT * h + {b}) % {MINHASH_PRIME}) AS m{i}"
+    for i, (a, b) in enumerate(zip(MINHASH_AS, MINHASH_BS))
+)
+
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM sig".format(
+        b=b, cols=", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    )
+    for b in range(N_BANDS)
+)
+
+_AGREE = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(N_MINHASH))
+
+_SIM_SUMS = ", ".join(
+    f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+)
+_SIM_FP = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+ORACLES = {
+    "dedup_exact_summary": """
+WITH g AS (SELECT md5(text) AS text_hash, count(*) AS n_copies FROM documents GROUP BY 1)
+SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+FROM g
+""",
+    "dedup_exact_keep": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "dedup_minhash_lsh": _SHINGLE_CTES
+    + f""",
+sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b, ({_AGREE}) / {N_MINHASH}.0 AS est_jaccard
+FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+WHERE ({_AGREE}) / {N_MINHASH}.0 >= 0.5
+""",
+    "dedup_simhash_pairs": _SHINGLE_CTES
+    + f""",
+sums AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, {_SIM_FP} AS simhash FROM sums),
+bands AS (
+  SELECT doc_id, simhash, i AS bpos, (simhash >> (8 * i)) & 255 AS bval
+  FROM fp CROSS JOIN range(0, 4) t(i)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS ha, y.simhash AS hb
+  FROM bands x JOIN bands y ON x.bpos = y.bpos AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
+    "dedup_ngram_jaccard": f"""
+WITH d AS (
+  SELECT doc_id, lang, length(text) // 64 AS lbucket,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1),
+                                      i -> substr(text, i, {SHINGLE_LEN}))) AS grams
+  FROM documents
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       round(len(list_intersect(x.grams, y.grams)) /
+             len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jaccard
+FROM d x JOIN d y ON x.lang = y.lang AND x.lbucket = y.lbucket AND x.doc_id < y.doc_id
+WHERE len(list_intersect(x.grams, y.grams)) /
+      len(list_distinct(list_concat(x.grams, y.grams))) >= 0.6
+""",
+    "dedup_embedding_topk": """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) + 1e-8), 6) AS cos_sim
+FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+ORDER BY cos_sim DESC, vec_a DESC, vec_b DESC LIMIT 20
+""",
+}

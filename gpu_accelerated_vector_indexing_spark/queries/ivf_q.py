@@ -1,2 +1,99 @@
-QUERIES = {}
-ORACLES = {}
+"""IVF query family (SURVEY.md §2 O14-O17, O22-O23; §2.3).
+
+Oracle determinism: centroid components are rounded to 8 d.p. in BOTH
+engines before the coarse cosine (float64 avg summation order differs
+between Spark and DuckDB); scores rounded to 6 d.p. as everywhere.
+The MLlib KMeans build is NOT oracle-expressible (k-means‖ vs any SQL
+restatement) → property-style rows-only entry (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from gpu_accelerated_vector_indexing_spark.operators import index_build, ivf
+
+QUERY_ID = 0
+K = 5
+N_PROBE = 3
+DIM = 64
+N_CLUSTERS = 10
+
+_COS_Q = (
+    "round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /"
+    " (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6)"
+)
+
+# Shared CTE prefix: per-label mean centroids (rounded), query vector,
+# coarse top-n_probe, pruned fine scores.
+_IVF_CTES = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (
+  SELECT label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+coarse AS (
+  SELECT c.label,
+         round(list_dot_product(c.centroid, q.qvec) /
+               (sqrt(list_dot_product(c.centroid, c.centroid)) *
+                sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS cscore
+  FROM cent c CROSS JOIN q
+),
+probes AS (SELECT label FROM coarse ORDER BY cscore DESC, label DESC LIMIT {N_PROBE}),
+fine AS (
+  SELECT e.vec_id, {_COS_Q} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (SELECT label FROM probes)
+),
+ivf_topk AS (SELECT vec_id, score FROM fine ORDER BY score DESC, vec_id DESC LIMIT {K})
+"""
+
+
+def _centroids_table(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(as_double_array("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 8).alias("v"))
+        .select("label", F.col("pos").cast("int").alias("pos"), "v")
+    )
+
+
+QUERIES = {
+    "ivf_centroids": _centroids_table,
+    "knn_ivf_combined": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=False),
+    "knn_ivf_sequential": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=True),
+    "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
+    "kmeans_invariants": partial(index_build.cluster_invariants, k=N_CLUSTERS, seed=42),
+}
+
+ORACLES = {
+    "ivf_centroids": f"""
+SELECT e.label, (d.i - 1)::INT AS pos, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+FROM embeddings e CROSS JOIN (SELECT i FROM range(1, {DIM + 1}) t(i)) d
+GROUP BY e.label, d.i
+""",
+    "knn_ivf_combined": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
+    "knn_ivf_sequential": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
+    "ivf_recall": _IVF_CTES
+    + f""",
+exact AS (
+  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+  ORDER BY {_COS_Q} DESC, e.vec_id DESC LIMIT {K}
+),
+hits AS (SELECT a.vec_id FROM ivf_topk a WHERE a.vec_id IN (SELECT vec_id FROM exact))
+SELECT count(*) AS n_hits, round(count(*) / {K}.0, 6) AS recall FROM hits
+""",
+    # kmeans_invariants: MLlib k-means‖ is not SQL-restatable → rows-only.
+}

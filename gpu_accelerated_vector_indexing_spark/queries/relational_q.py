@@ -1,2 +1,223 @@
-QUERIES = {}
-ORACLES = {}
+"""Relational breadth query family (SURVEY.md §2.2 checklist rows).
+
+Every oracle mirrors the Spark query's decimal-safe numeric policy
+(see operators/relational.py): DECIMAL(18,2) sums cast to DOUBLE are
+bit-identical across engines; row_number/rank/date_diff results are
+cast to the Spark-side integer width.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.operators import relational as R
+
+_DSUM = "CAST(sum({col}::DECIMAL(18,2)) AS DOUBLE)"
+_DISC_PRICE = "l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
+
+QUERIES = {
+    "filtered_scan": R.filtered_scan,
+    "pricing_summary": R.pricing_summary,
+    "rollup_counts": R.rollup_counts,
+    "cube_counts": R.cube_counts,
+    "having_groups": R.having_groups,
+    "distinct_agg": R.distinct_agg,
+    "join_multiway": R.join_multiway,
+    "join_semi": R.join_semi,
+    "join_anti": R.join_anti,
+    "join_outer": R.join_outer,
+    "scalar_subquery": R.scalar_subquery,
+    "window_running": R.window_running,
+    "window_topk_per_group": R.window_topk_per_group,
+    "window_lag_frames": R.window_lag_frames,
+    "set_operations": R.set_operations,
+    "string_functions": R.string_functions,
+    "date_functions": R.date_functions,
+    "math_functions": R.math_functions,
+    "array_functions": R.array_functions,
+    "json_functions": R.json_functions,
+    "case_bucketing": R.case_bucketing,
+    "pivot_status": R.pivot_status,
+}
+
+ORACLES = {
+    "filtered_scan": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_orderstatus = 'F'
+""",
+    "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  {_DSUM.format(col='l_quantity')} AS sum_qty,
+  {_DSUM.format(col='l_extendedprice')} AS sum_base_price,
+  CAST(sum({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(({_DISC_PRICE})::DECIMAL(18,4) * (1::DECIMAL(18,2) + l_tax::DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  {_DSUM.format(col='l_quantity')} / count(*) AS avg_qty,
+  {_DSUM.format(col='l_extendedprice')} / count(*) AS avg_price,
+  {_DSUM.format(col='l_discount')} / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rollup_counts": f"""
+SELECT n_name, o_orderpriority, count(*) AS n_orders,
+       {_DSUM.format(col='o_totalprice')} AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+""",
+    "cube_counts": f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       {_DSUM.format(col='l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "having_groups": f"""
+SELECT l_suppkey, count(*) AS n_items, {_DSUM.format(col='l_extendedprice')} AS revenue
+FROM lineitem GROUP BY l_suppkey HAVING count(*) > 500
+""",
+    "distinct_agg": """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+FROM orders GROUP BY o_orderstatus
+""",
+    "join_multiway": f"""
+SELECT r_name, CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "join_semi": """
+SELECT c_mktsegment, count(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_mktsegment
+""",
+    "join_anti": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "join_outer": """
+SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+       coalesce(CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE), 0.0) AS big_total
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o ON c_custkey = o.o_custkey
+GROUP BY c_custkey
+""",
+    "scalar_subquery": """
+WITH stats AS (
+  SELECT CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_price FROM orders
+)
+SELECT o_orderpriority, count(*) AS n_above_avg
+FROM orders, stats WHERE o_totalprice > avg_price
+GROUP BY o_orderpriority
+""",
+    "window_running": """
+SELECT o_custkey, o_orderkey,
+  CAST(row_number() OVER w AS INT) AS rn,
+  CAST(sum(o_totalprice::DECIMAL(18,2)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "window_topk_per_group": """
+SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+""",
+    "window_lag_frames": """
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice, 1) OVER w AS prev_price,
+  lead(o_totalprice, 1) OVER w AS next_price,
+  CAST(sum(o_totalprice::DECIMAL(18,2)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS moving_sum,
+  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank
+FROM orders WHERE o_custkey <= 20
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "set_operations": """
+SELECT nationkey, 'both' AS src FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS src FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS src FROM (
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+  EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+""",
+    "string_functions": """
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  lower(p_brand) AS brand_lower,
+  CAST(length(p_name) AS INT) AS name_len,
+  substring(p_type, 1, 5) AS type_prefix,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+  replace(p_name, ' ', '_') AS name_snake,
+  trim(p_name) AS name_trim
+FROM part WHERE p_partkey <= 100
+""",
+    "date_functions": """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(month(o_orderdate) AS INT) AS mo,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  CAST(day(o_orderdate) AS INT) AS dom,
+  date_trunc('month', o_orderdate) AS month_start,
+  CAST(date_diff('day', o_orderdate::DATE, DATE '1999-01-01') AS INT) AS days_to_1999,
+  (o_orderdate::DATE + 30)::TIMESTAMP AS due_date
+FROM orders WHERE o_orderkey <= 200
+""",
+    "math_functions": """
+SELECT l_orderkey, l_linenumber,
+  abs(l_discount - 0.05) AS disc_dev,
+  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+  sqrt(l_quantity) AS qty_sqrt,
+  round(ln(l_extendedprice), 6) AS price_ln,
+  round(exp(l_discount), 6) AS disc_exp,
+  l_quantity * l_quantity AS qty_sq,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM lineitem WHERE l_orderkey <= 100
+""",
+    "array_functions": """
+SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+       CAST(i - 1 AS INT) AS pos, embedding[i]::DOUBLE AS val
+FROM embeddings CROSS JOIN range(1, 4) t(i)
+WHERE vec_id < 50
+""",
+    "json_functions": """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+""",
+    "case_bucketing": f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       o_orderstatus, count(*) AS n_orders,
+       {_DSUM.format(col='o_totalprice')} AS band_total
+FROM orders GROUP BY 1, 2
+""",
+    "pivot_status": """
+SELECT user_id,
+  count(*) FILTER (event_type = 'view') AS n_view,
+  count(*) FILTER (event_type = 'click') AS n_click,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup') AS n_signup,
+  count(*) FILTER (event_type = 'error') AS n_error
+FROM events WHERE user_id < 30 GROUP BY user_id
+""",
+}

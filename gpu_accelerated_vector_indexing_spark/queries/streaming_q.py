@@ -1,2 +1,77 @@
-QUERIES = {}
-ORACLES = {}
+"""Streaming/event-window query family (EXT, SURVEY.md §2.3 M5).
+
+Every oracle reads events through the ``ev`` CTE, which truncates the
+nanosecond timestamps to whole seconds exactly like the Spark loader
+(sources/fixtures.py::_load_events) — bucket membership and min/max
+outputs then agree bit-for-bit.
+
+``streaming_tumbling`` runs a REAL Structured Streaming query
+(readStream → watermark → window agg → memory sink, complete mode);
+over static fixture data its result equals the batch tumbling query,
+so even the streaming engine gets a full value oracle.
+``streaming_sessions`` (session_window stateful op) has no SQL twin →
+rows-only.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.streaming import windows as SW
+
+_EV = """
+WITH ev AS (
+  SELECT event_id, date_trunc('second', ts)::TIMESTAMP AS ts,
+         user_id, event_type, value, props
+  FROM events
+)
+"""
+
+_TUMBLING_SQL = (
+    _EV
+    + """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM ev GROUP BY 1, 2
+"""
+)
+
+QUERIES = {
+    "events_tumbling": SW.tumbling_counts,
+    "events_sliding": SW.sliding_counts,
+    "events_sessionize": SW.sessionize,
+    "streaming_tumbling": SW.streaming_tumbling,
+    "streaming_sessions": SW.streaming_session_window,
+}
+
+ORACLES = {
+    "events_tumbling": _TUMBLING_SQL,
+    "streaming_tumbling": _TUMBLING_SQL,
+    "events_sliding": _EV
+    + """
+SELECT time_bucket(INTERVAL '5 minutes', ts) - k.i * INTERVAL '5 minutes' AS window_start,
+       count(*) AS n_events,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM ev CROSS JOIN range(0, 2) k(i)
+GROUP BY 1
+""",
+    "events_sessionize": _EV
+    + """,
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+""",
+    # streaming_sessions: session_window state machine has no SQL twin → rows-only
+}

@@ -1,2 +1,85 @@
-QUERIES = {}
-ORACLES = {}
+"""Text-analysis query family (EXT, SURVEY.md §2.3).
+
+Ratios are int/int double divisions (exact, deterministic); the
+composite quality score mirrors the exact operation order of the Spark
+expression so IEEE doubles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.operators import text_analysis as TA
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import LANG_STOPWORDS, PUNCT_CLASS, TOKEN_RE
+
+QUERIES = {
+    "text_stats": TA.text_stats,
+    "text_lang_id": TA.lang_id,
+    "text_vocab_top": TA.vocab_top_tokens,
+    "text_fingerprints": TA.doc_fingerprints,
+    "text_winnow": TA.winnow_fingerprints,  # mapInPandas showcase → rows-only
+}
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+_HITS = {
+    lg: f"len(list_filter({_TOKS}, t -> t IN ({_in_list(ws)})))::INT"
+    for lg, ws in LANG_STOPWORDS.items()
+}
+_LANGS = list(LANG_STOPWORDS)
+_MAX_HITS = f"greatest({', '.join(_HITS.values())})"
+_GUESS_CASE = (
+    "CASE "
+    + " ".join(f"WHEN {_HITS[lg]} = {_MAX_HITS} THEN '{lg}'" for lg in _LANGS)
+    + " END"
+)
+
+ORACLES = {
+    "text_stats": f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         length(text)::INT AS len_chars,
+         len({_TOKS})::INT AS n_tokens,
+         (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))::INT AS punct,
+         len(list_filter({_TOKS}, t -> t IN ({_in_list(LANG_STOPWORDS['en'])})))::INT AS stop
+  FROM documents
+)
+SELECT doc_id, len_chars, n_tokens,
+  list_sum(list_transform(toks, t -> length(t)::INT))::INT / n_tokens AS avg_token_len,
+  punct / len_chars AS punct_ratio,
+  stop AS n_stopwords,
+  stop / n_tokens AS stopword_ratio,
+  least(n_tokens / 100.0, 1.0) * 0.5 +
+  least(stop / greatest(n_tokens, 1) * 10.0, 1.0) * 0.5 AS quality_score
+FROM base
+""",
+    "text_lang_id": f"""
+SELECT doc_id, lang,
+  {', '.join(f'{_HITS[lg]} AS hits_{lg}' for lg in _LANGS)},
+  {_GUESS_CASE} AS lang_guess
+FROM documents
+""",
+    "text_vocab_top": f"""
+SELECT token, count(*) AS n_occurrences FROM (
+  SELECT unnest({_TOKS}) AS token FROM documents
+) GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 20
+""",
+    "text_fingerprints": """
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+  (ascii(substr(fingerprint, 1, 1))::BIGINT
+   + ascii(substr(fingerprint, 2, 1))::BIGINT * 31
+   + ascii(substr(fingerprint, 3, 1))::BIGINT * 961
+   + ascii(substr(fingerprint, 4, 1))::BIGINT * 29791
+   + ascii(substr(fingerprint, 5, 1))::BIGINT * 923521
+   + ascii(substr(fingerprint, 6, 1))::BIGINT * 28629151
+   + ascii(substr(fingerprint, 7, 1))::BIGINT * 887503681
+   + ascii(substr(fingerprint, 8, 1))::BIGINT * 27512614111) AS fp_key
+FROM fp
+""",
+}

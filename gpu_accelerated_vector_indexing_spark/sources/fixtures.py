@@ -39,7 +39,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+    rejects; read nanos as long and canonicalize to whole seconds
+    (integer `div` — a double division would lose precision at 1.7e18).
+    Oracle SQL applies the same second-truncation (see streaming_q)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.select(
+        "event_id",
+        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

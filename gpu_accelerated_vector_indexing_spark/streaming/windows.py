@@ -1,0 +1,162 @@
+"""Event-time windowing: batch-checkable first, Structured Streaming on top.
+
+EXT surface (SURVEY.md §2.3, M5): tumbling/sliding window aggregates
+and sessionization over ``events``, each with a batch twin the DuckDB
+oracle can verify; plus true ``readStream`` wrappers (memory sink) —
+the streaming tumbling query is run in ``complete`` output mode so a
+single micro-batch over static fixture data emits every window and
+matches the batch oracle exactly. Watermark/late-data append-mode
+semantics are exercised in tests with a two-chunk feed.
+
+Numeric policy: ``value`` sums go through DECIMAL(18,2) like every
+money column (see operators/relational.py).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.operators.relational import dec
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+_memory_sink_counter = threading.Lock()
+_sink_id = [0]
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "5 minutes") -> DataFrame:
+    """Tumbling event-time windows: count + value sum per (window, type)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    spark: SparkSession, sf_dir: str, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_seconds: int = 1800) -> DataFrame:
+    """Batch sessionization: per-user sessions split on inactivity gaps.
+
+    lag + cumulative-sum-of-gap-flags — the classic windowed form, and
+    the batch twin of ``session_window`` streaming aggregation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(order)) > gap_seconds)
+            | F.lag("ts", 1).over(order).isNull()
+        )
+        .cast("long")
+        .alias("is_new"),
+    )
+    with_session = with_gap.withColumn(
+        "session_id", F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", F.col("session_id").cast("int").alias("session_id"), "n_events", "session_start", "session_end")
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream, with the same nanos→seconds
+    canonicalization as the batch loader (fixtures._load_events).
+
+    The glob keeps basePath = sf_dir (the streaming file source requires
+    a directory base), and the raw schema reads the nano timestamps as
+    longs under the legacy conf.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = spark.readStream.schema(raw_schema).parquet(os.path.join(sf_dir, "events.parque*"))
+    return raw.select(
+        "event_id",
+        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str, width: str = "5 minutes") -> DataFrame:
+    """TRUE Structured Streaming tumbling aggregation over the fixture.
+
+    readStream → window agg → memory sink (complete mode), drained
+    synchronously with processAllAvailable. Complete mode emits every
+    window regardless of watermark, so the result equals the batch
+    tumbling query — giving the streaming engine a full value oracle.
+    """
+    with _memory_sink_counter:
+        _sink_id[0] += 1
+        name = f"gpu_accelerated_vector_indexing_stream_{_sink_id[0]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_session_window(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Structured Streaming native session windows (complete mode).
+
+    ``session_window`` is the stateful operator the batch ``sessionize``
+    mirrors; complete-mode drain over static data gives deterministic
+    output (rows-only check — DuckDB has no session_window twin).
+    """
+    with _memory_sink_counter:
+        _sink_id[0] += 1
+        name = f"gpu_accelerated_vector_indexing_sess_{_sink_id[0]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

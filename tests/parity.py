@@ -8,7 +8,7 @@ Generalizes the reference's GPU-vs-CPU consistency check
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime
 
 import pandas as pd
 
@@ -31,7 +31,7 @@ def _norm_cell(v):
         # exact match expected (both engines compute deterministic doubles);
         # repr at 12 significant digits guards only against float64 printing noise
         return f"{v:.12g}"
-    if isinstance(v, (pd.Timestamp, datetime)):
+    if isinstance(v, (pd.Timestamp, datetime, date)):
         return pd.Timestamp(v).tz_localize(None) if pd.Timestamp(v).tzinfo else pd.Timestamp(v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)

@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+from tests.parity import assert_parity
+
+
+def _names():
+    from gpu_accelerated_vector_indexing_spark.queries import dedup_q
+
+    return sorted(dedup_q.QUERIES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_dedup_parity_smoke(spark, duck, name):
+    assert_parity(spark, duck, name, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_dedup_parity_sf001(spark, duck, name):
+    assert_parity(spark, duck, name, SF_CORRECT)
+
+
+def test_minhash_finds_neardups(spark):
+    """The fixture corpus contains engineered near-dup pairs; banded
+    MinHash must surface at least one of them."""
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    lsh = minhash_lsh_pairs(spark, SF_CORRECT).collect()
+    exact = ngram_jaccard_pairs(spark, SF_CORRECT).collect()
+    assert len(exact) > 0, "expected engineered near-dup pairs in fixture"
+    exact_pairs = {(r.doc_a, r.doc_b) for r in exact}
+    lsh_pairs = {(r.doc_a, r.doc_b) for r in lsh}
+    assert lsh_pairs & exact_pairs, "LSH should recover some exact near-dup pairs"
+
+
+def test_simhash_low_distance_on_neardups(spark):
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import simhash_pairs
+
+    rows = simhash_pairs(spark, SF_CORRECT, max_hamming=3).collect()
+    for r in rows:
+        assert 0 <= r.hamming <= 3

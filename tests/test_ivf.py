@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+from tests.parity import assert_parity
+
+IVF_NAMES = ["ivf_centroids", "knn_ivf_combined", "knn_ivf_sequential", "ivf_recall"]
+
+
+@pytest.mark.parametrize("name", IVF_NAMES)
+def test_ivf_oracle_parity_smoke(spark, duck, name):
+    assert_parity(spark, duck, name, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", IVF_NAMES)
+def test_ivf_oracle_parity_sf001(spark, duck, name):
+    assert_parity(spark, duck, name, SF_CORRECT)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """n_probe = n_clusters ⇒ IVF ≡ exact search (SURVEY.md §5.2)."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import knn_ivf
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    ivf_ids = [r.vec_id for r in knn_ivf(spark, SF_SMOKE, query_id=3, k=5, n_probe=10).collect()]
+    exact_ids = [r.vec_id for r in knn_bruteforce(spark, SF_SMOKE, query_id=3, k=5).collect()]
+    assert ivf_ids == exact_ids
+
+
+def test_sequential_equals_combined(spark):
+    """Two physical strategies, one logical query (O16 ≡ O17)."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import knn_ivf
+
+    seq = knn_ivf(spark, SF_SMOKE, query_id=2, k=5, n_probe=4, sequential=True).collect()
+    com = knn_ivf(spark, SF_SMOKE, query_id=2, k=5, n_probe=4, sequential=False).collect()
+    assert [(r.vec_id, r.score) for r in seq] == [(r.vec_id, r.score) for r in com]
+
+
+def test_kmeans_invariants(spark):
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import cluster_invariants
+
+    row = cluster_invariants(spark, SF_SMOKE, k=10, seed=42).collect()[0]
+    assert row.n_clusters == 10
+    assert row.n_rows == 500
+    assert row.n_nearest_ok == row.n_rows
+
+
+def test_partitioned_index_prunes(spark, tmp_path_factory):
+    """The partitioned layout + IN-filter must read only probed partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import build_partitioned_index
+
+    out = "/root/repo/.tmp/index_sf0001"
+    emb_path, cent_path = build_partitioned_index(spark, SF_SMOKE, out, k=10, seed=42)
+    assert len([d for d in os.listdir(emb_path) if d.startswith("cluster=")]) == 10
+    pruned = spark.read.parquet(emb_path).filter(F.col("cluster").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    n_full = spark.read.parquet(emb_path).count()
+    assert 0 < pruned.count() < n_full

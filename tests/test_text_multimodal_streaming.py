@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+from tests.parity import assert_parity
+
+
+def _oracle_names():
+    from gpu_accelerated_vector_indexing_spark.queries import multimodal_q, streaming_q, text_q
+
+    names = []
+    for mod in (text_q, multimodal_q, streaming_q):
+        names += sorted(mod.ORACLES)
+    return names
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_parity_smoke(spark, duck, name):
+    assert_parity(spark, duck, name, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_parity_sf001(spark, duck, name):
+    assert_parity(spark, duck, name, SF_CORRECT)
+
+
+def test_rows_only_queries_run(spark):
+    """Entries without oracles must still produce stable schemas + rows."""
+    from gpu_accelerated_vector_indexing_spark.queries import merged
+
+    queries, oracles = merged()
+    for name in queries.keys() - oracles.keys():
+        df = queries[name](spark, SF_SMOKE)
+        assert df.count() > 0, f"{name} returned no rows"
+
+
+def test_winnow_deterministic(spark):
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import winnow_fingerprints
+
+    a = {(r.doc_id, r.n_fingerprints) for r in winnow_fingerprints(spark, SF_SMOKE).collect()}
+    b = {(r.doc_id, r.n_fingerprints) for r in winnow_fingerprints(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) == 500
+
+
+def test_decode_stub_raises_for_images():
+    from gpu_accelerated_vector_indexing_spark.operators.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x89PNG", "image/png")
+    assert decode_payload(b"abc", "text/plain") == b"abc"
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics with a two-batch feed: windows
+    closed by the advancing watermark emit; a late event below the
+    watermark is dropped (the core late-data contract)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = "/root/repo/.tmp/stream_src"
+    chk = "/root/repo/.tmp/stream_chk"
+    for d in (src, chk):
+        os.system(f"rm -rf {d}")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        (
+            spark.createDataFrame(rows, "ts string, v int")
+            .select(F.to_timestamp("ts").alias("ts"), "v")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write_batch([("2024-01-01 00:01:00", 1), ("2024-01-01 00:02:00", 2)], "b1")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName(
+        "late_test"
+    ).option("checkpointLocation", chk).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: advances watermark past the first window, plus one LATE row
+        write_batch([("2024-01-01 00:30:00", 3)], "b2")
+        q.processAllAvailable()
+        write_batch([("2024-01-01 00:01:30", 99), ("2024-01-01 00:40:00", 4)], "b3")
+        q.processAllAvailable()
+        write_batch([("2024-01-01 01:00:00", 5)], "b4")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {(str(r.ws), r.n) for r in spark.table("late_test").collect()}
+    # the 00:00 window emitted with only the 2 on-time rows; the late row
+    # (00:01:30, arriving after watermark passed 00:05) never appears
+    assert ("2024-01-01 00:00:00", 2) in out
+    assert all(n != 3 for ws, n in out if ws == "2024-01-01 00:00:00")

@@ -1,0 +1,101 @@
+"""Benchmark harness — ≙ the reference's run_multiple_configs.sh.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], N runs each, and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing policy (mirrors the reference, IVF.cpp:683-686 / BASELINE.md):
+the timed region is query execution + materialization. Small results
+(top-k style) are collect()ed like the reference prints its k rows;
+large results go to a ``noop`` sink so the measurement is computation,
+not driver transfer. Means are over N=3 runs including the first
+(the reference averages all runs too, run_multiple_configs.sh:103-110).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_RUNS = 3
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _collect(df) -> None:
+    df.collect()
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+# (name, materialization) — names resolve through the driver-contract registry
+BENCH_QUERIES = [
+    # the reference's hot path (vector search family)
+    ("knn_bruteforce", _collect),
+    ("knn_bruteforce_pandas", _collect),
+    ("knn_ivf_combined", _collect),
+    ("knn_ivf_sequential", _collect),
+    ("multi_query_knn", _collect),
+    ("knn_with_docs", _collect),
+    # relational core over the big fact tables
+    ("pricing_summary", _collect),
+    ("join_multiway", _collect),
+    ("window_topk_per_group", _collect),
+    ("window_running", _noop),
+    ("scalar_subquery", _collect),
+    # training-data pipeline operators
+    ("dedup_minhash_lsh", _noop),
+    ("dedup_simhash_pairs", _noop),
+    ("dedup_ngram_jaccard", _noop),
+    ("text_stats", _noop),
+    ("text_vocab_top", _collect),
+    ("multimodal_features", _noop),
+    # event-time windowing
+    ("events_tumbling", _noop),
+    ("events_sessionize", _noop),
+]
+
+
+def main() -> None:
+    from gpu_accelerated_vector_indexing_spark.queries import merged
+    from gpu_accelerated_vector_indexing_spark.session import get_spark
+
+    spark = get_spark("gpu_accelerated_vector_indexing_spark-bench")
+    queries, _ = merged()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    results: dict[str, float] = {}
+    for name, materialize in BENCH_QUERIES:
+        fn = queries[name]
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            materialize(fn(spark, SF_DIR))
+            runs.append(time.time() - t0)
+        results[name] = round(sum(runs) / len(runs), 4)
+        print(f"# {name}: {results[name]:.3f}s  {[f'{t:.3f}' for t in runs]}", file=sys.stderr)
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_mean_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_runs": N_RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

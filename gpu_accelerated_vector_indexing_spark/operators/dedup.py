@@ -226,32 +226,60 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
 # --- n-gram Jaccard ----------------------------------------------------------
 
 
+def raw_shingle_hashes(text: Column, n: int = SHINGLE_LEN) -> Column:
+    """Distinct shingle hashes straight from character positions.
+
+    Same polynomial as ``shingle_hash`` but WITHOUT materializing the
+    shingle strings (and without the minhash modulus): int64 set ops
+    downstream are ~10× cheaper than string-array ops.
+    """
+    def poly(i: Column) -> Column:
+        total = F.lit(0).cast("long")
+        for j in range(1, n + 1):
+            total = total + F.ascii(text.substr(i + (j - 1), F.lit(1))).cast("long") * F.lit(
+                31 ** (n - j)
+            ).cast("long")
+        return total
+
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))), poly)
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.6, length_bucket: int = 64
 ) -> DataFrame:
     """Exact Jaccard over distinct 5-gram sets, (lang, length-bucket) blocked.
 
-    The blocked equi-join keeps candidates linear-ish; exact set
-    intersection/union sizes computed with native array functions.
+    Performance shape: shingles are hashed to int64 ONCE per document
+    (not per pair), |union| is derived as |A|+|B|−|I| (halves the set
+    work), and a size-ratio prefilter (J ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ])
+    drops most candidate pairs before any intersection is computed.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.length("text") / length_bucket).cast("long").alias("lbucket"),
-        F.array_distinct(char_shingles(F.col("text"))).alias("grams"),
-    )
+        raw_shingle_hashes(F.col("text")).alias("gh"),
+    ).withColumn("n", F.size("gh"))
     x, y = docs.alias("x"), docs.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.gh"), F.col("y.gh")))
+    union = F.col("na") + F.col("nb") - F.col("inter")
     pairs = (
         x.join(y, ["lang", "lbucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("x.n") >= threshold * F.col("y.n"))
+            & (F.col("y.n") >= threshold * F.col("x.n"))
+        )
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            (
-                F.size(F.array_intersect(F.col("x.grams"), F.col("y.grams")))
-                / F.size(F.array_union(F.col("x.grams"), F.col("y.grams")))
-            ).alias("jaccard"),
+            inter.alias("inter"),
+            F.col("x.n").alias("na"),
+            F.col("y.n").alias("nb"),
         )
+        .select("doc_a", "doc_b", (F.col("inter") / union).alias("jaccard"))
     )
     return pairs.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")

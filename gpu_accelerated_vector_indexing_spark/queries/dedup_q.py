@@ -37,6 +37,12 @@ _POLY = " + ".join(
     for i in range(1, SHINGLE_LEN + 1)
 )
 
+# per-position shingle hash straight off the text (≙ operators.dedup.raw_shingle_hashes)
+_GH_POLY = " + ".join(
+    f"ascii(substr(text, i + {j - 1}, 1))::BIGINT * {31 ** (SHINGLE_LEN - j)}"
+    for j in range(1, SHINGLE_LEN + 1)
+)
+
 _SHINGLE_CTES = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -111,15 +117,15 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 WITH d AS (
   SELECT doc_id, lang, length(text) // 64 AS lbucket,
          list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1),
-                                      i -> substr(text, i, {SHINGLE_LEN}))) AS grams
+                                      i -> {_GH_POLY})) AS gh
   FROM documents
 )
 SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       round(len(list_intersect(x.grams, y.grams)) /
-             len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jaccard
+       round(len(list_intersect(x.gh, y.gh)) /
+             (len(x.gh) + len(y.gh) - len(list_intersect(x.gh, y.gh))), 6) AS jaccard
 FROM d x JOIN d y ON x.lang = y.lang AND x.lbucket = y.lbucket AND x.doc_id < y.doc_id
-WHERE len(list_intersect(x.grams, y.grams)) /
-      len(list_distinct(list_concat(x.grams, y.grams))) >= 0.6
+WHERE len(list_intersect(x.gh, y.gh)) /
+      (len(x.gh) + len(y.gh) - len(list_intersect(x.gh, y.gh))) >= 0.6
 """,
     "dedup_embedding_topk": """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -61,6 +61,18 @@ def shingle_hash(sh: Column, n: int = SHINGLE_LEN) -> Column:
     return total % F.lit(HASH_MOD)
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition ahead of expensive per-row compute.
+
+    Small fixture tables arrive as ONE input split, which would serialize
+    the shingle-hash projection onto a single core. At production scale
+    the scan already has many splits and this shuffle moves only the raw
+    text (cheap relative to the hashing it unlocks).
+    """
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism)
+
+
 def _doc_shingle_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, h) — one row per shingle occurrence, hashed.
 
@@ -68,7 +80,7 @@ def _doc_shingle_hashes(docs: DataFrame) -> DataFrame:
     depend on engine-specific ascii('') behavior).
     """
     return (
-        docs.filter(F.length("text") >= SHINGLE_LEN)
+        _spread(docs.filter(F.length("text") >= SHINGLE_LEN))
         .select("doc_id", F.explode(char_shingles(F.col("text"))).alias("sh"))
         .select("doc_id", shingle_hash(F.col("sh")).alias("h"))
     )
@@ -256,7 +268,7 @@ def ngram_jaccard_pairs(
     work), and a size-ratio prefilter (J ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ])
     drops most candidate pairs before any intersection is computed.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = _spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         (F.length("text") / length_bucket).cast("long").alias("lbucket"),

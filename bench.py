@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     ("knn_ivf_sequential", _collect),
     ("multi_query_knn", _collect),
     ("knn_with_docs", _collect),
+    ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search
     # relational core over the big fact tables
     ("pricing_summary", _collect),
     ("join_multiway", _collect),

@@ -1,0 +1,183 @@
+"""End-user engine facade + CLI — drop-in surface for reference users.
+
+≙ reference ``./IVF --flags`` (SURVEY.md §3.1): load a pretrained IVF
+index, run one query, print (score, id) rows, optionally mapped back to
+article text. Every CLI flag of IVF.cpp:558-635 is accepted with the
+same name, type, and default (IVF.cpp:549-555); GPU-only knobs
+(``--mode``, ``--threadsperBlock``, ``--use_cuda_coarse/fine``) are
+validated exactly like the reference (mode ∈ {Atomic, NonAtomic};
+threadsperBlock a positive multiple of 32, IVF.cpp:604-619) and are
+otherwise inert — the "kernel choice" is Spark's task parallelism
+(SURVEY.md §4 P9).
+
+Where the reference eagerly loads ALL 128 cluster files at startup
+(IVF.cpp:456-486 — §4 P10's anti-optimization), this engine is lazy:
+``from_pretrained`` only binds the table paths, and a search with
+``cluster IN (probes)`` opens just the probed partition directories
+(Parquet partition pruning) — the property that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array, cosine_similarity
+from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE
+
+VALID_MODES = ("Atomic", "NonAtomic")  # IVF.cpp:583-588
+
+
+@dataclass
+class SearchConfig:
+    """≙ the reference's parsed flag set (IVF.cpp:549-555 defaults)."""
+
+    n_probe: int = 20
+    mode: str = "NonAtomic"
+    sequential_fine_search: bool = True
+    use_cuda_coarse: bool = False  # accepted, inert (SURVEY.md §4 P9)
+    use_cuda_fine: bool = False  # accepted, inert
+    threadsperBlock: int = 256  # accepted, inert
+    print_results: bool = False
+
+    def validate(self) -> None:
+        if self.mode not in VALID_MODES:  # IVF.cpp:585-588
+            raise ValueError(f"--mode must be one of {VALID_MODES}, got {self.mode!r}")
+        if self.threadsperBlock <= 0 or self.threadsperBlock % 32 != 0:  # IVF.cpp:604-619
+            raise ValueError("--threadsperBlock must be a positive multiple of 32")
+        if self.n_probe <= 0:
+            raise ValueError("--n_probe must be positive")
+
+
+class IVFEngine:
+    """Online query engine over a prebuilt cluster-partitioned index.
+
+    Index layout = ``operators.index_build.build_partitioned_index``
+    output: ``{index_dir}/embeddings_indexed`` (partitioned by
+    ``cluster``) + ``{index_dir}/centroids``.
+    """
+
+    def __init__(self, spark: SparkSession, emb_path: str, cent_path: str, config: SearchConfig):
+        config.validate()
+        self.spark = spark
+        self.config = config
+        # lazy relations — nothing is read until a search runs (vs IVF.cpp:456-486)
+        self.embeddings = spark.read.parquet(emb_path)
+        self.centroids = spark.read.parquet(cent_path)
+
+    @classmethod
+    def from_pretrained(
+        cls, spark: SparkSession, index_dir: str, n_probe: int = 20, **flags
+    ) -> "IVFEngine":
+        """≙ ``IVFIndex::from_pretrained(dir, n_probe)`` (IVF.cpp:439-524)."""
+        cfg = SearchConfig(n_probe=n_probe, **flags)
+        return cls(spark, f"{index_dir}/embeddings_indexed", f"{index_dir}/centroids", cfg)
+
+    def _coarse(self, qvec: list[float], n_probe: int) -> list[int]:
+        """Top-n_probe clusters by cosine(query, centroid) — ≤128 rows,
+        collected to the driver to parameterize pruning (the reference's
+        own materialize-then-prune control flow, IVF.cpp:282)."""
+        q = F.lit([float(x) for x in qvec]).cast("array<double>")
+        scored = self.centroids.select(
+            "cluster", cosine_similarity(F.col("centroid"), q).alias("cscore")
+        )
+        rows = scored.orderBy(F.desc("cscore"), F.desc("cluster")).limit(n_probe).collect()
+        return [r.cluster for r in rows]
+
+    def search(self, qvec: list[float], k: int = 5) -> DataFrame:
+        """IVF-pruned top-k cosine search → ``(score, vec_id)`` desc.
+
+        ≙ ``IVFIndex::search`` (IVF.cpp:267-436). ``sequential_fine_search``
+        picks per-cluster-window top-k + merge (O16) vs single global
+        top-k over the pruned union (O17) — two physical strategies,
+        one logical result.
+        """
+        cfg = self.config
+        probes = self._coarse(qvec, cfg.n_probe)
+        q = F.lit([float(x) for x in qvec]).cast("array<double>")
+        fine = self.embeddings.filter(F.col("cluster").isin(probes)).select(
+            "vec_id",
+            "cluster",
+            F.round(cosine_similarity(as_double_array("embedding"), q), SCORE_SCALE).alias("score"),
+        )
+        if cfg.sequential_fine_search:
+            w = W.partitionBy("cluster").orderBy(F.desc("score"), F.desc("vec_id"))
+            fine = fine.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+        return (
+            fine.select("score", "vec_id")
+            .orderBy(F.desc("score"), F.desc("vec_id"))
+            .limit(k)
+        )
+
+    def search_with_docs(self, qvec: list[float], documents: DataFrame, k: int = 5) -> DataFrame:
+        """Top-k + article snippet (≙ print_results path, IVF.cpp:688-710)."""
+        topk = self.search(qvec, k)
+        return documents.join(F.broadcast(topk), documents.doc_id == topk.vec_id).select(
+            "score", "vec_id", F.substring("text", 1, 200).alias("snippet")
+        )
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring the reference binary's flags (IVF.cpp:558-635).
+
+    Reads the query from a raw float32 ``.bin`` (≙ IVF.cpp:650-672) and
+    prints timed (score, id) rows like IVF.cpp:679-710.
+    """
+    p = argparse.ArgumentParser(description="IVF cosine top-k search (Spark)")
+    p.add_argument("--index_dir", required=True)
+    p.add_argument("--query_bin", required=True, help="raw float32 query vector file")
+    p.add_argument("--dim", type=int, default=384)
+    p.add_argument("--k", type=int, default=5)  # IVF.cpp:679
+    p.add_argument("--n_probe", type=int, default=20)
+    p.add_argument("--mode", default="NonAtomic")
+    p.add_argument("--sequential_fine_search", default="true")
+    p.add_argument("--use_cuda_coarse", default="false")
+    p.add_argument("--use_cuda_fine", default="false")
+    p.add_argument("--threadsperBlock", type=int, default=256)
+    p.add_argument("--print_results", default="false")
+    p.add_argument("--docs_dir", default=None, help="JSON article dir for --print_results")
+    args = p.parse_args(argv)
+
+    def boolean(s: str) -> bool:
+        return str(s).lower() in ("true", "1", "yes")
+
+    from gpu_accelerated_vector_indexing_spark.session import get_spark
+    from gpu_accelerated_vector_indexing_spark.sources.binary import read_float32_bin
+
+    spark = get_spark("gpu_accelerated_vector_indexing_spark-cli")
+    engine = IVFEngine.from_pretrained(
+        spark,
+        args.index_dir,
+        n_probe=args.n_probe,
+        mode=args.mode,
+        sequential_fine_search=boolean(args.sequential_fine_search),
+        use_cuda_coarse=boolean(args.use_cuda_coarse),
+        use_cuda_fine=boolean(args.use_cuda_fine),
+        threadsperBlock=args.threadsperBlock,
+        print_results=boolean(args.print_results),
+    )
+    qvec = [
+        float(x)
+        for x in read_float32_bin(spark, args.query_bin, args.dim).orderBy("vec_id").first().embedding
+    ]
+    t0 = time.time()
+    rows = engine.search(qvec, k=args.k).collect()
+    elapsed_ms = (time.time() - t0) * 1000.0
+    print(f"Search Time: {elapsed_ms:.0f} ms")  # parsed by run_multiple_configs.sh:93
+    for r in rows:
+        print(f"({r.score:.6f}, {r.vec_id})")
+    if boolean(args.print_results) and args.docs_dir:
+        from gpu_accelerated_vector_indexing_spark.sources.articles import lookup_texts, read_article_dir
+
+        ids = spark.createDataFrame([(r.vec_id,) for r in rows], "doc_id BIGINT")
+        for row in lookup_texts(read_article_dir(spark, args.docs_dir), ids).collect():
+            print(f"[{row.doc_id}] {row.snippet}")
+
+
+if __name__ == "__main__":
+    main()

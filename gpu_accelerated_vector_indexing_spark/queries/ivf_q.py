@@ -70,8 +70,29 @@ def _centroids_table(spark, sf_dir):
     )
 
 
+def _engine_full_probe(spark, sf_dir):
+    """Build a REAL cluster-partitioned index (MLlib KMeans + partitioned
+    write) in a temp dir, then search it through the end-user facade at
+    n_probe = n_clusters — which must equal exact brute force, so the
+    whole build→facade→search path sits under the value-hash gate."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import build_partitioned_index
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_ivf_index_")
+    build_partitioned_index(spark, sf_dir, out, k=N_CLUSTERS, seed=42)
+    qrow = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == QUERY_ID).first()
+    eng = IVFEngine.from_pretrained(spark, out, n_probe=N_CLUSTERS)
+    return eng.search([float(x) for x in qrow.embedding], k=K)
+
+
 QUERIES = {
     "ivf_centroids": _centroids_table,
+    "engine_full_probe": _engine_full_probe,
     "knn_ivf_combined": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=False),
     "knn_ivf_sequential": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=True),
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
@@ -79,6 +100,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    # full probe ≡ exact brute force (IVF prunes nothing at n_probe = k)
+    "engine_full_probe": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID})
+SELECT {_COS_Q} AS score, e.vec_id
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, e.vec_id DESC LIMIT {K}
+""",
     "ivf_centroids": f"""
 SELECT e.label, (d.i - 1)::INT AS pos, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
 FROM embeddings e CROSS JOIN (SELECT i FROM range(1, {DIM + 1}) t(i)) d

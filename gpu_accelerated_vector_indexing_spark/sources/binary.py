@@ -1,0 +1,155 @@
+"""Raw float32 ``.bin`` / ``.npy`` vector ingestion.
+
+Format parity with the reference's binary index files (SURVEY.md §2
+O1/O2/O7/O24): headerless row-major float32 matrices whose row count is
+inferred from file size (reference IVF.cpp:456-486, 650-672), and
+``.npy`` files as written by the build pipeline (reference
+clusters.py:32-35, test.py:25; the header-strip conversion is
+convert_npy_bin.py:4-10).
+
+Spark-first shape:
+
+- ``spark.read.format("binaryFile")`` lists and reads files as
+  executors-side rows — no driver I/O, so a directory of thousands of
+  cluster files ingests in parallel.
+- Decoding is an Arrow-batched ``mapInPandas`` over whole files
+  (NumPy ``frombuffer`` — zero-copy per file).
+- Global row identity follows the reference's convention: files in
+  sorted-path order, rows in file order (reference embedding.py:26
+  ``sorted(glob.glob(...))`` defines global ids). Per-file base offsets
+  come from file SIZES alone (size // (4·dim)), so the id assignment
+  never shuffles the vector payload.
+- The size-divisibility check of IVF.cpp:473-476/662-664 is enforced at
+  decode time (malformed file → ValueError naming the file).
+
+These readers exist for ingestion/migration parity; the engine's
+canonical storage is Parquet (``sources.fixtures``).
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+FLOAT32_BYTES = 4
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _with_global_ids(decoded: DataFrame, counts: DataFrame) -> DataFrame:
+    """vec_id = (cumulative rows of all sorted-earlier files) + in-file pos.
+
+    ``counts`` is (path, n_rows) — tiny (one row per FILE), so the
+    running-offset window and the join back are broadcast-cheap.
+    """
+    offsets = counts.withColumn(
+        "base",
+        F.sum("n_rows").over(W.orderBy("path").rowsBetween(W.unboundedPreceding, -1)),
+    ).select("path", F.coalesce("base", F.lit(0)).alias("base"))
+    return (
+        decoded.join(F.broadcast(offsets), "path")
+        .select((F.col("base") + F.col("pos")).alias("vec_id"), "path", "pos", "embedding")
+    )
+
+
+def read_float32_bin(spark: SparkSession, path: str, dim: int) -> DataFrame:
+    """Headerless row-major float32 matrix file(s) → vectors.
+
+    ≙ reference O1/O2/O7 (IVF.cpp:456-510, 650-672): row count is
+    ``file_size / (4·dim)``, asserted exactly divisible.
+
+    Returns ``(vec_id BIGINT, path STRING, pos BIGINT,
+    embedding ARRAY<FLOAT>)`` with vec_id global over sorted paths.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    bad = files.filter(F.col("length") % (FLOAT32_BYTES * dim) != 0).select("path").take(1)
+    if bad:  # ≙ IVF.cpp:473-476 divisibility assert, checked from listing metadata only
+        raise ValueError(f"file size not divisible by {FLOAT32_BYTES * dim}: {bad[0].path}")
+
+    counts = files.select("path", (F.col("length") / (FLOAT32_BYTES * dim)).cast("long").alias("n_rows"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                mat = np.frombuffer(content, dtype="<f4").reshape(-1, dim)
+                yield pd.DataFrame(
+                    {
+                        "path": path_,
+                        "pos": np.arange(mat.shape[0], dtype=np.int64),
+                        "embedding": list(mat),
+                    }
+                )
+
+    decoded = files.select("path", "content").mapInPandas(decode, _DECODED_SCHEMA)
+    return _with_global_ids(decoded, counts)
+
+
+def read_npy(spark: SparkSession, path: str) -> DataFrame:
+    """``.npy`` file(s) → vectors, self-describing dtype/shape.
+
+    ≙ reference O24's input side (convert_npy_bin.py:6 ``np.load``):
+    the 128-byte header the reference strips is instead parsed, so any
+    float dtype widens losslessly to float32 storage. 1-D arrays are
+    treated as a single vector (shape (d,) ≙ a (1, d) query file).
+
+    Returns the same schema as :func:`read_float32_bin`; here the
+    per-file row counts come from the decoded matrices (npy headers are
+    not visible to the file listing), still one tiny row per file.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                arr = np.load(io.BytesIO(content), allow_pickle=False)
+                if arr.ndim == 1:
+                    arr = arr.reshape(1, -1)
+                if arr.ndim != 2:
+                    raise ValueError(f"expected 1-D/2-D array in {path_}, got shape {arr.shape}")
+                mat = np.ascontiguousarray(arr, dtype=np.float32)
+                yield pd.DataFrame(
+                    {
+                        "path": path_,
+                        "pos": np.arange(mat.shape[0], dtype=np.int64),
+                        "embedding": list(mat),
+                    }
+                )
+
+    decoded = files.select("path", "content").mapInPandas(decode, _DECODED_SCHEMA).cache()
+    counts = decoded.groupBy("path").agg(F.count("*").alias("n_rows"))
+    return _with_global_ids(decoded, counts)
+
+
+def write_float32_bin(df: DataFrame, vec_col: str, out_path: str) -> int:
+    """Export vectors to one headerless float32 ``.bin`` file.
+
+    ≙ reference convert_npy_bin.py:6-10 (``.npy → .bin``) — an
+    interchange utility for handing query/centroid vectors back to a
+    reference-format consumer. Rows are written in ``vec_id`` order.
+    Deliberately driver-side (np.tofile): the reference format is a
+    single unsplittable file, so this is for SMALL relations (queries,
+    centroids) — exporting a corpus goes to Parquet instead.
+    """
+    import numpy as np
+
+    rows = df.orderBy("vec_id").select(vec_col).collect()
+    mat = np.asarray([r[0] for r in rows], dtype=np.float32)
+    mat.tofile(out_path)
+    return mat.shape[0]

@@ -1,0 +1,230 @@
+"""Tests: binary/npy/article ingestion, embedder, and the engine facade.
+
+Covers SURVEY.md §2 O1/O2/O7 (raw .bin scans), O24 (.npy), O3-O6
+(article store + mapback), O20/O25 (embedding generation), O28 (CLI
+flag validation), and the end-to-end build→search path (M1+M2).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+# --- raw float32 .bin (O1/O2/O7) --------------------------------------------
+
+
+def test_read_float32_bin_roundtrip(spark, tmp_path):
+    from gpu_accelerated_vector_indexing_spark.sources.binary import read_float32_bin, write_float32_bin
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((5, 4)).astype(np.float32)
+    b = rng.standard_normal((3, 4)).astype(np.float32)
+    # sorted-path order defines global ids (embedding.py:26)
+    a.tofile(tmp_path / "cluster_embeddings_0.bin")
+    b.tofile(tmp_path / "cluster_embeddings_1.bin")
+
+    df = read_float32_bin(spark, str(tmp_path / "*.bin"), dim=4)
+    rows = df.orderBy("vec_id").collect()
+    assert [r.vec_id for r in rows] == list(range(8))
+    got = np.asarray([r.embedding for r in rows], dtype=np.float32)
+    np.testing.assert_array_equal(got, np.vstack([a, b]))
+
+    # export side (O24 inverse): bin file is byte-identical
+    out = tmp_path / "export.bin"
+    n = write_float32_bin(df, "embedding", str(out))
+    assert n == 8
+    np.testing.assert_array_equal(
+        np.fromfile(out, dtype=np.float32).reshape(-1, 4), np.vstack([a, b])
+    )
+
+
+def test_read_float32_bin_rejects_bad_size(spark, tmp_path):
+    (tmp_path / "bad.bin").write_bytes(b"\x00" * 10)  # not divisible by 16
+    from gpu_accelerated_vector_indexing_spark.sources.binary import read_float32_bin
+
+    with pytest.raises(ValueError, match="not divisible"):
+        read_float32_bin(spark, str(tmp_path / "bad.bin"), dim=4)
+
+
+def test_read_npy(spark, tmp_path):
+    from gpu_accelerated_vector_indexing_spark.sources.binary import read_npy
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((6, 3)).astype(np.float32)
+    qvec = rng.standard_normal(3).astype(np.float64)  # 1-D + float64 → widened
+    np.save(tmp_path / "a_matrix.npy", mat)
+    np.save(tmp_path / "b_query.npy", qvec)
+
+    rows = read_npy(spark, str(tmp_path / "*.npy")).orderBy("vec_id").collect()
+    assert [r.vec_id for r in rows] == list(range(7))
+    np.testing.assert_array_equal(
+        np.asarray([r.embedding for r in rows[:6]], dtype=np.float32), mat
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows[6].embedding, dtype=np.float32), qvec.astype(np.float32)
+    )
+
+
+# --- JSON article store (O3-O6) ----------------------------------------------
+
+
+@pytest.fixture()
+def article_dir(tmp_path):
+    files = {
+        "b_second.json": [{"id": "2", "title": "t2", "text": "gamma delta"}],
+        "a_first.json": [
+            {"id": "0", "title": "t0", "text": "alpha text zero"},
+            {"id": "1", "title": "t1", "text": "beta text one"},
+        ],
+    }
+    for name, arts in files.items():
+        (tmp_path / name).write_text(json.dumps(arts))
+    return tmp_path
+
+
+def test_read_article_dir_global_ids(spark, article_dir):
+    from gpu_accelerated_vector_indexing_spark.sources.articles import file_lengths, read_article_dir
+
+    arts = read_article_dir(spark, str(article_dir))
+    rows = arts.orderBy("doc_id").collect()
+    # sorted-filename order: a_first.json rows get ids 0,1; b_second.json gets 2
+    assert [(r.doc_id, r.text) for r in rows] == [
+        (0, "alpha text zero"),
+        (1, "beta text one"),
+        (2, "gamma delta"),
+    ]
+    fl = {r.file.rsplit("/", 1)[-1]: r.num_articles for r in file_lengths(arts).collect()}
+    assert fl == {"a_first.json": 2, "b_second.json": 1}
+
+
+def test_lookup_texts_truncates(spark, article_dir):
+    from gpu_accelerated_vector_indexing_spark.sources.articles import lookup_texts, read_article_dir
+
+    arts = read_article_dir(spark, str(article_dir))
+    ids = spark.createDataFrame([(0,)], "doc_id BIGINT")
+    got = lookup_texts(arts, ids, truncate=5).collect()
+    assert [(r.doc_id, r.snippet) for r in got] == [(0, "alpha")]
+
+
+# --- embedding generation (O20/O25) ------------------------------------------
+
+
+def test_hash_embedder_deterministic_and_normalized(spark):
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
+
+    a = embed_queries(spark, ["the quick brown fox", "lazy dog"], dim=16).collect()
+    b = embed_queries(spark, ["the quick brown fox", "lazy dog"], dim=16).collect()
+    va = np.asarray(a[0].qvec)
+    assert np.allclose(va, np.asarray(b[0].qvec))  # run-to-run determinism
+    assert va.shape == (16,)
+    assert abs(np.linalg.norm(va) - 1.0) < 1e-5  # unit norm
+    assert not np.allclose(va, np.asarray(a[1].qvec))  # distinguishes texts
+
+
+def test_embed_documents_shape(spark):
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_documents
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    out = embed_documents(docs, dim=32).collect()
+    assert len(out) == 10
+    assert all(len(r.embedding) == 32 for r in out)
+
+
+def test_sentence_transformer_gated():
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import sentence_transformer_embedder
+
+    with pytest.raises(NotImplementedError, match="sentence-transformers"):
+        sentence_transformer_embedder()
+
+
+# --- engine facade + CLI parity (O28, M1+M2 end-to-end) ----------------------
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, tmp_path_factory):
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import build_partitioned_index
+
+    out = str(tmp_path_factory.mktemp("ivf_index"))
+    build_partitioned_index(spark, SF_SMOKE, out, k=4, seed=42)
+    return out
+
+
+def _query_vec(spark, sf_dir, query_id=0):
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    row = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == query_id).first()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def test_engine_full_probe_matches_bruteforce(spark, built_index):
+    """n_probe = n_clusters ⇒ identical ids to exact search (§5.2)."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    qvec = _query_vec(spark, SF_SMOKE)
+    eng = IVFEngine.from_pretrained(spark, built_index, n_probe=4)
+    got = [r.vec_id for r in eng.search(qvec, k=5).collect()]
+    exact = [r.vec_id for r in knn_bruteforce(spark, SF_SMOKE, query_id=0, k=5).collect()]
+    assert got == exact
+
+
+def test_engine_sequential_equals_combined(spark, built_index):
+    """Two physical fine-search strategies, one logical result (O16≡O17)."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+
+    qvec = _query_vec(spark, SF_SMOKE)
+    seq = IVFEngine.from_pretrained(spark, built_index, n_probe=2, sequential_fine_search=True)
+    comb = IVFEngine.from_pretrained(spark, built_index, n_probe=2, sequential_fine_search=False)
+    assert seq.search(qvec, k=5).collect() == comb.search(qvec, k=5).collect()
+
+
+def test_engine_partition_pruning(spark, built_index):
+    """The fine scan's plan prunes to n_probe of the cluster partitions."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+
+    qvec = _query_vec(spark, SF_SMOKE)
+    eng = IVFEngine.from_pretrained(spark, built_index, n_probe=1)
+    probes = eng._coarse(qvec, 1)
+    from pyspark.sql import functions as F
+
+    pruned = eng.embeddings.filter(F.col("cluster").isin(probes))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # files actually opened shrink to the probed partition directories
+    n_files = pruned.select(F.input_file_name().alias("f")).distinct().count()
+    all_files = eng.embeddings.select(F.input_file_name().alias("f")).distinct().count()
+    assert n_files < all_files
+
+
+def test_engine_flag_validation():
+    from gpu_accelerated_vector_indexing_spark.engine import SearchConfig
+
+    with pytest.raises(ValueError, match="mode"):
+        SearchConfig(mode="Turbo").validate()
+    with pytest.raises(ValueError, match="threadsperBlock"):
+        SearchConfig(threadsperBlock=100).validate()
+    with pytest.raises(ValueError, match="n_probe"):
+        SearchConfig(n_probe=0).validate()
+    SearchConfig(mode="Atomic", threadsperBlock=1024).validate()  # reference-legal
+
+
+def test_engine_search_with_docs(spark, built_index):
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    qvec = _query_vec(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    eng = IVFEngine.from_pretrained(spark, built_index, n_probe=4)
+    rows = eng.search_with_docs(qvec, docs, k=5).collect()
+    assert len(rows) == 5
+    assert all(len(r.snippet) <= 200 for r in rows)

@@ -27,6 +27,8 @@ Spark-first re-expression:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -112,6 +114,52 @@ def knn_ivf(
         w = W.partitionBy("label").orderBy(F.desc("score"), F.desc("vec_id"))
         fine = fine.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return fine.select("vec_id", "score").orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+
+
+def multi_query_knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: Sequence[int] = (0, 1, 2, 3, 4),
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF search for MANY queries in one job.
+
+    The reference runs one query per process (IVF.cpp:650); here the
+    coarse stage scores all queries against the tiny centroid relation
+    at once, and the fine stage scans the UNION of probed clusters
+    exactly once — each (query, cluster) candidate pair exists only if
+    that query probed that cluster, so per-query work matches the
+    single-query plan while the corpus is read once.
+
+    Scale shape: probes is ≤ n_queries × n_probe rows (broadcast);
+    the distinct probed-label IN-list still prunes partitions; the
+    per-query top-k is a window over the pruned, scored rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = query_vectors(spark, sf_dir, query_ids)
+    cents = label_centroids(emb)
+    probes = coarse_search(cents, qs, n_probe).select("query_id", "label")
+    probe_labels = [r.label for r in probes.select("label").distinct().collect()]
+
+    fine = (
+        emb.filter(F.col("label").isin(probe_labels))  # partition pruning on the union
+        .join(F.broadcast(probes), "label")  # (query, cluster) pairs actually probed
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(as_double_array("embedding"), F.col("qvec")), SCORE_SCALE
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.desc("vec_id"))
+    return (
+        fine.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "score", "rn")
+    )
 
 
 def ivf_recall(

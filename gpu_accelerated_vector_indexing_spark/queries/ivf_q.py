@@ -90,9 +90,14 @@ def _engine_full_probe(spark, sf_dir):
     return eng.search([float(x) for x in qrow.embedding], k=K)
 
 
+QUERY_IDS = (0, 1, 2, 3, 4)
+
 QUERIES = {
     "ivf_centroids": _centroids_table,
     "engine_full_probe": _engine_full_probe,
+    "multi_query_knn_ivf": partial(
+        ivf.multi_query_knn_ivf, query_ids=QUERY_IDS, k=K, n_probe=N_PROBE
+    ),
     "knn_ivf_combined": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=False),
     "knn_ivf_sequential": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=True),
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
@@ -100,6 +105,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multi_query_knn_ivf": f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (SELECT label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label),
+qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN {QUERY_IDS}
+),
+coarse AS (
+  SELECT q.query_id, c.label,
+         round(list_dot_product(c.centroid, q.qvec) /
+               (sqrt(list_dot_product(c.centroid, c.centroid)) *
+                sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS cscore
+  FROM cent c CROSS JOIN qs q
+),
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, label DESC) AS rn
+    FROM coarse
+  ) WHERE rn <= {N_PROBE}
+),
+fine AS (
+  SELECT q.query_id, e.vec_id, {_COS_Q} AS score
+  FROM embeddings e
+  JOIN probes p ON e.label = p.label
+  JOIN qs q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id DESC) AS rn
+  FROM fine
+) WHERE rn <= {K}
+""",
     # full probe ≡ exact brute force (IVF prunes nothing at n_probe = k)
     "engine_full_probe": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID})

@@ -23,11 +23,42 @@ _COS = (
     " * sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6)"
 )
 
+def _embed_and_search(spark, sf_dir):
+    """End-to-end O20+O25 pipeline: hash-embed the corpus, hash-embed a
+    query STRING, brute-force top-k — the reference's whole
+    text→vector→search lifecycle with the deterministic featurizer.
+    The md5 hashing UDF has no DuckDB twin → rows-only check; value
+    correctness of each stage is covered by tests/test_sources_engine.py."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_documents, embed_queries
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array, cosine_similarity
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = embed_documents(docs)
+    # query drawn from the fixture vocabulary so bucket overlap (and the
+    # resulting ranking) is non-degenerate
+    q = embed_queries(spark, ["hash table merge join"])
+    return (
+        corpus.join(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                cosine_similarity(as_double_array("embedding"), F.col("qvec")), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(K)
+    )
+
+
 QUERIES = {
     "knn_bruteforce": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K),
     "knn_bruteforce_pandas": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K, use_pandas=True),
     "knn_with_docs": partial(knn.knn_with_docs, query_id=QUERY_ID, k=K),
     "multi_query_knn": partial(knn.multi_query_knn, query_ids=MULTI_QUERY_IDS, k=K),
+    "embed_and_search": _embed_and_search,
 }
 
 ORACLES = {

@@ -5,7 +5,14 @@ import pytest
 from tests.conftest import SF_CORRECT, SF_SMOKE
 from tests.parity import assert_parity
 
-IVF_NAMES = ["ivf_centroids", "knn_ivf_combined", "knn_ivf_sequential", "ivf_recall"]
+IVF_NAMES = [
+    "ivf_centroids",
+    "knn_ivf_combined",
+    "knn_ivf_sequential",
+    "ivf_recall",
+    "multi_query_knn_ivf",
+    "engine_full_probe",
+]
 
 
 @pytest.mark.parametrize("name", IVF_NAMES)

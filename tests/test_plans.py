@@ -1,0 +1,100 @@
+"""Plan-quality contract tests (SURVEY.md §4).
+
+The scale story rests on specific physical strategies — these tests pin
+them so a refactor that silently degrades a plan (lost pushdown, a
+broadcast that became a shuffle, a top-k that became a full sort) fails
+CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.plans.inspect import (
+    assert_plan,
+    codegen_span_count,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _q(spark, name):
+    from gpu_accelerated_vector_indexing_spark.queries import merged
+
+    return merged()[0][name](spark, SF_CORRECT)
+
+
+def test_topk_is_bounded_heap_not_full_sort(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject
+    (≙ reference bounded min-heap, IVF.cpp:185-191) — never Sort+Limit
+    over the full corpus."""
+    df = _q(spark, "knn_bruteforce")
+    plan = assert_plan(df, contains=("TakeOrderedAndProject",))
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    """Predicates reach the Parquet reader; the scan reads only the
+    projected columns (SURVEY.md §4: 'a scan that reads all columns for
+    a 2-column projection is wrong')."""
+    df = _q(spark, "filtered_scan")
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in f for f in pushed), pushed
+    (cols,) = read_schema_columns(df)
+    assert "o_comment" not in cols  # widest column not read
+    assert len(cols) <= 5
+
+
+def test_doc_mapback_is_broadcast_join(spark):
+    """Top-k ⋈ documents must broadcast the k-row side — the document
+    store is never shuffled (≙ mapBack lookup, IVF.cpp:104-118)."""
+    assert_plan(
+        _q(spark, "knn_with_docs"),
+        contains=("BroadcastHashJoin", "TakeOrderedAndProject"),
+        absent=("SortMergeJoin",),
+    )
+
+
+def test_multiway_join_broadcasts_small_dims(spark):
+    """region/nation/customer dims broadcast; only the fact side
+    streams. A SortMergeJoin against nation (25 rows) would be a
+    planning failure."""
+    df = _q(spark, "join_multiway")
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # every scan is column-pruned
+    for cols in read_schema_columns(df):
+        assert len(cols) <= 4
+
+
+def test_knn_scoring_reads_only_needed_columns(spark):
+    """The KNN scan reads (vec_id, embedding) — label and any other
+    payload columns are pruned even though the table carries them."""
+    for cols in read_schema_columns(_q(spark, "knn_bruteforce")):
+        assert set(cols) <= {"vec_id", "embedding"}
+
+
+def test_aggregation_is_partial_final_with_codegen(spark):
+    """Hash aggregation runs map-side partial + final (≙ the Atomic
+    kernel's two-phase accumulate/finalize, SURVEY.md §4 P6) inside
+    WholeStageCodegen."""
+    df = _q(spark, "pricing_summary")
+    df.collect()  # AQE: codegen markers exist only in the final plan
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert codegen_span_count(df) >= 1
+
+
+def test_ivf_fine_search_prunes_partitions(spark, tmp_path):
+    """cluster IN (probes) against the partitioned index layout must
+    show PartitionFilters — the engine's entire IVF claim (§4 P1)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import build_partitioned_index
+
+    out = str(tmp_path / "idx")
+    emb_path, _ = build_partitioned_index(spark, SF_CORRECT, out, k=4, seed=42)
+    pruned = spark.read.parquet(emb_path).filter(F.col("cluster").isin([0, 1]))
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array, cosine_similarity
+from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array, cosine_similarity_hoisted
 from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE, query_vectors
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
@@ -72,7 +72,10 @@ def coarse_search(centroids: DataFrame, queries: DataFrame, n_probe: int) -> Dat
     scored = F.broadcast(centroids).join(F.broadcast(queries)).select(
         "query_id",
         "label",
-        F.round(cosine_similarity(F.col("centroid"), F.col("qvec")), SCORE_SCALE).alias("cscore"),
+        F.round(
+            cosine_similarity_hoisted(F.col("centroid"), F.col("qvec"), F.col("qnorm")),
+            SCORE_SCALE,
+        ).alias("cscore"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cscore"), F.desc("label"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n_probe)
@@ -106,7 +109,10 @@ def knn_ivf(
             "vec_id",
             F.col("label"),
             F.round(
-                cosine_similarity(as_double_array("embedding"), F.col("qvec")), SCORE_SCALE
+                cosine_similarity_hoisted(
+                    as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+                ),
+                SCORE_SCALE,
             ).alias("score"),
         )
     )
@@ -150,7 +156,10 @@ def multi_query_knn_ivf(
             "query_id",
             "vec_id",
             F.round(
-                cosine_similarity(as_double_array("embedding"), F.col("qvec")), SCORE_SCALE
+                cosine_similarity_hoisted(
+                    as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+                ),
+                SCORE_SCALE,
             ).alias("score"),
         )
     )

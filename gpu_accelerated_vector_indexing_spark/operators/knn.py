@@ -28,8 +28,9 @@ from pyspark.sql import Window as W
 
 from gpu_accelerated_vector_indexing_spark.functions.vector import (
     as_double_array,
-    cosine_similarity,
+    cosine_similarity_hoisted,
     cosine_similarity_pandas,
+    l2_norm,
 )
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
@@ -40,8 +41,12 @@ def query_vectors(spark: SparkSession, sf_dir: str, query_ids: Sequence[int]) ->
     """Query vectors as a (tiny) relation — ≙ reference queries_data/*.bin
     (IVF.cpp:650-672), except identity travels as a column."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qvec")
+    return (
+        emb.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qvec"))
+        # ‖q‖ computed ONCE here (tiny relation) and broadcast — the
+        # per-row score then folds only the row vector (§4 P4 hoist)
+        .withColumn("qnorm", l2_norm(F.col("qvec")))
     )
 
 
@@ -51,11 +56,13 @@ def scored_embeddings(
     """Cross-score every (embedding, query) pair via a broadcast of the
     tiny query relation; scoring stays JVM-side unless ``use_pandas``
     selects the NumPy kernel (≙ reference's CPU/CUDA mode switch)."""
-    score_fn = cosine_similarity_pandas if use_pandas else cosine_similarity
-    return (
-        emb.join(F.broadcast(queries))
-        .withColumn("score", F.round(score_fn(as_double_array("embedding"), F.col("qvec")), SCORE_SCALE))
-    )
+    if use_pandas:
+        score = cosine_similarity_pandas(as_double_array("embedding"), F.col("qvec"))
+    else:
+        score = cosine_similarity_hoisted(
+            as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+        )
+    return emb.join(F.broadcast(queries)).withColumn("score", F.round(score, SCORE_SCALE))
 
 
 def knn_bruteforce(

@@ -228,3 +228,27 @@ def test_engine_search_with_docs(spark, built_index):
     rows = eng.search_with_docs(qvec, docs, k=5).collect()
     assert len(rows) == 5
     assert all(len(r.snippet) <= 200 for r in rows)
+
+
+def test_cli_main_smoke(spark, built_index, tmp_path, capsys):
+    """The reference-flag CLI runs end-to-end: .bin query in, timed
+    (score, id) rows out (≙ IVF.cpp main, output shape of :688-706)."""
+    import numpy as np
+
+    from gpu_accelerated_vector_indexing_spark.engine import main
+
+    np.asarray(_query_vec(spark, SF_SMOKE), dtype=np.float32).tofile(tmp_path / "query1.bin")
+    main(
+        [
+            "--index_dir", built_index,
+            "--query_bin", str(tmp_path / "query1.bin"),
+            "--dim", "64",
+            "--k", "5",
+            "--n_probe", "4",
+            "--mode", "Atomic",
+            "--threadsperBlock", "512",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "Search Time:" in out  # run_multiple_configs.sh:93 parse format
+    assert len([l for l in out.splitlines() if l.startswith("(")]) == 5

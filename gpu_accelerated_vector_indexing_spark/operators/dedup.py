@@ -38,7 +38,18 @@ MINHASH_AS = [7919, 104729, 224737, 350377, 479909, 611953, 746773, 882377,
               15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939]
 MINHASH_BS = [104723, 1299709, 2750159, 4256233, 5800079, 7368787, 8960453, 10570841,
               12195257, 13834103, 15485857, 17144507, 18815231, 20495843, 22182343, 23879519]
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+# multiply-shift bit family: bit_j(h) = ((h · A_j) >> 30) & 1. The shingle
+# hash has only ~20 bits (mod 1_000_003), so raw bit extraction would leave
+# high fingerprint bits constant (universal band collisions — every pair a
+# candidate). Each A_j is an odd <2^40 constant ⇒ h·A_j < 2^60 fits int64 in
+# BOTH engines (DuckDB BIGINT raises on overflow; no wrap allowed).
+import random as _random
+
+_rng = _random.Random(42)
+SIMHASH_AS = [(_rng.randrange(1, 2**40) | 1) for _ in range(SIMHASH_BITS)]
+SIMHASH_SHIFT = 30
+SIMHASH_BAND_BITS = 16  # 4 bands × 16 bits; hamming ≤ 3 ⇒ ≥1 clean band
 
 
 def char_shingles(text: Column, n: int = SHINGLE_LEN) -> Column:
@@ -177,32 +188,45 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
 
 
 def simhash_docs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """32-bit SimHash per document.
+    """64-bit SimHash per document.
 
-    Bit j of the fingerprint is the sign of Σ±1 over shingle-hash bit j
-    — expressed as 32 conditional sums in ONE aggregation (the two-phase
-    accumulate/finalize shape of the reference's Atomic kernel,
-    cosine_similarity.cu:247-276, is exactly Spark partial/final agg).
+    Bit j of the fingerprint is the sign of Σ±1 over the multiply-shift
+    bit ``((h·A_j) >> 30) & 1`` of each shingle hash — 64 conditional
+    sums in ONE aggregation (the two-phase accumulate/finalize shape of
+    the reference's Atomic kernel, cosine_similarity.cu:247-276, is
+    exactly Spark partial/final agg). Bit 63 is encoded via two's
+    complement (−2^63) so the fingerprint stays a plain BIGINT in every
+    engine.
     """
     hashes = _doc_shingle_hashes(docs)
     aggs = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        F.sum(
+            F.shiftright(F.col("h") * F.lit(SIMHASH_AS[j]), SIMHASH_SHIFT)
+            .bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        ).alias(f"s{j}")
         for j in range(bits)
     ]
     per_doc = hashes.groupBy("doc_id").agg(*aggs)
     fp = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        F.when(
+            F.col(f"s{j}") > 0,
+            F.lit(2**j if j < 63 else -(2**63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         for j in range(bits)
     )
     return per_doc.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs: byte-band LSH over SimHash + popcount verify.
+    """Near-dup pairs: 16-bit-band LSH over SimHash + popcount verify.
 
-    Candidates share at least one of the 4 bytes of the fingerprint at
-    the same position (any pair within hamming ≤ 3 must agree on ≥1
-    whole byte — pigeonhole), then exact Hamming distance filters.
+    Candidates share at least one of the 4 16-bit slices of the
+    fingerprint at the same position (any pair within hamming ≤ 3 must
+    agree on ≥1 whole band — pigeonhole), then exact Hamming distance
+    filters. Arithmetic-shift sign extension on the top band is masked
+    off by the &0xFFFF, identically in both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash_docs(docs).cache()
@@ -211,8 +235,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> Dat
         "simhash",
         F.explode(
             F.array(*[
-                F.struct(F.lit(i).alias("bpos"), F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("bval"))
-                for i in range(4)
+                F.struct(
+                    F.lit(i).alias("bpos"),
+                    F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
+                    .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                    .alias("bval"),
+                )
+                for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
             ])
         ).alias("b"),
     ).select("doc_id", "simhash", "b.bpos", "b.bval")

@@ -18,7 +18,10 @@ from gpu_accelerated_vector_indexing_spark.operators.dedup import (
     N_MINHASH,
     ROWS_PER_BAND,
     SHINGLE_LEN,
+    SIMHASH_AS,
+    SIMHASH_BAND_BITS,
     SIMHASH_BITS,
+    SIMHASH_SHIFT,
 )
 
 QUERIES = {
@@ -68,10 +71,16 @@ _BAND_SELECTS = " UNION ALL ".join(
 _AGREE = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(N_MINHASH))
 
 _SIM_SUMS = ", ".join(
-    f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    f"sum((((h * {SIMHASH_AS[j]}) >> {SIMHASH_SHIFT}) & 1) * 2 - 1) AS s{j}"
+    for j in range(SIMHASH_BITS)
 )
+# bit 63 → two's-complement minimum; written (−(2^63−1) − 1) because a bare
+# −9223372036854775808 literal parses as minus(out-of-range positive)
 _SIM_FP = " + ".join(
-    f"(CASE WHEN s{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS)
+    f"(CASE WHEN s{j} > 0 THEN "
+    + (f"{2**j}::BIGINT" if j < 63 else f"(-{2**63 - 1}::BIGINT - 1)")
+    + " ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
 )
 
 ORACLES = {
@@ -103,8 +112,9 @@ WHERE ({_AGREE}) / {N_MINHASH}.0 >= 0.5
 sums AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id),
 fp AS (SELECT doc_id, {_SIM_FP} AS simhash FROM sums),
 bands AS (
-  SELECT doc_id, simhash, i AS bpos, (simhash >> (8 * i)) & 255 AS bval
-  FROM fp CROSS JOIN range(0, 4) t(i)
+  SELECT doc_id, simhash, i AS bpos,
+         (simhash >> ({SIMHASH_BAND_BITS} * i)) & {(1 << SIMHASH_BAND_BITS) - 1} AS bval
+  FROM fp CROSS JOIN range(0, {SIMHASH_BITS // SIMHASH_BAND_BITS}) t(i)
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS ha, y.simhash AS hb

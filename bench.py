@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     ("knn_bruteforce_pandas", _collect),
     ("knn_ivf_combined", _collect),
     ("knn_ivf_sequential", _collect),
+    # n_probe sweep ≙ reference experiment grid (run_multiple_configs.sh)
+    ("knn_ivf_np1", _collect),
+    ("knn_ivf_np5", _collect),
+    ("knn_ivf_np10", _collect),
     ("multi_query_knn", _collect),
     ("knn_with_docs", _collect),
     ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search

@@ -359,3 +359,23 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = [F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in ["view", "click", "purchase", "signup", "error"]]
     return pivoted.select("user_id", *cols)
+
+
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-status, per-priority, and grand-total
+    rows in one aggregation pass (beyond ROLLUP/CUBE's fixed lattices).
+
+    SQL form on a temp view — GROUPING SETS has no DataFrame-API
+    spelling; Catalyst expands it to the same Expand+Aggregate the
+    rollup/cube operators use (one shuffle, partial aggregation intact).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

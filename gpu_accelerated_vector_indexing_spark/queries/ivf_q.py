@@ -26,8 +26,10 @@ _COS_Q = (
 )
 
 # Shared CTE prefix: per-label mean centroids (rounded), query vector,
-# coarse top-n_probe, pruned fine scores.
-_IVF_CTES = f"""
+# coarse top-n_probe, pruned fine scores. Parameterized over n_probe to
+# mirror the reference's experiment grid (experiment*_config.txt).
+def _ivf_ctes(n_probe: int = N_PROBE) -> str:
+    return f"""
 WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
 cent_flat AS (
   SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
@@ -45,7 +47,7 @@ coarse AS (
                 sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS cscore
   FROM cent c CROSS JOIN q
 ),
-probes AS (SELECT label FROM coarse ORDER BY cscore DESC, label DESC LIMIT {N_PROBE}),
+probes AS (SELECT label FROM coarse ORDER BY cscore DESC, label DESC LIMIT {n_probe}),
 fine AS (
   SELECT e.vec_id, {_COS_Q} AS score
   FROM embeddings e CROSS JOIN q
@@ -53,6 +55,9 @@ fine AS (
 ),
 ivf_topk AS (SELECT vec_id, score FROM fine ORDER BY score DESC, vec_id DESC LIMIT {K})
 """
+
+
+_IVF_CTES = _ivf_ctes(N_PROBE)
 
 
 def _centroids_table(spark, sf_dir):
@@ -103,6 +108,14 @@ QUERIES = {
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
     "kmeans_invariants": partial(index_build.cluster_invariants, k=N_CLUSTERS, seed=42),
 }
+
+# n_probe sweep ≙ the reference's experiment grid (n_probe ∈ {5,20,40,80}
+# of 128 clusters — here {1,5,10} of 10; 10 = full probe = brute force)
+N_PROBE_GRID = (1, 5, 10)
+for _np in N_PROBE_GRID:
+    QUERIES[f"knn_ivf_np{_np}"] = partial(
+        ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=_np, sequential=False
+    )
 
 ORACLES = {
     "multi_query_knn_ivf": f"""
@@ -168,3 +181,6 @@ SELECT count(*) AS n_hits, round(count(*) / {K}.0, 6) AS recall FROM hits
 """,
     # kmeans_invariants: MLlib k-means‖ is not SQL-restatable → rows-only.
 }
+
+for _np in N_PROBE_GRID:
+    ORACLES[f"knn_ivf_np{_np}"] = _ivf_ctes(_np) + "SELECT vec_id, score FROM ivf_topk"

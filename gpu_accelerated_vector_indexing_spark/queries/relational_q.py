@@ -36,9 +36,17 @@ QUERIES = {
     "json_functions": R.json_functions,
     "case_bucketing": R.case_bucketing,
     "pivot_status": R.pivot_status,
+    "grouping_sets": R.grouping_sets_counts,
 }
 
 ORACLES = {
+    "grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
     "filtered_scan": """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'

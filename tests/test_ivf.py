@@ -12,6 +12,9 @@ IVF_NAMES = [
     "ivf_recall",
     "multi_query_knn_ivf",
     "engine_full_probe",
+    "knn_ivf_np1",
+    "knn_ivf_np5",
+    "knn_ivf_np10",
 ]
 
 

@@ -105,3 +105,56 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # (00:01:30, arriving after watermark passed 00:05) never appears
     assert ("2024-01-01 00:00:00", 2) in out
     assert all(n != 3 for ws, n in out if ws == "2024-01-01 00:00:00")
+
+
+def test_applyinpandas_with_state_running_profile(spark):
+    """Custom arbitrary-state operator: per-user running (count, sum)
+    accumulates ACROSS micro-batches — the state survives between
+    triggers, which no stateless map can fake."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.streaming.stateful import user_profile_stream
+
+    src = "/root/repo/.tmp/state_src"
+    chk = "/root/repo/.tmp/state_chk"
+    for d in (src, chk):
+        os.system(f"rm -rf {d}")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        (
+            spark.createDataFrame(rows, "user_id long, ts string, value double")
+            .select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write_batch([(1, "2024-01-01 00:00:00", 10.0), (2, "2024-01-01 00:00:30", 5.0)])
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        user_profile_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_test")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(1, "2024-01-01 00:01:00", 7.0)])  # user 1 again
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("state_test").collect()
+    by_user = {}
+    for r in rows:  # last update per user wins
+        by_user[r.user_id] = r
+    assert by_user[1].n_events == 2 and by_user[1].sum_value == 17.0  # state carried over
+    assert by_user[2].n_events == 1 and by_user[2].sum_value == 5.0
+    assert str(by_user[1].last_ts).startswith("2024-01-01 00:01")

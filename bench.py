@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     ("dedup_minhash_lsh", _noop),
     ("dedup_simhash_pairs", _noop),
     ("dedup_ngram_jaccard", _noop),
+    ("dedup_jaccard_verified_lsh", _noop),
     ("text_stats", _noop),
     ("text_vocab_top", _collect),
     ("multimodal_features", _noop),

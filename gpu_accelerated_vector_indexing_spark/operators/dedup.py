@@ -327,6 +327,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verified_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+) -> DataFrame:
+    """The 100 TB Jaccard path: LSH candidates, EXACT verification.
+
+    ``ngram_jaccard_pairs`` compares all pairs within (lang, length)
+    blocks — O(block²), fine as a verifier, wrong as the generator at
+    scale. Here candidate pairs come from MinHash band buckets (linear
+    shuffle in corpus size), and only those pairs get the exact
+    distinct-shingle intersection — the composition SCALE.md documents.
+
+    Output = candidates' exact Jaccard ≥ threshold. Subset semantics vs
+    the exhaustive variant: a true pair missed by every band is absent
+    (the standard LSH recall trade; band parameters set the curve).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "-", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    ).alias("key"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    grams = _spread(docs).select(
+        "doc_id", raw_shingle_hashes(F.col("text")).alias("gh")
+    ).withColumn("n", F.size("gh"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gha"), F.col("n").alias("na"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("ghb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("gha"), F.col("ghb")))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter"), "na", "nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 

@@ -30,6 +30,7 @@ QUERIES = {
     "dedup_minhash_lsh": D.minhash_lsh_pairs,
     "dedup_simhash_pairs": D.simhash_pairs,
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
+    "dedup_jaccard_verified_lsh": D.jaccard_verified_lsh,
     "dedup_embedding_topk": D.embedding_neardup_topk,
 }
 
@@ -122,6 +123,30 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
+    # LSH candidates (same CTEs as minhash) verified by exact Jaccard over
+    # the same int64 shingle hashes as the exhaustive variant
+    "dedup_jaccard_verified_lsh": _SHINGLE_CTES
+    + f""",
+sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1),
+                                      i -> {_GH_POLY})) AS gh
+  FROM documents
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.gh, b.gh)) /
+         (len(a.gh) + len(b.gh) - len(list_intersect(a.gh, b.gh))) AS jaccard
+  FROM cand c JOIN grams a ON a.doc_id = c.doc_a JOIN grams b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= 0.6
 """,
     "dedup_ngram_jaccard": f"""
 WITH d AS (

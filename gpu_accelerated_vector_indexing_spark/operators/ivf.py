@@ -171,6 +171,38 @@ def multi_query_knn_ivf(
     )
 
 
+def ivf_recall_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probes: Sequence[int] = (1, 3, 5, 10),
+) -> DataFrame:
+    """recall@k per n_probe in ONE result — the reference's experiment
+    grid (experiment*_config.txt sweeps n_probe) as a single relation.
+
+    The probe ORDER is fixed by one coarse pass; recall at n_probe = p
+    uses its first p clusters, so the sweep reuses one coarse search and
+    one exact top-k. Output: (n_probe, n_hits, recall) ascending."""
+    from functools import reduce
+
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    exact = knn_bruteforce(spark, sf_dir, query_id=query_id, k=k).select("vec_id")
+    per_probe = []
+    for p in n_probes:
+        approx = knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=p)
+        hits = approx.select("vec_id").join(exact, "vec_id", "left_semi")
+        per_probe.append(
+            hits.agg(
+                F.lit(p).alias("n_probe"),
+                F.count("*").alias("n_hits"),
+                F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), per_probe).orderBy("n_probe")
+
+
 def ivf_recall(
     spark: SparkSession,
     sf_dir: str,

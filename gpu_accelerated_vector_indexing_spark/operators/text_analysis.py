@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
 TOKEN_RE = "[A-Za-z0-9]+"
+# winnowing parameters (Schleimer et al., SIGMOD'03): k-gram size, window, base
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_B = 131
 PUNCT_CLASS = "[.,!?;:]"
 
 # tiny per-language stopword sets for the n-gram/stopword-hit heuristic
@@ -122,7 +126,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winnow_fingerprints(
-    spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4
+    spark: SparkSession, sf_dir: str, k: int = WINNOW_K, window: int = WINNOW_W
 ) -> DataFrame:
     """Winnowing fingerprints (rolling-hash min-sampling) via mapInPandas.
 
@@ -138,8 +142,8 @@ def winnow_fingerprints(
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def compute(batches):
-        B = 131
-        MOD = (1 << 61) - 1
+        B = WINNOW_B
+        MOD = (1 << 61) - 1  # > max poly value, so hashes are EXACT ints
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):

@@ -116,6 +116,23 @@ for _np in N_PROBE_GRID:
     QUERIES[f"knn_ivf_np{_np}"] = partial(
         ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=_np, sequential=False
     )
+QUERIES["ivf_recall_sweep"] = partial(
+    ivf.ivf_recall_sweep, query_id=QUERY_ID, k=K, n_probes=N_PROBE_GRID
+)
+
+
+def _recall_at(n_probe: int) -> str:
+    return (
+        _ivf_ctes(n_probe)
+        + f""",
+exact AS (
+  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+  ORDER BY {_COS_Q} DESC, e.vec_id DESC LIMIT {K}
+),
+hits AS (SELECT a.vec_id FROM ivf_topk a WHERE a.vec_id IN (SELECT vec_id FROM exact))
+SELECT {n_probe} AS n_probe, count(*) AS n_hits, round(count(*) / {K}.0, 6) AS recall FROM hits
+"""
+    )
 
 ORACLES = {
     "multi_query_knn_ivf": f"""
@@ -184,3 +201,9 @@ SELECT count(*) AS n_hits, round(count(*) / {K}.0, 6) AS recall FROM hits
 
 for _np in N_PROBE_GRID:
     ORACLES[f"knn_ivf_np{_np}"] = _ivf_ctes(_np) + "SELECT vec_id, score FROM ivf_topk"
+
+ORACLES["ivf_recall_sweep"] = (
+    "SELECT n_probe, n_hits, recall FROM (\n"
+    + "\nUNION ALL\n".join(f"SELECT * FROM ({_recall_at(p)})" for p in N_PROBE_GRID)
+    + "\n) ORDER BY n_probe"
+)

@@ -8,14 +8,21 @@ expression so IEEE doubles agree bit-for-bit.
 from __future__ import annotations
 
 from gpu_accelerated_vector_indexing_spark.operators import text_analysis as TA
-from gpu_accelerated_vector_indexing_spark.operators.text_analysis import LANG_STOPWORDS, PUNCT_CLASS, TOKEN_RE
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+    LANG_STOPWORDS,
+    PUNCT_CLASS,
+    TOKEN_RE,
+    WINNOW_B,
+    WINNOW_K,
+    WINNOW_W,
+)
 
 QUERIES = {
     "text_stats": TA.text_stats,
     "text_lang_id": TA.lang_id,
     "text_vocab_top": TA.vocab_top_tokens,
     "text_fingerprints": TA.doc_fingerprints,
-    "text_winnow": TA.winnow_fingerprints,  # mapInPandas showcase → rows-only
+    "text_winnow": TA.winnow_fingerprints,  # mapInPandas, with a full SQL oracle twin
 }
 
 
@@ -83,3 +90,31 @@ SELECT doc_id, fingerprint,
 FROM fp
 """,
 }
+
+
+# Winnowing twin: the rolling hash never exceeds 2^40 (ASCII · 131^4), so the
+# Python-side mod 2^61-1 is the identity and plain BIGINT polynomials in SQL
+# reproduce every fingerprint exactly (validated char-for-char vs the UDF).
+_WINNOW_POLY = " + ".join(
+    f"ascii(substr(t, i + {j}, 1))::BIGINT * {WINNOW_B ** (WINNOW_K - 1 - j)}"
+    for j in range(WINNOW_K)
+)
+ORACLES["text_winnow"] = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+),
+hs AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= {WINNOW_K}
+      THEN list_transform(range(1, length(t) - {WINNOW_K} + 2), i -> {_WINNOW_POLY})
+      ELSE []::BIGINT[] END AS h
+  FROM norm
+)
+SELECT doc_id,
+  (CASE WHEN len(h) = 0 THEN 0
+    ELSE len(list_distinct(list_transform(
+      range(1, greatest(len(h) - {WINNOW_W - 1}, 1) + 1),
+      i -> list_aggregate(h[i : i + {WINNOW_W - 1}], 'min'))))
+  END)::INT AS n_fingerprints
+FROM hs
+"""

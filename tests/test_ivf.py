@@ -15,6 +15,7 @@ IVF_NAMES = [
     "knn_ivf_np1",
     "knn_ivf_np5",
     "knn_ivf_np10",
+    "ivf_recall_sweep",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Sketch aggregates and deterministic sampling (EXT, SURVEY.md §2.3).
+
+At 100 TB, exact ``count(DISTINCT ...)`` forces a full shuffle of every
+distinct value; the engine therefore exposes the sketch path
+(HyperLogLog++ via ``approx_count_distinct``, KLL-style quantiles via
+``percentile_approx``) — both are single-pass, mergeable, partial-
+aggregable, and bounded-memory. Sketches are approximate, so their
+oracle checks are *property* checks (error within bound → boolean
+flag), not value equality.
+
+Sampling is done with a **portable multiplicative hash** instead of
+``df.sample``: ``(id * A + B) mod M`` with constants small enough that
+the arithmetic stays exact in 64-bit integers in every engine. That
+makes the sample deterministic, reproducible across engines (exact
+DuckDB oracle), stable under repartitioning, and — unlike seeded
+``sample()`` — independent of partition layout, which is what a
+training-data pipeline needs for train/test splits at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+# multiplicative-hash constants (Knuth 2654435761; modulus a prime).
+# max |hash input| = max_id * A + B ≈ 5e5 * 2.7e9 ≈ 1.3e15 < 2^63: exact.
+HASH_A = 2654435761
+HASH_B = 12345
+HASH_M = 1000003
+
+# hll flag bound: 3x the default HLL++ rsd (0.05)
+HLL_REL_ERR = 0.15
+# approx-median rank must land in the central band
+P50_RANK_LO, P50_RANK_HI = 0.4, 0.6
+
+TRAIN_FRAC, VAL_FRAC = 0.8, 0.1
+STRATA_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "ja": 0.25}
+DEFAULT_FRAC = 0.2
+
+
+def portable_hash_unit(id_col: Column) -> Column:
+    """Deterministic hash of an id to [0, 1): same value in any engine."""
+    return ((id_col.cast("bigint") * HASH_A + HASH_B) % HASH_M) / F.lit(float(HASH_M))
+
+
+def sketch_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: exact distinct users, plus two sketch property
+    flags — HLL cardinality within 15% of exact, and the approximate
+    median's true rank within [0.4, 0.6]. The flags (not the sketch
+    values) are the cross-engine contract."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users"),
+        F.approx_count_distinct("user_id").alias("hll_users"),
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+        F.count("*").alias("n_events"),
+    )
+    # true rank of the approximate median: one more aggregate pass
+    ranked = (
+        ev.join(
+            F.broadcast(per_type.select("event_type", "p50_approx")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("p50_approx"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("p50_rank")
+        )
+    )
+    return (
+        per_type.join(ranked, "event_type")
+        .select(
+            "event_type",
+            "n_exact_users",
+            "n_events",
+            (
+                F.abs(F.col("hll_users") - F.col("n_exact_users"))
+                / F.col("n_exact_users")
+                <= HLL_REL_ERR
+            ).alias("hll_ok"),
+            (
+                (F.col("p50_rank") >= P50_RANK_LO) & (F.col("p50_rank") <= P50_RANK_HI)
+            ).alias("p50_ok"),
+        )
+    )
+
+
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the documents
+    table by hash bucket — reproducible on any engine, any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = portable_hash_unit(F.col("doc_id"))
+    split = (
+        F.when(u < TRAIN_FRAC, "train")
+        .when(u < TRAIN_FRAC + VAL_FRAC, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample: each stratum keeps its own
+    hash-threshold fraction (en down-weighted vs the rest is the classic
+    LLM-corpus rebalance). Exact row-level oracle — no RNG involved."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = portable_hash_unit(F.col("doc_id"))
+    frac = F.lit(DEFAULT_FRAC)
+    for lang, f in STRATA_FRACS.items():
+        frac = F.when(F.col("lang") == lang, F.lit(f)).otherwise(frac)
+    return docs.filter(u < frac).select("doc_id", "lang", "source")

@@ -1,0 +1,130 @@
+"""Temporal join operators over the events stream (EXT, SURVEY.md §2.3).
+
+The reference has no temporal joins (its only join is the positional doc
+mapback, IVF.cpp:104-118); these are the time-series operators a
+training-data / event pipeline needs, expressed with Spark's shuffle
+model in mind:
+
+* **as-of join** — "for each purchase, the most recent prior view by the
+  same user". The naive formulation is a non-equi self-join (quadratic
+  per user). The scalable plan used here is the *union + ordered window
+  carry-forward*: tag both sides, union them, and run ONE window per
+  user ordered by time, carrying the last left-side row forward with
+  ``last(..., ignorenulls=True)``. Cost: a single shuffle on ``user_id``
+  and a linear per-partition pass — survives 100 TB because state per
+  key is O(1), never a per-key cross product.
+
+* **range join** — "all events within W seconds after each error". A
+  pure inequality join degenerates to a cross product at scale; the
+  scale path is *band bucketing*: quantize time into W-second buckets,
+  explode each probe row to its two candidate buckets, equi-join on the
+  bucket id (hash shuffle, co-partitioned), and re-check the exact range
+  predicate. Candidate fan-out is bounded by bucket occupancy, not by
+  table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+RANGE_WINDOW_S = 60
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: the most recent 'view' by the same user with
+    ``view.ts <= purchase.ts`` (ties on ts broken by larger event_id).
+
+    Union-window as-of: kind 0 = view (candidate), kind 1 = purchase
+    (probe); ordering ``(ts, kind, event_id)`` makes same-second views
+    eligible for the purchase and makes the carried view deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("v_id"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "kind",
+            F.last("v_id", ignorenulls=True).over(w).alias("asof_view_id"),
+            F.last("v_ts", ignorenulls=True).over(w).alias("asof_view_ts"),
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "asof_view_id",
+            "asof_view_ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp("asof_view_ts"))
+            .cast("long")
+            .alias("gap_seconds"),
+        )
+    )
+
+
+def range_join_events(
+    spark: SparkSession, sf_dir: str, window_s: int = RANGE_WINDOW_S
+) -> DataFrame:
+    """Per error event: count + value-sum of ALL events (any user) in
+    ``[ts, ts + window_s)``, excluding the error row itself.
+
+    Band-bucketed interval join: both sides get ``bucket = epoch div
+    window_s``; each error probes buckets {b, b+1} (every event in its
+    range lives in one of the two), the join is a plain equi hash join
+    on the bucket id, and the exact predicate filters survivors.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    cand = ev.select(
+        F.col("event_id").alias("c_id"),
+        epoch.alias("c_epoch"),
+        F.col("value").alias("c_value"),
+        (epoch / window_s).cast("long").alias("bucket"),
+    )
+    probes = (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", "ts", epoch.alias("e_epoch"), (epoch / window_s).cast("long").alias("b0"))
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+    )
+    joined = probes.join(cand, "bucket").filter(
+        (F.col("c_epoch") >= F.col("e_epoch"))
+        & (F.col("c_epoch") < F.col("e_epoch") + window_s)
+        & (F.col("c_id") != F.col("event_id"))
+    )
+    counts = joined.groupBy("event_id").agg(
+        F.count("*").alias("n_nearby"),
+        F.sum(F.col("c_value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "ts",
+        F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

@@ -110,6 +110,28 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataF
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2 style, lookahead-free so the Java regex
+# and the oracle's RE2 agree): contraction suffixes, space-prefixed
+# letter/digit runs, punctuation runs, whitespace runs.
+BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting: BPE-ish pre-token count (the
+    training-cost estimator), whitespace token count, and mean chars
+    per BPE token — all as native regexp expressions (JVM-side, no UDF).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    n_ws = F.size(F.regexp_extract_all(F.col("text"), F.lit("\\S+"), 0))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        n_ws.cast("int").alias("n_ws_tokens"),
+        F.when(n_bpe > 0, F.round(F.length("text") / n_bpe, 6)).alias("chars_per_token"),
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of the whitespace-normalized text plus
     a 64-bit prefix as a numeric key (join-friendly)."""

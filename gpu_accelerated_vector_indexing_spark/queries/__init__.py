@@ -18,18 +18,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from gpu_accelerated_vector_indexing_spark.queries import (
+        approx_q,
         dedup_q,
         ivf_q,
         knn_q,
+        lsh_q,
         multimodal_q,
         relational_q,
         streaming_q,
+        temporal_q,
         text_q,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (knn_q, ivf_q, relational_q, dedup_q, text_q, multimodal_q, streaming_q):
+    for mod in (
+        knn_q,
+        ivf_q,
+        lsh_q,
+        relational_q,
+        temporal_q,
+        approx_q,
+        dedup_q,
+        text_q,
+        multimodal_q,
+        streaming_q,
+    ):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,65 @@
+"""Temporal join query family (as-of + band-bucketed range join).
+
+Oracles replay the SAME union-window / inequality-join logic in DuckDB
+(the as-of oracle uses ``last_value(... IGNORE NULLS)`` with the
+identical ``(ts, kind, event_id)`` ordering, so ties resolve the same
+way on both engines). Events go through the second-truncating ``ev``
+CTE exactly like streaming_q.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.operators import temporal as TP
+from gpu_accelerated_vector_indexing_spark.operators.temporal import RANGE_WINDOW_S
+
+_EV = """
+WITH ev AS (
+  SELECT event_id, date_trunc('second', ts)::TIMESTAMP AS ts,
+         user_id, event_type, value
+  FROM events
+)
+"""
+
+QUERIES = {
+    "join_asof": TP.asof_join_events,
+    "join_range_bucketed": TP.range_join_events,
+}
+
+ORACLES = {
+    "join_asof": _EV
+    + """,
+u AS (
+  SELECT user_id, ts, event_id, 0 AS kind, event_id AS v_id, ts AS v_ts
+  FROM ev WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS kind, NULL::BIGINT, NULL::TIMESTAMP
+  FROM ev WHERE event_type = 'purchase'
+),
+filled AS (
+  SELECT user_id, ts, event_id, kind,
+    last_value(v_id IGNORE NULLS) OVER w AS asof_view_id,
+    last_value(v_ts IGNORE NULLS) OVER w AS asof_view_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, asof_view_id, asof_view_ts,
+       CAST(epoch(ts) - epoch(asof_view_ts) AS BIGINT) AS gap_seconds
+FROM filled WHERE kind = 1
+""",
+    "join_range_bucketed": _EV
+    + f""",
+err AS (
+  SELECT event_id, ts, epoch(ts) AS e FROM ev WHERE event_type = 'error'
+),
+j AS (
+  SELECT err.event_id, err.ts, c.event_id AS c_id, c.value
+  FROM err LEFT JOIN ev c
+    ON epoch(c.ts) >= err.e AND epoch(c.ts) < err.e + {RANGE_WINDOW_S}
+   AND c.event_id <> err.event_id
+)
+SELECT event_id, ts, count(c_id) AS n_nearby,
+       coalesce(CAST(sum(value::DECIMAL(18,2)) AS DOUBLE), 0.0) AS sum_value
+FROM j GROUP BY event_id, ts
+""",
+}

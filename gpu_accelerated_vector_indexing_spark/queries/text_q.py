@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from gpu_accelerated_vector_indexing_spark.operators import text_analysis as TA
 from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+    BPE_RE,
     LANG_STOPWORDS,
     PUNCT_CLASS,
     TOKEN_RE,
@@ -23,7 +24,11 @@ QUERIES = {
     "text_vocab_top": TA.vocab_top_tokens,
     "text_fingerprints": TA.doc_fingerprints,
     "text_winnow": TA.winnow_fingerprints,  # mapInPandas, with a full SQL oracle twin
+    "text_token_count": TA.token_count,
 }
+
+# SQL-quote the BPE pattern (it contains an apostrophe)
+_BPE_SQL = BPE_RE.replace("'", "''")
 
 
 def _in_list(words: list[str]) -> str:
@@ -99,6 +104,16 @@ _WINNOW_POLY = " + ".join(
     f"ascii(substr(t, i + {j}, 1))::BIGINT * {WINNOW_B ** (WINNOW_K - 1 - j)}"
     for j in range(WINNOW_K)
 )
+ORACLES["text_token_count"] = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_SQL}', 0)) AS INT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '\\S+', 0)) AS INT) AS n_ws_tokens,
+  CASE WHEN len(regexp_extract_all(text, '{_BPE_SQL}', 0)) > 0
+       THEN round(length(text) / len(regexp_extract_all(text, '{_BPE_SQL}', 0)), 6)
+  END AS chars_per_token
+FROM documents
+"""
+
 ORACLES["text_winnow"] = f"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     ("knn_ivf_np1", _collect),
     ("knn_ivf_np5", _collect),
     ("knn_ivf_np10", _collect),
+    ("knn_lsh", _collect),
     ("multi_query_knn", _collect),
     ("knn_with_docs", _collect),
     ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search
@@ -56,6 +57,11 @@ BENCH_QUERIES = [
     ("window_running", _noop),
     ("scalar_subquery", _collect),
     # training-data pipeline operators
+    ("join_asof", _noop),
+    ("join_range_bucketed", _noop),
+    ("sample_train_split", _noop),
+    ("sketch_functions", _collect),
+    ("text_token_count", _noop),
     ("dedup_minhash_lsh", _noop),
     ("dedup_simhash_pairs", _noop),
     ("dedup_ngram_jaccard", _noop),

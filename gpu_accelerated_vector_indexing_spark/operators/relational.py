@@ -379,3 +379,30 @@ def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: pre-aggregate on (key, salt),
+    then finalize on the key.
+
+    ``event_type`` has only 5 values — at 100 TB a plain groupBy sends
+    each hot key's entire volume to one reducer. Salting fans each key
+    out over 16 partial groups (stage 1 shuffle is uniform), and the
+    16-rows-per-key finalize is trivially cheap. Count/sum are
+    decomposable, so the result is EXACTLY the unsalted aggregate —
+    which is what the oracle asserts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n_salts = 16
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(dec("value")).alias("psum"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )

@@ -88,6 +88,31 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: day → hour → minute
+    rollup of the event stream in ONE pass.
+
+    ``ROLLUP(day, hour, minute)`` materializes every granularity level
+    (plus the grand total) from a single scan with map-side partial
+    aggregation — the batch equivalent of a multi-resolution rollup
+    cascade, and the shape that replaces N separate GROUP BYs at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.date_trunc("minute", "ts").alias("minute"),
+            "value",
+        )
+        .rollup("day", "hour", "minute")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def range_join_events(
     spark: SparkSession, sf_dir: str, window_s: int = RANGE_WINDOW_S
 ) -> DataFrame:

@@ -37,6 +37,7 @@ QUERIES = {
     "case_bucketing": R.case_bucketing,
     "pivot_status": R.pivot_status,
     "grouping_sets": R.grouping_sets_counts,
+    "skew_salted_agg": R.skew_salted_agg,
 }
 
 ORACLES = {
@@ -218,6 +219,12 @@ SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
        o_orderstatus, count(*) AS n_orders,
        {_DSUM.format(col='o_totalprice')} AS band_total
 FROM orders GROUP BY 1, 2
+""",
+    # the salted two-stage plan must equal the plain aggregate exactly
+    "skew_salted_agg": """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
 """,
     "pivot_status": """
 SELECT user_id,

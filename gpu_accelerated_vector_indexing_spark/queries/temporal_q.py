@@ -23,6 +23,7 @@ WITH ev AS (
 QUERIES = {
     "join_asof": TP.asof_join_events,
     "join_range_bucketed": TP.range_join_events,
+    "events_rollup_hierarchy": TP.rollup_time_hierarchy,
 }
 
 ORACLES = {
@@ -61,5 +62,14 @@ j AS (
 SELECT event_id, ts, count(c_id) AS n_nearby,
        coalesce(CAST(sum(value::DECIMAL(18,2)) AS DOUBLE), 0.0) AS sum_value
 FROM j GROUP BY event_id, ts
+""",
+    "events_rollup_hierarchy": _EV
+    + """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       date_trunc('hour', ts)::TIMESTAMP AS hour,
+       date_trunc('minute', ts)::TIMESTAMP AS minute,
+       count(*) AS n_events,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM ev GROUP BY ROLLUP (day, hour, minute)
 """,
 }

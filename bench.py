@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search
     # relational core over the big fact tables
     ("pricing_summary", _collect),
+    ("shipping_priority", _collect),
+    ("exists_late_shipment", _collect),
     ("join_multiway", _collect),
     ("window_topk_per_group", _collect),
     ("window_running", _noop),

@@ -225,3 +225,48 @@ def ivf_recall(
         F.count("*").alias("n_hits"),
         F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
     )
+
+
+def assign_incremental(spark: SparkSession, sf_dir: str, modulus: int = 7) -> DataFrame:
+    """Incremental index maintenance: nearest-centroid assignment of a
+    new vector batch against the EXISTING centroids — no KMeans re-run.
+
+    This is the 100 TB growth path the reference lacks entirely (its
+    index is rebuilt offline, clusters.py:20): a new batch is assigned
+    by broadcasting the tiny centroid relation and computing a per-row
+    argmin over squared L2 distance — embarrassingly parallel, zero
+    shuffle on the batch side until the final per-cluster count.
+
+    The "new batch" is simulated as the ``vec_id % modulus == 0`` slice.
+    Output: per assigned cluster, how many vectors landed there and how
+    many agree with the label the fixture already carries.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb).withColumnRenamed("label", "c_label")
+    batch = emb.filter(F.col("vec_id") % modulus == 0).select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    # argmin via struct-min: (d2, c_label) orders by distance then label,
+    # so equal-distance ties resolve identically in Spark and the oracle
+    best = (
+        batch.join(F.broadcast(cents))
+        .select("vec_id", "label", F.struct(d2.alias("d2"), F.col("c_label")).alias("cand"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("cand").alias("best"))
+    )
+    return (
+        best.select("label", F.col("best.c_label").alias("assigned_label"))
+        .groupBy("assigned_label")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum((F.col("label") == F.col("assigned_label")).cast("int")).alias("n_matching"),
+        )
+    )

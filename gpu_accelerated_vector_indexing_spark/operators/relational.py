@@ -140,6 +140,56 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join → agg → global top-10.
+
+    The dimension side (segment-filtered ``customer``) is broadcast, so
+    the only shuffle is the orders⋈lineitem fact join plus the final
+    aggregate; the top-10 compiles to ``TakeOrderedAndProject`` (bounded
+    heap — the same structure as the reference's top-k, IVF.cpp:185-191),
+    never a full sort. Ties broken by ``o_orderkey`` for cross-engine
+    determinism.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.filter(F.col("l_shipdate") > "1997-03-15")
+        .join(
+            orders.filter(F.col("o_orderdate") < "1997-09-15"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def exists_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi predicate (TPC-H Q4 shape).
+
+    Orders for which at least one lineitem shipped more than 60 days
+    after the order date, counted per priority. The decorrelation is a
+    LEFT SEMI join on (equi key AND inequality) — Spark plans the equi
+    part as the shuffle key and evaluates the date inequality as a
+    post-join residual, so it scales like a plain hash join at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS): customers who have at least one open order."""
     customer = load_table(spark, sf_dir, "customer")

@@ -28,6 +28,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
         streaming_q,
         temporal_q,
         text_q,
+        udx_q,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -43,6 +44,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
         text_q,
         multimodal_q,
         streaming_q,
+        udx_q,
     ):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:

@@ -107,6 +107,7 @@ QUERIES = {
     "knn_ivf_sequential": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=True),
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
     "kmeans_invariants": partial(index_build.cluster_invariants, k=N_CLUSTERS, seed=42),
+    "ivf_assign_incremental": ivf.assign_incremental,
 }
 
 # n_probe sweep ≙ the reference's experiment grid (n_probe ∈ {5,20,40,80}
@@ -197,6 +198,36 @@ hits AS (SELECT a.vec_id FROM ivf_topk a WHERE a.vec_id IN (SELECT vec_id FROM e
 SELECT count(*) AS n_hits, round(count(*) / {K}.0, 6) AS recall FROM hits
 """,
     # kmeans_invariants: MLlib k-means‖ is not SQL-restatable → rows-only.
+    # incremental assignment: same rounded centroids, same rounded d²,
+    # same (d2, label) argmin tie-break as the Spark operator
+    "ivf_assign_incremental": f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (
+  SELECT label AS c_label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label
+),
+batch AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 = 0
+),
+dists AS (
+  SELECT b.vec_id, b.label, c.c_label,
+         round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (b.v[i] - c.centroid[i]) * (b.v[i] - c.centroid[i]))), 6) AS d2
+  FROM batch b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+  FROM dists
+)
+SELECT c_label AS assigned_label, count(*) AS n_assigned,
+       CAST(sum(CASE WHEN label = c_label THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+FROM assigned WHERE rn = 1 GROUP BY c_label
+""",
 }
 
 for _np in N_PROBE_GRID:

@@ -38,6 +38,8 @@ QUERIES = {
     "pivot_status": R.pivot_status,
     "grouping_sets": R.grouping_sets_counts,
     "skew_salted_agg": R.skew_salted_agg,
+    "shipping_priority": R.shipping_priority,
+    "exists_late_shipment": R.exists_late_shipment,
 }
 
 ORACLES = {
@@ -225,6 +227,30 @@ FROM orders GROUP BY 1, 2
 SELECT event_type, count(*) AS n_events,
        CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
+""",
+    "shipping_priority": """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(l_extendedprice::DECIMAL(18,2)
+                * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+  AND o_orderdate < TIMESTAMP '1997-09-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+    "exists_late_shipment": """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
 """,
     "pivot_status": """
 SELECT user_id,

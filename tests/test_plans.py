@@ -98,3 +98,26 @@ def test_ivf_fine_search_prunes_partitions(spark, tmp_path):
     plan = physical_plan(pruned)
     assert "PartitionFilters" in plan
     assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_shipping_priority_topn_and_pushdown(spark):
+    """TPC-H Q3 shape: both fact filters reach the scans, the dimension
+    join broadcasts, and the top-10 is a bounded heap — the plan that
+    survives a 100× fact-table scale-up."""
+    df = _q(spark, "shipping_priority")
+    plan = assert_plan(
+        df, contains=("TakeOrderedAndProject", "BroadcastHashJoin")
+    )
+    pushed = [f for scan in pushed_filters(df) for f in [scan]]
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined and "o_orderdate" in joined, pushed
+
+
+def test_exists_semi_join_uses_equi_key(spark):
+    """The correlated EXISTS decorrelates to a LeftSemi hash join keyed
+    on the equi predicate; the date inequality is a residual condition,
+    not a nested-loop driver."""
+    df = _q(spark, "exists_late_shipment")
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -284,6 +284,45 @@ def window_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    Quartile bucketing of customers by account balance within each market
+    segment — the shape a training-data pipeline uses for stratified
+    quality tiers. Ordering is tie-broken by c_custkey so every function
+    is deterministic in both engines.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group.
+
+    ``F.percentile`` is the exact (sort-based) aggregate — the oracle twin
+    is DuckDB ``quantile_cont``; both interpolate linearly over float64,
+    so values agree bit-for-bit. At scale the approx path is
+    ``approx_percentile`` (see sketch_functions) — this exact variant is
+    the verifier.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # --- set operations ----------------------------------------------------------
 
 

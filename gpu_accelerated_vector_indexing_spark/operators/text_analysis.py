@@ -132,6 +132,51 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-shard prep: filter → dedup → token accounting.
+
+    The composition a 100 TB corpus actually runs before embedding:
+      1. language filter (declared ``lang`` column)
+      2. quality gate (same composite score as :func:`text_stats`)
+      3. exact dedup — keep the lowest doc_id per normalized content hash
+      4. per-(lang, source) shard stats: docs kept, BPE-token budget,
+         mean quality
+    One narrow scan feeds everything; the only shuffles are the dedup
+    group-by (content-hash cardinality) and the tiny final aggregate —
+    the plan shape is corpus-size-linear.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stop / F.greatest(n_tokens, F.lit(1)) * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
+    )
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        # 6-dp DECIMAL so the cross-shard mean is an EXACT sum in any
+        # engine (float averaging is summation-order-dependent)
+        F.round(quality, 6).cast("decimal(18,6)").alias("quality_score"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.md5(norm).alias("content_hash"),
+    ).filter((F.col("lang") == "en") & (quality >= 0.5))
+    survivors = scored.groupBy("content_hash").agg(
+        F.min_by(F.struct("lang", "source", "quality_score", "n_bpe_tokens"), "doc_id").alias("s"),
+    )
+    return (
+        survivors.select("s.lang", "s.source", "s.quality_score", "s.n_bpe_tokens")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.sum("quality_score") / F.count("*"), 6).cast("double").alias("avg_quality"),
+        )
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of the whitespace-normalized text plus
     a 64-bit prefix as a numeric key (join-friendly)."""

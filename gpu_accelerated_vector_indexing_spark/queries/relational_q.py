@@ -28,6 +28,8 @@ QUERIES = {
     "window_running": R.window_running,
     "window_topk_per_group": R.window_topk_per_group,
     "window_lag_frames": R.window_lag_frames,
+    "window_distribution": R.window_distribution,
+    "percentile_summary": R.percentile_summary,
     "set_operations": R.set_operations,
     "string_functions": R.string_functions,
     "date_functions": R.date_functions,
@@ -152,6 +154,23 @@ SELECT o_custkey, o_orderkey,
   CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank
 FROM orders WHERE o_custkey <= 20
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "window_distribution": """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    "percentile_summary": """
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+  round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+  count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
 """,
     "set_operations": """
 SELECT nationkey, 'both' AS src FROM (

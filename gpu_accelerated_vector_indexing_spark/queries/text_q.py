@@ -25,6 +25,7 @@ QUERIES = {
     "text_fingerprints": TA.doc_fingerprints,
     "text_winnow": TA.winnow_fingerprints,  # mapInPandas, with a full SQL oracle twin
     "text_token_count": TA.token_count,
+    "corpus_pipeline": TA.corpus_pipeline,
 }
 
 # SQL-quote the BPE pattern (it contains an apostrophe)
@@ -112,6 +113,34 @@ SELECT doc_id,
        THEN round(length(text) / len(regexp_extract_all(text, '{_BPE_SQL}', 0)), 6)
   END AS chars_per_token
 FROM documents
+"""
+
+# Corpus-pipeline twin: same quality formula as text_stats, same md5
+# content hash as text_fingerprints; the representative per duplicate
+# group is the min-doc_id row (join-back replaces Spark's min_by).
+ORACLES["corpus_pipeline"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+    round(least(len({_TOKS}) / 100.0, 1.0) * 0.5 +
+          least(len(list_filter({_TOKS}, t -> t IN ({_in_list(LANG_STOPWORDS['en'])})))
+                / greatest(len({_TOKS}), 1) * 10.0, 1.0) * 0.5, 6)::DECIMAL(18,6) AS quality_score,
+    len(regexp_extract_all(text, '{_BPE_SQL}', 0)) AS n_bpe_tokens,
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+  WHERE lang = 'en'
+    AND least(len({_TOKS}) / 100.0, 1.0) * 0.5 +
+        least(len(list_filter({_TOKS}, t -> t IN ({_in_list(LANG_STOPWORDS['en'])})))
+              / greatest(len({_TOKS}), 1) * 10.0, 1.0) * 0.5 >= 0.5
+),
+keep AS (
+  SELECT content_hash, min(doc_id) AS doc_id FROM scored GROUP BY content_hash
+)
+SELECT lang, source,
+  count(*) AS n_docs,
+  CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+  CAST(round(sum(quality_score) / count(*), 6) AS DOUBLE) AS avg_quality
+FROM scored JOIN keep USING (content_hash, doc_id)
+GROUP BY lang, source
 """
 
 ORACLES["text_winnow"] = f"""

@@ -1,0 +1,139 @@
+"""Scalar-quantized (SQ8) vector search — the memory/bandwidth scale path.
+
+The reference stores the corpus as raw float32 and scans it at full
+width (IVF.cpp:456-486).  At 100 TB the dominant cost of a brute-force
+or fine-search scan is bytes moved, so production ANN systems store a
+1-byte-per-dimension scalar-quantized copy (4× compression vs float32)
+and use it for the coarse ranking, rescoring only a small candidate set
+against the exact vectors.  This module implements that pattern
+Spark-first:
+
+  1. per-dimension (min, max) over the corpus — ONE pass, 2·dim partial
+     aggregates (map-side combined, no explode/shuffle of vector data);
+     the 2·dim scalars materialize on the driver exactly like the
+     reference materializes its coarse results (IVF.cpp:282)
+  2. encode: code_i = round((x_i − min_i)/span_i · 255) ∈ [0, 255]
+  3. approximate score: cosine over the dequantized codes (all
+     higher-order functions, JVM-side)
+  4. exact rescore of the top-`n_candidates` approximate hits against
+     the float vectors, returning the top-k — with a generous candidate
+     margin the result EQUALS brute force, so the oracle is the exact
+     brute-force SQL (same contract as the IVF full-probe invariant,
+     SURVEY.md §5.2).
+
+Scale shape: candidate selection is TakeOrderedAndProject over the
+compressed scan (k·tasks rows to the driver); the rescore joins a
+broadcast candidate list against the float table — never a shuffle of
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.functions.vector import (
+    EPSILON,
+    as_double_array,
+    cosine_similarity_hoisted,
+    l2_norm,
+)
+from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+SQ_LEVELS = 255
+SPAN_GUARD = 1e-12  # constant-dimension guard (span 0 → code 0)
+
+
+def dim_min_max(emb: DataFrame, dim: int) -> tuple[list[float], list[float]]:
+    """Per-dimension corpus (min, max) in one aggregation pass.
+
+    ``2·dim`` scalar aggregates over ``embedding[i]`` — partial
+    aggregation keeps the shuffle at 2·dim·n_partitions scalars; no
+    explode of the vector column ever happens.
+    """
+    v = F.col("embedding")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(v[i].cast("double")).alias(f"lo{i}"))
+        aggs.append(F.max(v[i].cast("double")).alias(f"hi{i}"))
+    row = emb.agg(*aggs).first()
+    return [row[f"lo{i}"] for i in range(dim)], [row[f"hi{i}"] for i in range(dim)]
+
+
+def _lit_array(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def sq8_codes(v: Column, mins: list[float], maxs: list[float]) -> Column:
+    """ARRAY<INT> of 0-255 codes (stored as 1 byte/dim in parquet)."""
+    spans = [hi - lo + SPAN_GUARD for lo, hi in zip(mins, maxs)]
+    shifted = F.zip_with(v, _lit_array(mins), lambda x, lo: x - lo)
+    return F.zip_with(
+        shifted,
+        _lit_array(spans),
+        lambda d, s: F.round(d / s * SQ_LEVELS).cast("int"),
+    )
+
+
+def sq8_dequantize(codes: Column, mins: list[float], maxs: list[float]) -> Column:
+    spans = [hi - lo + SPAN_GUARD for lo, hi in zip(mins, maxs)]
+    scaled = F.zip_with(codes, _lit_array(spans), lambda c, s: c * s / SQ_LEVELS)
+    return F.zip_with(scaled, _lit_array(mins), lambda x, lo: x + lo)
+
+
+def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed corpus table: ``(vec_id, codes ARRAY<INT 0..255>)``.
+
+    At scale this is written once next to the float table (like the IVF
+    layout) and is what the candidate scan reads — 1/4 the bytes of
+    float32, 1/8 of the float64 scan width.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    mins, maxs = dim_min_max(emb, dim)
+    return emb.select(
+        "vec_id", sq8_codes(as_double_array("embedding"), mins, maxs).alias("codes")
+    )
+
+
+def knn_sq8(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Top-k cosine via SQ8 candidate scan + exact float rescore.
+
+    Returns exactly the brute-force top-k (candidate margin ≫ the rank
+    perturbation a ≤0.2%-per-dim quantization error can cause), so the
+    DuckDB oracle is the exact brute-force query — the same
+    approx-path-must-equal-exact-path contract as IVF at full probe.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    mins, maxs = dim_min_max(emb, dim)
+    q = query_vectors(spark, sf_dir, [query_id])
+
+    v = as_double_array("embedding")
+    approx_v = sq8_dequantize(sq8_codes(v, mins, maxs), mins, maxs)
+    approx_score = F.aggregate(
+        F.zip_with(approx_v, F.col("qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ) / (l2_norm(approx_v) * F.col("qnorm") + F.lit(EPSILON))
+
+    candidates = (
+        emb.join(F.broadcast(q))
+        .select("vec_id", approx_score.alias("approx_score"))
+        .orderBy(F.desc("approx_score"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(v, F.col("qvec"), F.col("qnorm"))
+    return (
+        emb.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

@@ -53,8 +53,15 @@ def _embed_and_search(spark, sf_dir):
     )
 
 
+def _knn_sq8(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_sq8
+
+    return knn_sq8(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
 QUERIES = {
     "knn_bruteforce": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K),
+    "knn_sq8": _knn_sq8,
     "knn_bruteforce_pandas": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K, use_pandas=True),
     "knn_with_docs": partial(knn.knn_with_docs, query_id=QUERY_ID, k=K),
     "multi_query_knn": partial(knn.multi_query_knn, query_ids=MULTI_QUERY_IDS, k=K),
@@ -100,3 +107,7 @@ SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= {K
 # knn_bruteforce_pandas: same semantics as knn_bruteforce through the
 # NumPy kernel path — reuse the same oracle.
 ORACLES["knn_bruteforce_pandas"] = ORACLES["knn_bruteforce"]
+# knn_sq8: quantized candidate scan + exact rescore MUST return the
+# brute-force result (candidate margin ≫ quantization rank error) —
+# the approx-equals-exact contract, same oracle.
+ORACLES["knn_sq8"] = ORACLES["knn_bruteforce"]

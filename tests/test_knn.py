@@ -5,7 +5,13 @@ import pytest
 from tests.conftest import SF_CORRECT, SF_SMOKE
 from tests.parity import assert_parity
 
-KNN_NAMES = ["knn_bruteforce", "knn_bruteforce_pandas", "knn_with_docs", "multi_query_knn"]
+KNN_NAMES = [
+    "knn_bruteforce",
+    "knn_bruteforce_pandas",
+    "knn_with_docs",
+    "multi_query_knn",
+    "knn_sq8",
+]
 ROWS_ONLY = ["embed_and_search"]
 
 
@@ -35,6 +41,49 @@ def test_knn_self_match(spark):
     top = knn_bruteforce(spark, SF_SMOKE, query_id=7, k=1).collect()[0]
     assert top.vec_id == 7
     assert abs(top.score - 1.0) < 1e-4
+
+
+def test_sq8_codes_bounds_and_reconstruction(spark):
+    """Codes live in [0,255]; dequantized vectors stay within half a
+    quantization step of the original per dimension."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        SQ_LEVELS,
+        dim_min_max,
+        sq8_codes,
+        sq8_dequantize,
+    )
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    mins, maxs = dim_min_max(emb, dim)
+    v = as_double_array("embedding")
+    codes = sq8_codes(v, mins, maxs)
+    err = F.zip_with(sq8_dequantize(codes, mins, maxs), v, lambda a, b: F.abs(a - b))
+    row = emb.select(
+        F.min(F.array_min(codes)).alias("cmin"),
+        F.max(F.array_max(codes)).alias("cmax"),
+        F.max(F.array_max(err)).alias("emax"),
+    ).first()
+    assert row.cmin >= 0 and row.cmax <= SQ_LEVELS
+    half_step = max(hi - lo for lo, hi in zip(mins, maxs)) / SQ_LEVELS / 2
+    assert row.emax <= half_step + 1e-9
+
+
+def test_sq8_equals_bruteforce_at_scale(spark):
+    """The SQ8 candidate+rescore path must return the exact brute-force
+    top-k at the bench scale factor (the approx-equals-exact contract)."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_sq8
+
+    sf = "/root/testdata/sf0.1"
+    for qid in (0, 3, 11):
+        exact = [(r.vec_id, r.score) for r in knn_bruteforce(spark, sf, query_id=qid).collect()]
+        sq8 = [(r.vec_id, r.score) for r in knn_sq8(spark, sf, query_id=qid).collect()]
+        assert sq8 == exact, f"query {qid}: {sq8} != {exact}"
 
 
 def test_embed_and_search_rows(spark):

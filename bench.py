@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     ("knn_ivf_np5", _collect),
     ("knn_ivf_np10", _collect),
     ("knn_lsh", _collect),
+    ("knn_sq8", _collect),
     ("multi_query_knn", _collect),
     ("knn_with_docs", _collect),
     ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search
@@ -55,6 +56,9 @@ BENCH_QUERIES = [
     ("shipping_priority", _collect),
     ("exists_late_shipment", _collect),
     ("join_multiway", _collect),
+    ("large_volume_orders", _collect),
+    ("disjunctive_revenue", _collect),
+    ("corpus_pipeline", _collect),
     ("window_topk_per_group", _collect),
     ("window_running", _noop),
     ("scalar_subquery", _collect),

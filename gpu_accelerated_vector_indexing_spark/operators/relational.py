@@ -190,6 +190,62 @@ def exists_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def large_volume_orders(spark: SparkSession, sf_dir: str, min_qty: float = 150.0) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING, then re-join.
+
+    Orders whose total lineitem quantity exceeds a threshold, joined back
+    to customer and re-aggregated. The qualifying-keys subquery is a
+    fact-side group-by whose output (few keys) drives a semi join — at
+    100 TB the second pass over lineitem is key-pruned by the broadcast
+    qualifying set, and the order/customer join broadcasts the dim side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(min_qty).cast("decimal(18,2)"))
+    )
+    return (
+        orders.join(F.broadcast(qualifying), orders.o_orderkey == qualifying.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs part/lineitem predicate.
+
+    Each disjunct pairs part attributes (brand, size) with lineitem
+    quantity ranges. Catalyst extracts the common ``p_partkey`` equi-key
+    for the join and keeps the disjunction as a residual filter; the
+    ``part`` side is brand/size-filtered before broadcast, so the fact
+    scan joins against a small hash relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    disjunct = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 35)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 50)))
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return joined.filter(disjunct).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS): customers who have at least one open order."""
     customer = load_table(spark, sf_dir, "customer")

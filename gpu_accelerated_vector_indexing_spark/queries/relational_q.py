@@ -42,6 +42,8 @@ QUERIES = {
     "skew_salted_agg": R.skew_salted_agg,
     "shipping_priority": R.shipping_priority,
     "exists_late_shipment": R.exists_late_shipment,
+    "large_volume_orders": R.large_volume_orders,
+    "disjunctive_revenue": R.disjunctive_revenue,
 }
 
 ORACLES = {
@@ -154,6 +156,26 @@ SELECT o_custkey, o_orderkey,
   CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank
 FROM orders WHERE o_custkey <= 20
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "large_volume_orders": """
+WITH qualifying AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(18,2)) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN qualifying ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+""",
+    "disjunctive_revenue": f"""
+SELECT CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
 """,
     "window_distribution": """
 SELECT c_mktsegment, c_custkey, c_acctbal,

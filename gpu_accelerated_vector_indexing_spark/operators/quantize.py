@@ -137,3 +137,57 @@ def knn_sq8(
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(k)
     )
+
+
+def knn_ivf_sq8(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """The full production ANN path: IVF pruning × SQ8 scan × exact rescore.
+
+    Composition of the two scale levers — partition pruning cuts the
+    fraction of the corpus READ to n_probe/n_clusters (SURVEY.md §4 P1),
+    and scalar quantization cuts the bytes per row scanned by 4× — then
+    a broadcast-joined exact rescore of ≤ ``n_candidates`` rows restores
+    exact ranking. Within the probed set the result equals the exact
+    fine search, so the oracle is the standard IVF fine-search SQL.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        coarse_search,
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    mins, maxs = dim_min_max(emb, dim)
+    q = query_vectors(spark, sf_dir, [query_id])
+    cents = label_centroids(emb)
+    probes = [
+        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
+    ]  # plan-time pruning, mirrors IVF.cpp:282
+    pruned = emb.filter(F.col("label").isin(probes))
+
+    v = as_double_array("embedding")
+    approx_v = sq8_dequantize(sq8_codes(v, mins, maxs), mins, maxs)
+    approx_score = F.aggregate(
+        F.zip_with(approx_v, F.col("qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ) / (l2_norm(approx_v) * F.col("qnorm") + F.lit(EPSILON))
+    candidates = (
+        pruned.join(F.broadcast(q))
+        .select("vec_id", approx_score.alias("approx_score"))
+        .orderBy(F.desc("approx_score"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(v, F.col("qvec"), F.col("qnorm"))
+    return (
+        pruned.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

@@ -97,6 +97,14 @@ def _engine_full_probe(spark, sf_dir):
 
 QUERY_IDS = (0, 1, 2, 3, 4)
 
+def _knn_ivf_sq8(spark, sf_dir):
+    """IVF pruning × SQ8 compressed scan × exact rescore — equals the
+    exact fine search within the probed set, so it shares the IVF oracle."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_ivf_sq8
+
+    return knn_ivf_sq8(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
+
+
 QUERIES = {
     "ivf_centroids": _centroids_table,
     "engine_full_probe": _engine_full_probe,
@@ -106,6 +114,7 @@ QUERIES = {
     "knn_ivf_combined": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=False),
     "knn_ivf_sequential": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=True),
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
+    "knn_ivf_sq8": _knn_ivf_sq8,
     "kmeans_invariants": partial(index_build.cluster_invariants, k=N_CLUSTERS, seed=42),
     "ivf_assign_incremental": ivf.assign_incremental,
 }
@@ -187,6 +196,9 @@ FROM embeddings e CROSS JOIN (SELECT i FROM range(1, {DIM + 1}) t(i)) d
 GROUP BY e.label, d.i
 """,
     "knn_ivf_combined": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
+    # SQ8 candidate scan + exact rescore within the probed set must equal
+    # the exact fine search — same oracle as the combined IVF plan.
+    "knn_ivf_sq8": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
     "knn_ivf_sequential": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
     "ivf_recall": _IVF_CTES
     + f""",

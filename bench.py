@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     ("shipping_priority", _collect),
     ("exists_late_shipment", _collect),
     ("join_multiway", _collect),
+    ("join_bucketed_colocate", _collect),
     ("large_volume_orders", _collect),
     ("disjunctive_revenue", _collect),
     ("corpus_pipeline", _collect),

@@ -282,6 +282,78 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bucketed mirrors written once per (session, sf_dir) — bucketing is a
+# STORAGE layout decision (like the IVF partitionBy), not per-query work
+_BUCKETED: dict[tuple[SparkSession, str], tuple[str, str]] = {}
+_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """lineitem/orders mirrored as bucketBy(orderkey) managed tables.
+
+    ``bucketBy(N, key) + sortBy(key)`` pre-shuffles the data ONCE at
+    write time; every subsequent equi-join on the key is then
+    co-located — at 100 TB this converts the recurring fact⋈fact
+    shuffle (the single largest cost in the relational core) into a
+    zero-exchange merge join. The write happens once per session per
+    corpus, mirroring a real warehouse layout decision.
+    """
+    key = (spark, sf_dir)
+    if key not in _BUCKETED:
+        import shutil
+        from urllib.parse import urlparse
+
+        tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/")).strip("_")
+        lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+        # a previous PROCESS may have left the managed location behind
+        # without this session's in-memory catalog knowing the table —
+        # drop both forms before writing
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (lt, ot):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .write.mode("overwrite")
+            .bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(lt)
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(ot)
+        )
+        _BUCKETED[key] = (lt, ot)
+    return _BUCKETED[key]
+
+
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via matching bucket layouts.
+
+    Both sides are bucketed by the join key into the same bucket count,
+    so the SortMergeJoin reads co-located buckets with NO exchange on
+    either input (pinned by tests/test_plans.py); the only shuffle in
+    the whole plan is the final small aggregate.
+    """
+    lt, ot = _bucketed_tables(spark, sf_dir)
+    li, orders = spark.table(lt), spark.table(ot)
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        # MERGE hint: at fixture scale AQE would broadcast the small side,
+        # hiding the layout's point; at 100 TB neither fact side
+        # broadcasts and the bucket-aligned merge join IS the plan.
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders above the (deterministic, decimal-derived) global mean price."""
     orders = load_table(spark, sf_dir, "orders")

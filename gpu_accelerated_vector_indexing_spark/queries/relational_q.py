@@ -24,6 +24,7 @@ QUERIES = {
     "join_semi": R.join_semi,
     "join_anti": R.join_anti,
     "join_outer": R.join_outer,
+    "join_bucketed_colocate": R.join_bucketed_colocate,
     "scalar_subquery": R.scalar_subquery,
     "window_running": R.window_running,
     "window_topk_per_group": R.window_topk_per_group,
@@ -157,6 +158,13 @@ SELECT o_custkey, o_orderkey,
   CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank
 FROM orders WHERE o_custkey <= 20
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    # physical layout (bucketing) never changes results — plain join oracle
+    "join_bucketed_colocate": f"""
+SELECT o_orderstatus, l_returnflag,
+       CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus, l_returnflag
 """,
     # map semantics validated by recomputing the scalar outputs directly
     "map_functions": """

@@ -145,6 +145,19 @@ def test_large_volume_orders_broadcasts_qualifying_keys(spark):
     )
 
 
+def test_bucketed_join_has_no_input_exchange(spark):
+    """Matching bucket layouts on the join key ⇒ the SortMergeJoin reads
+    co-located buckets with ZERO exchange below it — the write-once
+    layout that removes the recurring fact⋈fact shuffle at 100 TB."""
+    df = _q(spark, "join_bucketed_colocate")
+    df.collect()  # AQE final plan
+    final = physical_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final
+    below_join = final.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, below_join
+    assert "Bucketed: true" in final
+
+
 def test_exists_semi_join_uses_equi_key(spark):
     """The correlated EXISTS decorrelates to a LeftSemi hash join keyed
     on the equi predicate; the date inequality is a residual condition,

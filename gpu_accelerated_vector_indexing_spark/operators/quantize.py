@@ -152,6 +152,131 @@ def knn_sq8(
     )
 
 
+# --- product quantization (PQ) ----------------------------------------------
+
+PQ_SUBSPACES = 8  # S sub-vectors per embedding
+PQ_K = 16  # codewords per subspace → 4 bits/subspace, 4 bytes/vector here
+PQ_TRAIN_SAMPLE = 1024  # codebooks are ALWAYS trained on a sample in practice
+PQ_ITERS = 10
+
+_PQ_CACHE: dict[tuple[SparkSession, str], list[list[list[float]]]] = {}
+
+
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Per-subspace codebooks via deterministic Lloyd iterations on a
+    bounded sample.
+
+    PQ training is inherently tiny-data (a few thousand sample rows
+    train codebooks for billions of vectors), so the fit runs on the
+    driver over a deterministic ≤``PQ_TRAIN_SAMPLE``-row sample — the
+    same bounded-collect posture as the coarse search (IVF.cpp:282).
+    Init is the first k distinct sample rows (no RNG), so codebooks are
+    reproducible across sessions and partitionings.
+    """
+    key = (spark, sf_dir)
+    if key not in _PQ_CACHE:
+        import numpy as np
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        sample = (
+            emb.orderBy("vec_id")
+            .limit(PQ_TRAIN_SAMPLE)
+            .select(as_double_array("embedding").alias("v"))
+            .collect()
+        )
+        mat = np.asarray([r.v for r in sample], dtype=np.float64)
+        dim = mat.shape[1]
+        assert dim % PQ_SUBSPACES == 0, dim
+        sub = dim // PQ_SUBSPACES
+        books: list[list[list[float]]] = []
+        for s in range(PQ_SUBSPACES):
+            X = mat[:, s * sub : (s + 1) * sub]
+            C = X[:PQ_K].copy()
+            for _ in range(PQ_ITERS):
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for j in range(PQ_K):
+                    members = X[assign == j]
+                    if len(members):
+                        C[j] = members.mean(axis=0)
+            books.append([[float(x) for x in row] for row in C])
+        _PQ_CACHE[key] = books
+    return _PQ_CACHE[key]
+
+
+def _pq_reconstruction(v: Column, books: list[list[list[float]]], dim: int) -> Column:
+    """Encode each sub-vector to its nearest codeword and reconstruct —
+    all higher-order functions (JVM-side), no UDF.
+
+    At rest only the S small code integers would be stored
+    (log2(k)·S bits/vector); scoring reads codes + the broadcast
+    codebooks. Here encode+reconstruct fuse into one expression.
+    """
+    sub = dim // PQ_SUBSPACES
+    parts = []
+    for s, book in enumerate(books):
+        subvec = F.slice(v, s * sub + 1, sub)
+        book_lit = F.array(*[_lit_array(cw) for cw in book])
+        d2s = F.transform(
+            book_lit,
+            lambda cw: F.aggregate(
+                F.zip_with(subvec, cw, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        code = F.array_position(d2s, F.array_min(d2s))  # 1-based; first-min tie-break
+        parts.append(F.element_at(book_lit, code.cast("int")))
+    return F.flatten(F.array(*parts))
+
+
+def knn_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_candidates: int = 150,
+) -> DataFrame:
+    """Top-k cosine via PQ-reconstructed candidate ranking + exact rescore.
+
+    The third rung of the compression ladder (float32 → SQ8 → PQ):
+    log2(16)·8 = 32 bits per vector at rest vs 2048 for float32 (64×).
+    Unlike SQ8, PQ's ranking is coarse enough that exact-equality with
+    brute force is NOT guaranteed at practical candidate margins on
+    near-random data (the fixture corpus is PQ's worst case), and the
+    learned codebooks are not SQL-expressible — so the honest contract
+    (SURVEY.md §5.2) is recall-based: tests pin recall@k ≥ floor at the
+    default margin, exact equality at full margin (candidates = corpus),
+    and that every returned score is the exact float cosine (the rescore
+    guarantees it by construction). Driver check is rows-only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    books = pq_codebooks(spark, sf_dir)
+    q = query_vectors(spark, sf_dir, [query_id])
+
+    v = as_double_array("embedding")
+    recon = _pq_reconstruction(v, books, dim)
+    approx_score = F.aggregate(
+        F.zip_with(recon, F.col("qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    ) / (l2_norm(recon) * F.col("qnorm") + F.lit(EPSILON))
+    candidates = (
+        emb.join(F.broadcast(q))
+        .select("vec_id", approx_score.alias("approx_score"))
+        .orderBy(F.desc("approx_score"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(v, F.col("qvec"), F.col("qnorm"))
+    return (
+        emb.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
 def knn_ivf_sq8(
     spark: SparkSession,
     sf_dir: str,

@@ -59,9 +59,19 @@ def _knn_sq8(spark, sf_dir):
     return knn_sq8(spark, sf_dir, query_id=QUERY_ID, k=K)
 
 
+def _knn_pq(spark, sf_dir):
+    """Product-quantized ANN — learned codebooks are not SQL-expressible
+    and PQ ranking is honestly approximate, so this is a rows-only entry;
+    recall floor / full-margin-equality invariants live in tests/test_knn.py."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_pq
+
+    return knn_pq(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
 QUERIES = {
     "knn_bruteforce": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K),
     "knn_sq8": _knn_sq8,
+    "knn_pq": _knn_pq,
     "knn_bruteforce_pandas": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K, use_pandas=True),
     "knn_with_docs": partial(knn.knn_with_docs, query_id=QUERY_ID, k=K),
     "multi_query_knn": partial(knn.multi_query_knn, query_ids=MULTI_QUERY_IDS, k=K),

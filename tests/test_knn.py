@@ -86,6 +86,35 @@ def test_sq8_equals_bruteforce_at_scale(spark):
         assert sq8 == exact, f"query {qid}: {sq8} != {exact}"
 
 
+def test_pq_recall_floor_and_exact_rescore(spark):
+    """PQ at the default candidate margin: recall@5 ≥ 0.6 on every probe
+    query, and every returned (vec_id, score) pair appears in the exact
+    brute-force scoring (the rescore emits true cosines only)."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_pq
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        for qid in (0, 3, 11):
+            exact = {(r.vec_id, r.score) for r in knn_bruteforce(spark, sf, query_id=qid, k=5).collect()}
+            got = [(r.vec_id, r.score) for r in knn_pq(spark, sf, query_id=qid, k=5).collect()]
+            assert len(got) == 5
+            hits = sum(1 for g in got if g in exact)
+            assert hits >= 3, f"{sf} q{qid}: recall {hits}/5, got={got}"
+
+
+def test_pq_full_margin_equals_bruteforce(spark):
+    """candidates = corpus size ⇒ the candidate stage passes everything
+    and the exact rescore must reproduce brute force exactly (the PQ
+    analog of the IVF full-probe invariant)."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_pq
+
+    n = 10_000  # ≥ corpus rows at sf0.01
+    exact = [(r.vec_id, r.score) for r in knn_bruteforce(spark, SF_CORRECT, query_id=7).collect()]
+    pq = [(r.vec_id, r.score) for r in knn_pq(spark, SF_CORRECT, query_id=7, n_candidates=n).collect()]
+    assert pq == exact
+
+
 def test_embed_and_search_rows(spark):
     """Rows-only check for the md5-hash embedding pipeline (no SQL twin):
     k rows, scores in [-1, 1], non-degenerate (top score > 0)."""

@@ -86,6 +86,42 @@ def knn_bruteforce(
     )
 
 
+def knn_prenorm(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k over PRE-NORMALIZED vectors: cosine ≡ plain dot product.
+
+    SURVEY.md §4 P4's 'strictly stronger hoisting': normalizing vectors
+    once at index-build time removes BOTH norms from the per-row score —
+    the hot loop is a bare fused dot product (the cheapest possible
+    scan expression). Here normalization happens inline (the fixture
+    table stores raw vectors); at build time it would be a stored
+    column. Normalization divides by (‖v‖ + 1e-8) — the reference's
+    denominator guard (IVF.cpp:150) applied once per vector instead of
+    once per pair, replicated exactly in the oracle SQL.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == query_id)
+        .select(l2_normalize(as_double_array("embedding")).alias("nq"))
+    )
+    nv = l2_normalize(as_double_array("embedding"))
+    dot = F.aggregate(
+        F.zip_with(nv, F.col("nq"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        emb.join(F.broadcast(q))
+        .select("vec_id", F.round(dot, SCORE_SCALE).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
 def knn_with_docs(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
 ) -> DataFrame:

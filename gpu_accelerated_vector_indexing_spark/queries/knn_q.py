@@ -72,6 +72,7 @@ QUERIES = {
     "knn_bruteforce": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K),
     "knn_sq8": _knn_sq8,
     "knn_pq": _knn_pq,
+    "knn_prenorm": partial(knn.knn_prenorm, query_id=QUERY_ID, k=K),
     "knn_bruteforce_pandas": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K, use_pandas=True),
     "knn_with_docs": partial(knn.knn_with_docs, query_id=QUERY_ID, k=K),
     "multi_query_knn": partial(knn.multi_query_knn, query_ids=MULTI_QUERY_IDS, k=K),
@@ -121,3 +122,18 @@ ORACLES["knn_bruteforce_pandas"] = ORACLES["knn_bruteforce"]
 # brute-force result (candidate margin ≫ quantization rank error) —
 # the approx-equals-exact contract, same oracle.
 ORACLES["knn_sq8"] = ORACLES["knn_bruteforce"]
+# knn_prenorm: normalize-once then bare dot — the exact same arithmetic
+# replicated (normalize with the +1e-8 guard, then dot), IEEE-identical.
+_NORM = "list_transform({v}, x -> x / (sqrt(list_dot_product({v}, {v})) + 1e-8))"
+ORACLES["knn_prenorm"] = f"""
+WITH q AS (
+  SELECT {_NORM.format(v='embedding::DOUBLE[]')} AS nq
+  FROM embeddings WHERE vec_id = {QUERY_ID}
+),
+scored AS (
+  SELECT e.vec_id,
+         round(list_dot_product({_NORM.format(v='e.embedding::DOUBLE[]')}, q.nq), 6) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id DESC LIMIT {K}
+"""

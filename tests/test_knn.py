@@ -11,6 +11,7 @@ KNN_NAMES = [
     "knn_with_docs",
     "multi_query_knn",
     "knn_sq8",
+    "knn_prenorm",
 ]
 ROWS_ONLY = ["embed_and_search"]
 

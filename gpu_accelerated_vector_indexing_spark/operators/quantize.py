@@ -204,16 +204,11 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     return _PQ_CACHE[key]
 
 
-def _pq_reconstruction(v: Column, books: list[list[list[float]]], dim: int) -> Column:
-    """Encode each sub-vector to its nearest codeword and reconstruct —
-    all higher-order functions (JVM-side), no UDF.
-
-    At rest only the S small code integers would be stored
-    (log2(k)·S bits/vector); scoring reads codes + the broadcast
-    codebooks. Here encode+reconstruct fuse into one expression.
-    """
+def _pq_encode(v: Column, books: list[list[list[float]]], dim: int) -> Column:
+    """ARRAY<INT> of per-subspace nearest-codeword indices (1-based) —
+    all higher-order functions (JVM-side), no UDF."""
     sub = dim // PQ_SUBSPACES
-    parts = []
+    codes = []
     for s, book in enumerate(books):
         subvec = F.slice(v, s * sub + 1, sub)
         book_lit = F.array(*[_lit_array(cw) for cw in book])
@@ -225,9 +220,32 @@ def _pq_reconstruction(v: Column, books: list[list[list[float]]], dim: int) -> C
                 lambda acc, x: acc + x,
             ),
         )
-        code = F.array_position(d2s, F.array_min(d2s))  # 1-based; first-min tie-break
-        parts.append(F.element_at(book_lit, code.cast("int")))
-    return F.flatten(F.array(*parts))
+        codes.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))  # first-min tie-break
+    return F.array(*codes)
+
+
+_PQ_CODES_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoded corpus ``(vec_id, codes ARRAY<INT>)`` — index state.
+
+    In production this table is WRITTEN at build time (log2(k)·S bits
+    per vector at rest); queries never re-encode. Here the encode runs
+    once per (session, corpus) and is cached — the expensive nearest-
+    codeword expression is build-time work, exactly like the KMeans fit.
+    """
+    key = (spark, sf_dir)
+    if key not in _PQ_CODES_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        books = pq_codebooks(spark, sf_dir)
+        codes = emb.select(
+            "vec_id", _pq_encode(as_double_array("embedding"), books, dim).alias("codes")
+        ).cache()
+        codes.count()  # materialize now: build-time cost, not query-time
+        _PQ_CODES_CACHE[key] = codes
+    return _PQ_CODES_CACHE[key]
 
 
 def knn_pq(
@@ -250,24 +268,42 @@ def knn_pq(
     and that every returned score is the exact float cosine (the rescore
     guarantees it by construction). Driver check is rows-only.
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     books = pq_codebooks(spark, sf_dir)
+    codes_tbl = pq_codes_table(spark, sf_dir)
     q = query_vectors(spark, sf_dir, [query_id])
 
-    v = as_double_array("embedding")
-    recon = _pq_reconstruction(v, books, dim)
-    approx_score = F.aggregate(
-        F.zip_with(recon, F.col("qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    ) / (l2_norm(recon) * F.col("qnorm") + F.lit(EPSILON))
+    # ADC lookup tables, computed ONCE per query on the driver (S×k
+    # floats — the PQ analog of hoisting the query norm): per subspace,
+    # dot(codeword, q_sub) and ‖codeword‖² for every codeword. The scan
+    # then scores a vector from its S stored codes alone — it never
+    # touches the float vectors.
+    qrow = q.select("qvec", "qnorm").first()
+    qvec, qnorm = np.asarray(qrow.qvec), float(qrow.qnorm)
+    sub = len(qvec) // PQ_SUBSPACES
+    dot_luts, nsq_luts = [], []
+    for s, book in enumerate(books):
+        B = np.asarray(book)
+        dot_luts.append(_lit_array((B @ qvec[s * sub : (s + 1) * sub]).tolist()))
+        nsq_luts.append(_lit_array((B * B).sum(axis=1).tolist()))
+    approx_dot = sum(
+        F.element_at(dot_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES)
+    )
+    recon_norm = F.sqrt(
+        sum(F.element_at(nsq_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES))
+    )
+    approx_score = approx_dot / (recon_norm * F.lit(qnorm) + F.lit(EPSILON))
     candidates = (
-        emb.join(F.broadcast(q))
-        .select("vec_id", approx_score.alias("approx_score"))
+        codes_tbl.select("vec_id", approx_score.alias("approx_score"))
         .orderBy(F.desc("approx_score"), F.desc("vec_id"))
         .limit(n_candidates)
         .select("vec_id")
     )
-    exact = cosine_similarity_hoisted(v, F.col("qvec"), F.col("qnorm"))
+    exact = cosine_similarity_hoisted(
+        as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+    )
     return (
         emb.join(F.broadcast(candidates), "vec_id")
         .join(F.broadcast(q))

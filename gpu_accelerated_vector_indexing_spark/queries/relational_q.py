@@ -46,6 +46,7 @@ QUERIES = {
     "exists_late_shipment": R.exists_late_shipment,
     "large_volume_orders": R.large_volume_orders,
     "disjunctive_revenue": R.disjunctive_revenue,
+    "bilateral_trade_volume": R.bilateral_trade_volume,
 }
 
 ORACLES = {
@@ -176,6 +177,24 @@ SELECT o_orderkey,
   lower(o_orderpriority) AS priority_lower,
   1 AS n_status_keys
 FROM orders WHERE o_orderkey <= 500
+""",
+    "bilateral_trade_volume": f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         {_DISC_PRICE} AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
 """,
     "large_volume_orders": """
 WITH qualifying AS (

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     ("join_bucketed_colocate", _collect),
     ("large_volume_orders", _collect),
     ("disjunctive_revenue", _collect),
+    ("bilateral_trade_volume", _collect),
     ("corpus_pipeline", _collect),
     ("window_topk_per_group", _collect),
     ("window_running", _noop),

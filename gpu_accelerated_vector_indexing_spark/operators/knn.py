@@ -122,6 +122,57 @@ def knn_prenorm(
     )
 
 
+def knn_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    lang: str = "en",
+) -> DataFrame:
+    """Metadata-filtered KNN: top-k cosine restricted to documents
+    matching a predicate (here ``lang``), the standard "filtered vector
+    search" shape real ANN services expose.
+
+    The reference has no metadata filter (its only predicate is probe
+    membership, IVF.cpp:296-299) — this composes O8+O13 with a semi
+    join against the predicate's id-set. Plan shape: the filter runs
+    BEFORE scoring (never score-then-discard), so the expensive fold
+    touches only qualifying rows; at 100 TB the documents side is a
+    broadcast semi join when the predicate is selective, and the
+    embeddings scan still prunes columns to (vec_id, embedding).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == lang).select(F.col("doc_id").alias("vec_id"))
+    q = query_vectors(spark, sf_dir, [query_id])
+    scored = scored_embeddings(emb.join(allowed, "vec_id", "left_semi"), q)
+    return (
+        scored.select("vec_id", "score")
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def similarity_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Range (radius) search: EVERY vector with cosine ≥ threshold,
+    not a fixed k — the dual of top-k that the reference's bounded heap
+    cannot express (IVF.cpp:185-191 fixes k up front).
+
+    Declaratively it is just a predicate on the score column, so
+    Catalyst fuses scan+score+filter into one codegen stage with no
+    shuffle and no heap at all; result size is data-dependent.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    scored = scored_embeddings(emb, q)
+    return scored.select("vec_id", "score").filter(F.col("score") >= threshold)
+
+
 def knn_with_docs(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
 ) -> DataFrame:

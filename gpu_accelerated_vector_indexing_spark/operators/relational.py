@@ -278,6 +278,177 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where supplier and customer
+    share the nation, restricted to one region and one order year.
+
+    Six-way join: the two fact joins (orders⋈customer shuffle,
+    lineitem⋈orders shuffle) carry the data; supplier, nation, and
+    region are broadcast. The supplier-nation = customer-nation equality
+    is an extra join condition on the supplier broadcast — Catalyst
+    evaluates it inside the broadcast hash join, no extra exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    europe_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(europe_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + scalar aggregate.
+
+    The canonical pushdown probe: all three predicates reach the
+    parquet scan (PushedFilters), the projection prunes to three
+    columns, and the whole query is one codegen stage with a partial →
+    final aggregate — zero shuffle of data rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, per customer, top 20.
+
+    Fact-fact join (returned lineitems ⋈ one-quarter orders) shuffles on
+    orderkey; customer join shuffles on custkey; nation broadcasts. The
+    final top-20 is a bounded heap (TakeOrderedAndProject), not a sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share via conditional aggregation.
+
+    lineitem ⋈ part on partkey — part is the broadcast side — then one
+    aggregate computing both the CASE-guarded promo sum and the total.
+    The division happens once, driver-side in the plan, not per row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    # revenue is decimal(18,2)×decimal(18,2) → decimal(37,4); match it in
+    # the otherwise-branch so the sum stays exact decimal end to end
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(37,4)"))
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — lineitems below
+    20% of their part's average quantity.
+
+    Decorrelated the way every MPP engine does: compute per-part
+    averages once (partial/final agg over the same fact scan), then
+    equi-join back. The per-part aggregate and the re-join share the
+    partkey shuffle key, so AQE can reuse the exchange; part itself
+    broadcasts for the brand filter.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("part_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(
+            dsum("l_extendedprice", "small_qty_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: fixtures lack c_phone): customers with
+    above-average account balance and no RECENT orders — scalar
+    subquery against an anti join.
+
+    The global average is a one-row broadcast (scalar subquery ≙
+    cross-join with a 1-row relation); the NOT EXISTS is a left-anti
+    join shuffled on custkey, with the date predicate pushed into the
+    anti side's scan. Output is per-segment counts + balance.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= "1998-01-01")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "total_bal"))
+    )
+
+
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS): customers who have at least one open order."""
     customer = load_table(spark, sf_dir, "customer")

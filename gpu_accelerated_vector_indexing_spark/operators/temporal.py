@@ -153,3 +153,63 @@ def range_join_events(
         F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: view → click → purchase per user.
+
+    The sequence constraint ("click strictly after first view, purchase
+    strictly after first qualifying click") is expressed as staged
+    conditional MIN aggregates — each stage is a groupBy on user_id, so
+    all three stages share one shuffle key and AQE reuses the exchange.
+    No per-user event ordering is materialized (no window sort over the
+    full stream) — at 100 TB each stage is a partial/final min-agg.
+    Output: one row with the user count surviving each stage.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count("*").alias("n_view_users"))
+        .join(clicks.agg(F.count("*").alias("n_click_users")))
+        .join(purchases.agg(F.count("*").alias("n_purchase_users")))
+    )
+
+
+def sliding_value_window(spark: SparkSession, sf_dir: str, seconds: int = 3600) -> DataFrame:
+    """Time-RANGE window frame: per event type, the running sum/count of
+    value over the trailing hour — ``RANGE BETWEEN INTERVAL`` semantics.
+
+    Spark expresses interval frames as ``rangeBetween`` over the epoch-
+    seconds ordering column; rows with equal timestamps share one frame
+    (RANGE, not ROWS), which keeps the result deterministic under ties.
+    One shuffle on event_type, then a single in-partition ordered pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-(seconds - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_trailing"),
+    )

@@ -75,6 +75,10 @@ QUERIES = {
     "knn_prenorm": partial(knn.knn_prenorm, query_id=QUERY_ID, k=K),
     "knn_bruteforce_pandas": partial(knn.knn_bruteforce, query_id=QUERY_ID, k=K, use_pandas=True),
     "knn_with_docs": partial(knn.knn_with_docs, query_id=QUERY_ID, k=K),
+    "knn_filtered": partial(knn.knn_filtered, query_id=QUERY_ID, k=K, lang="en"),
+    "similarity_range_search": partial(
+        knn.similarity_range_search, query_id=QUERY_ID, threshold=0.3
+    ),
     "multi_query_knn": partial(knn.multi_query_knn, query_ids=MULTI_QUERY_IDS, k=K),
     "embed_and_search": _embed_and_search,
 }
@@ -115,6 +119,23 @@ ranked AS (
 SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= {K}
 """,
 }
+ORACLES["knn_filtered"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+scored AS (
+  SELECT e.vec_id, {_COS} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id DESC LIMIT {K}
+"""
+ORACLES["similarity_range_search"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+scored AS (
+  SELECT e.vec_id, {_COS} AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, score FROM scored WHERE score >= 0.3
+"""
 # knn_bruteforce_pandas: same semantics as knn_bruteforce through the
 # NumPy kernel path — reuse the same oracle.
 ORACLES["knn_bruteforce_pandas"] = ORACLES["knn_bruteforce"]

@@ -47,6 +47,12 @@ QUERIES = {
     "large_volume_orders": R.large_volume_orders,
     "disjunctive_revenue": R.disjunctive_revenue,
     "bilateral_trade_volume": R.bilateral_trade_volume,
+    "local_supplier_volume": R.local_supplier_volume,
+    "revenue_forecast": R.revenue_forecast,
+    "returned_item_revenue": R.returned_item_revenue,
+    "promo_revenue": R.promo_revenue,
+    "small_quantity_revenue": R.small_quantity_revenue,
+    "dormant_rich_customers": R.dormant_rich_customers,
 }
 
 ORACLES = {
@@ -195,6 +201,77 @@ FROM (
      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
 )
 GROUP BY supp_nation, cust_nation, l_year
+""",
+    "local_supplier_volume": f"""
+SELECT n_name,
+       CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    "revenue_forecast": """
+SELECT CAST(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    "returned_item_revenue": f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "promo_revenue": f"""
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE 0::DECIMAL(37,4) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum({_DISC_PRICE}) AS DOUBLE) AS total_revenue,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE 0::DECIMAL(37,4) END) AS DOUBLE)
+             / CAST(sum({_DISC_PRICE}) AS DOUBLE), 6) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+""",
+    "small_quantity_revenue": f"""
+WITH avg_qty AS (
+  SELECT l_partkey AS a_partkey,
+         {_DSUM.format(col='l_quantity')} / count(*) AS part_avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_DSUM.format(col='l_extendedprice')} AS small_qty_revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty ON l_partkey = a_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * part_avg_qty
+""",
+    "dormant_rich_customers": f"""
+WITH avg_bal AS (
+  SELECT {_DSUM.format(col='c_acctbal')} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {_DSUM.format(col='c_acctbal')} AS total_bal
+FROM customer CROSS JOIN avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment
 """,
     "large_volume_orders": """
 WITH qualifying AS (

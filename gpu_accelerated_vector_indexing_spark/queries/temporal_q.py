@@ -24,6 +24,8 @@ QUERIES = {
     "join_asof": TP.asof_join_events,
     "join_range_bucketed": TP.range_join_events,
     "events_rollup_hierarchy": TP.rollup_time_hierarchy,
+    "events_funnel": TP.funnel_stages,
+    "events_trailing_window": TP.sliding_value_window,
 }
 
 ORACLES = {
@@ -71,5 +73,37 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS day,
        count(*) AS n_events,
        CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
 FROM ev GROUP BY ROLLUP (day, hour, minute)
+""",
+    "events_funnel": _EV
+    + """,
+views AS (
+  SELECT user_id, min(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM ev e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM ev e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM views) AS n_view_users,
+       (SELECT count(*) FROM clicks) AS n_click_users,
+       (SELECT count(*) FROM purchases) AS n_purchase_users
+""",
+    "events_trailing_window": _EV
+    + """
+SELECT event_id, event_type, ts,
+       count(*) OVER w AS n_trailing,
+       CAST(sum(value::DECIMAL(18,2)) OVER w AS DOUBLE) AS sum_trailing
+FROM ev
+WINDOW w AS (
+  PARTITION BY event_type ORDER BY ts
+  RANGE BETWEEN INTERVAL '3599 seconds' PRECEDING AND CURRENT ROW
+)
 """,
 }

@@ -166,3 +166,36 @@ def test_exists_semi_join_uses_equi_key(spark):
     plan = physical_plan(df)
     assert "LeftSemi" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_revenue_forecast_single_stage_pushdown(spark):
+    """TPC-H Q6 shape: every predicate reaches the scan, the read schema
+    prunes to the three referenced columns, and there is no join or
+    data-row shuffle — only the partial/final scalar aggregate."""
+    df = _q(spark, "revenue_forecast")
+    plan = assert_plan(df, contains=("HashAggregate",), absent=("Join",))
+    joined = " ".join(pushed_filters(df))
+    assert "l_shipdate" in joined and "l_discount" in joined and "l_quantity" in joined, joined
+    cols = read_schema_columns(df)
+    assert set().union(*cols) <= {"l_extendedprice", "l_discount", "l_shipdate", "l_quantity"}, cols
+
+
+def test_knn_filtered_semi_join_before_score(spark):
+    """Filtered ANN: the language predicate becomes a semi join against
+    the documents id-set BEFORE scoring (never score-then-discard), the
+    lang filter is pushed to the documents scan, and the final top-k is
+    a bounded heap."""
+    df = _q(spark, "knn_filtered")
+    plan = assert_plan(df, contains=("TakeOrderedAndProject",))
+    assert "LeftSemi" in plan or "Semi" in plan, plan
+    joined = " ".join(pushed_filters(df))
+    assert "lang" in joined, joined
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    """Q5 shape: supplier/nation/region ride broadcast joins; the date
+    filter reaches the orders scan."""
+    df = _q(spark, "local_supplier_volume")
+    plan = assert_plan(df, contains=("BroadcastHashJoin",))
+    joined = " ".join(pushed_filters(df))
+    assert "o_orderdate" in joined, joined

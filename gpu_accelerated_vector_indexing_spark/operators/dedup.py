@@ -411,3 +411,85 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
         )
     )
     return pairs.orderBy(F.desc("cos_sim"), F.desc("vec_a"), F.desc("vec_b")).limit(k)
+
+
+def duplicate_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6, max_iters: int = 25
+) -> DataFrame:
+    """Connected components over the exact near-duplicate pair graph:
+    each document maps to the MINIMUM doc_id reachable through
+    Jaccard ≥ threshold edges — the canonical-representative step a
+    training pipeline runs after pair generation (keep one doc per
+    component, drop the rest).
+
+    The component structure is inherently iterative (transitive
+    closure), so this is the engine's iterative-algorithm surface:
+    driver-controlled min-label propagation to fixpoint, one
+    hash-join + min-agg per round, converging in graph-diameter rounds
+    (near-dup clusters are shallow — a handful of rounds in practice).
+    Each round shuffles only the (node, label) pairs of NON-singleton
+    docs (the edge list is tiny relative to the corpus at any scale);
+    the fixpoint check is a scalar count, not a data collect.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select("doc_a", "doc_b")
+    # undirected: propagate in both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
+    )
+    labels.count()  # materialize before the loop re-reads it
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "component")
+
+
+def dedup_keep_canonical(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+) -> DataFrame:
+    """The dedup DECISION: per near-dup component, keep the minimum
+    doc_id and count what gets dropped; singleton documents (no edges)
+    survive untouched. Output: one row per component with its size and
+    the surviving representative — the shape a pipeline joins back
+    against the corpus as a keep-list.
+    """
+    comp = duplicate_components(spark, sf_dir, threshold=threshold)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .select(
+            "component",
+            "n_docs",
+            "keep_doc",
+            (F.col("n_docs") - F.lit(1)).cast("long").alias("n_dropped"),
+        )
+    )

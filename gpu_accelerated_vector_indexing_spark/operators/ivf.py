@@ -122,6 +122,47 @@ def knn_ivf(
     return fine.select("vec_id", "score").orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
 
 
+def knn_ivf_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    lang: str = "en",
+) -> DataFrame:
+    """IVF pruning COMPOSED with a metadata filter: probe the usual
+    top-n_probe clusters, then restrict the fine search to documents
+    matching the predicate (pre-filter semantics — the industry-standard
+    "filtered ANN" contract: the k results all satisfy the filter).
+
+    Probe selection stays geometry-only (the filter does not move
+    centroids); the id-allowlist applies inside the pruned scan as a
+    semi join, so the plan keeps BOTH prunings: partition pruning from
+    the probe list AND the predicate pushed to the documents scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == lang).select(F.col("doc_id").alias("vec_id"))
+    q = query_vectors(spark, sf_dir, [query_id])
+    cents = label_centroids(emb)
+    probes = [r.label for r in coarse_search(cents, q, n_probe).select("label").collect()]
+    fine = (
+        emb.filter(F.col("label").isin(probes))
+        .join(allowed, "vec_id", "left_semi")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity_hoisted(
+                    as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+                ),
+                SCORE_SCALE,
+            ).alias("score"),
+        )
+    )
+    return fine.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+
+
 def multi_query_knn_ivf(
     spark: SparkSession,
     sf_dir: str,

@@ -32,6 +32,8 @@ QUERIES = {
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
     "dedup_jaccard_verified_lsh": D.jaccard_verified_lsh,
     "dedup_embedding_topk": D.embedding_neardup_topk,
+    "dedup_components": D.duplicate_components,
+    "dedup_keep_canonical": D.dedup_keep_canonical,
 }
 
 # --- shared SQL fragments ----------------------------------------------------
@@ -171,3 +173,36 @@ FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
 ORDER BY cos_sim DESC, vec_a DESC, vec_b DESC LIMIT 20
 """,
 }
+
+# Connected components: the transitive closure is restated in DuckDB as
+# a recursive CTE (UNION-dedup'd reachability), grounded on the SAME
+# exact-Jaccard edge SQL as dedup_ngram_jaccard; min(reachable id) ≙ the
+# fixpoint of Spark's min-label propagation.
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, length(text) // 64 AS lbucket,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1),
+                                      i -> {_GH_POLY})) AS gh
+  FROM documents
+),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM d x JOIN d y ON x.lang = y.lang AND x.lbucket = y.lbucket AND x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.gh, y.gh)) /
+        (len(x.gh) + len(y.gh) - len(list_intersect(x.gh, y.gh))) >= 0.6
+),
+edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+reach(src, dst) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+"""
+
+ORACLES["dedup_components"] = _COMPONENTS_SQL + "SELECT doc_id, component FROM comp"
+ORACLES["dedup_keep_canonical"] = _COMPONENTS_SQL + """
+SELECT component, count(*) AS n_docs, min(doc_id) AS keep_doc,
+       count(*) - 1 AS n_dropped
+FROM comp GROUP BY component
+"""

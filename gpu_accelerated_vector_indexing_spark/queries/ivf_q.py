@@ -28,7 +28,7 @@ _COS_Q = (
 # Shared CTE prefix: per-label mean centroids (rounded), query vector,
 # coarse top-n_probe, pruned fine scores. Parameterized over n_probe to
 # mirror the reference's experiment grid (experiment*_config.txt).
-def _ivf_ctes(n_probe: int = N_PROBE) -> str:
+def _ivf_ctes(n_probe: int = N_PROBE, fine_where: str = "") -> str:
     return f"""
 WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
 cent_flat AS (
@@ -51,7 +51,7 @@ probes AS (SELECT label FROM coarse ORDER BY cscore DESC, label DESC LIMIT {n_pr
 fine AS (
   SELECT e.vec_id, {_COS_Q} AS score
   FROM embeddings e CROSS JOIN q
-  WHERE e.label IN (SELECT label FROM probes)
+  WHERE e.label IN (SELECT label FROM probes){fine_where}
 ),
 ivf_topk AS (SELECT vec_id, score FROM fine ORDER BY score DESC, vec_id DESC LIMIT {K})
 """
@@ -112,6 +112,9 @@ QUERIES = {
         ivf.multi_query_knn_ivf, query_ids=QUERY_IDS, k=K, n_probe=N_PROBE
     ),
     "knn_ivf_combined": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=False),
+    "knn_ivf_filtered": partial(
+        ivf.knn_ivf_filtered, query_id=QUERY_ID, k=K, n_probe=N_PROBE, lang="en"
+    ),
     "knn_ivf_sequential": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=True),
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
     "knn_ivf_sq8": _knn_ivf_sq8,
@@ -196,6 +199,13 @@ FROM embeddings e CROSS JOIN (SELECT i FROM range(1, {DIM + 1}) t(i)) d
 GROUP BY e.label, d.i
 """,
     "knn_ivf_combined": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
+    # filtered ANN over the same probes: the lang allowlist restricts the
+    # fine CTE only — probe selection is identical to the unfiltered plan
+    "knn_ivf_filtered": _ivf_ctes(
+        N_PROBE,
+        fine_where=" AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+    )
+    + "SELECT vec_id, score FROM ivf_topk",
     # SQ8 candidate scan + exact rescore within the probed set must equal
     # the exact fine search — same oracle as the combined IVF plan.
     "knn_ivf_sq8": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",

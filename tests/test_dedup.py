@@ -41,3 +41,29 @@ def test_simhash_low_distance_on_neardups(spark):
     rows = simhash_pairs(spark, SF_CORRECT, max_hamming=3).collect()
     for r in rows:
         assert 0 <= r.hamming <= 3
+
+
+def test_components_partition_edges(spark):
+    """Every near-dup edge joins two docs of the SAME component, the
+    component id is the minimum member id, and members of one component
+    are mutually reachable (transitivity of the closure)."""
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        duplicate_components,
+        ngram_jaccard_pairs,
+    )
+    from tests.conftest import SF_CORRECT
+
+    comp = {
+        r.doc_id: r.component
+        for r in duplicate_components(spark, SF_CORRECT).collect()
+    }
+    pairs = ngram_jaccard_pairs(spark, SF_CORRECT).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b], (p.doc_a, p.doc_b)
+    # component id = min member id
+    by_comp = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    for c, members in by_comp.items():
+        assert c == min(members)

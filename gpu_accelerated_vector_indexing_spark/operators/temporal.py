@@ -213,3 +213,35 @@ def sliding_value_window(spark: SparkSession, sf_dir: str, seconds: int = 3600) 
         F.count("*").over(w).cast("long").alias("n_trailing"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_trailing"),
     )
+
+
+def merge_upsert_latest(
+    spark: SparkSession, sf_dir: str, cutoff: str = "2024-01-20"
+) -> DataFrame:
+    """CDC merge (MERGE INTO latest-wins): a per-user state snapshot
+    built from events before ``cutoff``, upserted with the change feed
+    at/after ``cutoff`` — changes override snapshot rows on the same
+    key, new keys insert.
+
+    Both sides reduce to "latest event per user_id" with the
+    deterministic (ts DESC, event_id DESC) tie-break, so the merge is
+    one union + one per-key window — a single shuffle on the merge key.
+    At 100 TB this is the standard shuffle-merge upsert; with a bucketed
+    snapshot table the exchange on the snapshot side disappears
+    entirely (see relational.join_bucketed_colocate for the layout).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    snapshot = ev.filter(F.col("ts") < cutoff)
+    changes = ev.filter(F.col("ts") >= cutoff)
+    merged = snapshot.unionByName(changes)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )

@@ -14,6 +14,7 @@ The reference's only text handling is projection + truncation
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
@@ -231,3 +232,33 @@ def winnow_fingerprints(
 
     fp = docs.mapInPandas(compute, schema="doc_id long, fingerprints array<long>")
     return fp.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFrame:
+    """TF-IDF: the per-document top-N distinguishing terms.
+
+    Three aggregations sharing one tokenized explode: term frequency per
+    (doc, token), document frequency per token (bounded by vocabulary,
+    broadcast back), and the corpus size (one-row broadcast). The final
+    per-doc top-N is a window over tf·idf. Cross-engine determinism:
+    idf = ln(N/df) is a transcendental, so it is rounded to 6 d.p.
+    before the multiply (the repo-wide policy for ln/exp), and ties
+    break on token ascending.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .withColumn("idf", F.round(F.log(F.col("n_docs") / F.col("df")), 6))
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("doc_id", "token", "tf", "tfidf", F.col("rn").cast("int").alias("rn"))
+    )

@@ -41,6 +41,7 @@ QUERIES = {
     "events_sessionize": SW.sessionize,
     "streaming_tumbling": SW.streaming_tumbling,
     "streaming_sessions": SW.streaming_session_window,
+    "streaming_dedup": SW.streaming_dedup,
 }
 
 ORACLES = {

@@ -26,6 +26,7 @@ QUERIES = {
     "events_rollup_hierarchy": TP.rollup_time_hierarchy,
     "events_funnel": TP.funnel_stages,
     "events_trailing_window": TP.sliding_value_window,
+    "merge_upsert_latest": TP.merge_upsert_latest,
 }
 
 ORACLES = {
@@ -105,5 +106,18 @@ WINDOW w AS (
   PARTITION BY event_type ORDER BY ts
   RANGE BETWEEN INTERVAL '3599 seconds' PRECEDING AND CURRENT ROW
 )
+""",
+    # union of snapshot(<cutoff) and changes(>=cutoff) is the whole table,
+    # so latest-wins over the union ≙ latest-wins over ev — restated with
+    # the same (ts DESC, event_id DESC) tie-break
+    "merge_upsert_latest": _EV
+    + """
+SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+FROM (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+)
+WHERE rn = 1
 """,
 }

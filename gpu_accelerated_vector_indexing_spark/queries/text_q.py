@@ -26,6 +26,7 @@ QUERIES = {
     "text_winnow": TA.winnow_fingerprints,  # mapInPandas, with a full SQL oracle twin
     "text_token_count": TA.token_count,
     "corpus_pipeline": TA.corpus_pipeline,
+    "text_tfidf_top": TA.tfidf_top_terms,
 }
 
 # SQL-quote the BPE pattern (it contains an apostrophe)
@@ -161,4 +162,22 @@ SELECT doc_id,
       i -> list_aggregate(h[i : i + {WINNOW_W - 1}], 'min'))))
   END)::INT AS n_fingerprints
 FROM hs
+"""
+
+ORACLES["text_tfidf_top"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * round(ln(n.n_docs / df.df), 6), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, tfidf, CAST(rn AS INT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
 """

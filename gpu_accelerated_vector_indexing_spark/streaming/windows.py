@@ -160,3 +160,32 @@ def streaming_session_window(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicatesWithinWatermark`` on the
+    (user_id, event_type) key — the stateful streaming twin of the batch
+    keep-first dedup (state is bounded by the watermark horizon instead
+    of growing forever, the only honest contract for an unbounded
+    stream).
+
+    Which physical row survives per key depends on micro-batch arrival
+    order → rows-only check; tests assert the INVARIANTS instead: one
+    row per key, every key present in the batch distinct, and each
+    surviving row is a real event of that key.
+    """
+    with _memory_sink_counter:
+        _sink_id[0] += 1
+        name = f"gpu_accelerated_vector_indexing_dedup_{_sink_id[0]}"
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -158,3 +158,28 @@ def test_applyinpandas_with_state_running_profile(spark):
     assert by_user[1].n_events == 2 and by_user[1].sum_value == 17.0  # state carried over
     assert by_user[2].n_events == 1 and by_user[2].sum_value == 5.0
     assert str(by_user[1].last_ts).startswith("2024-01-01 00:01")
+
+
+def test_streaming_dedup_invariants(spark):
+    """dropDuplicatesWithinWatermark: exactly one survivor per
+    (user_id, event_type) key, covering every key in the batch data,
+    and each survivor is a genuine event of that key."""
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from gpu_accelerated_vector_indexing_spark.streaming.windows import streaming_dedup
+    from tests.conftest import SF_CORRECT
+
+    out = streaming_dedup(spark, SF_CORRECT).collect()
+    keys = [(r.user_id, r.event_type) for r in out]
+    assert len(keys) == len(set(keys)), "duplicate keys survived"
+    ev = load_table(spark, SF_CORRECT, "events")
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert set(keys) == batch_keys
+    real = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in ev.select("user_id", "event_type", "event_id").collect()
+    }
+    for r in out:
+        assert (r.user_id, r.event_type, r.event_id) in real

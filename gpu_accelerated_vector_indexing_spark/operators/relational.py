@@ -860,3 +860,63 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("psum").cast("double").alias("sum_value"),
     )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count.
+
+    The defining feature is the LEFT OUTER join — customers with zero
+    qualifying orders must survive into the c_count=0 bucket, so the
+    filter on orders has to be applied BEFORE the join (a WHERE after an
+    outer join would silently turn it inner). Two aggregations: orders
+    per customer, then customers per order-count.
+
+    Scale: both shuffles key on high-cardinality columns (c_custkey,
+    then the small c_count domain whose groups are tiny counts), and the
+    per-customer aggregate is partially computed map-side. No broadcast:
+    customer is the bigger side retained in full by the outer join.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue over a
+    quarter (the reference's "view + scalar max" query).
+
+    revenue0 (revenue per supplier over 3 months) is computed ONCE and
+    reused for both the max and the final equi-filter — in Spark the
+    one-row max frame joins back via a broadcast nested loop (a scalar
+    subquery), so the big lineitem scan happens exactly once per branch
+    and nothing shuffles on the singleton side. Decimal sums make the
+    max comparison exact across engines (Q15's classic float trap:
+    revenue equality against the max MUST be bit-exact or suppliers
+    drop out nondeterministically).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).alias("_rev"))
+    )
+    max_rev = revenue.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue._rev == max_rev._max_rev)
+        .join(F.broadcast(supplier), revenue.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )

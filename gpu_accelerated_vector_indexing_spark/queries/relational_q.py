@@ -53,6 +53,8 @@ QUERIES = {
     "promo_revenue": R.promo_revenue,
     "small_quantity_revenue": R.small_quantity_revenue,
     "dormant_rich_customers": R.dormant_rich_customers,
+    "customer_order_distribution": R.customer_order_distribution,
+    "top_revenue_suppliers": R.top_revenue_suppliers,
 }
 
 ORACLES = {
@@ -419,3 +421,25 @@ SELECT user_id,
 FROM events WHERE user_id < 30 GROUP BY user_id
 """,
 }
+
+ORACLES["customer_order_distribution"] = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+ORACLES["top_revenue_suppliers"] = """
+WITH revenue0 AS (
+  SELECT l_suppkey,
+         sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM revenue0 JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue0)
+"""

@@ -241,7 +241,9 @@ def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim = len(emb.select("embedding").first()[0])
         books = pq_codebooks(spark, sf_dir)
         codes = emb.select(
-            "vec_id", _pq_encode(as_double_array("embedding"), books, dim).alias("codes")
+            "vec_id",
+            "label",
+            _pq_encode(as_double_array("embedding"), books, dim).alias("codes"),
         ).cache()
         codes.count()  # materialize now: build-time cost, not query-time
         _PQ_CODES_CACHE[key] = codes
@@ -268,33 +270,9 @@ def knn_pq(
     and that every returned score is the exact float cosine (the rescore
     guarantees it by construction). Driver check is rows-only.
     """
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_codebooks(spark, sf_dir)
-    codes_tbl = pq_codes_table(spark, sf_dir)
     q = query_vectors(spark, sf_dir, [query_id])
-
-    # ADC lookup tables, computed ONCE per query on the driver (S×k
-    # floats — the PQ analog of hoisting the query norm): per subspace,
-    # dot(codeword, q_sub) and ‖codeword‖² for every codeword. The scan
-    # then scores a vector from its S stored codes alone — it never
-    # touches the float vectors.
-    qrow = q.select("qvec", "qnorm").first()
-    qvec, qnorm = np.asarray(qrow.qvec), float(qrow.qnorm)
-    sub = len(qvec) // PQ_SUBSPACES
-    dot_luts, nsq_luts = [], []
-    for s, book in enumerate(books):
-        B = np.asarray(book)
-        dot_luts.append(_lit_array((B @ qvec[s * sub : (s + 1) * sub]).tolist()))
-        nsq_luts.append(_lit_array((B * B).sum(axis=1).tolist()))
-    approx_dot = sum(
-        F.element_at(dot_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES)
-    )
-    recon_norm = F.sqrt(
-        sum(F.element_at(nsq_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES))
-    )
-    approx_score = approx_dot / (recon_norm * F.lit(qnorm) + F.lit(EPSILON))
+    codes_tbl, approx_score = _pq_adc_score(spark, sf_dir, query_id)
     candidates = (
         codes_tbl.select("vec_id", approx_score.alias("approx_score"))
         .orderBy(F.desc("approx_score"), F.desc("vec_id"))
@@ -359,6 +337,96 @@ def knn_ivf_sq8(
     exact = cosine_similarity_hoisted(v, F.col("qvec"), F.col("qnorm"))
     return (
         pruned.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def _pq_adc_score(
+    spark: SparkSession, sf_dir: str, query_id: int
+) -> tuple[DataFrame, Column]:
+    """Shared ADC machinery: the (codes, label) table and the
+    lookup-table approximate-cosine expression for one query.
+
+    The ADC lookup tables are computed ONCE per query on the driver
+    (S×k floats — the PQ analog of hoisting the query norm,
+    IVF.cpp:130-136): per subspace, dot(codeword, q_sub) and
+    ‖codeword‖² for every codeword. The scan then scores a vector from
+    its S stored codes alone — it never touches the float vectors.
+    """
+    import numpy as np
+
+    from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
+
+    books = pq_codebooks(spark, sf_dir)
+    codes_tbl = pq_codes_table(spark, sf_dir)
+    q = query_vectors(spark, sf_dir, [query_id])
+    qrow = q.select("qvec", "qnorm").first()
+    qvec, qnorm = np.asarray(qrow.qvec), float(qrow.qnorm)
+    sub = len(qvec) // PQ_SUBSPACES
+    dot_luts, nsq_luts = [], []
+    for s, book in enumerate(books):
+        B = np.asarray(book)
+        dot_luts.append(_lit_array((B @ qvec[s * sub : (s + 1) * sub]).tolist()))
+        nsq_luts.append(_lit_array((B * B).sum(axis=1).tolist()))
+    approx_dot = sum(
+        F.element_at(dot_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES)
+    )
+    recon_norm = F.sqrt(
+        sum(F.element_at(nsq_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES))
+    )
+    return codes_tbl, approx_dot / (recon_norm * F.lit(qnorm) + F.lit(EPSILON))
+
+
+def knn_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    n_candidates: int = 150,
+) -> DataFrame:
+    """The deepest-compression production path: IVF pruning × PQ ADC scan
+    × exact rescore.
+
+    Composes every scale lever in the ladder: partition pruning cuts the
+    fraction of the index READ to n_probe/n_clusters (SURVEY.md §4 P1),
+    the ADC scan touches only the 4-byte PQ codes (64× smaller than
+    float32; the S lookup tables are computed once per query on the
+    driver — the PQ analog of the reference hoisting the query norm,
+    IVF.cpp:130-136), and a broadcast exact rescore of ≤``n_candidates``
+    rows restores true cosine scores. Like ``knn_pq`` the ranking inside
+    the probed set is recall-contracted, not exact (learned codebooks
+    are not SQL-expressible) → rows-only driver check; tests pin
+    recall@k vs the exact IVF fine search and full-margin equality.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        coarse_search,
+        label_centroids,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    cents = label_centroids(emb)
+    probes = [
+        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
+    ]  # plan-time pruning, mirrors IVF.cpp:282
+    codes_tbl, approx_score = _pq_adc_score(spark, sf_dir, query_id)
+    candidates = (
+        codes_tbl.filter(F.col("label").isin(probes))
+        .select("vec_id", approx_score.alias("approx_score"))
+        .orderBy(F.desc("approx_score"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(
+        as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+    )
+    return (
+        emb.join(F.broadcast(candidates), "vec_id")
         .join(F.broadcast(q))
         .select("vec_id", F.round(exact, 6).alias("score"))
         .orderBy(F.desc("score"), F.desc("vec_id"))

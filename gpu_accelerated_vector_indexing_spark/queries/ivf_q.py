@@ -105,6 +105,15 @@ def _knn_ivf_sq8(spark, sf_dir):
     return knn_ivf_sq8(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
 
 
+def _knn_ivf_pq(spark, sf_dir):
+    """IVF pruning × PQ ADC scan × exact rescore — recall-contracted
+    inside the probed set (learned codebooks aren't SQL-expressible), so
+    rows-only here; invariants pinned in tests/test_ivf.py."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_ivf_pq
+
+    return knn_ivf_pq(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
+
+
 QUERIES = {
     "ivf_centroids": _centroids_table,
     "engine_full_probe": _engine_full_probe,
@@ -118,6 +127,7 @@ QUERIES = {
     "knn_ivf_sequential": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=True),
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
     "knn_ivf_sq8": _knn_ivf_sq8,
+    "knn_ivf_pq": _knn_ivf_pq,
     "kmeans_invariants": partial(index_build.cluster_invariants, k=N_CLUSTERS, seed=42),
     "ivf_assign_incremental": ivf.assign_incremental,
 }

@@ -73,3 +73,37 @@ def test_partitioned_index_prunes(spark, tmp_path_factory):
     assert "PartitionFilters" in plan
     n_full = spark.read.parquet(emb_path).count()
     assert 0 < pruned.count() < n_full
+
+
+def test_ivf_pq_recall_floor_and_full_margin(spark):
+    """IVF×PQ at the default candidate margin: recall@5 ≥ 3/5 vs the
+    exact IVF fine search on every probe query; at full margin (the
+    candidate stage passes the whole probed set) the exact rescore must
+    reproduce the exact fine search bit-for-bit."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import knn_ivf
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_ivf_pq
+
+    for qid in (0, 3):
+        exact = {
+            (r.vec_id, r.score)
+            for r in knn_ivf(spark, SF_CORRECT, query_id=qid, k=5, n_probe=3).collect()
+        }
+        got = [
+            (r.vec_id, r.score)
+            for r in knn_ivf_pq(spark, SF_CORRECT, query_id=qid, k=5, n_probe=3).collect()
+        ]
+        assert len(got) == 5
+        hits = sum(1 for g in got if g in exact)
+        assert hits >= 3, f"q{qid}: recall {hits}/5, got={got}"
+
+    exact_full = [
+        (r.vec_id, r.score)
+        for r in knn_ivf(spark, SF_CORRECT, query_id=7, k=5, n_probe=3).collect()
+    ]
+    pq_full = [
+        (r.vec_id, r.score)
+        for r in knn_ivf_pq(
+            spark, SF_CORRECT, query_id=7, k=5, n_probe=3, n_candidates=10_000
+        ).collect()
+    ]
+    assert pq_full == exact_full

@@ -245,3 +245,47 @@ def merge_upsert_latest(
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+def interval_join_view_purchase(
+    spark: SparkSession, sf_dir: str, horizon_s: int = 1800
+) -> DataFrame:
+    """Interval (event-time bounded) join: every (view, purchase) pair by
+    the same user with ``view.ts <= purchase.ts <= view.ts + horizon``
+    — the batch twin of the watermarked stream-stream join in
+    ``streaming/windows.streaming_interval_join``.
+
+    The equi-key (user_id) carries the shuffle; the time bound is a
+    post-join filter on co-partitioned rows, so the cost is per-user
+    view×purchase fan-out within the horizon — bounded by per-key
+    activity, not table size. (An unkeyed time-band join would need the
+    band-bucketing plan of ``range_join_events`` instead.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.unix_timestamp("purchase_ts")
+                <= F.unix_timestamp("view_ts") + F.lit(horizon_s)
+            ),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"))
+            .cast("long")
+            .alias("secs_to_purchase"),
+        )
+    )

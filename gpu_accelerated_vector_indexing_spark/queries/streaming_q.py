@@ -42,7 +42,20 @@ QUERIES = {
     "streaming_tumbling": SW.streaming_tumbling,
     "streaming_sessions": SW.streaming_session_window,
     "streaming_dedup": SW.streaming_dedup,
+    "streaming_interval_join": SW.streaming_interval_join,
 }
+
+_INTERVAL_JOIN_SQL = (
+    _EV
+    + """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(epoch(p.ts) - epoch(v.ts) AS BIGINT) AS secs_to_purchase
+FROM ev v JOIN ev p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND epoch(p.ts) <= epoch(v.ts) + 1800
+"""
+)
 
 ORACLES = {
     "events_tumbling": _TUMBLING_SQL,
@@ -75,4 +88,8 @@ SELECT user_id, CAST(session_id AS INT) AS session_id, count(*) AS n_events,
 FROM sessions GROUP BY user_id, session_id
 """,
     # streaming_sessions: session_window state machine has no SQL twin → rows-only
+    # stream-stream inner-join matches are emitted in the micro-batch they
+    # occur (watermark eviction only bounds state), so the drained result
+    # over static data equals the batch interval join
+    "streaming_interval_join": _INTERVAL_JOIN_SQL,
 }

@@ -27,6 +27,7 @@ QUERIES = {
     "events_funnel": TP.funnel_stages,
     "events_trailing_window": TP.sliding_value_window,
     "merge_upsert_latest": TP.merge_upsert_latest,
+    "join_interval": TP.interval_join_view_purchase,
 }
 
 ORACLES = {
@@ -119,5 +120,14 @@ FROM (
   FROM ev
 )
 WHERE rn = 1
+""",
+    "join_interval": _EV
+    + """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(epoch(p.ts) - epoch(v.ts) AS BIGINT) AS secs_to_purchase
+FROM ev v JOIN ev p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND epoch(p.ts) <= epoch(v.ts) + 1800
 """,
 }

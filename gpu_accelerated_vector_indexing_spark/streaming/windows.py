@@ -189,3 +189,56 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_interval_join(
+    spark: SparkSession, sf_dir: str, horizon_s: int = 1800
+) -> DataFrame:
+    """TRUE stream-stream interval join: views ⋈ purchases per user with
+    the purchase inside a 30-minute horizon after the view.
+
+    Both sides are watermarked and the join condition carries the time
+    bound — the two things Structured Streaming needs to bound join
+    state (view rows older than the horizon + watermark are evicted
+    instead of accumulating forever). Inner-join matches are emitted in
+    the micro-batch they occur, so draining the static fixture yields
+    exactly the batch interval join — the oracle is the batch twin's SQL
+    (operators/temporal.interval_join_view_purchase).
+    """
+    with _memory_sink_counter:
+        _sink_id[0] += 1
+        name = f"gpu_accelerated_vector_indexing_ssjoin_{_sink_id[0]}"
+    src = _events_stream(spark, sf_dir)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")),
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"))
+        .cast("long")
+        .alias("secs_to_purchase"),
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

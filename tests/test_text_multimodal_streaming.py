@@ -183,3 +183,22 @@ def test_streaming_dedup_invariants(spark):
     }
     for r in out:
         assert (r.user_id, r.event_type, r.event_id) in real
+
+
+def test_streaming_interval_join_equals_batch(spark):
+    """The watermarked stream-stream interval join drained over static
+    data must equal the batch interval join exactly (inner-join matches
+    are emitted in the micro-batch they occur; watermarks only bound
+    state)."""
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import (
+        interval_join_view_purchase,
+    )
+    from gpu_accelerated_vector_indexing_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+    from tests.conftest import SF_CORRECT
+
+    key = lambda r: (r.user_id, r.view_id, r.purchase_id, r.secs_to_purchase)
+    batch = sorted(key(r) for r in interval_join_view_purchase(spark, SF_CORRECT).collect())
+    stream = sorted(key(r) for r in streaming_interval_join(spark, SF_CORRECT).collect())
+    assert stream == batch and len(batch) > 0

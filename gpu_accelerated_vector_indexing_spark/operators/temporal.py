@@ -289,3 +289,33 @@ def interval_join_view_purchase(
             .alias("secs_to_purchase"),
         )
     )
+
+
+def value_outliers(spark: SparkSession, sf_dir: str, z_threshold: float = 3.0) -> DataFrame:
+    """Per-type z-score anomaly detection: events whose value deviates
+    more than ``z_threshold`` standard deviations from their type's mean.
+
+    The moments come from ONE pass of decimal-exact partial aggregates
+    (Σv, Σv², n per event_type — order-independent, so both engines see
+    bit-identical inputs to the final float math), broadcast back onto
+    the stream. The z computation is IEEE-deterministic from those exact
+    sums; z is rounded to 6 d.p. at the boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v2 = F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s1"),
+        F.sum(v2).alias("s2"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    stats = stats.select(
+        "event_type", mean.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > z_threshold)
+    )

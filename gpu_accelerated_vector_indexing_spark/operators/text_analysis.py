@@ -262,3 +262,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFra
         .filter(F.col("rn") <= top_n)
         .select("doc_id", "token", "tf", "tfidf", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-style fluency score: mean token-bigram log
+    probability per document under the corpus's own bigram counts
+    (the perplexity-filter of a training-data pipeline, with the corpus
+    itself as the model).
+
+    P(t2|t1) = count(t1 t2) / count(t1 ·) over all documents; a
+    document's score is the mean of ln P over its bigrams. One explode
+    produces the bigram stream; counts are two aggregations on it; the
+    per-doc mean joins bigram probabilities back via broadcast (the
+    bigram vocabulary is bounded, corpus-size-independent).
+    Determinism: ln is rounded to 6 d.p. per bigram (repo transcendental
+    policy) and the mean goes through a DECIMAL(18,6) sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    pair_counts = bigrams.groupBy("t1", "t2").agg(F.count("*").alias("n_pair"))
+    head_counts = bigrams.groupBy("t1").agg(F.count("*").alias("n_head"))
+    probs = pair_counts.join(head_counts, "t1").select(
+        "t1",
+        "t2",
+        F.round(F.log(F.col("n_pair") / F.col("n_head")), 6).alias("lp"),
+    )
+    return (
+        bigrams.join(F.broadcast(probs), ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            ).alias("mean_logprob"),
+        )
+    )

@@ -131,3 +131,22 @@ FROM ev v JOIN ev p
  AND p.ts >= v.ts AND epoch(p.ts) <= epoch(v.ts) + 1800
 """,
 }
+
+QUERIES["events_zscore_outliers"] = TP.value_outliers
+
+ORACLES["events_zscore_outliers"] = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS DOUBLE) / count(*)
+              - (CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) / count(*))
+                * (CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) / count(*))) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value, z FROM (
+  SELECT e.event_id, e.event_type, e.value,
+         round((e.value - s.mu) / s.sigma, 6) AS z
+  FROM events e JOIN stats s USING (event_type)
+)
+WHERE abs(z) > 3.0
+"""

@@ -181,3 +181,28 @@ SELECT doc_id, token, tf, tfidf, CAST(rn AS INT) AS rn FROM (
   FROM scored
 ) WHERE rn <= 3
 """
+
+QUERIES["text_bigram_logprob"] = TA.bigram_logprob_score
+
+ORACLES["text_bigram_logprob"] = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[gs] AS t1, toks[gs + 1] AS t2
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS gs
+    FROM tk WHERE len(toks) >= 2
+  )
+),
+pc AS (SELECT t1, t2, count(*) AS n_pair FROM bg GROUP BY t1, t2),
+hc AS (SELECT t1, count(*) AS n_head FROM bg GROUP BY t1),
+pr AS (
+  SELECT pc.t1, pc.t2, round(ln(n_pair / n_head), 6) AS lp
+  FROM pc JOIN hc ON pc.t1 = hc.t1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(lp::DECIMAL(18,6)) AS DOUBLE) / count(*), 6) AS mean_logprob
+FROM bg JOIN pr ON bg.t1 = pr.t1 AND bg.t2 = pr.t2
+GROUP BY doc_id
+"""

@@ -311,3 +311,43 @@ def assign_incremental(spark: SparkSession, sf_dir: str, modulus: int = 7) -> Da
             F.sum((F.col("label") == F.col("assigned_label")).cast("int")).alias("n_matching"),
         )
     )
+
+
+def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health monitoring: per-cluster population and dispersion
+    (mean / max squared distance to the cluster centroid).
+
+    The operational counterpart of the build invariants — skewed
+    populations mean probe pruning stops helping (one hot partition
+    dominates every fine search) and rising dispersion means the
+    centroids have drifted from the data and the index needs a rebuild.
+    One broadcast of the (k × dim) centroid table + one groupBy(label):
+    map-side partials, k-row output. d² is rounded to 6 d.p. before the
+    decimal-sum mean so both engines fold identical values.
+    """
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                as_double_array("embedding"), F.col("centroid"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        emb.join(F.broadcast(cents), "label")
+        .select("label", d2.alias("d2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            ).alias("avg_d2"),
+            F.round(F.max("d2"), 6).alias("max_d2"),
+        )
+    )

@@ -319,3 +319,30 @@ def value_outliers(spark: SparkSession, sf_dir: str, z_threshold: float = 3.0) -
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > z_threshold)
     )
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 dimension build: each user's event-type history becomes
+    versioned rows with [valid_from, valid_to) intervals — the standard
+    "rebuild a slowly-changing dimension from an event log" pattern.
+
+    Consecutive same-type events collapse first (lag over the per-user
+    timeline), then lead() closes each surviving version with the next
+    version's start (NULL = current). Two window passes over ONE
+    user_id shuffle partitioning — no self-join, state per key is O(1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type", 1).over(order))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    versioned = changes.withColumn("valid_to", F.lead("ts", 1).over(order)).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        (F.col("valid_to").isNull()).cast("int").alias("is_current"),
+    )
+    return versioned

@@ -270,3 +270,29 @@ ORACLES["ivf_recall_sweep"] = (
     + "\nUNION ALL\n".join(f"SELECT * FROM ({_recall_at(p)})" for p in N_PROBE_GRID)
     + "\n) ORDER BY n_probe"
 )
+
+QUERIES["ivf_index_stats"] = ivf.index_stats
+
+# same rounded-centroid + rounded-d² determinism recipe as
+# ivf_assign_incremental; the mean goes through a DECIMAL(18,6) sum
+ORACLES["ivf_index_stats"] = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (
+  SELECT label AS c_label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label
+),
+d2s AS (
+  SELECT e.label,
+         round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (e.embedding[i]::DOUBLE - c.centroid[i]) * (e.embedding[i]::DOUBLE - c.centroid[i]))), 6) AS d2
+  FROM embeddings e JOIN cent c ON e.label = c.c_label
+)
+SELECT label, count(*) AS n_vectors,
+       round(CAST(sum(d2::DECIMAL(18,6)) AS DOUBLE) / count(*), 6) AS avg_d2,
+       round(max(d2), 6) AS max_d2
+FROM d2s GROUP BY label
+"""

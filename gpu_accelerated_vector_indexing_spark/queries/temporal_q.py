@@ -150,3 +150,22 @@ SELECT event_id, event_type, value, z FROM (
 )
 WHERE abs(z) > 3.0
 """
+
+QUERIES["scd2_user_state"] = TP.scd2_user_state
+
+ORACLES["scd2_user_state"] = _EV + """,
+changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM ev
+),
+surv AS (
+  SELECT user_id, event_type, ts, event_id FROM changes
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+FROM surv
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

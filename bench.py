@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     ("knn_ivf_sq8", _collect),
     ("knn_pq", _collect),
     ("knn_ivf_pq", _collect),
+    ("hybrid_search_rrf", _collect),
     ("knn_prenorm", _collect),
     ("multi_query_knn", _collect),
     ("knn_with_docs", _collect),

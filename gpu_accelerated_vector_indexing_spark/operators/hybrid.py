@@ -1,0 +1,131 @@
+"""Hybrid lexical + vector retrieval (EXT, SURVEY.md §2.3).
+
+The reference retrieves by cosine similarity alone (IVF.cpp:267-436).
+Production retrieval over a document corpus is almost always HYBRID:
+a lexical ranker (BM25) catches exact-term matches that embeddings
+blur, the vector ranker catches paraphrases the lexical side misses,
+and the two rankings are fused. This module implements that
+Spark-first over the ``documents`` + ``embeddings`` fixtures
+(doc_id ≙ vec_id):
+
+* **BM25** (k1 = 1.2, b = 0.75) from corpus statistics computed
+  in-plan: tf per (doc, term) and df per term from one tokenized
+  explode, doc length and corpus-average length from a narrow scan.
+  The query's term set and the df table are vocabulary-bounded and
+  broadcast — the corpus is never shuffled.
+* **Fusion by reciprocal-rank fusion** (RRF, Cormack et al., SIGIR'09):
+  ``Σ 1/(60 + rank)`` over both rankings. Rank-based fusion avoids the
+  score-normalization trap (cosine ∈ [-1,1] vs unbounded BM25) and is
+  exactly reproducible cross-engine — ranks are integers, the
+  reciprocals are IEEE-exact, and ties break on the canonical
+  (score DESC, doc_id DESC) everywhere.
+
+Determinism policy: idf and each per-term BM25 contribution are rounded
+to 6 d.p. (ln is transcendental); per-document sums go through
+DECIMAL(18,6); avgdl is an exact int-sum / count double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.functions.vector import (
+    as_double_array,
+    cosine_similarity_hoisted,
+)
+from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import tokens
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str, query_id: int = 0) -> DataFrame:
+    """BM25 score of every document containing ≥1 term of the query
+    document's text — ``(doc_id, bm25)``.
+
+    idf uses the standard Robertson/Sparck-Jones smoothed form
+    ln(1 + (N - df + 0.5)/(df + 0.5)). Each per-term contribution is
+    rounded before the decimal sum so both engines fold identical
+    values.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    q_terms = (
+        docs.filter(F.col("doc_id") == query_id)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    idf = F.round(
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    term_score = F.round(idf * tf_part, 6)
+    return (
+        tf.join(F.broadcast(q_terms), "token")
+        .join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .select("doc_id", term_score.alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("ts").cast("decimal(18,6)")).cast("double").alias("bm25"))
+    )
+
+
+def hybrid_search_rrf(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Top-k documents by reciprocal-rank fusion of the exact cosine
+    ranking and the BM25 ranking for one query document.
+
+    Both rankings are full (cosine over every vector; BM25 over every
+    term-matching doc); a document missing from the BM25 ranking simply
+    contributes no lexical reciprocal. The two rank windows are global
+    single-partition windows over ALREADY-AGGREGATED per-doc scores —
+    at 100 TB both inputs are corpus-sized, so the scale path replaces
+    the global window with rank-by-top-N truncation (take top-N of each
+    ranking via TakeOrdered — RRF only ever needs the heads); the
+    fixture form keeps the full window for oracle exactness.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    cos = emb.join(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            cosine_similarity_hoisted(as_double_array("embedding"), F.col("qvec"), F.col("qnorm")),
+            6,
+        ).alias("cos"),
+    )
+    cos_ranked = cos.withColumn(
+        "cos_rank", F.row_number().over(W.orderBy(F.desc("cos"), F.desc("doc_id")))
+    )
+    bm25_ranked = bm25_scores(spark, sf_dir, query_id).withColumn(
+        "bm25_rank", F.row_number().over(W.orderBy(F.desc("bm25"), F.desc("doc_id")))
+    )
+    fused = (
+        cos_ranked.join(bm25_ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cos",
+            F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+            (
+                1.0 / (F.lit(RRF_K) + F.col("cos_rank"))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.desc("doc_id")).limit(k)

@@ -158,3 +158,60 @@ scored AS (
 )
 SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id DESC LIMIT {K}
 """
+
+
+def _hybrid_search_rrf(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.operators.hybrid import hybrid_search_rrf
+
+    return hybrid_search_rrf(spark, sf_dir, query_id=QUERY_ID, k=10)
+
+
+QUERIES["hybrid_search_rrf"] = _hybrid_search_rrf
+
+_HTOKS = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+
+ORACLES["hybrid_search_rrf"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_HTOKS}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+q_terms AS (
+  SELECT DISTINCT unnest({_HTOKS}) AS token FROM documents WHERE doc_id = {QUERY_ID}
+),
+bm25 AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(
+           round(ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)), 6)
+           * ((tf.tf * {1.2 + 1}) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl)))
+         , 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+  FROM tf
+  JOIN q_terms USING (token)
+  JOIN df USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+cr AS (
+  SELECT doc_id, cos, row_number() OVER (ORDER BY cos DESC, doc_id DESC) AS cos_rank FROM cos
+),
+br AS (
+  SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id DESC) AS bm25_rank FROM bm25
+)
+SELECT doc_id, cos, coalesce(bm25, 0.0) AS bm25,
+       1.0 / (60 + cos_rank) + coalesce(1.0 / (60 + bm25_rank), 0.0) AS rrf
+FROM cr LEFT JOIN br USING (doc_id)
+ORDER BY rrf DESC, doc_id DESC LIMIT 10
+"""

@@ -126,3 +126,19 @@ def test_embed_and_search_rows(spark):
     assert len(rows) == 5
     assert all(-1.0 <= r.score <= 1.0 for r in rows)
     assert rows[0].score > 0
+
+
+def test_hybrid_rrf_self_retrieval_and_fusion(spark):
+    """The query document must be its own top hybrid hit (cosine rank 1
+    — self-similarity is exactly 1.0 — makes it unbeatable after fusion
+    unless another doc sweeps both rankings), and every fused score must
+    stay within the theoretical RRF bounds for two rankings."""
+    from gpu_accelerated_vector_indexing_spark.operators.hybrid import hybrid_search_rrf
+
+    rows = hybrid_search_rrf(spark, SF_CORRECT, query_id=0, k=10).collect()
+    assert len(rows) == 10
+    assert rows[0].doc_id == 0
+    assert rows[0].cos == 1.0  # self-match tops the vector ranking
+    for r in rows:
+        assert 0 < r.rrf <= 2.0 / 61.0 + 1e-12
+    assert sorted((r.rrf for r in rows), reverse=True) == [r.rrf for r in rows]

@@ -346,3 +346,33 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_to").isNull()).cast("int").alias("is_current"),
     )
     return versioned
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types on each user's timeline — the behavioral
+    fingerprint query (and the input to next-event prediction).
+
+    lead() over the per-user ordered stream pairs each event with its
+    successor — one user_id shuffle, no self-join. Probabilities are
+    count ratios of exact integers rounded to 6 d.p., so cross-engine
+    equality is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type", 1).over(order))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+        )
+    )

@@ -93,3 +93,24 @@ FROM sessions GROUP BY user_id, session_id
     # over static data equals the batch interval join
     "streaming_interval_join": _INTERVAL_JOIN_SQL,
 }
+
+
+def _roundtrip(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.sources.formats import roundtrip_check
+
+    return roundtrip_check(spark, sf_dir)
+
+
+QUERIES["sources_roundtrip"] = _roundtrip
+
+# each format's round trip must reproduce the aggregates computed
+# directly on the parquet source — one UNION ALL branch per format
+_RT_AGG = """
+SELECT '{fmt}' AS fmt, count(*) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events
+"""
+ORACLES["sources_roundtrip"] = " UNION ALL ".join(
+    _RT_AGG.format(fmt=f) for f in ("csv", "json", "orc")
+)

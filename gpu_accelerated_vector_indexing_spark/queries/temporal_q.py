@@ -169,3 +169,22 @@ SELECT user_id, event_type AS state, ts AS valid_from,
 FROM surv
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+QUERIES["events_transition_matrix"] = TP.event_transition_matrix
+
+ORACLES["events_transition_matrix"] = _EV + """,
+pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM ev
+),
+counts AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+),
+totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_from FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.next_type, c.n, round(c.n / t.n_from, 6) AS p
+FROM counts c JOIN totals t USING (event_type)
+"""

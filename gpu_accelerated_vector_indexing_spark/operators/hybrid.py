@@ -129,3 +129,75 @@ def hybrid_search_rrf(
         )
     )
     return fused.orderBy(F.desc("rrf"), F.desc("doc_id")).limit(k)
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_candidates: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k results trading relevance against
+    redundancy — argmax λ·cos(q,d) − (1−λ)·max cos(d, selected).
+
+    The greedy loop is inherently sequential in k, so it runs on the
+    driver over the top-``n_candidates`` candidate set — a BOUNDED
+    collect (n_candidates × dim floats), the same materialize-then-
+    refine posture as the coarse search (IVF.cpp:282). The corpus-wide
+    work (scoring + candidate top-N) stays distributed; only the ≤50-row
+    head crosses to the driver. Greedy set-dependence has no SQL twin →
+    rows-only; invariants pinned in tests.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    cand = (
+        emb.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            as_double_array("embedding").alias("v"),
+            F.round(
+                cosine_similarity_hoisted(as_double_array("embedding"), F.col("qvec"), F.col("qnorm")),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in cand])
+    rel = np.array([r.rel for r in cand])
+    V = np.array([r.v for r in cand])
+    V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+    sims = V @ V.T
+    selected: list[int] = []
+    picks = []
+    for _ in range(min(k, len(cand))):
+        if selected:
+            redundancy = sims[:, selected].max(axis=1)
+        else:
+            redundancy = np.zeros(len(cand))
+        mmr = lam * rel - (1.0 - lam) * redundancy
+        mmr[selected] = -np.inf
+        # deterministic tie-break: larger vec_id wins (engine canon)
+        best = max(range(len(cand)), key=lambda i: (mmr[i], ids[i]))
+        picks.append((int(ids[best]), float(rel[best]), round(float(mmr[best]), 6)))
+        selected.append(best)
+    structs = [
+        F.struct(
+            F.lit(r + 1).alias("rank"),
+            F.lit(doc).alias("doc_id"),
+            F.lit(relv).alias("relevance"),
+            F.lit(score).alias("mmr_score"),
+        )
+        for r, (doc, relv, score) in enumerate(picks)
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.rank", "s.doc_id", "s.relevance", "s.mmr_score")
+    )

@@ -309,3 +309,37 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+CHUNK_WIDTH = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width character chunking — the context-window
+    splitter every training/RAG pipeline runs before embedding.
+
+    ``sequence(1, len, stride)`` + explode generates chunk start
+    positions in-plan (no UDF, no driver loop); each chunk is a
+    substring projection. The chunk text is pinned by md5 rather than
+    shipped wholesale through the comparison harness. Scale: a narrow
+    map over documents — fan-out is len/stride rows per doc, no
+    shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("doc_chars"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE))
+            ).alias("pos"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("pos") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.length(F.expr(f"substring(text, pos, {CHUNK_WIDTH})")).alias("chunk_chars"),
+            F.md5(F.expr(f"substring(text, pos, {CHUNK_WIDTH})")).alias("chunk_md5"),
+        )
+    )

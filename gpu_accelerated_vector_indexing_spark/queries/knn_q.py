@@ -215,3 +215,14 @@ SELECT doc_id, cos, coalesce(bm25, 0.0) AS bm25,
 FROM cr LEFT JOIN br USING (doc_id)
 ORDER BY rrf DESC, doc_id DESC LIMIT 10
 """
+
+
+def _mmr_rerank(spark, sf_dir):
+    """Greedy set-dependent selection has no SQL twin → rows-only;
+    invariants pinned in tests/test_knn.py."""
+    from gpu_accelerated_vector_indexing_spark.operators.hybrid import mmr_rerank
+
+    return mmr_rerank(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+QUERIES["mmr_rerank"] = _mmr_rerank

@@ -206,3 +206,16 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM bg JOIN pr ON bg.t1 = pr.t1 AND bg.t2 = pr.t2
 GROUP BY doc_id
 """
+
+QUERIES["corpus_chunks"] = TA.chunk_documents
+
+ORACLES["corpus_chunks"] = """
+SELECT doc_id,
+       CAST((gs - 1) // 150 AS INT) AS chunk_idx,
+       CAST(length(substring(text, gs, 200)) AS INT) AS chunk_chars,
+       md5(substring(text, gs, 200)) AS chunk_md5
+FROM (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text), 1), 150)) AS gs
+  FROM documents
+)
+"""

@@ -142,3 +142,17 @@ def test_hybrid_rrf_self_retrieval_and_fusion(spark):
     for r in rows:
         assert 0 < r.rrf <= 2.0 / 61.0 + 1e-12
     assert sorted((r.rrf for r in rows), reverse=True) == [r.rrf for r in rows]
+
+
+def test_mmr_rerank_invariants(spark):
+    """MMR: k distinct picks from the candidate head, the first pick is
+    the relevance argmax (no redundancy penalty yet), and every pick's
+    relevance appears in the exact brute-force scoring."""
+    from gpu_accelerated_vector_indexing_spark.operators.hybrid import mmr_rerank
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    rows = mmr_rerank(spark, SF_CORRECT, query_id=0, k=5).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.doc_id for r in rows}) == 5
+    top1 = knn_bruteforce(spark, SF_CORRECT, query_id=0, k=1).collect()[0]
+    assert rows[0].doc_id == top1.vec_id and rows[0].relevance == top1.score

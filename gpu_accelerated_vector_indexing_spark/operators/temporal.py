@@ -376,3 +376,63 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
         )
     )
+
+
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join as ``asof_join_events``, via the cogrouped-
+    pandas API: ``groupBy(user_id).cogroup(...).applyInPandas`` hands
+    each user's purchases and views to one Arrow-batched
+    ``pd.merge_asof`` — the second physical strategy for the operator
+    (≙ the reference's sequential/combined pair, SURVEY.md §2 O16/O17),
+    sharing the window form's oracle as a plan-equivalence check.
+
+    Same scale shape as the window form: ONE shuffle on user_id, per-key
+    state bounded by that key's rows. Sorting views by (ts, event_id)
+    makes merge_asof's last-match pick the largest event_id on ts ties —
+    the identical tie-break to the union-window ordering.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "asof_view_id", "asof_view_ts", "gap_seconds"]
+            )
+        l = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        if right.empty:
+            out = l.rename(columns={})
+            out["asof_view_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["asof_view_ts"] = pd.NaT
+        else:
+            r = (
+                right.sort_values(["ts", "event_id"])
+                .rename(columns={"event_id": "asof_view_id", "ts": "asof_view_ts"})
+                [["asof_view_id", "asof_view_ts"]]
+            )
+            out = pd.merge_asof(
+                l, r, left_on="ts", right_on="asof_view_ts", allow_exact_matches=True
+            )
+            out["asof_view_id"] = out["asof_view_id"].astype("Int64")
+        gap = (out["ts"] - out["asof_view_ts"]).dt.total_seconds()
+        out["gap_seconds"] = pd.array(
+            [None if pd.isna(g) else int(g) for g in gap], dtype="Int64"
+        )
+        return out[["event_id", "user_id", "ts", "asof_view_id", "asof_view_ts", "gap_seconds"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id long, user_id long, ts timestamp, "
+                "asof_view_id long, asof_view_ts timestamp, gap_seconds long"
+            ),
+        )
+    )

@@ -188,3 +188,8 @@ totals AS (
 SELECT c.event_type, c.next_type, c.n, round(c.n / t.n_from, 6) AS p
 FROM counts c JOIN totals t USING (event_type)
 """
+
+# plan-equivalence: the cogrouped-pandas as-of must match the
+# union-window as-of bit-for-bit — same oracle
+QUERIES["join_asof_cogroup"] = TP.asof_join_cogroup
+ORACLES["join_asof_cogroup"] = ORACLES["join_asof"]

@@ -252,3 +252,48 @@ def test_cli_main_smoke(spark, built_index, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Search Time:" in out  # run_multiple_configs.sh:93 parse format
     assert len([l for l in out.splitlines() if l.startswith("(")]) == 5
+
+
+def test_float32bin_datasource_matches_composed_reader(spark, tmp_path):
+    """The custom Python DataSource (format('float32bin')) must return
+    exactly what the composed binaryFile+mapInPandas reader returns —
+    same ids, same vectors, same per-file partitioning convention."""
+    from gpu_accelerated_vector_indexing_spark.sources import bin_datasource
+    from gpu_accelerated_vector_indexing_spark.sources.binary import read_float32_bin
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((6, 4)).astype(np.float32)
+    b = rng.standard_normal((2, 4)).astype(np.float32)
+    a.tofile(tmp_path / "cluster_embeddings_0.bin")
+    b.tofile(tmp_path / "cluster_embeddings_1.bin")
+
+    bin_datasource.register(spark)
+    via_ds = (
+        spark.read.format("float32bin")
+        .option("dim", 4)
+        .load(str(tmp_path / "*.bin"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    via_composed = (
+        read_float32_bin(spark, str(tmp_path / "*.bin"), dim=4).orderBy("vec_id").collect()
+    )
+    assert [r.vec_id for r in via_ds] == [r.vec_id for r in via_composed] == list(range(8))
+    got = np.asarray([r.embedding for r in via_ds], dtype=np.float32)
+    np.testing.assert_array_equal(got, np.vstack([a, b]))
+    # in-file position and source path survive the connector
+    assert all(r.path.endswith(".bin") for r in via_ds)
+    assert [r.pos for r in via_ds] == [0, 1, 2, 3, 4, 5, 0, 1]
+
+
+def test_float32bin_datasource_rejects_bad_size(spark, tmp_path):
+    from gpu_accelerated_vector_indexing_spark.sources import bin_datasource
+
+    (tmp_path / "bad.bin").write_bytes(b"\x00" * 10)  # not divisible by 16
+    bin_datasource.register(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="divisible"):
+        spark.read.format("float32bin").option("dim", 4).load(
+            str(tmp_path / "bad.bin")
+        ).collect()

@@ -114,3 +114,10 @@ FROM events
 ORACLES["sources_roundtrip"] = " UNION ALL ".join(
     _RT_AGG.format(fmt=f) for f in ("csv", "json", "orc")
 )
+
+# streaming_profile_tws (transformWithStateInPandas) is implemented in
+# streaming/stateful.py but NOT registered: the API's state-server
+# protocol needs a working google.protobuf, absent in this runtime.
+# tests/test_text_multimodal_streaming.py gates it on the dependency;
+# applyInPandasWithState (streaming_sessions path) covers arbitrary
+# state in the driver contract.

@@ -70,3 +70,54 @@ def user_profile_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas (the Spark 4 arbitrary-state API) ------------
+#
+# The successor to applyInPandasWithState: named state variables on a
+# handle, per-key timers, and composable state types (value/list/map)
+# instead of one monolithic tuple. The operator below is the same
+# running per-user profile as _update_profile, so the two APIs are
+# directly comparable — and over a single-batch drain of static fixture
+# data the emitted totals equal the batch groupBy, giving the new API a
+# full value oracle too.
+
+try:  # pragma: no cover - import surface differs across 4.x minors
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _ProfileProcessor(StatefulProcessor):
+        """ValueState-backed running (count, sum) per user."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "sum_value": round(total, 2)}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    def user_profile_tws(events_stream: DataFrame) -> DataFrame:
+        """events stream → per-user running (count, sum) via
+        ``transformWithStateInPandas`` (update mode)."""
+        return (
+            events_stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                _ProfileProcessor(),
+                outputStructType="user_id LONG, n_events LONG, sum_value DOUBLE",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS = False

@@ -242,3 +242,31 @@ def streaming_interval_join(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running profile through the Spark 4
+    ``transformWithStateInPandas`` API (see streaming/stateful.py),
+    drained over the static fixture.
+
+    The fixture is one parquet file → one micro-batch → each user emits
+    exactly one row holding its full totals, which must equal the batch
+    groupBy — a complete value oracle for the new stateful API.
+    """
+    from gpu_accelerated_vector_indexing_spark.streaming.stateful import (
+        HAS_TWS,
+        user_profile_tws,
+    )
+
+    if not HAS_TWS:  # pragma: no cover
+        raise NotImplementedError("transformWithStateInPandas unavailable")
+    with _memory_sink_counter:
+        _sink_id[0] += 1
+        name = f"gpu_accelerated_vector_indexing_tws_{_sink_id[0]}"
+    out = user_profile_tws(_events_stream(spark, sf_dir))
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -202,3 +202,31 @@ def test_streaming_interval_join_equals_batch(spark):
     batch = sorted(key(r) for r in interval_join_view_purchase(spark, SF_CORRECT).collect())
     stream = sorted(key(r) for r in streaming_interval_join(spark, SF_CORRECT).collect())
     assert stream == batch and len(batch) > 0
+
+
+def test_streaming_profile_tws_equals_batch(spark):
+    """transformWithStateInPandas (Spark 4 stateful API): a single-batch
+    drain must reproduce the batch per-user totals. Skipped where the
+    API's protobuf state-server dependency is unusable."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from gpu_accelerated_vector_indexing_spark.streaming.windows import streaming_profile_tws
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in streaming_profile_tws(spark, SF_CORRECT).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -201,3 +201,68 @@ def mmr_rerank(
         .select(F.explode(F.array(*structs)).alias("s"))
         .select("s.rank", "s.doc_id", "s.relevance", "s.mmr_score")
     )
+
+
+def hybrid_search_rrf_topn(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10, head_n: int = 100
+) -> DataFrame:
+    """The SCALE form of ``hybrid_search_rrf``: rank only the top
+    ``head_n`` of each ranking (TakeOrderedAndProject heads — k·tasks
+    rows to the driver each, no global window over the corpus), then
+    fuse.
+
+    This is deliberately APPROXIMATE — the standard production
+    trade-off: a document outside a head loses that ranking's
+    reciprocal (≤ 1/(61+head_n) per missing head), so fused scores for
+    docs straddling a head boundary can drop below full-window RRF.
+    The head-of-both-rankings results are identical; tests pin top-1
+    equality and a top-k overlap floor vs the full form (the honest
+    recall-style contract, like PQ). The two ≤head_n-row heads are
+    collected, rank-numbered on the driver (the same bounded
+    materialization as the coarse search), and rebuilt as a JVM-literal
+    relation → rows-only in the driver contract.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    cos_head = (
+        emb.join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity_hoisted(as_double_array("embedding"), F.col("qvec"), F.col("qnorm")),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.desc("doc_id"))
+        .limit(head_n)
+        .collect()
+    )
+    bm_head = (
+        bm25_scores(spark, sf_dir, query_id)
+        .orderBy(F.desc("bm25"), F.desc("doc_id"))
+        .limit(head_n)
+        .collect()
+    )
+    cos_rank = {r.doc_id: (i + 1, r.cos) for i, r in enumerate(cos_head)}
+    bm_rank = {r.doc_id: (i + 1, r.bm25) for i, r in enumerate(bm_head)}
+    fused = []
+    for doc_id in set(cos_rank) | set(bm_rank):
+        cr, cv = cos_rank.get(doc_id, (None, None))
+        br, bv = bm_rank.get(doc_id, (None, None))
+        rrf = (1.0 / (RRF_K + cr) if cr else 0.0) + (1.0 / (RRF_K + br) if br else 0.0)
+        fused.append((doc_id, cv if cv is not None else 0.0, bv if bv is not None else 0.0, rrf))
+    fused.sort(key=lambda t: (-t[3], -t[0]))
+    structs = [
+        F.struct(
+            F.lit(d).alias("doc_id"),
+            F.lit(float(c)).alias("cos"),
+            F.lit(float(b)).alias("bm25"),
+            F.lit(float(r)).alias("rrf"),
+        )
+        for d, c, b, r in fused[:k]
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.doc_id", "s.cos", "s.bm25", "s.rrf")
+    )

@@ -226,3 +226,14 @@ def _mmr_rerank(spark, sf_dir):
 
 
 QUERIES["mmr_rerank"] = _mmr_rerank
+
+
+def _hybrid_topn(spark, sf_dir):
+    """Head-truncated RRF (scale form) — approximate by design, no SQL
+    twin → rows-only; overlap contract pinned in tests/test_knn.py."""
+    from gpu_accelerated_vector_indexing_spark.operators.hybrid import hybrid_search_rrf_topn
+
+    return hybrid_search_rrf_topn(spark, sf_dir, query_id=QUERY_ID, k=10)
+
+
+QUERIES["hybrid_search_rrf_topn"] = _hybrid_topn

@@ -193,3 +193,11 @@ FROM counts c JOIN totals t USING (event_type)
 # union-window as-of bit-for-bit — same oracle
 QUERIES["join_asof_cogroup"] = TP.asof_join_cogroup
 ORACLES["join_asof_cogroup"] = ORACLES["join_asof"]
+
+# merging partial aggregates must equal the from-scratch aggregate
+QUERIES["incremental_agg_merge"] = TP.incremental_agg_merge
+ORACLES["incremental_agg_merge"] = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""

@@ -156,3 +156,23 @@ def test_mmr_rerank_invariants(spark):
     assert len({r.doc_id for r in rows}) == 5
     top1 = knn_bruteforce(spark, SF_CORRECT, query_id=0, k=1).collect()[0]
     assert rows[0].doc_id == top1.vec_id and rows[0].relevance == top1.score
+
+
+def test_hybrid_topn_approximates_full_rrf(spark):
+    """Head-truncated RRF: same top-1, ≥8/10 top-k overlap with the
+    full-window form, and identical fused scores for every doc inside
+    BOTH heads (truncation only loses tail reciprocals)."""
+    from gpu_accelerated_vector_indexing_spark.operators.hybrid import (
+        hybrid_search_rrf,
+        hybrid_search_rrf_topn,
+    )
+
+    full = [(r.doc_id, round(r.rrf, 12)) for r in hybrid_search_rrf(spark, SF_CORRECT, query_id=0, k=10).collect()]
+    topn = [(r.doc_id, round(r.rrf, 12)) for r in hybrid_search_rrf_topn(spark, SF_CORRECT, query_id=0, k=10).collect()]
+    assert topn[0] == full[0]
+    overlap = {d for d, _ in topn} & {d for d, _ in full}
+    assert len(overlap) >= 8, f"overlap {len(overlap)}/10"
+    full_scores = dict(full)
+    for d, s in topn:
+        if d in full_scores:  # in-both-heads docs score identically
+            assert s <= full_scores[d] + 1e-12

@@ -108,3 +108,52 @@ def test_sq8_roundtrip_error_bound(spark, rows):
     assert row.cmin >= 0 and row.cmax <= SQ_LEVELS
     half_step = (max(hi - lo for lo, hi in zip(mins, maxs)) + SPAN_GUARD) / SQ_LEVELS / 2
     assert row.emax <= half_step + 1e-9
+
+
+texts = st.text(
+    alphabet=st.characters(codec="ascii", exclude_categories=("Cc", "Cs")),
+    min_size=0,
+    max_size=700,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=1, max_size=4))
+def test_chunking_reconstructs_documents(spark, docs):
+    """For ANY ascii corpus: stitching each document's chunks back
+    together (dropping every chunk's 50-char overlap with its
+    predecessor) reproduces the document exactly, and chunk widths obey
+    the 200-char cap with only the final chunk short."""
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id LONG, text STRING"
+    )
+    chunks = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            ((F.col("pos") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.expr(f"substring(text, pos, {CHUNK_WIDTH})").alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    for i, text in enumerate(docs):
+        parts = [c for _, c in sorted(by_doc[i])]
+        stitched = parts[0] + "".join(p[CHUNK_WIDTH - CHUNK_STRIDE:] for p in parts[1:])
+        assert stitched == text, (i, text, parts)
+        assert all(len(p) <= CHUNK_WIDTH for p in parts)
+        assert all(len(p) == CHUNK_WIDTH for p in parts[:-1] if len(text) >= CHUNK_WIDTH)

@@ -199,3 +199,49 @@ def test_local_supplier_volume_broadcasts_dims(spark):
     plan = assert_plan(df, contains=("BroadcastHashJoin",))
     joined = " ".join(pushed_filters(df))
     assert "o_orderdate" in joined, joined
+
+
+def test_interval_join_is_equi_keyed_not_cartesian(spark):
+    """The event-time interval join must hash on user_id with the time
+    bound as a post-join filter — never a cartesian / nested-loop plan
+    (the difference between per-key fan-out and corpus² at 100 TB)."""
+    assert_plan(
+        _q(spark, "join_interval"),
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
+def test_q15_max_join_broadcasts_singleton(spark):
+    """Q15's scalar-max comparison joins a one-row relation back to the
+    per-supplier revenue — both the max frame and the supplier dim must
+    broadcast; nothing shuffles on the singleton side."""
+    assert_plan(
+        _q(spark, "top_revenue_suppliers"),
+        contains=("BroadcastHashJoin",),
+        absent=("SortMergeJoin",),
+    )
+
+
+def test_tfidf_df_table_broadcasts(spark):
+    """TF-IDF joins the vocabulary-bounded df table and the one-row
+    corpus count back to the doc-term stream via broadcast — the
+    corpus-sized side must never shuffle for the join."""
+    plan = physical_plan(_q(spark, "text_tfidf_top"))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the deliberate 1-row n_docs join
+
+
+def test_zscore_moments_broadcast_back(spark):
+    """Per-type moments (5 rows) broadcast onto the event stream."""
+    assert_plan(
+        _q(spark, "events_zscore_outliers"),
+        contains=("BroadcastHashJoin",),
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_merge_upsert_single_shuffle(spark):
+    """The CDC latest-wins upsert is union + one per-key window: exactly
+    one exchange over the merge key feeds the row_number filter."""
+    plan = physical_plan(_q(spark, "merge_upsert_latest"))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan

@@ -920,3 +920,94 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each (small) part, the supplier(s) achieving
+    the minimum observed unit price — the correlated-min-per-group
+    pattern (Q2's defining feature, restated over lineitem since the
+    fixtures carry no partsupp).
+
+    Spark spells the correlated subquery as a per-part window min +
+    equality filter: ONE shuffle on l_partkey computes the min and
+    filters in the same pass — at 100 TB this beats re-aggregating and
+    re-joining the fact table (the naive correlated form would scan it
+    twice). Unit price is rounded to 6 d.p. before the min so the
+    equality comparison is cross-engine exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supplier = load_table(spark, sf_dir, "supplier")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+    )
+    w = W.partitionBy("l_partkey")
+    best = (
+        unit.withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .select("l_partkey", "l_suppkey", "unit_price")
+        .distinct()
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "unit_price")
+    )
+
+
+def null_safe_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` / IS NOT DISTINCT FROM) demonstrated on
+    tiny pre-aggregated sides: keys with injected NULLs match under the
+    null-safe join (one output row for the NULL key) where plain `=`
+    would silently drop them — the classic silent-data-loss corner of
+    SQL semantics, pinned under the exact oracle.
+
+    Aggregation happens BEFORE the join (8-row sides), so the null-safe
+    comparison never touches fact-table cardinality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    l = (
+        orders.select(F.nullif(F.pmod("o_custkey", F.lit(7)), F.lit(3)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    r = (
+        customer.select(F.nullif(F.pmod("c_custkey", F.lit(7)), F.lit(3)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return l.join(r, l.k.eqNullSafe(r.k)).select(
+        l.k.alias("k"), "n_orders", "n_customers"
+    )
+
+
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 2) -> DataFrame:
+    """Edit-distance near-duplicate detection: customer-name pairs
+    within levenshtein ≤ ``max_dist``, blocked by nation.
+
+    The blocking key bounds the pair space (per-block O(b²) like the
+    n-gram Jaccard verifier — the scale path generates candidates with
+    LSH and uses this as the exact verify stage); levenshtein itself is
+    a JVM built-in, no UDF.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -443,3 +443,43 @@ SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
 FROM revenue0 JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev = (SELECT max(rev) FROM revenue0)
 """
+
+QUERIES["cheapest_supplier_per_part"] = R.cheapest_supplier_per_part
+QUERIES["null_safe_semantics"] = R.null_safe_semantics
+QUERIES["fuzzy_customer_pairs"] = R.fuzzy_customer_pairs
+
+# the oracle spells Q2's correlated form literally — the window-min Spark
+# plan must produce the identical relation
+ORACLES["cheapest_supplier_per_part"] = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, round(l_extendedprice / l_quantity, 6) AS unit_price
+  FROM lineitem
+)
+SELECT DISTINCT p_partkey, p_name, s_name, u.unit_price
+FROM unit u
+JOIN part ON p_partkey = l_partkey AND p_size < 10
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE u.unit_price = (
+  SELECT min(u2.unit_price) FROM unit u2 WHERE u2.l_partkey = u.l_partkey
+)
+"""
+
+ORACLES["null_safe_semantics"] = """
+WITH l AS (
+  SELECT nullif(o_custkey % 7, 3) AS k, count(*) AS n_orders FROM orders GROUP BY 1
+),
+r AS (
+  SELECT nullif(c_custkey % 7, 3) AS k, count(*) AS n_customers FROM customer GROUP BY 1
+)
+SELECT l.k, n_orders, n_customers
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+ORACLES["fuzzy_customer_pairs"] = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""

@@ -1011,3 +1011,42 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 2) ->
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def window_topk_with_ties(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-segment top-k WITH TIES: ``rank()`` instead of
+    ``row_number()`` keeps every order tied with the k-th — the
+    FETCH FIRST k ROWS WITH TIES semantic (row_number silently drops
+    ties; rank is the correct spelling when completeness matters)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.rank().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 10) -> DataFrame:
+    """Equi-width histogram of event values per type via width_bucket —
+    the profiling primitive (one pass: a 2-row bounds aggregate
+    broadcast back, then a groupBy over (type, bucket), both map-side
+    partial)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    # explicit floor formula (not the width_bucket builtin) so the
+    # boundary arithmetic is the SAME expression in both engines —
+    # identical doubles → identical bucket at every edge case
+    bucket = F.when(F.col("value") >= F.col("hi"), F.lit(n_buckets) + 1).otherwise(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_buckets) + 1
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .select("event_type", bucket.cast("int").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -483,3 +483,24 @@ FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
+
+QUERIES["window_topk_with_ties"] = R.window_topk_with_ties
+QUERIES["events_value_histogram"] = R.events_value_histogram
+
+ORACLES["window_topk_with_ties"] = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+ORACLES["events_value_histogram"] = """
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       CAST(CASE WHEN value >= hi THEN 11
+                 ELSE floor((value - lo) / (hi - lo) * 10) + 1 END AS INT) AS bucket,
+       count(*) AS n
+FROM events CROSS JOIN bounds
+GROUP BY event_type, bucket
+"""

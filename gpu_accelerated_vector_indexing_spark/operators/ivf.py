@@ -351,3 +351,46 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("d2"), 6).alias("max_d2"),
         )
     )
+
+
+def ann_method_comparison(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
+) -> DataFrame:
+    """Recall@k of every ANN method in the ladder against exact brute
+    force, in one relation — the evaluation harness a method choice at
+    100 TB starts from (≙ the reference's experiment grid,
+    run_multiple_configs.sh, generalized from timings to quality).
+
+    Each method's k-row result semi-joins the k-row exact set; the
+    per-method outputs union into (method, n_hits, recall). All inputs
+    are ≤k rows — the comparison itself costs nothing; the methods do
+    the work. LSH/PQ members make the relation non-SQL → rows-only;
+    bounds are pinned in tests.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from gpu_accelerated_vector_indexing_spark.operators.lsh_ann import knn_lsh
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        knn_ivf_pq,
+        knn_ivf_sq8,
+        knn_pq,
+        knn_sq8,
+    )
+
+    exact = knn_bruteforce(spark, sf_dir, query_id=query_id, k=k).select("vec_id")
+    methods = {
+        "ivf_np3": knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
+        "lsh": knn_lsh(spark, sf_dir, query_id=query_id, k=k),
+        "sq8": knn_sq8(spark, sf_dir, query_id=query_id, k=k),
+        "ivf_sq8": knn_ivf_sq8(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
+        "pq": knn_pq(spark, sf_dir, query_id=query_id, k=k),
+        "ivf_pq": knn_ivf_pq(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
+    }
+    out = None
+    for name, df in methods.items():
+        hits = df.select("vec_id").join(exact, "vec_id", "left_semi").agg(
+            F.lit(name).alias("method"),
+            F.count("*").alias("n_hits"),
+            F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -296,3 +296,5 @@ SELECT label, count(*) AS n_vectors,
        round(max(d2), 6) AS max_d2
 FROM d2s GROUP BY label
 """
+
+QUERIES["ann_method_comparison"] = ivf.ann_method_comparison  # rows-only (LSH/PQ members)

@@ -111,3 +111,63 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, f in STRATA_FRACS.items():
         frac = F.when(F.col("lang") == lang, F.lit(f)).otherwise(frac)
     return docs.filter(u < frac).select("doc_id", "lang", "source")
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) heavy hitters:
+    estimated event counts per user from a d×w = 4×256 counter table,
+    beside the exact count so the one-sided error (estimate ≥ truth,
+    inflated only by collisions) is visible in the output.
+
+    The sketch is the scale story: the counter table is d·w rows
+    REGARDLESS of key cardinality — at 100 TB a per-key exact count
+    shuffles billions of keys, the sketch shuffles 1024 counters (the
+    update explode is map-side partial-aggregated). Estimation joins
+    each candidate's d (row, bucket) coordinates against the tiny
+    broadcast sketch. xxhash64 has no DuckDB twin → rows-only; the
+    ≥-truth invariant and top-set quality are pinned in tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    coords = ev.select(
+        "user_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    F.pmod(F.xxhash64(F.col("user_id"), F.lit(d)), F.lit(CMS_WIDTH)).alias("bucket"),
+                )
+                for d in range(CMS_DEPTH)
+            ])
+        ).alias("c"),
+    ).select("user_id", "c.row", "c.bucket")
+    sketch = coords.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    est = (
+        exact.select("user_id", "exact")
+        .select(
+            "user_id",
+            "exact",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(F.xxhash64(F.col("user_id"), F.lit(d)), F.lit(CMS_WIDTH)).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ])
+            ).alias("c"),
+        )
+        .select("user_id", "exact", "c.row", "c.bucket")
+        .join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.orderBy(F.desc("exact"), F.desc("user_id"))
+        .limit(top_n)
+        .select("user_id", "exact", "est")
+    )

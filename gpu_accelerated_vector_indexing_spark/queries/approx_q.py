@@ -55,3 +55,5 @@ SELECT doc_id, lang, source FROM documents
 WHERE {_HASH_U} < {_STRATA_CASE}
 """,
 }
+
+QUERIES["sketch_cms_heavy_hitters"] = AP.cms_heavy_hitters  # rows-only (xxhash64)

@@ -121,3 +121,16 @@ def test_lsh_candidates_subset(spark):
     }
     for r in knn_lsh(spark, SF_SMOKE).collect():
         assert abs(exact[r["vec_id"]] - r["score"]) < 1e-9
+
+
+def test_cms_overestimates_only(spark):
+    """Count-min guarantee: every estimate ≥ the exact count (collisions
+    only inflate), and with 4×256 counters over ~1k keys the top set's
+    inflation stays sane (est ≤ 3× exact here)."""
+    from gpu_accelerated_vector_indexing_spark.operators.approx import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.est >= r.exact, (r.user_id, r.est, r.exact)
+        assert r.est <= 3 * r.exact, (r.user_id, r.est, r.exact)

@@ -26,9 +26,9 @@ _COS = (
 def _embed_and_search(spark, sf_dir):
     """End-to-end O20+O25 pipeline: hash-embed the corpus, hash-embed a
     query STRING, brute-force top-k — the reference's whole
-    text→vector→search lifecycle with the deterministic featurizer.
-    The md5 hashing UDF has no DuckDB twin → rows-only check; value
-    correctness of each stage is covered by tests/test_sources_engine.py."""
+    text→vector→search lifecycle with the deterministic featurizer,
+    under the full value-hash oracle (the md5 hashing featurizer is
+    restated literally in SQL below, float32 round-trip included)."""
     from pyspark.sql import functions as F
 
     from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_documents, embed_queries
@@ -237,3 +237,74 @@ def _hybrid_topn(spark, sf_dir):
 
 
 QUERIES["hybrid_search_rrf_topn"] = _hybrid_topn
+
+
+# embed_and_search oracle: the md5 hashing featurizer replicated in SQL.
+# ('0x' || substr(md5(tok),1,16))::UBIGINT equals Python's
+# int.from_bytes(md5(tok).digest()[:8], 'big') (verified); bucket/sign,
+# scatter-add, L2 norm, and the float32 storage round-trip
+# ((v/n)::FLOAT::DOUBLE) are restated literally. All intermediate sums
+# are integer-valued doubles (exact at any order); the cosine is rounded
+# to 6 d.p. like every score.
+_EMBED_CTE = """
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents)
+  WHERE t <> ''
+),
+hashes AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks
+),
+buckets AS (
+  SELECT doc_id, (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h >> 63) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+  FROM hashes GROUP BY doc_id, bucket
+),
+dims AS (SELECT i FROM range(0, 64) t(i)),
+dense AS (
+  SELECT d.doc_id, dims.i, coalesce(b.v, 0.0) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN dims
+  LEFT JOIN buckets b ON b.doc_id = d.doc_id AND b.bucket = dims.i
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY doc_id
+),
+corpus AS (
+  SELECT dense.doc_id,
+         list(CASE WHEN n > 0 THEN ((v / n)::FLOAT)::DOUBLE ELSE 0.0 END ORDER BY i) AS emb
+  FROM dense JOIN norms USING (doc_id) GROUP BY dense.doc_id
+),
+q_toks AS (
+  SELECT t AS tok FROM (SELECT unnest(string_split_regex(lower('hash table merge join'), '\\s+')) AS t)
+  WHERE t <> ''
+),
+q_hashes AS (
+  SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM q_toks
+),
+q_buckets AS (
+  SELECT (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h >> 63) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+  FROM q_hashes GROUP BY bucket
+),
+q_dense AS (
+  SELECT dims.i, coalesce(qb.v, 0.0) AS v
+  FROM dims LEFT JOIN q_buckets qb ON qb.bucket = dims.i
+),
+q_norm AS (SELECT sqrt(sum(v * v)) AS n FROM q_dense),
+qvec AS (
+  SELECT list(CASE WHEN n > 0 THEN ((v / n)::FLOAT)::DOUBLE ELSE 0.0 END ORDER BY i) AS q
+  FROM q_dense CROSS JOIN q_norm GROUP BY n
+)
+"""
+
+ORACLES["embed_and_search"] = _EMBED_CTE + f"""
+SELECT doc_id,
+       round(list_dot_product(c.emb, q.q) /
+             (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q, q.q)) + 1e-8),
+             6) AS score
+FROM corpus c CROSS JOIN qvec q
+ORDER BY score DESC, doc_id DESC LIMIT {K}
+"""

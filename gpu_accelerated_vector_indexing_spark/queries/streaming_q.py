@@ -9,7 +9,9 @@ outputs then agree bit-for-bit.
 (readStream → watermark → window agg → memory sink, complete mode);
 over static fixture data its result equals the batch tumbling query,
 so even the streaming engine gets a full value oracle.
-``streaming_sessions`` (session_window stateful op) has no SQL twin →
+``streaming_sessions`` (session_window stateful op) is batch-restatable
+too — start = min(ts), end = last event + gap — so it carries a full
+oracle as well; only arrival-order-dependent ops (streaming_dedup) stay
 rows-only.
 """
 
@@ -87,7 +89,6 @@ SELECT user_id, CAST(session_id AS INT) AS session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sessions GROUP BY user_id, session_id
 """,
-    # streaming_sessions: session_window state machine has no SQL twin → rows-only
     # stream-stream inner-join matches are emitted in the micro-batch they
     # occur (watermark eviction only bounds state), so the drained result
     # over static data equals the batch interval join
@@ -121,3 +122,27 @@ ORACLES["sources_roundtrip"] = " UNION ALL ".join(
 # tests/test_text_multimodal_streaming.py gates it on the dependency;
 # applyInPandasWithState (streaming_sessions path) covers arbitrary
 # state in the driver contract.
+
+# session_window semantics are batch-restatable exactly: sessions split
+# on >30min inactivity; window start = min(ts), end = LAST event + gap
+# (complete-mode drain over static data emits every closed session once)
+ORACLES["streaming_sessions"] = _EV + """,
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECONDS AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""

@@ -245,3 +245,26 @@ def test_merge_upsert_single_shuffle(spark):
     one exchange over the merge key feeds the row_number filter."""
     plan = physical_plan(_q(spark, "merge_upsert_latest"))
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_dynamic_partition_pruning_on_index_join(spark, tmp_path_factory):
+    """SURVEY §4 P1's in-plan alternative to driver-side probe lists:
+    joining the cluster-partitioned index against a FILTERED tiny
+    centroid relation must trigger dynamic partition pruning — the scan
+    carries a dynamicpruning subquery on the partition column instead of
+    reading all clusters."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        build_partitioned_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("dpp_index"))
+    emb_path, cent_path = build_partitioned_index(spark, SF_CORRECT, out, k=10, seed=42)
+    index = spark.read.parquet(emb_path)
+    probes = spark.read.parquet(cent_path).filter(F.col("cluster") < 3).select("cluster")
+    joined = index.join(probes, "cluster").groupBy("cluster").count()
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {r.cluster for r in joined.collect()}
+    assert got == {0, 1, 2}

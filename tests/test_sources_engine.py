@@ -297,3 +297,13 @@ def test_float32bin_datasource_rejects_bad_size(spark, tmp_path):
         spark.read.format("float32bin").option("dim", 4).load(
             str(tmp_path / "bad.bin")
         ).collect()
+
+
+def test_explain_cli_smoke(spark, capsys):
+    """The plan-inspection CLI prints a formatted physical plan with the
+    pushdown evidence visible."""
+    from gpu_accelerated_vector_indexing_spark.explain import main
+
+    assert main(["filtered_scan", "--sf-dir", SF_SMOKE]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out

@@ -211,3 +211,66 @@ def multi_query_knn(
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "score", "rn")
     )
+
+
+def multi_query_knn_prenorm(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: Sequence[int] = (0, 1, 2, 3, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Batched prenormalized search: every query's top-k from ONE corpus
+    scan of bare dot products — the cheapest possible multi-query plan
+    (P4 hoisting × multi-query amortization composed).
+
+    The normalized query relation broadcasts; the per-query top-k is a
+    window over scored rows. At 100 TB the scan cost is paid once for
+    the whole query batch instead of once per query.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            l2_normalize(as_double_array("embedding")).alias("nq"),
+        )
+    )
+    nv = l2_normalize(as_double_array("embedding"))
+    dot = F.aggregate(
+        F.zip_with(nv, F.col("nq"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = emb.join(F.broadcast(qs)).select(
+        "query_id", "vec_id", F.round(dot, SCORE_SCALE).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def knn_per_cluster_topk(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 3
+) -> DataFrame:
+    """Per-cluster top-k for one query: the sequential fine search's
+    building block (SURVEY §2 O16) exposed as a user query — 'the k
+    nearest in EVERY cluster', the diagnostic view that shows which
+    clusters would have answered if probed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    scored = emb.join(F.broadcast(q)).select(
+        "label",
+        "vec_id",
+        F.round(
+            cosine_similarity_hoisted(as_double_array("embedding"), F.col("qvec"), F.col("qnorm")),
+            SCORE_SCALE,
+        ).alias("score"),
+    )
+    w = W.partitionBy("label").orderBy(F.desc("score"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

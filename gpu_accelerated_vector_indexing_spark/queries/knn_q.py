@@ -308,3 +308,37 @@ SELECT doc_id,
 FROM corpus c CROSS JOIN qvec q
 ORDER BY score DESC, doc_id DESC LIMIT {K}
 """
+
+
+QUERIES["multi_query_knn_prenorm"] = partial(
+    knn.multi_query_knn_prenorm, query_ids=MULTI_QUERY_IDS, k=K
+)
+QUERIES["knn_per_cluster_topk"] = partial(knn.knn_per_cluster_topk, query_id=QUERY_ID)
+
+ORACLES["multi_query_knn_prenorm"] = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, {_NORM.format(v='embedding::DOUBLE[]')} AS nq
+  FROM embeddings WHERE vec_id IN {MULTI_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product({_NORM.format(v='e.embedding::DOUBLE[]')}, q.nq), 6) AS score
+  FROM embeddings e CROSS JOIN qs q
+)
+SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id DESC) AS rn
+  FROM scored
+) WHERE rn <= {K}
+"""
+
+ORACLES["knn_per_cluster_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+scored AS (
+  SELECT e.label, e.vec_id, {_COS} AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT label, vec_id, score, CAST(rn AS INT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id DESC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""

@@ -274,3 +274,28 @@ def knn_per_cluster_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
     )
+
+
+def corpus_validation(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """The ingestion data-quality gate (SURVEY §1.3: the reference's
+    implicit schema becomes explicit checks — its only validation is a
+    file-size divisibility assert, IVF.cpp:473-476).
+
+    One aggregation pass over the corpus: row count, id uniqueness,
+    dimension uniformity against the declared ``dim``, null/empty
+    vectors, and non-finite components. All-zero violation counts are
+    the contract a 100 TB ingest must assert before an index build —
+    catching a ragged vector at build time, not as a wrong search
+    result.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    has_nonfinite = F.exists(
+        "embedding", lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    )
+    return emb.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("vec_id").alias("n_distinct_ids"),
+        F.sum((F.size("embedding") != dim).cast("long")).alias("n_bad_dim"),
+        F.sum(F.col("embedding").isNull().cast("long")).alias("n_null_vec"),
+        F.sum(has_nonfinite.cast("long")).alias("n_nonfinite"),
+    )

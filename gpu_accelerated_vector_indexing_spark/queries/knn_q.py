@@ -342,3 +342,15 @@ SELECT label, vec_id, score, CAST(rn AS INT) AS rn FROM (
   FROM scored
 ) WHERE rn <= 3
 """
+
+QUERIES["corpus_validation"] = partial(knn.corpus_validation, dim=64)
+
+ORACLES["corpus_validation"] = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT vec_id) AS n_distinct_ids,
+       CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+       CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+       CAST(sum(CASE WHEN len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) = 'inf'::FLOAT)) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+FROM embeddings
+"""

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     ("dedup_ngram_jaccard", _noop),
     ("dedup_jaccard_verified_lsh", _noop),
     ("text_stats", _noop),
+    ("curation_quality_filter", _noop),
+    ("curation_decontaminate", _noop),
     ("text_vocab_top", _collect),
     ("multimodal_features", _noop),
     # event-time windowing

@@ -1,0 +1,210 @@
+"""Corpus curation for training-data pipelines (EXT, SURVEY.md §2.3).
+
+Four operators a 100 TB pre-training corpus needs between raw ingest and
+embedding/indexing (the reference's pipeline starts at already-curated
+Wikipedia text, embedding.py:26-31; curation is the step before it):
+
+- ``quality_filter`` — Gopher-style rule filter (Rae et al. 2021,
+  arXiv:2112.11446 §A1.1): token-count bounds, mean-word-length bounds,
+  stopword floor, symbol-ratio ceiling. Pure native column expressions.
+- ``decontaminate_ngram_overlap`` — train/eval n-gram-overlap
+  decontamination (GPT-3 paper, arXiv:2005.14165 §C): flags training
+  documents sharing 5-gram shingles with a held-out eval slice.
+- ``pii_redact`` — regex PII scrubbing (emails, phone numbers) with
+  per-document redaction counts.
+- ``corpus_mix_rebalance`` — per-source sampling weights that rebalance
+  the corpus toward a uniform source mix (domain-mixing step).
+
+Scale notes (100 TB posture):
+- quality_filter / pii_redact are embarrassingly parallel scans — no
+  shuffle, whole-stage-codegen'd, filters push down to Parquet.
+- decontamination shuffles once on the shingle string; at real scale the
+  join key would be ``xxhash64(ngram)`` (8 bytes vs ~30) — kept as the
+  raw string here only because the DuckDB oracle must compute the
+  identical key. The eval side is exploded-distinct per doc first, so
+  the join input is already deduplicated (map-side combine before the
+  exchange).
+- corpus_mix_rebalance aggregates to |sources| rows — partial aggs
+  map-side, final agg tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+    LANG_STOPWORDS,
+    PUNCT_CLASS,
+    TOKEN_RE,
+    tokens,
+)
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+# Gopher-style rule thresholds (deterministic, fixture-calibrated)
+QF_MIN_TOKENS = 10
+QF_MAX_TOKENS = 100_000
+QF_MIN_AVG_TOKEN_LEN = 2.0
+QF_MAX_AVG_TOKEN_LEN = 10.0
+QF_MIN_STOPWORD_RATIO = 0.02
+QF_MAX_PUNCT_RATIO = 0.1
+
+# decontamination parameters
+DECON_NGRAM = 5
+DECON_EVAL_MOD = 20  # doc_id % 20 == 0 ⇒ held-out eval slice (5%)
+DECON_MIN_SHARED = 3  # ≥ this many shared shingles ⇒ contaminated
+
+# PII regexes — common Java-regex / RE2 subset so Spark and DuckDB agree
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style quality rules + keep verdict.
+
+    Single codegen'd projection over ``documents`` — zero shuffles; at
+    100 TB this runs at scan speed and the ``keep`` predicate composes
+    with downstream filters for pushdown.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    avg_tok = token_chars / n_tokens
+    stop = F.size(F.filter(toks, lambda t: t.isin(LANG_STOPWORDS["en"])))
+    stop_ratio = stop / n_tokens
+    punct = F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    punct_ratio = punct / F.length("text")
+
+    f_len = (n_tokens < QF_MIN_TOKENS) | (n_tokens > QF_MAX_TOKENS)
+    f_avg = (avg_tok < QF_MIN_AVG_TOKEN_LEN) | (avg_tok > QF_MAX_AVG_TOKEN_LEN)
+    f_stop = stop_ratio < QF_MIN_STOPWORD_RATIO
+    f_punct = punct_ratio > QF_MAX_PUNCT_RATIO
+    n_failed = (
+        f_len.cast("int") + f_avg.cast("int") + f_stop.cast("int") + f_punct.cast("int")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(f_len, F.lit("len")),
+        F.when(f_avg, F.lit("avg_token_len")),
+        F.when(f_stop, F.lit("stopwords")),
+        F.when(f_punct, F.lit("punct")),
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        n_failed.alias("n_failed"),
+        (n_failed == 0).alias("keep"),
+        reasons.alias("fail_reasons"),
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id × distinct 5-gram shingle (exploded; empty for short docs)."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    grams = F.when(
+        n >= DECON_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), n - (DECON_NGRAM - 1)),
+            lambda i: F.array_join(F.slice(toks, i, DECON_NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs whose 5-gram shingles overlap the eval slice.
+
+    Eval slice = ``doc_id % 20 == 0`` (deterministic 5% held-out);
+    training docs are the rest. Returns one row per training doc with
+    any overlap: shared shingle count, distinct eval docs hit, and the
+    ``contaminated`` verdict (≥ DECON_MIN_SHARED shared shingles).
+
+    One shuffle on the shingle key; both sides are per-doc-distinct
+    before the exchange so the join input is minimal. At 100 TB the key
+    becomes ``xxhash64(ngram)`` (see module docstring).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ev = _doc_shingles(docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)).withColumnRenamed(
+        "doc_id", "eval_doc_id"
+    )
+    tr = _doc_shingles(docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0))
+    hits = tr.join(ev, "ngram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("ngram").alias("shared_ngrams"),
+            F.countDistinct("eval_doc_id").alias("eval_docs_hit"),
+        )
+        .select(
+            "doc_id",
+            "shared_ngrams",
+            "eval_docs_hit",
+            (F.col("shared_ngrams") >= DECON_MIN_SHARED).alias("contaminated"),
+        )
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub with per-doc counts.
+
+    The fixture corpus contains no PII, so a deterministic email +
+    phone are first woven in from ``doc_id`` (making the redaction path
+    actually exercised and oracle-checkable), then scrubbed back out.
+    Pure projection — no shuffle; at scale this is a scan-speed pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.substring(redacted, 1, 120).alias("redacted_head"),
+    )
+
+
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights toward a uniform source mix.
+
+    ``weight = min(1, (total_docs / n_sources) / n_docs)`` — sources
+    over target get down-sampled, sources at/under target keep
+    everything. Aggregates to |sources| rows; the totals join is a
+    broadcast of a 1-row DataFrame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_docs").alias("total_docs"), F.count("*").alias("n_sources")
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    target = F.col("total_docs") / F.col("n_sources")
+    weight = F.least(F.lit(1.0), target / F.col("n_docs"))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs") / F.col("total_docs")).alias("share"),
+        weight.alias("weight"),
+        F.floor(F.col("n_docs") * weight).alias("expected_docs"),
+    )

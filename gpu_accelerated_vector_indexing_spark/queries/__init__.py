@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from gpu_accelerated_vector_indexing_spark.queries import (
         approx_q,
+        curation_q,
         dedup_q,
         ivf_q,
         knn_q,
@@ -40,6 +41,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
         relational_q,
         temporal_q,
         approx_q,
+        curation_q,
         dedup_q,
         text_q,
         multimodal_q,

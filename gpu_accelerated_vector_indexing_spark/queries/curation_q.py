@@ -1,0 +1,127 @@
+"""Corpus-curation query family (EXT): quality filter, decontamination,
+PII redaction, source-mix rebalance.
+
+Oracle notes: every ratio is an int/int (or bigint/bigint) double
+division restated in the identical operation order, so IEEE doubles
+agree bit-for-bit; the PII regexes are written in the common
+Java-regex/RE2 subset so Spark and DuckDB match identically.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.operators import curation as C
+from gpu_accelerated_vector_indexing_spark.operators.curation import (
+    DECON_EVAL_MOD,
+    DECON_MIN_SHARED,
+    DECON_NGRAM,
+    EMAIL_RE,
+    PHONE_RE,
+    QF_MAX_AVG_TOKEN_LEN,
+    QF_MAX_PUNCT_RATIO,
+    QF_MAX_TOKENS,
+    QF_MIN_AVG_TOKEN_LEN,
+    QF_MIN_STOPWORD_RATIO,
+    QF_MIN_TOKENS,
+)
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+    LANG_STOPWORDS,
+    PUNCT_CLASS,
+    TOKEN_RE,
+)
+
+QUERIES = {
+    "curation_quality_filter": C.quality_filter,
+    "curation_decontaminate": C.decontaminate_ngram_overlap,
+    "curation_pii_redact": C.pii_redact,
+    "curation_mix_rebalance": C.corpus_mix_rebalance,
+}
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+_STOPS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+_QF_FAILS = {
+    "len": f"(n_tokens < {QF_MIN_TOKENS} OR n_tokens > {QF_MAX_TOKENS})",
+    "avg_token_len": (
+        f"(avg_token_len < {QF_MIN_AVG_TOKEN_LEN} OR avg_token_len > {QF_MAX_AVG_TOKEN_LEN})"
+    ),
+    "stopwords": f"(stopword_ratio < {QF_MIN_STOPWORD_RATIO})",
+    "punct": f"(punct_ratio > {QF_MAX_PUNCT_RATIO})",
+}
+_QF_NFAIL = " + ".join(f"{c}::INT" for c in _QF_FAILS.values())
+
+_NGRAMS = (
+    f"CASE WHEN len(toks) >= {DECON_NGRAM} THEN "
+    f"list_transform(generate_series(1, len(toks) - {DECON_NGRAM - 1}), "
+    f"i -> array_to_string(toks[i:i+{DECON_NGRAM - 1}], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+_AUG = (
+    "'contact user' || doc_id::VARCHAR || '@example.com or 555-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ' || text"
+)
+
+ORACLES = {
+    "curation_quality_filter": f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_TOKS})::INT AS n_tokens,
+         list_sum(list_transform({_TOKS}, t -> length(t)::INT))::INT
+           / len({_TOKS})::INT AS avg_token_len,
+         len(list_filter({_TOKS}, t -> t IN ({_STOPS})))::INT
+           / len({_TOKS})::INT AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))::INT
+           / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+  ({_QF_NFAIL})::INT AS n_failed,
+  ({_QF_NFAIL}) = 0 AS keep,
+  concat_ws(',',
+    CASE WHEN {_QF_FAILS['len']} THEN 'len' END,
+    CASE WHEN {_QF_FAILS['avg_token_len']} THEN 'avg_token_len' END,
+    CASE WHEN {_QF_FAILS['stopwords']} THEN 'stopwords' END,
+    CASE WHEN {_QF_FAILS['punct']} THEN 'punct' END) AS fail_reasons
+FROM base
+""",
+    "curation_decontaminate": f"""
+WITH toklists AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), shingles AS (
+  SELECT doc_id, unnest(list_distinct({_NGRAMS})) AS ngram FROM toklists
+), ev AS (
+  SELECT doc_id AS eval_doc_id, ngram FROM shingles WHERE doc_id % {DECON_EVAL_MOD} = 0
+), tr AS (
+  SELECT doc_id, ngram FROM shingles WHERE doc_id % {DECON_EVAL_MOD} <> 0
+)
+SELECT tr.doc_id,
+  count(DISTINCT tr.ngram)::BIGINT AS shared_ngrams,
+  count(DISTINCT ev.eval_doc_id)::BIGINT AS eval_docs_hit,
+  count(DISTINCT tr.ngram) >= {DECON_MIN_SHARED} AS contaminated
+FROM tr JOIN ev USING (ngram)
+GROUP BY tr.doc_id
+""",
+    "curation_pii_redact": f"""
+WITH aug AS (SELECT doc_id, {_AUG} AS augtext FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(augtext, '{EMAIL_RE}'))::INT AS n_emails,
+  len(regexp_extract_all(augtext, '{PHONE_RE}'))::INT AS n_phones,
+  substr(regexp_replace(regexp_replace(augtext, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g'), 1, 120) AS redacted_head
+FROM aug
+""",
+    "curation_mix_rebalance": f"""
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({_TOKS})::INT)::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_docs)::BIGINT AS total_docs, count(*)::BIGINT AS n_sources FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+  n_docs / total_docs AS share,
+  least(1.0, (total_docs / n_sources) / n_docs) AS weight,
+  floor(n_docs * least(1.0, (total_docs / n_sources) / n_docs))::BIGINT AS expected_docs
+FROM per_src, tot
+""",
+}

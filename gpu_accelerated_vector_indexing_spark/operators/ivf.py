@@ -394,3 +394,76 @@ def ann_method_comparison(
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+# rebalance thresholds: population ratio vs the uniform target.
+# Real deployments run wider bands (≈2.0 / 0.5); the fixture bands are
+# tight so both actions are exercised at every SF.
+REBALANCE_SPLIT_RATIO = 1.1
+REBALANCE_MERGE_RATIO = 0.9
+
+
+def rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance plan: split hot clusters, merge cold ones.
+
+    The operational follow-up to ``index_stats``: probe pruning only
+    pays off when cluster populations are near-uniform (a hot partition
+    dominates every fine search — reference IVF.cpp:296-299 scans whole
+    clusters, so one oversized cluster sets the latency floor). The plan
+    marks clusters ``split`` (population > SPLIT_RATIO × target, with
+    ``n_splits = ceil(n/target)`` sub-clusters) or ``merge``
+    (population < MERGE_RATIO × target, with ``merge_into`` = nearest
+    other centroid by L2 — where its vectors would land).
+
+    Cost shape: one groupBy(label) count (k rows), one k×k centroid
+    self-join (k ≤ a few hundred — driver-broadcast scale), zero passes
+    over the corpus beyond the count scan. Executing the plan would be
+    a per-cluster KMeans (split) / partition rewrite (merge) — planning
+    is decoupled from execution exactly like AQE's plan-vs-run split.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    totals = counts.agg(
+        F.sum("n_vectors").alias("total"), F.count("*").alias("k_clusters")
+    )
+
+    cents = label_centroids(emb)
+    a = cents.select(F.col("label"), F.col("centroid").alias("ca"))
+    b = cents.select(F.col("label").alias("nbr"), F.col("centroid").alias("cb"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    pairs = a.join(b, F.col("label") != F.col("nbr")).select("label", "nbr", d2.alias("d2"))
+    nearest = (
+        pairs.withColumn(
+            "rn", F.row_number().over(W.partitionBy("label").orderBy("d2", "nbr"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("nbr").alias("nearest_label"))
+    )
+
+    target = F.col("total") / F.col("k_clusters")
+    ratio = F.col("n_vectors") / target
+    action = (
+        F.when(ratio > REBALANCE_SPLIT_RATIO, F.lit("split"))
+        .when(ratio < REBALANCE_MERGE_RATIO, F.lit("merge"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(nearest), "label")
+        .select(
+            "label",
+            "n_vectors",
+            target.alias("target_size"),
+            ratio.alias("ratio"),
+            action.alias("action"),
+            F.when(action == "merge", F.col("nearest_label")).alias("merge_into"),
+            F.when(action == "split", F.ceil(F.col("n_vectors") / target)).alias("n_splits"),
+        )
+    )

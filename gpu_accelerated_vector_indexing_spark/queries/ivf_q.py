@@ -297,4 +297,45 @@ SELECT label, count(*) AS n_vectors,
 FROM d2s GROUP BY label
 """
 
+QUERIES["ivf_rebalance_plan"] = ivf.rebalance_plan
+
+# counts + the same rounded-centroid recipe; ratio/threshold comparisons
+# are identical IEEE double expressions in both engines (bigint/bigint
+# division then decimal-literal compare), so verdicts agree exactly
+ORACLES["ivf_rebalance_plan"] = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (
+  SELECT label AS c_label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label
+),
+pairs AS (
+  SELECT a.c_label AS label, b.c_label AS nbr,
+         round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (a.centroid[i] - b.centroid[i]) * (a.centroid[i] - b.centroid[i]))), 6) AS d2
+  FROM cent a JOIN cent b ON a.c_label <> b.c_label
+),
+nearest AS (
+  SELECT label, nbr AS nearest_label FROM (
+    SELECT label, nbr, row_number() OVER (PARTITION BY label ORDER BY d2, nbr) AS rn FROM pairs
+  ) WHERE rn = 1
+),
+counts AS (SELECT label, count(*)::BIGINT AS n_vectors FROM embeddings GROUP BY label),
+tot AS (SELECT sum(n_vectors)::BIGINT AS total, count(*)::BIGINT AS k_clusters FROM counts)
+SELECT c.label, c.n_vectors,
+  total / k_clusters AS target_size,
+  c.n_vectors / (total / k_clusters) AS ratio,
+  CASE WHEN c.n_vectors / (total / k_clusters) > {ivf.REBALANCE_SPLIT_RATIO} THEN 'split'
+       WHEN c.n_vectors / (total / k_clusters) < {ivf.REBALANCE_MERGE_RATIO} THEN 'merge'
+       ELSE 'keep' END AS action,
+  CASE WHEN c.n_vectors / (total / k_clusters) < {ivf.REBALANCE_MERGE_RATIO}
+       THEN n.nearest_label END AS merge_into,
+  CASE WHEN c.n_vectors / (total / k_clusters) > {ivf.REBALANCE_SPLIT_RATIO}
+       THEN ceil(c.n_vectors / (total / k_clusters))::BIGINT END AS n_splits
+FROM counts c CROSS JOIN tot JOIN nearest n ON n.label = c.label
+"""
+
 QUERIES["ann_method_comparison"] = ivf.ann_method_comparison  # rows-only (LSH/PQ members)

@@ -16,7 +16,31 @@ IVF_NAMES = [
     "knn_ivf_np5",
     "knn_ivf_np10",
     "ivf_recall_sweep",
+    "ivf_rebalance_plan",
 ]
+
+
+def test_rebalance_plan_consistent(spark):
+    """Verdicts follow the thresholds; merge targets are real other clusters."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        REBALANCE_MERGE_RATIO,
+        REBALANCE_SPLIT_RATIO,
+        rebalance_plan,
+    )
+
+    rows = rebalance_plan(spark, SF_CORRECT).collect()
+    labels = {r["label"] for r in rows}
+    assert {r["action"] for r in rows} == {"split", "merge", "keep"}
+    for r in rows:
+        if r["action"] == "split":
+            assert r["ratio"] > REBALANCE_SPLIT_RATIO and r["n_splits"] >= 2
+            assert r["merge_into"] is None
+        elif r["action"] == "merge":
+            assert r["ratio"] < REBALANCE_MERGE_RATIO
+            assert r["merge_into"] in labels and r["merge_into"] != r["label"]
+            assert r["n_splits"] is None
+        else:
+            assert r["merge_into"] is None and r["n_splits"] is None
 
 
 @pytest.mark.parametrize("name", IVF_NAMES)

@@ -1050,3 +1050,104 @@ def events_value_histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 10
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of PROMO-part revenue
+    sold to EUROPE-region customers, by order year.
+
+    The two fact joins (lineitem⋈orders on orderkey, ⋈customer on
+    custkey) carry the data; part (filtered to PROMO), supplier+nation,
+    and the customer-side nation⋈region lookup all broadcast. Numerator
+    and denominator are one conditional aggregate — a single pass, no
+    second scan for the share division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    europe_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    supp_nations = supplier.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("s_nkey"),
+    ).select("s_suppkey", "supp_nation")
+
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_1", revenue).otherwise(
+        F.lit(0).cast("decimal(37,4)")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(europe_nations), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(F.broadcast(supp_nations), li.l_suppkey == supp_nations.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).cast("double").alias("nation_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+            F.round(F.sum(target).cast("double") / F.sum(revenue).cast("double"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
+    """Market-basket analysis: the most co-purchased part pairs.
+
+    Self-join of per-order distinct parts on the order key with
+    ``part_a < part_b`` so each unordered pair counts once. The pair
+    fan-out is bounded by (order size choose 2) — order sizes are
+    bounded by the data model, so this never goes quadratic in the
+    corpus. Shuffles: the distinct, the self-join co-partition on
+    orderkey, the pair count; the final top-N is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(top_n)
+    )
+
+
+def supplier_ship_delay(spark: SparkSession, sf_dir: str, min_items: int = 20) -> DataFrame:
+    """TPC-H Q21-flavored supplier latency league (fixture columns only:
+    no commit/receipt dates, so delay = ship date − order date).
+
+    lineitem⋈orders is the one data-carrying shuffle; supplier names
+    broadcast. The league keeps suppliers with ≥ ``min_items`` shipped
+    items, ranked by mean delay — deterministic tie-break on suppkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(delay) / F.count("*"), 6).alias("avg_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+        )
+        .filter(F.col("n_items") >= min_items)
+        .orderBy(F.desc("avg_delay_days"), "s_suppkey")
+        .limit(10)
+    )

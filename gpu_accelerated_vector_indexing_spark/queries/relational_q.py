@@ -504,3 +504,49 @@ SELECT event_type,
 FROM events CROSS JOIN bounds
 GROUP BY event_type, bucket
 """
+
+QUERIES["market_share"] = R.market_share
+QUERIES["copurchase_part_pairs"] = R.copurchase_part_pairs
+QUERIES["supplier_ship_delay"] = R.supplier_ship_delay
+
+ORACLES["market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0::DECIMAL(37,4) END) AS DOUBLE) AS nation_revenue,
+  CAST(sum(volume) AS DOUBLE) AS total_revenue,
+  round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0::DECIMAL(37,4) END) AS DOUBLE)
+        / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT o_orderdate, n1.n_name AS supp_nation, {_DISC_PRICE} AS volume
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+)
+GROUP BY o_year
+"""
+
+ORACLES["copurchase_part_pairs"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+ORACLES["supplier_ship_delay"] = """
+SELECT s_suppkey, s_name, count(*) AS n_items,
+       round(sum(date_diff('day', o_orderdate, l_shipdate)) / count(*), 6) AS avg_delay_days,
+       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INT) AS max_delay_days
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+HAVING count(*) >= 20
+ORDER BY avg_delay_days DESC, s_suppkey
+LIMIT 10
+"""

@@ -268,3 +268,31 @@ def test_dynamic_partition_pruning_on_index_join(spark, tmp_path_factory):
     assert "dynamicpruning" in plan.lower(), plan
     got = {r.cluster for r in joined.collect()}
     assert got == {0, 1, 2}
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """Q8: part/supplier/nation/region lookups all ride broadcast hash
+    joins; only the fact joins shuffle. A lost broadcast here becomes a
+    corpus-sized shuffle at 100 TB."""
+    df = _q(spark, "market_share")
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_copurchase_topn_is_bounded(spark):
+    """Market-basket top-N must be TakeOrderedAndProject over the pair
+    counts — never a global sort of the whole pair space."""
+    df = _q(spark, "copurchase_part_pairs")
+    plan = assert_plan(df, contains=("TakeOrderedAndProject",))
+    assert "Sort " not in plan
+
+
+def test_decontaminate_shingle_sides_pre_aggregated(spark):
+    """Both shingle sides dedupe per-doc BEFORE the join exchange (the
+    array_distinct lives scan-side), and the final distinct-count agg is
+    partial/final."""
+    df = _q(spark, "curation_decontaminate")
+    plan = physical_plan(df)
+    assert "array_distinct" in plan
+    assert plan.count("HashAggregate") >= 2

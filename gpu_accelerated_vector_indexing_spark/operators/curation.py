@@ -208,3 +208,35 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.alias("weight"),
         F.floor(F.col("n_docs") * weight).alias("expected_docs"),
     )
+
+
+def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ``decontaminate_ngram_overlap``: the shuffle
+    key is ``xxhash64(ngram)`` (8 bytes) instead of the ~30-byte shingle
+    string — the form a 100 TB run would use. Rows-only for the driver
+    (DuckDB has no xxhash64); the string-keyed form is its oracle twin
+    and the results are asserted identical in tests (collision odds at
+    fixture scale ≈ |shingles|²/2⁶⁴ — negligible, and deterministic).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ev = (
+        _doc_shingles(docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0))
+        .select(F.col("doc_id").alias("eval_doc_id"), F.xxhash64("ngram").alias("gram_key"))
+    )
+    tr = _doc_shingles(docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)).select(
+        "doc_id", F.xxhash64("ngram").alias("gram_key")
+    )
+    return (
+        tr.join(ev, "gram_key")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram_key").alias("shared_ngrams"),
+            F.countDistinct("eval_doc_id").alias("eval_docs_hit"),
+        )
+        .select(
+            "doc_id",
+            "shared_ngrams",
+            "eval_docs_hit",
+            (F.col("shared_ngrams") >= DECON_MIN_SHARED).alias("contaminated"),
+        )
+    )

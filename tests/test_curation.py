@@ -12,7 +12,7 @@ from tests.parity import assert_parity
 def _names():
     from gpu_accelerated_vector_indexing_spark.queries import curation_q
 
-    return sorted(curation_q.QUERIES)
+    return sorted(n for n in curation_q.QUERIES if n in curation_q.ORACLES)
 
 
 @pytest.mark.parametrize("name", _names())
@@ -23,6 +23,19 @@ def test_curation_parity_smoke(spark, duck, name):
 @pytest.mark.parametrize("name", _names())
 def test_curation_parity_sf001(spark, duck, name):
     assert_parity(spark, duck, name, SF_CORRECT)
+
+
+def test_decontaminate_hashed_equals_string_keyed(spark):
+    """The xxhash64 scale path returns exactly the string-keyed results."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        decontaminate_hashed,
+        decontaminate_ngram_overlap,
+    )
+
+    cols = ["doc_id", "shared_ngrams", "eval_docs_hit", "contaminated"]
+    a = sorted(map(tuple, decontaminate_ngram_overlap(spark, SF_CORRECT).select(cols).collect()))
+    b = sorted(map(tuple, decontaminate_hashed(spark, SF_CORRECT).select(cols).collect()))
+    assert a == b and len(a) > 0
 
 
 def test_pii_redact_actually_redacts(spark):

@@ -57,17 +57,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-    rejects; read nanos as long and canonicalize to whole seconds
-    (integer `div` — a double division would lose precision at 1.7e18).
-    Oracle SQL applies the same second-truncation (see streaming_q)."""
+    """Canonicalize events.ts to whole seconds, adapting to the fixture's
+    physical type: TIMESTAMP(NANOS) parquet (older driver testdata) is
+    unreadable by Spark, so read nanos as long and integer-`div` to seconds
+    (double division would lose precision at 1.7e18); TIMESTAMP[us] (current
+    testdata) reads natively and gets date_trunc. Oracle SQL applies the
+    identical second-truncation (see streaming_q / temporal_q views)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        ts = F.timestamp_seconds(F.expr("ts div 1000000000"))
+    else:
+        ts = F.date_trunc("second", F.col("ts"))
     return raw.select(
         "event_id",
-        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",

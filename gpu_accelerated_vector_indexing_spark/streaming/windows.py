@@ -91,12 +91,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     a directory base), and the raw schema reads the nano timestamps as
     longs under the legacy conf.
     """
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # Probe the physical type once via the batch reader (footer-only, lazy):
+    # older driver testdata stores TIMESTAMP(NANOS) (read as long), current
+    # testdata stores TIMESTAMP[us] (read natively).
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    nanos = isinstance(probe.schema["ts"].dataType, LongType)
+    ts_sql = "timestamp" if not nanos else "long"
+    raw_schema = f"event_id long, ts {ts_sql}, user_id long, event_type string, value double, props string"
     raw = spark.readStream.schema(raw_schema).parquet(os.path.join(sf_dir, "events.parque*"))
+    ts = (
+        F.timestamp_seconds(F.expr("ts div 1000000000"))
+        if nanos
+        else F.date_trunc("second", F.col("ts"))
+    )
     return raw.select(
         "event_id",
-        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",

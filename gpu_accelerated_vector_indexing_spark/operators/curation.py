@@ -105,7 +105,17 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id × distinct 5-gram shingle (exploded; empty for short docs)."""
+    """doc_id × distinct 5-gram shingle (exploded; empty for short docs).
+
+    Round-robin repartitions first (dedup._spread): the fixture corpus
+    arrives as one input split, and shingling is the expensive per-row
+    projection — without the spread it would serialize on one core. At
+    production scale the scan already has many splits and the shuffle
+    moves only raw text.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import _spread
+
+    docs = _spread(docs)
     toks = tokens(F.col("text"))
     n = F.size(toks)
     grams = F.when(
@@ -128,16 +138,21 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     any overlap: shared shingle count, distinct eval docs hit, and the
     ``contaminated`` verdict (≥ DECON_MIN_SHARED shared shingles).
 
-    One shuffle on the shingle key; both sides are per-doc-distinct
-    before the exchange so the join input is minimal. At 100 TB the key
-    becomes ``xxhash64(ngram)`` (see module docstring).
+    The eval shingle set is broadcast (held-out benchmarks stay small
+    while training data grows), so the only shuffle is the final per-doc
+    aggregation of the join hits. At 100 TB the key becomes
+    ``xxhash64(ngram)`` (see module docstring).
     """
     docs = load_table(spark, sf_dir, "documents")
     ev = _doc_shingles(docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)).withColumnRenamed(
         "doc_id", "eval_doc_id"
     )
     tr = _doc_shingles(docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0))
-    hits = tr.join(ev, "ngram")
+    # The eval slice is a few percent of the corpus at ANY scale (held-out
+    # benchmarks stay small while training data grows), so its exploded
+    # shingle set broadcasts — the big training-shingle relation never
+    # shuffles for this join.
+    hits = tr.join(F.broadcast(ev), "ngram")
     return (
         hits.groupBy("doc_id")
         .agg(
@@ -227,7 +242,7 @@ def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.xxhash64("ngram").alias("gram_key")
     )
     return (
-        tr.join(ev, "gram_key")
+        tr.join(F.broadcast(ev), "gram_key")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("gram_key").alias("shared_ngrams"),

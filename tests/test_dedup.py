@@ -67,3 +67,28 @@ def test_components_partition_edges(spark):
         by_comp.setdefault(c, []).append(d)
     for c, members in by_comp.items():
         assert c == min(members)
+
+
+def test_positional_hash_equals_string_hash(spark):
+    """The hot path hashes shingles straight from character positions;
+    it must stay bit-identical to the definitional string route
+    (char_shingles + shingle_hash)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        SHINGLE_LEN,
+        _doc_shingle_hashes,
+        char_shingles,
+        load_table,
+        shingle_hash,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(200)
+    fast = _doc_shingle_hashes(docs)
+    slow = (
+        docs.filter(F.length("text") >= SHINGLE_LEN)
+        .select("doc_id", F.explode(char_shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", shingle_hash(F.col("sh")).alias("h"))
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0

@@ -217,10 +217,14 @@ def hybrid_search_rrf_topn(
     docs straddling a head boundary can drop below full-window RRF.
     The head-of-both-rankings results are identical; tests pin top-1
     equality and a top-k overlap floor vs the full form (the honest
-    recall-style contract, like PQ). The two ≤head_n-row heads are
-    collected, rank-numbered on the driver (the same bounded
-    materialization as the coarse search), and rebuilt as a JVM-literal
-    relation → rows-only in the driver contract.
+    recall-style contract, like PQ).
+
+    Plan shape: each head is a ``TakeOrderedAndProject`` (k·tasks rows
+    to one partition, never a corpus-wide window); rank numbering is a
+    window over the ≤head_n-row head (trivially small); fusion is a
+    full-outer join of two tiny relations. Nothing is collected —
+    the whole query stays one lazy plan, so it composes (and is
+    DuckDB-oracle-checkable, unlike the former driver-side fusion).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
@@ -235,34 +239,25 @@ def hybrid_search_rrf_topn(
         )
         .orderBy(F.desc("cos"), F.desc("doc_id"))
         .limit(head_n)
-        .collect()
     )
-    bm_head = (
+    cos_ranked = cos_head.withColumn(
+        "cos_rank", F.row_number().over(W.orderBy(F.desc("cos"), F.desc("doc_id")))
+    )
+    bm_ranked = (
         bm25_scores(spark, sf_dir, query_id)
         .orderBy(F.desc("bm25"), F.desc("doc_id"))
         .limit(head_n)
-        .collect()
-    )
-    cos_rank = {r.doc_id: (i + 1, r.cos) for i, r in enumerate(cos_head)}
-    bm_rank = {r.doc_id: (i + 1, r.bm25) for i, r in enumerate(bm_head)}
-    fused = []
-    for doc_id in set(cos_rank) | set(bm_rank):
-        cr, cv = cos_rank.get(doc_id, (None, None))
-        br, bv = bm_rank.get(doc_id, (None, None))
-        rrf = (1.0 / (RRF_K + cr) if cr else 0.0) + (1.0 / (RRF_K + br) if br else 0.0)
-        fused.append((doc_id, cv if cv is not None else 0.0, bv if bv is not None else 0.0, rrf))
-    fused.sort(key=lambda t: (-t[3], -t[0]))
-    structs = [
-        F.struct(
-            F.lit(d).alias("doc_id"),
-            F.lit(float(c)).alias("cos"),
-            F.lit(float(b)).alias("bm25"),
-            F.lit(float(r)).alias("rrf"),
+        .withColumn(
+            "bm25_rank", F.row_number().over(W.orderBy(F.desc("bm25"), F.desc("doc_id")))
         )
-        for d, c, b, r in fused[:k]
-    ]
-    return (
-        spark.range(1)
-        .select(F.explode(F.array(*structs)).alias("s"))
-        .select("s.doc_id", "s.cos", "s.bm25", "s.rrf")
     )
+    fused = cos_ranked.join(bm_ranked, "doc_id", "outer").select(
+        "doc_id",
+        F.coalesce("cos", F.lit(0.0)).alias("cos"),
+        F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.desc("doc_id")).limit(k)

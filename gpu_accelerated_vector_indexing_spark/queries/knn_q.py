@@ -170,7 +170,8 @@ QUERIES["hybrid_search_rrf"] = _hybrid_search_rrf
 
 _HTOKS = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
 
-ORACLES["hybrid_search_rrf"] = f"""
+# Shared CTE prefix of both hybrid oracles: tokenization → BM25 → cosine.
+_HYBRID_BASE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_HTOKS}) AS token FROM documents
 ),
@@ -203,7 +204,11 @@ cos AS (
                (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
                 sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS cos
   FROM embeddings e CROSS JOIN q
-),
+)"""
+
+ORACLES["hybrid_search_rrf"] = (
+    _HYBRID_BASE
+    + """,
 cr AS (
   SELECT doc_id, cos, row_number() OVER (ORDER BY cos DESC, doc_id DESC) AS cos_rank FROM cos
 ),
@@ -215,6 +220,7 @@ SELECT doc_id, cos, coalesce(bm25, 0.0) AS bm25,
 FROM cr LEFT JOIN br USING (doc_id)
 ORDER BY rrf DESC, doc_id DESC LIMIT 10
 """
+)
 
 
 def _mmr_rerank(spark, sf_dir):
@@ -229,14 +235,33 @@ QUERIES["mmr_rerank"] = _mmr_rerank
 
 
 def _hybrid_topn(spark, sf_dir):
-    """Head-truncated RRF (scale form) — approximate by design, no SQL
-    twin → rows-only; overlap contract pinned in tests/test_knn.py."""
+    """Head-truncated RRF (scale form): approximate vs the full-window
+    form by design, but fully deterministic and in-plan — the oracle
+    restates the head truncation (ORDER BY … LIMIT head_n) literally."""
     from gpu_accelerated_vector_indexing_spark.operators.hybrid import hybrid_search_rrf_topn
 
     return hybrid_search_rrf_topn(spark, sf_dir, query_id=QUERY_ID, k=10)
 
 
 QUERIES["hybrid_search_rrf_topn"] = _hybrid_topn
+
+ORACLES["hybrid_search_rrf_topn"] = (
+    _HYBRID_BASE
+    + """,
+ch AS (SELECT doc_id, cos FROM cos ORDER BY cos DESC, doc_id DESC LIMIT 100),
+cr AS (
+  SELECT doc_id, cos, row_number() OVER (ORDER BY cos DESC, doc_id DESC) AS cos_rank FROM ch
+),
+bh AS (SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id DESC LIMIT 100),
+br AS (
+  SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id DESC) AS bm25_rank FROM bh
+)
+SELECT doc_id, coalesce(cos, 0.0) AS cos, coalesce(bm25, 0.0) AS bm25,
+       coalesce(1.0 / (60 + cos_rank), 0.0) + coalesce(1.0 / (60 + bm25_rank), 0.0) AS rrf
+FROM cr FULL OUTER JOIN br USING (doc_id)
+ORDER BY rrf DESC, doc_id DESC LIMIT 10
+"""
+)
 
 
 # embed_and_search oracle: the md5 hashing featurizer replicated in SQL.

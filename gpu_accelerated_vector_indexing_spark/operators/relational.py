@@ -1151,3 +1151,181 @@ def supplier_ship_delay(spark: SparkSession, sf_dir: str, min_items: int = 20) -
         .orderBy(F.desc("avg_delay_days"), "s_suppkey")
         .limit(10)
     )
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year, over a part-name predicate.
+
+    The fixture has no partsupp table, so supply cost is proxied as
+    80% of ``p_retailprice`` (decimal-exact: (18,2)×(18,2)×qty). The
+    operator structure is Q9's: a part-name LIKE filter reduces part to
+    a broadcast side, lineitem joins orders on orderkey (the one big
+    shuffle), supplier and nation broadcast, and profit aggregates per
+    (nation, year). At 100 TB the partkey filter prunes the fact scan
+    via the broadcast hash join's runtime filter (AQE/DPP).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    cost = dec("p_retailprice") * F.lit(0.80).cast("decimal(18,2)") * dec("l_quantity", 0)
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(revenue - cost).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's traded value — GROUP BY + HAVING against a scalar subquery
+    fraction of the total.
+
+    partsupp's (part, supplier, value) is reconstructed from lineitem
+    revenue restricted to suppliers of one nation. The total-value
+    scalar is a 1-row broadcast cross join (computed once, reused by
+    the HAVING), exactly Q11's inner/outer aggregate sharing. Both
+    aggregations shuffle on l_partkey — the second reuses the first's
+    cached groupBy result within one plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_suppliers = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    per_part = (
+        li.join(F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(revenue).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.lit(0.001) * F.col("total_dec").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+            F.round(
+                F.col("value_dec").cast("double") / F.col("total_dec").cast("double"), 6
+            ).alias("value_share"),
+        )
+    )
+
+
+def ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority mix per shipping-delay class —
+    conditional counts after a fact-fact join.
+
+    The fixture has no l_shipmode/commitdate, so the Q12 grouping key
+    becomes the ship-delay bucket (days between order and ship date,
+    in 30-day classes capped at 90+), and the measures are Q12's
+    literally: CASE-counted high-priority (1-URGENT/2-HIGH) vs lower
+    orders. One shuffle (orderkey join); the aggregation output is four
+    rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    # synthetic fixture dates are independent, so delay can be negative —
+    # clamp to [0, 3] for the four canonical classes
+    bucket = F.greatest(F.least(F.floor(delay_days / 30), F.lit(3)), F.lit(0)).cast("int")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(is_high.cast("long")).alias("high_priority_count"),
+            F.sum((~is_high).cast("long")).alias("low_priority_count"),
+        )
+    )
+
+
+def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute
+    group, with a NOT-IN supplier exclusion.
+
+    The part↔supplier bridge is lineitem (no partsupp in the fixture).
+    Suppliers with negative account balance are excluded via a
+    broadcast ANTI join (the Q16 NOT IN subquery — anti join is its
+    null-safe plan form when the subquery key is non-null). Excluded
+    part predicates (one brand, PROMO type) push into the part
+    broadcast. The countDistinct shuffles once on the group key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad_suppliers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_parts = part.filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO") & (F.col("p_size") <= 25)
+    )
+    return (
+        li.join(F.broadcast(bad_suppliers), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(keep_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved an outsized share of a
+    part family in one year — nested aggregation feeding a semi join.
+
+    Inner query: per (supplier, part) over 'small%' parts, 1997
+    quantity vs all-time quantity; pairs with >50% concentration
+    qualify. Outer: suppliers owning ≥1 qualifying pair, joined back
+    (semi shape) to supplier and nation for output. Two aggregations
+    share one shuffle key (l_suppkey, l_partkey); the final supplier
+    join broadcasts the small qualifying set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    per_pair = (
+        li.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, dec("l_quantity", 0)).otherwise(F.lit(0).cast("decimal(18,0)")))
+            .alias("qty_1997"),
+            F.sum(dec("l_quantity", 0)).alias("qty_total"),
+        )
+        .filter(F.col("qty_1997").cast("double") > 0.5 * F.col("qty_total").cast("double"))
+    )
+    qualifying = per_pair.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_concentrated_parts"),
+        F.sum("qty_1997").cast("double").alias("qty_1997_total"),
+    )
+    return (
+        supplier.join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_concentrated_parts",
+            "qty_1997_total",
+        )
+    )

@@ -550,3 +550,91 @@ HAVING count(*) >= 20
 ORDER BY avg_delay_days DESC, s_suppkey
 LIMIT 10
 """
+
+# --- TPC-H Q9/Q11/Q12/Q16/Q20 shapes (fixture-adapted; no partsupp) -------
+
+QUERIES["profit_by_nation_year"] = R.profit_by_nation_year
+QUERIES["important_part_value"] = R.important_part_value
+QUERIES["ship_delay_priority"] = R.ship_delay_priority
+QUERIES["parts_supplier_count"] = R.parts_supplier_count
+QUERIES["excess_inventory_suppliers"] = R.excess_inventory_suppliers
+
+ORACLES["profit_by_nation_year"] = f"""
+SELECT n.n_name AS nation,
+       EXTRACT(year FROM o.o_orderdate)::INT AS o_year,
+       CAST(sum({_DISC_PRICE}
+                - p.p_retailprice::DECIMAL(18,2) * 0.80::DECIMAL(18,2)
+                  * l.l_quantity::DECIMAL(18,0)) AS DOUBLE) AS profit,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+"""
+
+ORACLES["important_part_value"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, sum({_DISC_PRICE}) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+),
+total AS (SELECT sum(value_dec) AS total_dec FROM per_part)
+SELECT l_partkey AS partkey,
+       CAST(value_dec AS DOUBLE) AS part_value,
+       round(CAST(value_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS value_share
+FROM per_part CROSS JOIN total
+WHERE CAST(value_dec AS DOUBLE) > 0.001 * CAST(total_dec AS DOUBLE)
+"""
+
+ORACLES["ship_delay_priority"] = """
+SELECT CAST(greatest(least(floor(date_diff('day', o.o_orderdate, l.l_shipdate) / 30), 3), 0) AS INT)
+         AS delay_bucket,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_priority_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_priority_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY delay_bucket
+"""
+
+ORACLES["parts_supplier_count"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO' AND p.p_size <= 25
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 40
+"""
+
+ORACLES["excess_inventory_suppliers"] = """
+WITH per_pair AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN l_quantity::DECIMAL(18,0) ELSE 0::DECIMAL(18,0) END) AS qty_1997,
+         sum(l_quantity::DECIMAL(18,0)) AS qty_total
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(qty_1997 AS DOUBLE) > 0.5 * CAST(qty_total AS DOUBLE)
+),
+qualifying AS (
+  SELECT l_suppkey, count(*) AS n_concentrated_parts,
+         CAST(sum(qty_1997) AS DOUBLE) AS qty_1997_total
+  FROM per_pair GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+       q.n_concentrated_parts, q.qty_1997_total
+FROM supplier s
+JOIN qualifying q ON s.s_suppkey = q.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""

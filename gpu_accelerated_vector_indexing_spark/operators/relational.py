@@ -1329,3 +1329,27 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_1997_total",
         )
     )
+
+
+def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: per-returnflag measures melted to
+    (flag, measure, val) rows via ``DataFrame.unpivot`` — the relational
+    UNPIVOT/MELT surface (inverse of ``pivot_status``).
+
+    The aggregation happens BEFORE the melt, so the unpivot touches
+    |flags|×3 rows, not the fact table — the only sane order at scale
+    (melting a 100 TB fact table triples it; melting its aggregate is
+    free).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

@@ -638,3 +638,20 @@ FROM supplier s
 JOIN qualifying q ON s.s_suppkey = q.l_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 """
+
+QUERIES["unpivot_flag_measures"] = R.unpivot_flag_measures
+
+ORACLES["unpivot_flag_measures"] = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         {_DSUM.format(col='l_quantity')} AS sum_qty,
+         {_DSUM.format(col='l_extendedprice')} AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_items
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM wide
+UNION ALL
+SELECT l_returnflag, 'n_items' AS measure, n_items AS val FROM wide
+"""

@@ -45,6 +45,7 @@ QUERIES = {
     "streaming_sessions": SW.streaming_session_window,
     "streaming_dedup": SW.streaming_dedup,
     "streaming_interval_join": SW.streaming_interval_join,
+    "streaming_stream_static": SW.streaming_stream_static_join,
 }
 
 _INTERVAL_JOIN_SQL = (
@@ -146,3 +147,15 @@ SELECT user_id,
        count(*) AS n_events
 FROM sessions GROUP BY user_id, sid
 """
+
+
+ORACLES["streaming_stream_static"] = (
+    _EV
+    + """
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events,
+       CAST(sum(e.value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM ev e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+)

@@ -283,3 +283,39 @@ def streaming_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-static join: the events stream enriched against the
+    static ``customer`` dimension, aggregated per market segment.
+
+    The static side needs no watermark and is re-read (or broadcast)
+    per micro-batch — the canonical dimension-enrichment shape of a
+    production pipeline (at 100 TB: a broadcast hash join per batch;
+    the stream side never shuffles for the join). Complete-mode drain
+    over the static fixture equals the batch join+agg, so the query
+    carries a full DuckDB oracle.
+    """
+    import os as _os
+
+    with _memory_sink_counter:
+        _sink_id[0] += 1
+        name = f"gpu_accelerated_vector_indexing_sstatic_{_sink_id[0]}"
+    customer = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

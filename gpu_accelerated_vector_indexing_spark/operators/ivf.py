@@ -370,6 +370,7 @@ def ann_method_comparison(
     from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
     from gpu_accelerated_vector_indexing_spark.operators.lsh_ann import knn_lsh
     from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        knn_bq,
         knn_ivf_pq,
         knn_ivf_sq8,
         knn_pq,
@@ -383,6 +384,7 @@ def ann_method_comparison(
         "sq8": knn_sq8(spark, sf_dir, query_id=query_id, k=k),
         "ivf_sq8": knn_ivf_sq8(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
         "pq": knn_pq(spark, sf_dir, query_id=query_id, k=k),
+        "bq": knn_bq(spark, sf_dir, query_id=query_id, k=k),
         "ivf_pq": knn_ivf_pq(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
     }
     out = None

@@ -432,3 +432,77 @@ def knn_ivf_pq(
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(k)
     )
+
+
+# --- binary quantization (1 bit/dim) -----------------------------------------
+
+BQ_DIM = 64  # fixture embedding dim — one packed int64 code per vector
+
+
+def bq_code(v: Column, dim: int = BQ_DIM) -> Column:
+    """Sign-bit binary quantization packed into ONE BIGINT (dim=64).
+
+    bit_j = 1 iff v_j > 0; bit 63 is encoded via two's complement
+    (−2^63) so the code stays a plain comparable BIGINT in every engine
+    (same device as dedup.simhash_docs). 64× compression vs float32:
+    the candidate scan reads 8 bytes/vector.
+    """
+    terms = [
+        F.when(v[j] > 0, F.lit(2**j if j < 63 else -(2**63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(dim)
+    ]
+    code = terms[0]
+    for t in terms[1:]:
+        code = code + t
+    return code
+
+
+def knn_bq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_candidates: int = 150,
+) -> DataFrame:
+    """Top-k cosine via binary (sign-bit) candidate scan + exact rescore.
+
+    The deepest single-vector compression in the ladder (1 bit/dim —
+    below SQ8's 8 and PQ's 0.5 bytes/dim): candidates are the
+    ``n_candidates`` smallest Hamming distances ``bit_count(code XOR
+    qcode)`` — for unit-ish random vectors the sign-agreement rate is a
+    monotone proxy of the angle (Goemans-Williamson / SimHash bound) —
+    then the float vectors rescore exactly. With the generous candidate
+    margin the result EQUALS brute force on the fixture corpus, so the
+    DuckDB oracle is the exact brute-force SQL (the same
+    approx-equals-exact contract as knn_sq8; the margin-sensitivity is
+    pinned in tests, not assumed).
+
+    Scale shape: candidate selection is TakeOrderedAndProject over an
+    8-byte-per-row scan; the rescore joins a broadcast ≤n_candidates id
+    list against the float table. Hamming ties break on vec_id DESC —
+    fully deterministic end to end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    qcode = q.select(
+        "query_id", "qvec", "qnorm", bq_code(F.col("qvec")).alias("qcode")
+    )
+    v = as_double_array("embedding")
+    hamming = F.bit_count(bq_code(v).bitwiseXOR(F.col("qcode")))
+    candidates = (
+        emb.join(F.broadcast(qcode))
+        .select("vec_id", hamming.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(v, F.col("qvec"), F.col("qnorm"))
+    return (
+        emb.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

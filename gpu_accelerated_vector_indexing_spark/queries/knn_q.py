@@ -139,10 +139,22 @@ SELECT vec_id, score FROM scored WHERE score >= 0.3
 # knn_bruteforce_pandas: same semantics as knn_bruteforce through the
 # NumPy kernel path — reuse the same oracle.
 ORACLES["knn_bruteforce_pandas"] = ORACLES["knn_bruteforce"]
+def _knn_bq(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_bq
+
+    return knn_bq(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+# knn_bq: 1-bit Hamming candidate scan + exact rescore returns exactly
+# the brute-force top-k at the fixture margin (pinned in tests), so the
+# oracle is the exact brute-force SQL — same contract as knn_sq8.
+QUERIES["knn_bq"] = _knn_bq
+
 # knn_sq8: quantized candidate scan + exact rescore MUST return the
 # brute-force result (candidate margin ≫ quantization rank error) —
 # the approx-equals-exact contract, same oracle.
 ORACLES["knn_sq8"] = ORACLES["knn_bruteforce"]
+ORACLES["knn_bq"] = ORACLES["knn_bruteforce"]
 # knn_prenorm: normalize-once then bare dot — the exact same arithmetic
 # replicated (normalize with the +1e-8 guard, then dot), IEEE-identical.
 _NORM = "list_transform({v}, x -> x / (sqrt(list_dot_product({v}, {v})) + 1e-8))"

@@ -134,12 +134,13 @@ def test_ivf_pq_recall_floor_and_full_margin(spark):
 
 
 def test_ann_method_comparison_bounds(spark):
-    """The cross-method recall harness: exact-contract methods (sq8)
-    must hit recall 1.0; every method stays within [0,1] with all six
+    """The cross-method recall harness: exact-contract methods (sq8, bq)
+    must hit recall 1.0; every method stays within [0,1] with all seven
     methods present."""
     from gpu_accelerated_vector_indexing_spark.operators.ivf import ann_method_comparison
 
     rows = {r.method: r.recall for r in ann_method_comparison(spark, SF_CORRECT).collect()}
-    assert set(rows) == {"ivf_np3", "lsh", "sq8", "ivf_sq8", "pq", "ivf_pq"}
+    assert set(rows) == {"ivf_np3", "lsh", "sq8", "ivf_sq8", "pq", "ivf_pq", "bq"}
     assert rows["sq8"] == 1.0  # exact-equality contract
+    assert rows["bq"] == 1.0  # exact-equality contract (margin-backed)
     assert all(0.0 <= v <= 1.0 for v in rows.values())

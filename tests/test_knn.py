@@ -176,3 +176,17 @@ def test_hybrid_topn_approximates_full_rrf(spark):
     for d, s in topn:
         if d in full_scores:  # in-both-heads docs score identically
             assert s <= full_scores[d] + 1e-12
+
+
+def test_knn_bq_equals_bruteforce_at_margin(spark):
+    """Binary-quantization candidates + exact rescore must reproduce the
+    exact brute-force top-k at the default candidate margin (the
+    approx-equals-exact contract its oracle relies on). The margin is
+    load-bearing: sign bits carry ~1 bit/dim, so a tiny candidate head
+    is NOT guaranteed to contain the true top-k."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_bq
+
+    bf = [tuple(r) for r in knn_bruteforce(spark, SF_CORRECT).collect()]
+    bq = [tuple(r) for r in knn_bq(spark, SF_CORRECT).collect()]
+    assert bq == bf

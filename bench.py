@@ -51,7 +51,9 @@ BENCH_QUERIES = [
     ("knn_ivf_sq8", _collect),
     ("knn_pq", _collect),
     ("knn_ivf_pq", _collect),
+    ("knn_bq", _collect),
     ("hybrid_search_rrf", _collect),
+    ("hybrid_search_rrf_topn", _collect),
     ("knn_prenorm", _collect),
     ("multi_query_knn", _collect),
     ("knn_with_docs", _collect),
@@ -69,6 +71,8 @@ BENCH_QUERIES = [
     ("window_topk_per_group", _collect),
     ("window_running", _noop),
     ("scalar_subquery", _collect),
+    ("profit_by_nation_year", _collect),
+    ("ship_delay_priority", _collect),
     # training-data pipeline operators
     ("join_asof", _noop),
     ("join_range_bucketed", _noop),

@@ -446,17 +446,18 @@ def bq_code(v: Column, dim: int = BQ_DIM) -> Column:
     (−2^63) so the code stays a plain comparable BIGINT in every engine
     (same device as dedup.simhash_docs). 64× compression vs float32:
     the candidate scan reads 8 bytes/vector.
+
+    Built as ONE fold over a literal weight array rather than 64 nested
+    CASE-WHEN additions — the flat expression keeps analyzer/codegen
+    time constant instead of growing with dim.
     """
-    terms = [
-        F.when(v[j] > 0, F.lit(2**j if j < 63 else -(2**63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for j in range(dim)
-    ]
-    code = terms[0]
-    for t in terms[1:]:
-        code = code + t
-    return code
+    weights = F.array(
+        *[F.lit(2**j if j < 63 else -(2**63)).cast("long") for j in range(dim)]
+    )
+    bits = F.zip_with(
+        v, weights, lambda x, w: F.when(x > 0, w).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def knn_bq(

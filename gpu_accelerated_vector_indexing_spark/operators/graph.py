@@ -1,0 +1,104 @@
+"""Graph analytics over fixture-derived graphs (EXT, SURVEY.md §2.3).
+
+The reference has no graph surface; a training-data platform needs at
+least two graph primitives — connected components (dedup canonical
+selection, operators/dedup.duplicate_components) and a centrality
+measure for corpus/link analysis. This module adds PageRank over the
+co-purchase part graph (parts are nodes, "appeared in the same order"
+is an undirected edge — the market-basket graph of
+relational.copurchase_part_pairs).
+
+Spark-first iterative shape (same posture as duplicate_components):
+driver-controlled fixed-iteration loop, one hash-join + one
+contribution aggregation per round, ranks localCheckpoint-ed each
+round so the lineage (and thus task-serialization cost) stays O(1) in
+the iteration count. At 100 TB the edge list shuffles once per round
+on the node key — the standard Pregel-as-joins pattern; GraphX/GraphFrames
+do exactly this under the hood, re-expressed here in plain DataFrames.
+
+PageRank output is rows-only for the driver contract: float
+contribution sums depend on aggregation order in the last bits, so no
+bit-stable SQL twin is claimed; tests pin the mathematical invariants
+(mass conservation, the (1-d) floor, fixed-point stability) and the
+rank ORDER of the head.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+DAMPING = 0.85
+PR_ITERS = 12
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges (both directions materialized) —
+    (src, dst) part pairs sharing ≥1 order. Pair fan-out is bounded by
+    (order size choose 2), never corpus-quadratic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = order_parts.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = order_parts.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return pairs
+
+
+def copurchase_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    top_n: int = 25,
+) -> DataFrame:
+    """PageRank over the co-purchase part graph, top-``top_n`` parts.
+
+    rank_{t+1}(v) = (1-d) + d·Σ_{u→v} rank_t(u)/outdeg(u), ``iters``
+    fixed rounds (the convention where ranks sum to |V|). Every node in
+    the edge list has outdeg ≥ 1 (edges are materialized both ways), so
+    there is no dangling mass. Per round: one join of ranks onto edges
+    (shuffle on src), one contribution sum (shuffle on dst) — edge
+    degrees are broadcast-joined once up front. Ranks are truncated to
+    10 d.p. each round to damp float-order noise; the output rounds to
+    6 d.p. like every engine score.
+    """
+    edges = copurchase_edges(spark, sf_dir).cache()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # (src, dst, outdeg) — the loop-invariant join is done ONCE
+    contrib_edges = edges.join(deg, "src").select("src", "dst", "outdeg").cache()
+    contrib_edges.count()
+    nodes = edges.select(F.col("src").alias("part")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.part)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.part == contribs.dst, "left")
+            .select(
+                "part",
+                F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    10,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # O(1) lineage across rounds
+        )
+    edges.unpersist()
+    contrib_edges.unpersist()
+    return (
+        ranks.select("part", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("part"))
+        .limit(top_n)
+    )

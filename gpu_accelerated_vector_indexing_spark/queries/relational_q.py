@@ -655,3 +655,16 @@ SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM wide
 UNION ALL
 SELECT l_returnflag, 'n_items' AS measure, n_items AS val FROM wide
 """
+
+
+def _copurchase_pagerank(spark, sf_dir):
+    """Iterative PageRank (driver-loop Pregel-as-joins) — float
+    contribution sums are aggregation-order sensitive in the last bits,
+    so no bit-stable SQL twin is claimed: rows-only; invariants (mass
+    conservation, (1-d) floor, determinism) pinned in tests."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph import copurchase_pagerank
+
+    return copurchase_pagerank(spark, sf_dir)
+
+
+QUERIES["copurchase_pagerank"] = _copurchase_pagerank

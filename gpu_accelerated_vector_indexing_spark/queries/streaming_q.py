@@ -46,6 +46,7 @@ QUERIES = {
     "streaming_dedup": SW.streaming_dedup,
     "streaming_interval_join": SW.streaming_interval_join,
     "streaming_stream_static": SW.streaming_stream_static_join,
+    "streaming_foreach_upsert": SW.streaming_foreach_upsert,
 }
 
 _INTERVAL_JOIN_SQL = (
@@ -157,5 +158,18 @@ SELECT c.c_mktsegment, e.event_type,
        CAST(sum(e.value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
 FROM ev e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
+"""
+)
+
+
+ORACLES["streaming_foreach_upsert"] = (
+    _EV
+    + """
+SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+FROM (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1
 """
 )

@@ -15,6 +15,7 @@ money column (see operators/relational.py).
 from __future__ import annotations
 
 import os
+import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -319,3 +320,49 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink maintaining a latest-wins per-user state
+    table — the production "merge into target per micro-batch" pattern
+    (the closest open-surface analog of MERGE INTO a lakehouse table).
+
+    Each micro-batch is reduced to its per-user latest row, merged with
+    the running state via union + per-key window, and the state is
+    ``localCheckpoint``-ed to truncate lineage (without it the plan
+    grows per batch — the classic foreachBatch leak). Latest-wins under
+    the total (ts DESC, event_id DESC) order is associative across any
+    batching, so the drained result equals the batch "latest event per
+    user" query — a full DuckDB oracle despite the incremental path.
+    """
+    state: dict[str, DataFrame] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(F.desc("last_ts"), F.desc("last_event_id"))
+        reduced = batch_df.select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        merged = state["df"].unionByName(reduced) if "df" in state else reduced
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        state["df"] = latest.localCheckpoint(eager=True)
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_fb_"))
+        .foreachBatch(upsert)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return state["df"].select("user_id", "last_type", "last_value", "last_ts")

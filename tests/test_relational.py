@@ -9,7 +9,9 @@ from tests.parity import assert_parity
 def _names():
     from gpu_accelerated_vector_indexing_spark.queries import relational_q
 
-    return sorted(relational_q.QUERIES)
+    # oracle-backed names only: rows-only entries (copurchase_pagerank)
+    # are invariant-tested separately
+    return sorted(n for n in relational_q.QUERIES if n in relational_q.ORACLES)
 
 
 @pytest.mark.parametrize("name", _names())
@@ -37,3 +39,28 @@ def test_multiway_join_broadcasts_dims(spark):
 
     plan = join_multiway(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_copurchase_pagerank_invariants(spark):
+    """PageRank invariants: every rank >= the (1-d) floor, total mass
+    ~= |V| (no dangling leakage in the bidirectional edge list), the
+    head is deterministic across runs, and ranking is non-trivial."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph import (
+        DAMPING,
+        copurchase_edges,
+        copurchase_pagerank,
+    )
+
+    n_nodes = copurchase_edges(spark, SF_CORRECT).select("src").distinct().count()
+    rows = copurchase_pagerank(spark, SF_CORRECT, top_n=10_000_000).collect()
+    assert len(rows) == n_nodes
+    assert all(r.rank >= (1 - DAMPING) - 1e-6 for r in rows)
+    total = sum(r.rank for r in rows)
+    assert abs(total - n_nodes) / n_nodes < 1e-3
+    head = [(r.part, r.rank) for r in rows[:10]]
+    rerun = [
+        (r.part, r.rank)
+        for r in copurchase_pagerank(spark, SF_CORRECT, top_n=10).collect()
+    ]
+    assert head == rerun
+    assert rows[0].rank > rows[-1].rank

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     ("hybrid_search_rrf", _collect),
     ("hybrid_search_rrf_topn", _collect),
     ("knn_prenorm", _collect),
+    ("knn_ivf_prenorm", _collect),
     ("multi_query_knn", _collect),
     ("knn_with_docs", _collect),
     ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search
@@ -71,6 +72,10 @@ BENCH_QUERIES = [
     ("window_topk_per_group", _collect),
     ("window_running", _noop),
     ("scalar_subquery", _collect),
+    ("lateral_topk", _collect),
+    ("variant_props_stats", _collect),
+    ("revenue_monthly_gapfill", _collect),
+    ("zorder_layout", _collect),
     ("profit_by_nation_year", _collect),
     ("ship_delay_priority", _collect),
     # training-data pipeline operators

@@ -24,6 +24,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
         ivf_q,
         knn_q,
         lsh_q,
+        modern_q,
         multimodal_q,
         relational_q,
         streaming_q,
@@ -38,6 +39,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
         knn_q,
         ivf_q,
         lsh_q,
+        modern_q,
         relational_q,
         temporal_q,
         approx_q,

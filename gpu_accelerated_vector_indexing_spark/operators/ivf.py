@@ -122,6 +122,49 @@ def knn_ivf(
     return fine.select("vec_id", "score").orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
 
 
+def knn_ivf_prenorm(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF probe pruning COMPOSED with the prenormalized-dot fine scan —
+    the fastest composed read path: the coarse stage prunes partitions
+    (SURVEY.md §4 P1) and the fine stage's per-row work is a bare fused
+    dot product (P4's strongest hoisting — with normalize-once storage
+    both norms leave the hot loop entirely).
+
+    At 100 TB this is the plan to run: n_probe/k of the files opened,
+    and each surviving row costs one O(dim) fold with zero sqrt/div.
+    Probe selection is identical to ``knn_ivf`` (cosine over raw
+    centroids), so the pruning decision is unchanged — only the fine
+    scoring arithmetic differs (normalized dot, +1e-8 guard applied
+    once per vector, reference IVF.cpp:150).
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    cents = label_centroids(emb)
+    probes = [r.label for r in coarse_search(cents, q, n_probe).select("label").collect()]
+    nq = (
+        emb.filter(F.col("vec_id") == query_id)
+        .select(l2_normalize(as_double_array("embedding")).alias("nq"))
+    )
+    nv = l2_normalize(as_double_array("embedding"))
+    dot = F.aggregate(
+        F.zip_with(nv, F.col("nq"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        emb.filter(F.col("label").isin(probes))
+        .join(F.broadcast(nq))
+        .select("vec_id", F.round(dot, SCORE_SCALE).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
 def knn_ivf_filtered(
     spark: SparkSession,
     sf_dir: str,

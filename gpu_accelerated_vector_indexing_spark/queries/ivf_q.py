@@ -125,6 +125,7 @@ QUERIES = {
         ivf.knn_ivf_filtered, query_id=QUERY_ID, k=K, n_probe=N_PROBE, lang="en"
     ),
     "knn_ivf_sequential": partial(ivf.knn_ivf, query_id=QUERY_ID, k=K, n_probe=N_PROBE, sequential=True),
+    "knn_ivf_prenorm": partial(ivf.knn_ivf_prenorm, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
     "knn_ivf_sq8": _knn_ivf_sq8,
     "knn_ivf_pq": _knn_ivf_pq,
@@ -220,6 +221,26 @@ GROUP BY e.label, d.i
     # the exact fine search — same oracle as the combined IVF plan.
     "knn_ivf_sq8": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
     "knn_ivf_sequential": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
+    # IVF probes (identical coarse CTEs, reused via the fine-less prefix
+    # below) × prenormalized bare-dot fine scoring — the same
+    # normalize-then-dot arithmetic as knn_prenorm, restricted to the
+    # probed clusters. The unused `fine` CTE from the shared prefix is
+    # harmless (never referenced).
+    "knn_ivf_prenorm": _IVF_CTES
+    + f""",
+nq AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> x /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) + 1e-8)) AS nqv
+  FROM embeddings WHERE vec_id = {QUERY_ID}
+),
+nfine AS (
+  SELECT e.vec_id,
+         round(list_dot_product(list_transform(e.embedding::DOUBLE[], x -> x /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) + 1e-8)), nq.nqv), 6) AS score
+  FROM embeddings e CROSS JOIN nq
+  WHERE e.label IN (SELECT label FROM probes)
+)
+SELECT vec_id, score FROM nfine ORDER BY score DESC, vec_id DESC LIMIT {K}""",
     "ivf_recall": _IVF_CTES
     + f""",
 exact AS (

@@ -16,11 +16,14 @@ the iteration count. At 100 TB the edge list shuffles once per round
 on the node key — the standard Pregel-as-joins pattern; GraphX/GraphFrames
 do exactly this under the hood, re-expressed here in plain DataFrames.
 
-PageRank output is rows-only for the driver contract: float
-contribution sums depend on aggregation order in the last bits, so no
-bit-stable SQL twin is claimed; tests pin the mathematical invariants
-(mass conservation, the (1-d) floor, fixed-point stability) and the
-rank ORDER of the head.
+Determinism: per-round contribution sums go through DECIMAL(28,18)
+(order-independent exact addition — float sums would drift with
+aggregation order), every other step is deterministic IEEE double
+arithmetic, and ranks re-round to 10 d.p. each round — so the whole
+12-round computation is bit-stable and carries a FULL value oracle
+(a 12-stage staged-CTE replay in DuckDB, queries/relational_q.py).
+Tests additionally pin the mathematical invariants (mass conservation,
+the (1-d) floor, fixed-point stability).
 """
 
 from __future__ import annotations
@@ -81,7 +84,9 @@ def copurchase_pagerank(
             contrib_edges.join(ranks, contrib_edges.src == ranks.part)
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
+            # DECIMAL sum: exact, order-independent — the one step where
+            # float addition would make the result partitioning-dependent
+            .agg(F.sum(F.col("c").cast("decimal(28,18)")).cast("double").alias("inflow"))
         )
         ranks = (
             nodes.join(contribs, nodes.part == contribs.dst, "left")

@@ -199,7 +199,12 @@ def mmr_rerank(
     return (
         spark.range(1)
         .select(F.explode(F.array(*structs)).alias("s"))
-        .select("s.rank", "s.doc_id", "s.relevance", "s.mmr_score")
+        .select(
+            F.col("s.rank").cast("int").alias("rank"),
+            F.col("s.doc_id").cast("bigint").alias("doc_id"),
+            F.col("s.relevance").cast("double").alias("relevance"),
+            F.col("s.mmr_score").cast("double").alias("mmr_score"),
+        )
     )
 
 

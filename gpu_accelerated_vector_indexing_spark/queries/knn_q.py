@@ -236,14 +236,57 @@ ORDER BY rrf DESC, doc_id DESC LIMIT 10
 
 
 def _mmr_rerank(spark, sf_dir):
-    """Greedy set-dependent selection has no SQL twin → rows-only;
-    invariants pinned in tests/test_knn.py."""
+    """Greedy MMR over the bounded candidate head; the k-stage oracle
+    below replays the same selection in SQL."""
     from gpu_accelerated_vector_indexing_spark.operators.hybrid import mmr_rerank
 
     return mmr_rerank(spark, sf_dir, query_id=QUERY_ID, k=K)
 
 
 QUERIES["mmr_rerank"] = _mmr_rerank
+
+
+def _mmr_oracle(k: int = K, n_candidates: int = 50, lam: float = 0.7) -> str:
+    """Replay the greedy MMR loop as ``k`` staged CTEs — the selection
+    is set-dependent but ``k`` is a fixed constant, so each pick is one
+    argmax (ORDER BY mmr DESC, doc_id DESC LIMIT 1) over candidates not
+    yet selected, with redundancy = max dot against the selected set
+    (vectors unit-normalized with the same +1e-12 guard as the NumPy
+    side). mmr is compared UNROUNDED for the argmax (as NumPy does) and
+    rounded to 6 d.p. only in the output."""
+    head = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+cand AS (
+  SELECT e.vec_id AS doc_id, {_COS} AS rel,
+         list_transform(e.embedding::DOUBLE[], x -> x /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) + 1e-12)) AS nv
+  FROM embeddings e CROSS JOIN q
+  ORDER BY rel DESC, doc_id DESC LIMIT {n_candidates}
+),
+p1 AS (SELECT doc_id, rel, {lam} * rel AS mmr FROM cand ORDER BY mmr DESC, doc_id DESC LIMIT 1)"""
+    stages, unions = [head], [
+        f"SELECT CAST(1 AS INT) AS rank, doc_id, rel AS relevance, round(mmr, 6) AS mmr_score FROM p1"
+    ]
+    for i in range(2, k + 1):
+        prev_sel = " UNION ALL ".join(f"SELECT doc_id FROM p{j}" for j in range(1, i))
+        stages.append(f"""
+s{i} AS ({prev_sel}),
+p{i} AS (
+  SELECT c.doc_id, c.rel,
+         {lam} * c.rel - {(1.0 - lam)!r} * (
+           SELECT max(list_dot_product(c.nv, p.nv))
+           FROM cand p WHERE p.doc_id IN (SELECT doc_id FROM s{i})
+         ) AS mmr
+  FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM s{i})
+  ORDER BY mmr DESC, doc_id DESC LIMIT 1
+)""")
+        unions.append(
+            f"SELECT CAST({i} AS INT) AS rank, doc_id, rel AS relevance, round(mmr, 6) AS mmr_score FROM p{i}"
+        )
+    return ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(unions)
+
+
+ORACLES["mmr_rerank"] = _mmr_oracle()
 
 
 def _hybrid_topn(spark, sf_dir):

@@ -658,13 +658,55 @@ SELECT l_returnflag, 'n_items' AS measure, n_items AS val FROM wide
 
 
 def _copurchase_pagerank(spark, sf_dir):
-    """Iterative PageRank (driver-loop Pregel-as-joins) — float
-    contribution sums are aggregation-order sensitive in the last bits,
-    so no bit-stable SQL twin is claimed: rows-only; invariants (mass
-    conservation, (1-d) floor, determinism) pinned in tests."""
+    """Iterative PageRank (driver-loop Pregel-as-joins). Each round's
+    contribution sum goes through DECIMAL(28,18) (exact, order-
+    independent) and ranks re-round to 10 d.p., so the fixed-iteration
+    computation is bit-stable → the staged-CTE oracle below replays all
+    rounds exactly."""
     from gpu_accelerated_vector_indexing_spark.operators.graph import copurchase_pagerank
 
     return copurchase_pagerank(spark, sf_dir)
 
 
 QUERIES["copurchase_pagerank"] = _copurchase_pagerank
+
+
+def _pagerank_oracle() -> str:
+    """Replay the fixed-iteration PageRank as chained CTEs: r0 = 1.0,
+    r_{t+1}(v) = round((1-d) + d·inflow, 10) with inflow summed in
+    DECIMAL(28,18) exactly like the Spark operator. The float literals
+    are repr()'d so both engines damp with bit-identical constants."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph import DAMPING, PR_ITERS
+
+    base = (1.0 - DAMPING).__repr__()
+    d = DAMPING.__repr__()
+    stages = [
+        """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, count(*) AS outdeg FROM p GROUP BY src),
+e AS (SELECT p.src, p.dst, d.outdeg FROM p JOIN deg d USING (src)),
+nodes AS (SELECT DISTINCT src AS part FROM p),
+r0 AS (SELECT part, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    ]
+    for t in range(PR_ITERS):
+        stages.append(f"""
+r{t + 1} AS (
+  SELECT n.part,
+         round({base} + {d} * CAST(coalesce(s.inflow, 0.0) AS DOUBLE), 10) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, CAST(sum(CAST(r.rank / e.outdeg AS DECIMAL(28,18))) AS DOUBLE) AS inflow
+    FROM e JOIN r{t} r ON e.src = r.part GROUP BY e.dst
+  ) s ON n.part = s.dst
+)""")
+    return (
+        ",\n".join(stages)
+        + f"\nSELECT part, round(rank, 6) AS rank FROM r{PR_ITERS}"
+        + "\nORDER BY rank DESC, part LIMIT 25"
+    )
+
+
+ORACLES["copurchase_pagerank"] = _pagerank_oracle()

@@ -414,6 +414,7 @@ def ann_method_comparison(
     from gpu_accelerated_vector_indexing_spark.operators.lsh_ann import knn_lsh
     from gpu_accelerated_vector_indexing_spark.operators.quantize import (
         knn_bq,
+        knn_ivf_bq,
         knn_ivf_pq,
         knn_ivf_sq8,
         knn_pq,
@@ -428,6 +429,7 @@ def ann_method_comparison(
         "ivf_sq8": knn_ivf_sq8(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
         "pq": knn_pq(spark, sf_dir, query_id=query_id, k=k),
         "bq": knn_bq(spark, sf_dir, query_id=query_id, k=k),
+        "ivf_bq": knn_ivf_bq(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
         "ivf_pq": knn_ivf_pq(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
     }
     out = None

@@ -507,3 +507,55 @@ def knn_bq(
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(k)
     )
+
+def knn_ivf_bq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    n_candidates: int = 150,
+) -> DataFrame:
+    """IVF pruning × 1-bit Hamming candidate scan × exact rescore — the
+    cheapest-bytes composition in the ladder (n_probe/k of the files
+    read, 8 bytes per surviving row scanned).
+
+    Same contract as ``knn_ivf_sq8``: within the probed set the generous
+    candidate margin makes the rescored result equal the exact fine
+    search (margin-sensitivity pinned in tests), so the oracle is the
+    standard IVF fine-search SQL. Probe selection is identical to
+    ``knn_ivf`` — the layout decides what is READ, the code decides how
+    cheaply it is SCANNED, the rescore restores exact ranking.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        coarse_search,
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    cents = label_centroids(emb)
+    probes = [
+        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
+    ]  # plan-time pruning, mirrors IVF.cpp:282
+    pruned = emb.filter(F.col("label").isin(probes))
+    qcode = q.select(
+        "query_id", "qvec", "qnorm", bq_code(F.col("qvec")).alias("qcode")
+    )
+    v = as_double_array("embedding")
+    hamming = F.bit_count(bq_code(v).bitwiseXOR(F.col("qcode")))
+    candidates = (
+        pruned.join(F.broadcast(qcode))
+        .select("vec_id", hamming.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(v, F.col("qvec"), F.col("qnorm"))
+    return (
+        pruned.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

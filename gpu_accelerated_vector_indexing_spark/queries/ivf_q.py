@@ -105,6 +105,15 @@ def _knn_ivf_sq8(spark, sf_dir):
     return knn_ivf_sq8(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
 
 
+def _knn_ivf_bq(spark, sf_dir):
+    """IVF pruning × 1-bit Hamming candidates × exact rescore — equals
+    the exact fine search within the probed set (margin pinned in
+    tests), so it shares the IVF oracle."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_ivf_bq
+
+    return knn_ivf_bq(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
+
+
 def _knn_ivf_pq(spark, sf_dir):
     """IVF pruning × PQ ADC scan × exact rescore — recall-contracted
     inside the probed set (learned codebooks aren't SQL-expressible), so
@@ -128,6 +137,7 @@ QUERIES = {
     "knn_ivf_prenorm": partial(ivf.knn_ivf_prenorm, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
     "ivf_recall": partial(ivf.ivf_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE),
     "knn_ivf_sq8": _knn_ivf_sq8,
+    "knn_ivf_bq": _knn_ivf_bq,
     "knn_ivf_pq": _knn_ivf_pq,
     "kmeans_invariants": partial(index_build.cluster_invariants, k=N_CLUSTERS, seed=42),
     "ivf_assign_incremental": ivf.assign_incremental,
@@ -220,6 +230,7 @@ GROUP BY e.label, d.i
     # SQ8 candidate scan + exact rescore within the probed set must equal
     # the exact fine search — same oracle as the combined IVF plan.
     "knn_ivf_sq8": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
+    "knn_ivf_bq": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
     "knn_ivf_sequential": _IVF_CTES + "SELECT vec_id, score FROM ivf_topk",
     # IVF probes (identical coarse CTEs, reused via the fine-less prefix
     # below) × prenormalized bare-dot fine scoring — the same

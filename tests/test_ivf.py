@@ -140,7 +140,33 @@ def test_ann_method_comparison_bounds(spark):
     from gpu_accelerated_vector_indexing_spark.operators.ivf import ann_method_comparison
 
     rows = {r.method: r.recall for r in ann_method_comparison(spark, SF_CORRECT).collect()}
-    assert set(rows) == {"ivf_np3", "lsh", "sq8", "ivf_sq8", "pq", "ivf_pq", "bq"}
+    assert set(rows) == {"ivf_np3", "lsh", "sq8", "ivf_sq8", "pq", "ivf_pq", "bq", "ivf_bq"}
     assert rows["sq8"] == 1.0  # exact-equality contract
     assert rows["bq"] == 1.0  # exact-equality contract (margin-backed)
     assert all(0.0 <= v <= 1.0 for v in rows.values())
+
+
+def test_ivf_bq_equals_exact_fine_search(spark):
+    """IVF×BQ at the default margin must reproduce the exact IVF fine
+    search bit-for-bit on several probe queries (the shared-oracle
+    contract), and stay equal when the margin shrinks to 3·k."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import knn_ivf
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_ivf_bq
+
+    for qid in (0, 3, 7):
+        exact = [
+            (r.vec_id, r.score)
+            for r in knn_ivf(spark, SF_CORRECT, query_id=qid, k=5, n_probe=3).collect()
+        ]
+        got = [
+            (r.vec_id, r.score)
+            for r in knn_ivf_bq(spark, SF_CORRECT, query_id=qid, k=5, n_probe=3).collect()
+        ]
+        assert got == exact, f"q{qid}: {got} != {exact}"
+    tight = [
+        (r.vec_id, r.score)
+        for r in knn_ivf_bq(
+            spark, SF_CORRECT, query_id=0, k=5, n_probe=3, n_candidates=15
+        ).collect()
+    ]
+    assert len(tight) == 5  # tighter margin still returns a full k set

@@ -46,11 +46,12 @@ SELECT event_type,
 FROM v GROUP BY event_type
 """,
     "revenue_monthly_gapfill": """
-WITH RECURSIVE spine(month_start) AS (
-  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+WITH RECURSIVE spine(month_start, hi) AS (
+  SELECT date_trunc('month', min(o_orderdate)),
+         date_trunc('month', max(o_orderdate)) FROM orders
   UNION ALL
-  SELECT month_start + INTERVAL 1 MONTH FROM spine
-  WHERE month_start < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+  SELECT month_start + INTERVAL 1 MONTH, hi FROM spine
+  WHERE month_start < hi
 ),
 monthly AS (
   SELECT date_trunc('month', o_orderdate) AS month_start,

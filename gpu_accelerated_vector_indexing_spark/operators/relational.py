@@ -1353,3 +1353,49 @@ def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG (Spark 4): per region, the ordered
+    comma-separated nation roster — the standard's answer to the
+    collect_list+array_sort+concat_ws idiom, with determinism built in
+    via WITHIN GROUP (ORDER BY).
+
+    Scale shape: group cardinality = |regions|, element lists bounded by
+    |nations| — the aggregate state is dimension-sized, never fact-sized
+    (the sane use of string aggregation; LISTAGG over a fact column
+    would be an anti-pattern at any scale).
+    """
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+               count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+def try_arithmetic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: ``try_divide`` (NULL on /0 instead
+    of error/Inf), ``count_if``, ``bool_and`` — per return flag over
+    lineitem.
+
+    Under ANSI SQL semantics a single bad row kills a 100 TB job at
+    hour N; the ``try_*`` family turns those rows into NULLs that
+    aggregation skips, which is the production posture for dirty data.
+    The price/discount ratio sums through DECIMAL(18,4) so the result
+    is aggregation-order independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.expr("count_if(l_discount = 0)").alias("n_zero_discount"),
+        F.count(ratio).alias("n_ratios"),
+        F.sum(ratio.cast("decimal(18,4)")).cast("double").alias("sum_ratio"),
+        F.expr("bool_and(l_quantity > 0)").alias("all_qty_positive"),
+    )

@@ -710,3 +710,33 @@ r{t + 1} AS (
 
 
 ORACLES["copurchase_pagerank"] = _pagerank_oracle()
+
+QUERIES["listagg_nations"] = R.listagg_nations
+QUERIES["try_arithmetic_summary"] = R.try_arithmetic_summary
+
+# LISTAGG ≙ DuckDB string_agg with the same ORDER BY (deterministic)
+ORACLES["listagg_nations"] = """
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       count(*) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+# try_divide(x, 0) → NULL ≙ explicit CASE; decimal-summed ratios
+ORACLES["try_arithmetic_summary"] = """
+WITH t AS (
+  SELECT l_returnflag, l_quantity,
+         CASE WHEN l_discount = 0 THEN NULL
+              ELSE l_extendedprice / l_discount END AS ratio,
+         l_discount
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE l_discount = 0) AS n_zero_discount,
+       count(ratio) AS n_ratios,
+       CAST(sum(CAST(ratio AS DECIMAL(18,4))) AS DOUBLE) AS sum_ratio,
+       bool_and(l_quantity > 0) AS all_qty_positive
+FROM t GROUP BY l_returnflag
+"""

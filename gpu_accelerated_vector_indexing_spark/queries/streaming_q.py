@@ -42,6 +42,7 @@ QUERIES = {
     "events_sliding": SW.sliding_counts,
     "events_sessionize": SW.sessionize,
     "streaming_tumbling": SW.streaming_tumbling,
+    "streaming_sliding": SW.streaming_sliding,
     "streaming_sessions": SW.streaming_session_window,
     "streaming_dedup": SW.streaming_dedup,
     "streaming_interval_join": SW.streaming_interval_join,
@@ -65,6 +66,15 @@ ORACLES = {
     "events_tumbling": _TUMBLING_SQL,
     "streaming_tumbling": _TUMBLING_SQL,
     "events_sliding": _EV
+    + """
+SELECT time_bucket(INTERVAL '5 minutes', ts) - k.i * INTERVAL '5 minutes' AS window_start,
+       count(*) AS n_events,
+       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM ev CROSS JOIN range(0, 2) k(i)
+GROUP BY 1
+""",
+    # complete-mode drain over static data ≡ the batch sliding query
+    "streaming_sliding": _EV
     + """
 SELECT time_bucket(INTERVAL '5 minutes', ts) - k.i * INTERVAL '5 minutes' AS window_start,
        count(*) AS n_events,
@@ -105,6 +115,81 @@ def _roundtrip(spark, sf_dir):
 
 
 QUERIES["sources_roundtrip"] = _roundtrip
+
+
+def _bin_stream(spark, sf_dir):
+    """STREAMING read through the float32bin Python DataSource: export
+    the corpus to per-cluster raw ``.bin`` files (the reference's own
+    layout, clusters.py:32-35), stream them back via the connector's
+    SimpleDataSourceStreamReader (file-arrival semantics), drain to a
+    memory sink, and aggregate — count, id checksum and a decimal-exact
+    component sum must match the parquet source, so the whole
+    export→stream→decode path sits under the value-hash gate.
+
+    vec_ids are reassigned 0..N-1 in sorted-file order (the reference's
+    sorted-filename convention, embedding.py:26), so the id checksum is
+    N(N-1)/2 — restated arithmetically in the oracle.
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.sources.bin_datasource import register
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_binstream_")
+    # driver-side export per cluster file — the reference's unsplittable
+    # format; small-relation contract (write_float32_bin, SCALE.md §limits)
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", "vec_id", "embedding")
+        .collect()
+    )
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        mat = np.array(
+            [r.embedding for r in sorted(rs, key=lambda r: r.vec_id)], dtype="<f4"
+        )
+        mat.tofile(os.path.join(out, f"cluster_embeddings_{label:03d}.bin"))
+
+    register(spark)
+    with SW._memory_sink_counter:
+        SW._sink_id[0] += 1
+        name = f"gpu_accelerated_vector_indexing_binstream_{SW._sink_id[0]}"
+    stream = spark.readStream.format("float32bin").option("dim", 64).load(out)
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row_sum = F.aggregate(
+        F.transform("embedding", lambda v: F.round(v.cast("double"), 6)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return spark.table(name).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vec_id").cast("bigint").alias("sum_ids"),
+        F.sum(row_sum.cast("decimal(18,6)")).cast("double").alias("sum_components"),
+    )
+
+
+QUERIES["sources_bin_stream"] = _bin_stream
+
+# the stream re-reads what the export wrote: row count and the decimal
+# component checksum come straight from the parquet source; sum of the
+# reassigned 0..N-1 ids is N(N-1)/2
+ORACLES["sources_bin_stream"] = """
+SELECT count(*) AS n_rows,
+       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS sum_ids,
+       CAST(sum(CAST(list_sum(list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)))
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_components
+FROM embeddings
+"""
 
 # each format's round trip must reproduce the aggregates computed
 # directly on the parquet source — one UNION ALL branch per format

@@ -144,6 +144,36 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str, width: str = "5 minutes
     return spark.table(name)
 
 
+def streaming_sliding(
+    spark: SparkSession, sf_dir: str, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """TRUE Structured Streaming sliding-window aggregation: each event
+    contributes to width/slide overlapping windows.
+
+    Same complete-mode memory-sink drain as ``streaming_tumbling``; over
+    static fixture data the drained result equals the batch sliding
+    query, so the overlapping-window state machinery sits under the full
+    value oracle. State per key is bounded by width/slide live windows —
+    the watermark closes them at event-time + width + watermark delay.
+    """
+    with _memory_sink_counter:
+        _sink_id[0] += 1
+        name = f"gpu_accelerated_vector_indexing_stream_{_sink_id[0]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def streaming_session_window(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

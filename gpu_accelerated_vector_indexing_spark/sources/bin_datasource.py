@@ -26,7 +26,12 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -101,6 +106,77 @@ class Float32BinReader(DataSourceReader):
             yield (partition.base + pos, partition.path, pos, [float(x) for x in mat[pos]])
 
 
+class Float32BinStreamReader(SimpleDataSourceStreamReader):
+    """File-arrival streaming over a ``.bin`` directory: each
+    micro-batch picks up files not seen by the previous offset — the
+    same semantics as Spark's file stream source, for the reference's
+    raw matrix format.
+
+    Offsets are the sorted list of (path, size) already processed plus
+    the running row base, so ``vec_id`` assignment stays globally
+    consistent with the batch reader's sorted-filename convention
+    (embedding.py:26) as long as files arrive in name order (the
+    index-build pipeline writes cluster_embeddings_{i} in order).
+    ``readBetweenOffsets`` replays a committed range deterministically
+    from the offset contents alone — exactly-once on recovery.
+    """
+
+    def __init__(self, options: dict):
+        if "path" not in options:
+            raise ValueError("float32bin: .load(path) is required")
+        if "dim" not in options:
+            raise ValueError("float32bin: .option('dim', N) is required")
+        self.path = options["path"]
+        self.dim = int(options["dim"])
+
+    def _list(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".bin")
+            )
+        return sorted(glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"seen": [], "base": 0}
+
+    def _rows(self, path: str, base: int) -> Iterator[tuple]:
+        import numpy as np
+
+        mat = np.fromfile(path, dtype="<f4").reshape(-1, self.dim)
+        for pos in range(mat.shape[0]):
+            yield (base + pos, path, pos, [float(x) for x in mat[pos]])
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        # Rows materialize on the driver: the Simple stream reader API
+        # prefetch-caches each batch (and copy.copy()s its iterator, so
+        # a generator is not acceptable here) — the right tool for
+        # modest per-batch volumes; a partition-parallel variant would
+        # implement the full DataSourceStreamReader instead.
+        seen = set(start.get("seen", []))
+        base = int(start.get("base", 0))
+        row_bytes = FLOAT32_BYTES * self.dim
+        new = [p for p in self._list() if p not in seen]
+        rows: list[tuple] = []
+        for p in new:
+            if os.path.getsize(p) % row_bytes != 0:
+                raise ValueError(f"file size not divisible by {row_bytes}: {p}")
+            rows.extend(self._rows(p, base))
+            base += os.path.getsize(p) // row_bytes
+        return iter(rows), {"seen": sorted(seen | set(new)), "base": base}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        seen = set(start.get("seen", []))
+        base = int(start.get("base", 0))
+        replay = sorted(p for p in end.get("seen", []) if p not in seen)
+        rows: list[tuple] = []
+        for p in replay:
+            rows.extend(self._rows(p, base))
+            base += os.path.getsize(p) // (FLOAT32_BYTES * self.dim)
+        return iter(rows)
+
+
 class Float32BinDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -111,6 +187,9 @@ class Float32BinDataSource(DataSource):
 
     def reader(self, schema: StructType) -> Float32BinReader:
         return Float32BinReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> Float32BinStreamReader:
+        return Float32BinStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -307,3 +307,39 @@ def test_explain_cli_smoke(spark, capsys):
     assert main(["filtered_scan", "--sf-dir", SF_SMOKE]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "PushedFilters" in out
+
+
+def test_float32bin_stream_incremental_arrival(spark, tmp_path):
+    """The streaming reader's file-arrival semantics: a second micro-batch
+    picks up ONLY newly-arrived files, and global vec_ids continue from
+    the previous offset's row base (the sorted-filename id convention
+    held across batches)."""
+    import numpy as np
+
+    from gpu_accelerated_vector_indexing_spark.sources import bin_datasource
+
+    bin_datasource.register(spark)
+    rng = np.random.default_rng(7)
+    a = rng.random((3, 4), dtype=np.float32)
+    b = rng.random((2, 4), dtype=np.float32)
+    a.tofile(str(tmp_path / "part_a.bin"))
+
+    stream = spark.readStream.format("float32bin").option("dim", 4).load(str(tmp_path))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("binstream_inc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.table("binstream_inc").collect()
+        assert sorted(r.vec_id for r in first) == [0, 1, 2]
+        b.tofile(str(tmp_path / "part_b.bin"))
+        q.processAllAvailable()
+        both = spark.table("binstream_inc").collect()
+    finally:
+        q.stop()
+    assert sorted(r.vec_id for r in both) == [0, 1, 2, 3, 4]
+    got = {r.vec_id: list(r.embedding) for r in both}
+    np.testing.assert_allclose(np.array([got[3], got[4]], dtype=np.float32), b)

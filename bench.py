@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     ("join_range_bucketed", _noop),
     ("sample_train_split", _noop),
     ("sketch_functions", _collect),
+    ("stats_exact_moments", _collect),
     ("text_token_count", _noop),
     ("dedup_minhash_lsh", _noop),
     ("dedup_simhash_pairs", _noop),

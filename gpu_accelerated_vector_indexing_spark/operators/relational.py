@@ -1399,3 +1399,50 @@ def try_arithmetic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ratio.cast("decimal(18,4)")).cast("double").alias("sum_ratio"),
         F.expr("bool_and(l_quantity > 0)").alias("all_qty_positive"),
     )
+
+
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent statistical aggregates — sample stddev,
+    Pearson correlation, and skewness per return flag — computed from
+    EXACT integer power sums instead of Spark's built-in streaming
+    moment aggregates.
+
+    Why not ``F.stddev/corr/skewness`` at 100 TB: their merge formulas
+    accumulate in floats, so the last bits depend on partition count and
+    task scheduling — a retry can change the answer. Scaling the inputs
+    to integer cents and summing q, q², q³, p, p², q·p exactly (LONG
+    where the range allows, DECIMAL(38,0) where a square/cube exceeds
+    2⁶³) makes every partial sum associative and exact; the closed-form
+    statistics are then one deterministic double expression over the
+    sums. Skewness's m₂^1.5 is written m₂·sqrt(m₂) (sqrt is correctly
+    rounded by IEEE; pow is not guaranteed ulp-identical across libms).
+    Same shuffle shape as any hash aggregate: map-side partials, k rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pc_dec = pc.cast("decimal(38,0)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qc).alias("sq"),
+        F.sum(qc * qc).alias("sq2"),
+        F.sum(qc * qc * qc).alias("sq3"),
+        F.sum(pc).alias("sp"),
+        F.sum(pc_dec * pc_dec).alias("sp2"),
+        F.sum(qc * pc).alias("sqp"),
+    )
+    # identical expression TEXT to the oracle SQL — the doubles fold in
+    # the same order, so results are bit-equal
+    return sums.selectExpr(
+        "l_returnflag",
+        "n",
+        "round(CAST(sq AS DOUBLE) / n / 100, 6) AS mean_qty",
+        "round(sqrt((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)) / 100, 6) AS stddev_qty",
+        "round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /"
+        " (sqrt(n * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *"
+        "  sqrt(n * CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS corr_qty_price",
+        "round((CAST(sq3 AS DOUBLE) / n - 3 * (CAST(sq AS DOUBLE) / n) * (CAST(sq2 AS DOUBLE) / n)"
+        "  + 2 * (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) /"
+        " ((CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) *"
+        "  sqrt(CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))), 6) AS skew_qty",
+    )

@@ -711,6 +711,43 @@ r{t + 1} AS (
 
 ORACLES["copurchase_pagerank"] = _pagerank_oracle()
 
+QUERIES["stats_exact_moments"] = R.stats_exact_moments
+
+# exact integer power sums (HUGEINT on the DuckDB side ≙ LONG/DECIMAL(38,0)
+# in Spark — both exact, both cast to the same doubles), then the SAME
+# closed-form double expressions as the Spark selectExpr
+ORACLES["stats_exact_moments"] = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(q) AS sq,
+         sum(q * q) AS sq2,
+         sum(q * q * q) AS sq3,
+         sum(p) AS sp,
+         sum(p::HUGEINT * p::HUGEINT) AS sp2,
+         sum(q * p) AS sqp
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       round(CAST(sq AS DOUBLE) / n / 100, 6) AS mean_qty,
+       round(sqrt((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)) / 100, 6) AS stddev_qty,
+       round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        (sqrt(n * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+         sqrt(n * CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS corr_qty_price,
+       round((CAST(sq3 AS DOUBLE) / n - 3 * (CAST(sq AS DOUBLE) / n) * (CAST(sq2 AS DOUBLE) / n)
+         + 2 * (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) /
+        ((CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) *
+         sqrt(CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))), 6) AS skew_qty
+FROM sums
+"""
+
 QUERIES["listagg_nations"] = R.listagg_nations
 QUERIES["try_arithmetic_summary"] = R.try_arithmetic_summary
 

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     ("sample_train_split", _noop),
     ("sketch_functions", _collect),
     ("stats_exact_moments", _collect),
+    ("copurchase_lift", _collect),
+    ("events_cohort_retention", _collect),
     ("text_token_count", _noop),
     ("dedup_minhash_lsh", _noop),
     ("dedup_simhash_pairs", _noop),

@@ -1446,3 +1446,76 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ((CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) *"
         "  sqrt(CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))), 6) AS skew_qty",
     )
+
+
+def copurchase_lift(spark: SparkSession, sf_dir: str, top_n: int = 20, min_pair: int = 3) -> DataFrame:
+    """Association-rule strength for co-purchased part pairs: support,
+    confidence and LIFT — ``P(a,b) / (P(a)·P(b))`` over order baskets.
+
+    The market-basket step AFTER ``copurchase_part_pairs``: raw pair
+    counts favor merely-popular parts; lift normalizes by the parts'
+    individual basket frequencies, surfacing pairs bought together more
+    than popularity predicts (the recommendation/"bundle" signal).
+
+    Shape: the pair fan-out is bounded per order (never corpus-
+    quadratic); per-part basket counts are a bounded groupBy broadcast
+    back onto the pair relation. Ratios are exact integer-count
+    divisions in float64 — identical in any engine; rounded to 6 d.p.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = order_parts.select("l_orderkey").distinct().count()
+    part_counts = order_parts.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    ca = part_counts.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    cb = part_counts.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    lift = (F.col("n_pair").cast("double") * F.lit(float(n_orders))) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a").cast("double"), 6).alias("confidence_a_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(top_n)
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, tracked by
+    distinct-active-user count at each whole-week offset — the standard
+    product-analytics triangle chart as one relation.
+
+    Two shuffles, both key-bounded: the per-user min(ts) aggregate
+    (cardinality = users) broadcast back onto the event scan, then the
+    (cohort_week, week_offset) distinct-count aggregate (cardinality =
+    weeks²/2). Week truncation is ISO-Monday date_trunc in both
+    engines; offsets are exact integer day arithmetic — nothing floats.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.date_trunc("second", "ts")).alias("wts")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wts").alias("cohort_week"))
+    joined = ev.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff(F.col("wts"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )

@@ -711,6 +711,42 @@ r{t + 1} AS (
 
 ORACLES["copurchase_pagerank"] = _pagerank_oracle()
 
+QUERIES["copurchase_lift"] = R.copurchase_lift
+QUERIES["events_cohort_retention"] = R.events_cohort_retention
+
+ORACLES["copurchase_lift"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+pc AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_pair
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT part_a, part_b, n_pair,
+       round(CAST(n_pair AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+       round(CAST(n_pair AS DOUBLE) / CAST(ca.n_part AS DOUBLE), 6) AS confidence_a_b,
+       round(CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+             (CAST(ca.n_part AS DOUBLE) * CAST(cb.n_part AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN pc ca ON ca.l_partkey = part_a
+JOIN pc cb ON cb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY lift DESC, part_a, part_b LIMIT 20
+"""
+
+ORACLES["events_cohort_retention"] = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', date_trunc('second', ts))::TIMESTAMP AS wts FROM events
+),
+first AS (SELECT user_id, min(wts) AS cohort_week FROM ev GROUP BY user_id)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, e.wts) // 7 AS INT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_active_users
+FROM ev e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
 QUERIES["stats_exact_moments"] = R.stats_exact_moments
 
 # exact integer power sums (HUGEINT on the DuckDB side ≙ LONG/DECIMAL(38,0)

@@ -27,6 +27,9 @@ rather than through workarounds:
   write gives min/max file skipping on BOTH dimensions at once — the
   data-layout technique behind Delta/Iceberg ``OPTIMIZE ZORDER BY``,
   computed with pure codegen'd bit arithmetic (no UDF).
+* SQL scripting (ANSI SQL/PSM, Spark 4): BEGIN…END blocks with
+  DECLAREd session variables bound from scalar subqueries — the
+  parameterized-report pattern without driver-side glue.
 """
 
 from __future__ import annotations
@@ -185,4 +188,43 @@ def zorder_layout(spark: SparkSession, sf_dir: str, n_buckets: int = 16) -> Data
             F.min("y").alias("day_min"),
             F.max("y").alias("day_max"),
         )
+    )
+
+
+def scripted_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4, ANSI SQL/PSM): a BEGIN…END procedural
+    block that DECLAREs session variables, binds them from scalar
+    subqueries, and returns the final statement's relation — the
+    parameterized-report shape that previously needed driver-side glue
+    (collect the threshold, format it into the next query).
+
+    Inside one script the variable binding happens plan-side, so the
+    whole report stays in Spark: recent high-value orders per priority,
+    where "high-value" = above the corpus mean (decimal-exact) and
+    "recent" = the last 90 days of order dates. At scale the two SET
+    statements are tiny aggregate jobs whose scalar results feed the
+    main scan as literals — exactly what the hand-rolled
+    collect-then-inline pattern does, minus the driver round-trips in
+    user code.
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_price DOUBLE;
+          DECLARE cutoff TIMESTAMP;
+          SET avg_price = (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM orders
+          );
+          SET cutoff = (SELECT max(o_orderdate) - INTERVAL 90 DAYS FROM orders);
+          SELECT o_orderpriority,
+                 count(*) AS n_recent_above,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM orders
+          WHERE o_totalprice > avg_price AND o_orderdate >= cutoff
+          GROUP BY o_orderpriority;
+        END
+        """
     )

@@ -22,6 +22,7 @@ QUERIES = {
     "variant_props_stats": M.variant_props_stats,
     "revenue_monthly_gapfill": M.revenue_monthly_gapfill,
     "zorder_layout": M.zorder_layout,
+    "sql_scripting_report": M.scripted_threshold_report,
 }
 
 ORACLES = {
@@ -83,5 +84,20 @@ SELECT zval >> 20 AS zbucket,
        min(x) AS custkey_min, max(x) AS custkey_max,
        min(y) AS day_min, max(y) AS day_max
 FROM zed GROUP BY 1
+""",
+    # the script's variable bindings restated as scalar CTEs — the same
+    # decimal-exact mean and the same 90-day cutoff arithmetic
+    "sql_scripting_report": """
+WITH t AS (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         max(o_orderdate) - INTERVAL 90 DAY AS cutoff
+  FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_recent_above,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders, t
+WHERE o_totalprice > t.avg_price AND o_orderdate >= t.cutoff
+GROUP BY o_orderpriority
 """,
 }

@@ -228,3 +228,37 @@ def scripted_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+def write_zorder_layout(
+    spark: SparkSession, sf_dir: str, out_path: str, n_files: int = 8
+) -> str:
+    """Materialize the Z-ordered layout ``zorder_layout`` audits:
+    orders written as ``n_files`` range-partitioned, internally-sorted
+    parquet files keyed by the interleaved Z-value.
+
+    Every output file then carries a tight footer min/max envelope on
+    BOTH ``o_custkey`` and ``o_orderdate`` — a reader filtering on
+    either column skips most files (verified from real parquet footer
+    statistics in tests). This is the write half of the
+    OPTIMIZE-ZORDER-BY story: one extra range shuffle at write time
+    buys two-dimensional data skipping for every read after.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = (
+        orders.withColumn("x", F.col("o_custkey") % (1 << ZORDER_BITS))
+        .withColumn(
+            "y",
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long")
+            % (1 << ZORDER_BITS),
+        )
+        .withColumn("zval", _zvalue(F.col("x"), F.col("y")))
+    )
+    (
+        keyed.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("x", "y", "zval")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return out_path

@@ -97,3 +97,48 @@ def test_zorder_locality_beats_single_dim_sort(spark):
     # full domain — both dimensions skip files, which a 1-D sort cannot do
     assert avg_cust_span < dom.cust_span, (avg_cust_span, dom.cust_span)
     assert avg_day_span < dom.day_span, (avg_day_span, dom.day_span)
+
+
+def test_zorder_write_gives_two_dim_file_skipping(spark, tmp_path):
+    """The written layout's parquet FOOTER stats must give usable min/max
+    envelopes on BOTH dimensions: for each of o_custkey and o_orderdate,
+    the average per-file span is well under the full domain, so a filter
+    on either column skips files. A single-column sort cannot do this
+    for the second column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gpu_accelerated_vector_indexing_spark.operators.modern_sql import write_zorder_layout
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_zorder")
+    write_zorder_layout(spark, SF_CORRECT, out, n_files=8)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 4  # range partitioner may merge sparse ranges
+
+    spans = {"o_custkey": [], "o_orderdate": []}
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for col in spans:
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    c = meta.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            assert mins, f"no footer stats for {col} in {f}"
+            spans[col].append((min(mins), max(maxs)))
+
+    dom = load_table(spark, SF_CORRECT, "orders").agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_orderdate"), F.max("o_orderdate")
+    ).collect()[0]
+    cust_domain = dom[1] - dom[0]
+    day_domain = (dom[3] - dom[2]).total_seconds()
+    avg_cust = sum(hi - lo for lo, hi in spans["o_custkey"]) / len(files)
+    avg_day = sum((hi - lo).total_seconds() for lo, hi in spans["o_orderdate"]) / len(files)
+    # both dimensions' envelopes are materially narrower than the domain
+    assert avg_cust < 0.8 * cust_domain, (avg_cust, cust_domain)
+    assert avg_day < 0.8 * day_domain, (avg_day, day_domain)

@@ -63,6 +63,35 @@ def label_centroids(emb: DataFrame, cluster_col: str = "label") -> DataFrame:
     )
 
 
+# Centroids are INDEX STATE: the reference loads them from the prebuilt
+# index (cluster_centroids.bin, IVF.cpp:489-510) and never recomputes
+# them at query time. The fixture path mirrors that — the first call per
+# (session, corpus dir) aggregates per-label means once, collects the
+# tiny result (n_clusters × dim doubles, the same bounded-collect posture
+# as the coarse materialization, IVF.cpp:282) and rebuilds it as a local
+# relation. Every subsequent query's coarse stage is then a scan-free
+# broadcast of ≤ a few hundred local rows: no registered IVF query pays
+# a corpus-wide exchange before its pruned fine scan.
+_CENTROIDS_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ``(label, centroid)`` relation for the fixture corpus.
+
+    ≙ reading the prebuilt centroid table (IVF.cpp:489-510) instead of
+    re-deriving it — the exact analog of ``_PQ_CACHE`` memoizing PQ
+    codebooks as build-time index state.
+    """
+    key = (spark, sf_dir)
+    if key not in _CENTROIDS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = label_centroids(emb)
+        _CENTROIDS_CACHE[key] = spark.createDataFrame(
+            cents.collect(), schema=cents.schema
+        )
+    return _CENTROIDS_CACHE[key]
+
+
 def coarse_search(centroids: DataFrame, queries: DataFrame, n_probe: int) -> DataFrame:
     """Top-``n_probe`` clusters by cosine(query, centroid).
 
@@ -97,7 +126,7 @@ def knn_ivf(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     probes = [
         r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
     ]  # ≤ n_clusters rows — plan-time pruning, mirrors IVF.cpp:282
@@ -146,7 +175,7 @@ def knn_ivf_prenorm(
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     probes = [r.label for r in coarse_search(cents, q, n_probe).select("label").collect()]
     nq = (
         emb.filter(F.col("vec_id") == query_id)
@@ -187,7 +216,7 @@ def knn_ivf_filtered(
     docs = load_table(spark, sf_dir, "documents")
     allowed = docs.filter(F.col("lang") == lang).select(F.col("doc_id").alias("vec_id"))
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     probes = [r.label for r in coarse_search(cents, q, n_probe).select("label").collect()]
     fine = (
         emb.filter(F.col("label").isin(probes))
@@ -228,7 +257,7 @@ def multi_query_knn_ivf(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     qs = query_vectors(spark, sf_dir, query_ids)
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     probes = coarse_search(cents, qs, n_probe).select("query_id", "label")
     probe_labels = [r.label for r in probes.select("label").distinct().collect()]
 
@@ -326,7 +355,7 @@ def assign_incremental(spark: SparkSession, sf_dir: str, modulus: int = 7) -> Da
     many agree with the label the fixture already carries.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = label_centroids(emb).withColumnRenamed("label", "c_label")
+    cents = fixture_centroids(spark, sf_dir).withColumnRenamed("label", "c_label")
     batch = emb.filter(F.col("vec_id") % modulus == 0).select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
@@ -371,7 +400,7 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     d2 = F.round(
         F.aggregate(
             F.zip_with(
@@ -407,8 +436,9 @@ def ann_method_comparison(
     Each method's k-row result semi-joins the k-row exact set; the
     per-method outputs union into (method, n_hits, recall). All inputs
     are ≤k rows — the comparison itself costs nothing; the methods do
-    the work. LSH/PQ members make the relation non-SQL → rows-only;
-    bounds are pinned in tests.
+    the work. Every member is SQL-replayable (LSH via signature replay,
+    PQ via the staged-CTE codebook replay) → full value oracle; bounds
+    are additionally pinned in tests.
     """
     from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
     from gpu_accelerated_vector_indexing_spark.operators.lsh_ann import knn_lsh
@@ -474,7 +504,7 @@ def rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_vectors").alias("total"), F.count("*").alias("k_clusters")
     )
 
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     a = cents.select(F.col("label"), F.col("centroid").alias("ca"))
     b = cents.select(F.col("label").alias("nbr"), F.col("centroid").alias("cb"))
     d2 = F.round(

@@ -172,6 +172,13 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     same bounded-collect posture as the coarse search (IVF.cpp:282).
     Init is the first k distinct sample rows (no RNG), so codebooks are
     reproducible across sessions and partitionings.
+
+    Every Lloyd step is rounded so the training is REPLAYABLE in ANSI
+    SQL (the driver oracle re-runs it as staged CTEs): distances round
+    to 6 d.p. before the argmin (ties → lowest codeword index, numpy's
+    argmin and the oracle's ``ORDER BY d2, cw`` agree) and means round
+    to 8 d.p. — the same rounded-fold determinism recipe as the
+    centroid/PageRank oracles.
     """
     key = (spark, sf_dir)
     if key not in _PQ_CACHE:
@@ -193,12 +200,12 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
             X = mat[:, s * sub : (s + 1) * sub]
             C = X[:PQ_K].copy()
             for _ in range(PQ_ITERS):
-                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)
+                d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+                assign = d2.argmin(axis=1)  # first (lowest-index) min on ties
                 for j in range(PQ_K):
                     members = X[assign == j]
                     if len(members):
-                        C[j] = members.mean(axis=0)
+                        C[j] = np.round(members.mean(axis=0), 8)
             books.append([[float(x) for x in row] for row in C])
         _PQ_CACHE[key] = books
     return _PQ_CACHE[key]
@@ -206,7 +213,8 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
 
 def _pq_encode(v: Column, books: list[list[list[float]]], dim: int) -> Column:
     """ARRAY<INT> of per-subspace nearest-codeword indices (1-based) —
-    all higher-order functions (JVM-side), no UDF."""
+    all higher-order functions (JVM-side), no UDF. d² rounds to 6 d.p.
+    before the min so the oracle's SQL replay picks identical codes."""
     sub = dim // PQ_SUBSPACES
     codes = []
     for s, book in enumerate(books):
@@ -214,10 +222,13 @@ def _pq_encode(v: Column, books: list[list[list[float]]], dim: int) -> Column:
         book_lit = F.array(*[_lit_array(cw) for cw in book])
         d2s = F.transform(
             book_lit,
-            lambda cw: F.aggregate(
-                F.zip_with(subvec, cw, lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            lambda cw: F.round(
+                F.aggregate(
+                    F.zip_with(subvec, cw, lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
             ),
         )
         codes.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))  # first-min tie-break
@@ -273,8 +284,11 @@ def knn_pq(
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
     codes_tbl, approx_score = _pq_adc_score(spark, sf_dir, query_id)
+    # rounded to 6 d.p. before ranking so the candidate SET (not just the
+    # final rescored scores) is deterministic across engines — the
+    # oracle's SQL replay selects the identical candidates
     candidates = (
-        codes_tbl.select("vec_id", approx_score.alias("approx_score"))
+        codes_tbl.select("vec_id", F.round(approx_score, 6).alias("approx_score"))
         .orderBy(F.desc("approx_score"), F.desc("vec_id"))
         .limit(n_candidates)
         .select("vec_id")
@@ -310,13 +324,13 @@ def knn_ivf_sq8(
     """
     from gpu_accelerated_vector_indexing_spark.operators.ivf import (
         coarse_search,
-        label_centroids,
+        fixture_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = corpus_quantizer(spark, sf_dir)
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     probes = [
         r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
     ]  # plan-time pruning, mirrors IVF.cpp:282
@@ -404,20 +418,20 @@ def knn_ivf_pq(
     """
     from gpu_accelerated_vector_indexing_spark.operators.ivf import (
         coarse_search,
-        label_centroids,
+        fixture_centroids,
     )
     from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     probes = [
         r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
     ]  # plan-time pruning, mirrors IVF.cpp:282
     codes_tbl, approx_score = _pq_adc_score(spark, sf_dir, query_id)
     candidates = (
         codes_tbl.filter(F.col("label").isin(probes))
-        .select("vec_id", approx_score.alias("approx_score"))
+        .select("vec_id", F.round(approx_score, 6).alias("approx_score"))
         .orderBy(F.desc("approx_score"), F.desc("vec_id"))
         .limit(n_candidates)
         .select("vec_id")
@@ -529,12 +543,12 @@ def knn_ivf_bq(
     """
     from gpu_accelerated_vector_indexing_spark.operators.ivf import (
         coarse_search,
-        label_centroids,
+        fixture_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = label_centroids(emb)
+    cents = fixture_centroids(spark, sf_dir)
     probes = [
         r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
     ]  # plan-time pruning, mirrors IVF.cpp:282

@@ -1,0 +1,160 @@
+"""DuckDB staged-CTE replay of the deterministic PQ training + ADC scan.
+
+The PQ codebooks (`operators/quantize.pq_codebooks`) are trained with NO
+randomness: sample = first ``PQ_TRAIN_SAMPLE`` rows by vec_id, init =
+the first ``PQ_K`` sample rows per subspace, ``PQ_ITERS`` Lloyd rounds
+whose distances round to 6 d.p. before the argmin (ties → lowest
+codeword index) and whose means round to 8 d.p. That makes the whole
+fit replayable as chained SQL CTEs — the same staged-replay device the
+MMR and PageRank oracles use — so `knn_pq` / `knn_ivf_pq` get FULL
+value oracles instead of rows-only checks.
+
+CTE names are prefixed ``pq_`` so the block composes with the shared
+IVF coarse/probe CTEs (`ivf_q._ivf_ctes`) without collisions.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+    PQ_ITERS,
+    PQ_K,
+    PQ_SUBSPACES,
+    PQ_TRAIN_SAMPLE,
+)
+
+
+def pq_replay_ctes(query_id: int, dim: int) -> str:
+    """CTE chain ending in ``pq_approx(vec_id, label, ascore)`` — the
+    rounded ADC approximate score of every corpus vector for one query.
+
+    Mirrors quantize.py exactly: per-iteration CTEs ``pq_b{i}`` (rounded
+    d² argmin assignment), ``pq_mu{i}`` (8-d.p. per-dimension means) and
+    ``pq_c{i}`` (codebook update; empty codewords keep their previous
+    centroid via the LEFT JOIN + coalesce). Iteration CTEs are
+    ``MATERIALIZED`` — each ``pq_c{i}`` is referenced twice, so without
+    the hint DuckDB's CTE inlining doubles the plan per iteration
+    (2^ITERS blowup).
+    """
+    sub = dim // PQ_SUBSPACES
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+    )
+    parts = [
+        f"""
+pq_sample AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ORDER BY vec_id LIMIT {PQ_TRAIN_SAMPLE}
+),
+pq_ss AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+pq_subv AS MATERIALIZED (
+  SELECT ss.s, sm.vec_id,
+         list_transform(generate_series(1, {sub}), i -> sm.v[ss.s * {sub} + i]) AS x
+  FROM pq_sample sm CROSS JOIN pq_ss ss
+),
+pq_c0 AS MATERIALIZED (
+  SELECT s, rn AS cw, x AS c FROM (
+    SELECT s, x, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM pq_subv
+  ) WHERE rn <= {PQ_K}
+)"""
+    ]
+    for it in range(1, PQ_ITERS + 1):
+        prev = f"pq_c{it - 1}"
+        dist = d2.format(n=sub, a="sv.x", b="c.c")
+        parts.append(
+            f"""
+pq_b{it} AS MATERIALIZED (
+  SELECT s, vec_id, x, cw FROM (
+    SELECT sv.s, sv.vec_id, sv.x, c.cw,
+           row_number() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY {dist}, c.cw) AS rn
+    FROM pq_subv sv JOIN {prev} c ON sv.s = c.s
+  ) WHERE rn = 1
+),
+pq_mu{it} AS (
+  SELECT b.s, b.cw, d.i, round(avg(b.x[d.i]), 8) AS mv
+  FROM pq_b{it} b CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) d
+  GROUP BY b.s, b.cw, d.i
+),
+pq_c{it} AS MATERIALIZED (
+  SELECT c.s, c.cw, coalesce(m.cm, c.c) AS c
+  FROM {prev} c LEFT JOIN (
+    SELECT s, cw, list(mv ORDER BY i) AS cm FROM pq_mu{it} GROUP BY s, cw
+  ) m ON m.s = c.s AND m.cw = c.cw
+)"""
+        )
+    enc_dist = d2.format(n=sub, a="a.x", b="c.c")
+    parts.append(
+        f"""
+pq_allsub AS (
+  SELECT ss.s, e.vec_id, e.label,
+         list_transform(generate_series(1, {sub}), i -> e.embedding[ss.s * {sub} + i]::DOUBLE) AS x
+  FROM embeddings e CROSS JOIN pq_ss ss
+),
+pq_codes AS MATERIALIZED (
+  SELECT s, vec_id, label, c FROM (
+    SELECT a.s, a.vec_id, a.label, c.c,
+           row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY {enc_dist}, c.cw) AS rn
+    FROM pq_allsub a JOIN pq_c{PQ_ITERS} c ON a.s = c.s
+  ) WHERE rn = 1
+),
+pq_recon AS (
+  SELECT vec_id, any_value(label) AS label, flatten(list(c ORDER BY s)) AS rv
+  FROM pq_codes GROUP BY vec_id
+),
+pq_q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {query_id}),
+pq_approx AS MATERIALIZED (
+  SELECT r.vec_id, r.label,
+         round(list_dot_product(r.rv, q.qvec) /
+               (sqrt(list_dot_product(r.rv, r.rv)) *
+                sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS ascore
+  FROM pq_recon r CROSS JOIN pq_q q
+)"""
+    )
+    return ",".join(parts)
+
+
+_COS = (
+    "round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /"
+    " (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6)"
+)
+
+
+def knn_pq_sql(query_id: int, dim: int, k: int, n_candidates: int) -> str:
+    """Full-value oracle for ``knn_pq``: ADC candidate ranking (rounded,
+    vec_id-DESC tie-break) then exact rescore of the candidate set."""
+    return f"""
+WITH {pq_replay_ctes(query_id, dim)},
+pq_cand AS (
+  SELECT vec_id FROM pq_approx ORDER BY ascore DESC, vec_id DESC LIMIT {n_candidates}
+)
+SELECT e.vec_id, {_COS} AS score
+FROM embeddings e CROSS JOIN pq_q q
+WHERE e.vec_id IN (SELECT vec_id FROM pq_cand)
+ORDER BY score DESC, vec_id DESC LIMIT {k}
+"""
+
+
+def knn_ivf_pq_sql(
+    ivf_ctes: str, query_id: int, dim: int, k: int, n_candidates: int
+) -> str:
+    """Full-value oracle for ``knn_ivf_pq``: the shared IVF coarse/probe
+    CTEs restrict the ADC candidate scan to the probed labels; the exact
+    rescore then runs over the candidate ids (matching the Spark plan,
+    which joins candidates back to the full float table by vec_id)."""
+    return (
+        ivf_ctes
+        + ","
+        + pq_replay_ctes(query_id, dim)
+        + f""",
+pq_cand AS (
+  SELECT vec_id FROM pq_approx
+  WHERE label IN (SELECT label FROM probes)
+  ORDER BY ascore DESC, vec_id DESC LIMIT {n_candidates}
+)
+SELECT e.vec_id, {_COS} AS score
+FROM embeddings e CROSS JOIN pq_q q
+WHERE e.vec_id IN (SELECT vec_id FROM pq_cand)
+ORDER BY score DESC, vec_id DESC LIMIT {k}
+"""
+    )

@@ -115,9 +115,11 @@ def _knn_ivf_bq(spark, sf_dir):
 
 
 def _knn_ivf_pq(spark, sf_dir):
-    """IVF pruning × PQ ADC scan × exact rescore — recall-contracted
-    inside the probed set (learned codebooks aren't SQL-expressible), so
-    rows-only here; invariants pinned in tests/test_ivf.py."""
+    """IVF pruning × PQ ADC scan × exact rescore under a FULL value
+    oracle: the deterministic codebook fit is replayed as staged CTEs
+    (queries/_pq_oracle) on top of the shared coarse/probe CTEs, so the
+    probed candidate set and the rescored top-k are value-checked.
+    Recall invariants stay pinned in tests/test_ivf.py."""
     from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_ivf_pq
 
     return knn_ivf_pq(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
@@ -370,4 +372,46 @@ SELECT c.label, c.n_vectors,
 FROM counts c CROSS JOIN tot JOIN nearest n ON n.label = c.label
 """
 
-QUERIES["ann_method_comparison"] = ivf.ann_method_comparison  # rows-only (LSH/PQ members)
+QUERIES["ann_method_comparison"] = ivf.ann_method_comparison
+
+# --- full value oracles for the PQ paths + the method-comparison grid --------
+# The PQ codebook fit is deterministic and rounded per step, so the
+# oracle replays it as staged CTEs (queries/_pq_oracle.py).
+from gpu_accelerated_vector_indexing_spark.queries import _pq_oracle as _pq
+from gpu_accelerated_vector_indexing_spark.queries import lsh_q as _lsh_q
+
+ORACLES["knn_ivf_pq"] = _pq.knn_ivf_pq_sql(
+    _IVF_CTES, QUERY_ID, dim=DIM, k=K, n_candidates=150
+)
+
+# ann_method_comparison: every method's top-k is SQL-expressible — the
+# exact-contract methods (sq8/bq) use the brute-force SQL their own
+# oracles use, the IVF-composed exact methods reuse the shared IVF CTEs,
+# LSH reuses its signature-replay oracle, and the PQ members use the
+# staged-CTE replay. Each method runs as a nested-WITH subquery so CTE
+# names never collide.
+_AM_BRUTE = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID})
+SELECT e.vec_id FROM embeddings e CROSS JOIN q
+ORDER BY {_COS_Q} DESC, e.vec_id DESC LIMIT {K}
+"""
+_AM_IVF = _IVF_CTES + "SELECT vec_id FROM ivf_topk"
+_AM_METHODS = {
+    "ivf_np3": _AM_IVF,
+    "lsh": _lsh_q.ORACLES["knn_lsh"],
+    "sq8": _AM_BRUTE,
+    "ivf_sq8": _AM_IVF,
+    "pq": _pq.knn_pq_sql(QUERY_ID, dim=DIM, k=K, n_candidates=150),
+    "bq": _AM_BRUTE,
+    "ivf_bq": _AM_IVF,
+    "ivf_pq": ORACLES["knn_ivf_pq"],
+}
+ORACLES["ann_method_comparison"] = (
+    f"WITH am_exact AS MATERIALIZED (SELECT vec_id FROM ({_AM_BRUTE}))\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, count(*) AS n_hits,"
+        f" round(count(*) / {K}.0, 6) AS recall"
+        f" FROM ({sql}) m WHERE m.vec_id IN (SELECT vec_id FROM am_exact)"
+        for name, sql in _AM_METHODS.items()
+    )
+)

@@ -60,9 +60,11 @@ def _knn_sq8(spark, sf_dir):
 
 
 def _knn_pq(spark, sf_dir):
-    """Product-quantized ANN — learned codebooks are not SQL-expressible
-    and PQ ranking is honestly approximate, so this is a rows-only entry;
-    recall floor / full-margin-equality invariants live in tests/test_knn.py."""
+    """Product-quantized ANN under a FULL value oracle: the codebook fit
+    is deterministic (first-k init, fixed rounded Lloyd iterations), so
+    the oracle replays the training as staged CTEs (queries/_pq_oracle)
+    and re-derives the identical candidate set + exact rescore. Recall
+    floor / full-margin-equality invariants stay in tests/test_knn.py."""
     from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_pq
 
     return knn_pq(spark, sf_dir, query_id=QUERY_ID, k=K)
@@ -434,3 +436,10 @@ SELECT count(*) AS n_rows,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
 FROM embeddings
 """
+
+# PQ full oracle: staged-CTE replay of the deterministic codebook fit
+# (see queries/_pq_oracle.py); DIM = 64 (fixture), candidate margin
+# matches quantize.knn_pq's default n_candidates.
+from gpu_accelerated_vector_indexing_spark.queries._pq_oracle import knn_pq_sql as _knn_pq_sql
+
+ORACLES["knn_pq"] = _knn_pq_sql(QUERY_ID, dim=64, k=K, n_candidates=150)

@@ -109,7 +109,15 @@ def revenue_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens exactly once in the anchor. The spine relation is
     months-sized (corpus-independent) and broadcasts; revenue is one
     groupBy over orders. Money sums in DECIMAL(18,2).
+
+    Recursion bound: Spark caps recursive-CTE depth at
+    ``spark.sql.cteRecursionLevelLimit`` (default 100 — fine for the
+    ~80-month fixtures but fatal for a longer order history), so the
+    limit is raised here to cover any plausible date range (10 000
+    months ≈ 833 years; the spine stays a tiny relation either way).
     """
+    if int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")) < 10_000:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
@@ -144,14 +152,25 @@ ZORDER_BITS = 12
 def _zvalue(x: F.Column, y: F.Column) -> F.Column:
     """Interleave the low ``ZORDER_BITS`` bits of two non-negative
     integer columns (x → even bit positions, y → odd) — one codegen'd
-    higher-order fold, no UDF."""
-    return F.expr(
-        f"""
-        aggregate(sequence(0, {ZORDER_BITS - 1}), 0L, (acc, i) ->
-          acc + shiftleft((x >> i) & 1L, 2 * i)
-              + shiftleft((y >> i) & 1L, 2 * i + 1))
-        """
-    )
+    higher-order fold, no UDF.
+
+    Built from the passed Column objects (``getbit`` with a lambda-bound
+    position; the shift-left is an exact power-of-two multiply since
+    ``pow(2, k)`` is float-exact for k ≤ 52), so callers are free to
+    pass any expression — nothing binds to literal column names.
+    """
+    bits = F.sequence(F.lit(0), F.lit(ZORDER_BITS - 1))
+
+    def interleave(col: F.Column, offset: int) -> F.Column:
+        return F.aggregate(
+            bits,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.getbit(col, i).cast("long")
+            * F.pow(F.lit(2.0), (i * 2 + offset).cast("double")).cast("long"),
+        )
+
+    return interleave(x, 0) + interleave(y, 1)
 
 
 def zorder_layout(spark: SparkSession, sf_dir: str, n_buckets: int = 16) -> DataFrame:

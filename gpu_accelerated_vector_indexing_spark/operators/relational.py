@@ -1419,20 +1419,34 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shuffle shape as any hash aggregate: map-side partials, k rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    return moment_stats(moment_sums(li))
+
+
+def moment_sums(li: DataFrame) -> DataFrame:
+    """Exact integer power sums per return flag (the associative half of
+    ``stats_exact_moments``; partition-invariance tests reuse it)."""
     qc = F.round(F.col("l_quantity") * 100).cast("long")
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qc_dec = qc.cast("decimal(38,0)")
     pc_dec = pc.cast("decimal(38,0)")
-    sums = li.groupBy("l_returnflag").agg(
+    # q³ (~1.25e11/row) and q·p (~5e10/row) overflow a LONG group sum
+    # past ~1e8 rows per group; route them (and p²) through
+    # DECIMAL(38,0) so every partial is exact at any group size.
+    return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(qc).alias("sq"),
         F.sum(qc * qc).alias("sq2"),
-        F.sum(qc * qc * qc).alias("sq3"),
+        F.sum(qc_dec * qc_dec * qc_dec).alias("sq3"),
         F.sum(pc).alias("sp"),
         F.sum(pc_dec * pc_dec).alias("sp2"),
-        F.sum(qc * pc).alias("sqp"),
+        F.sum(qc_dec * pc_dec).alias("sqp"),
     )
-    # identical expression TEXT to the oracle SQL — the doubles fold in
-    # the same order, so results are bit-equal
+
+
+def moment_stats(sums: DataFrame) -> DataFrame:
+    """Closed-form stats over the power sums — identical expression TEXT
+    to the oracle SQL, so the doubles fold in the same order and the
+    results are bit-equal."""
     return sums.selectExpr(
         "l_returnflag",
         "n",

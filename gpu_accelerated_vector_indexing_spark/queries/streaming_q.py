@@ -130,31 +130,23 @@ def _bin_stream(spark, sf_dir):
     sorted-filename convention, embedding.py:26), so the id checksum is
     N(N-1)/2 — restated arithmetically in the oracle.
     """
-    import os
     import tempfile
 
-    import numpy as np
     from pyspark.sql import functions as F
 
     from gpu_accelerated_vector_indexing_spark.sources.bin_datasource import register
+    from gpu_accelerated_vector_indexing_spark.sources.binary import (
+        write_float32_bin_clustered,
+    )
     from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
     out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_binstream_")
-    # driver-side export per cluster file — the reference's unsplittable
-    # format; small-relation contract (write_float32_bin, SCALE.md §limits)
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("label", "vec_id", "embedding")
-        .collect()
+    # executor-side export, one task per cluster file (the reference's
+    # unsplittable format) — no driver collect anywhere on this path
+    write_float32_bin_clustered(
+        load_table(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding"),
+        out,
     )
-    by_label: dict[int, list] = {}
-    for r in rows:
-        by_label.setdefault(r.label, []).append(r)
-    for label, rs in by_label.items():
-        mat = np.array(
-            [r.embedding for r in sorted(rs, key=lambda r: r.vec_id)], dtype="<f4"
-        )
-        mat.tofile(os.path.join(out, f"cluster_embeddings_{label:03d}.bin"))
 
     register(spark)
     with SW._memory_sink_counter:

@@ -112,13 +112,15 @@ class Float32BinStreamReader(SimpleDataSourceStreamReader):
     same semantics as Spark's file stream source, for the reference's
     raw matrix format.
 
-    Offsets are the sorted list of (path, size) already processed plus
-    the running row base, so ``vec_id`` assignment stays globally
-    consistent with the batch reader's sorted-filename convention
-    (embedding.py:26) as long as files arrive in name order (the
-    index-build pipeline writes cluster_embeddings_{i} in order).
+    Offsets are the sorted list of ``[path, row_count]`` pairs already
+    processed plus the running row base, so ``vec_id`` assignment stays
+    globally consistent with the batch reader's sorted-filename
+    convention (embedding.py:26) as long as files arrive in name order
+    (the index-build pipeline writes cluster_embeddings_{i} in order).
     ``readBetweenOffsets`` replays a committed range deterministically
-    from the offset contents alone — exactly-once on recovery.
+    from the RECORDED row counts — not current file sizes — so a file
+    appended/replaced after commit cannot shift replayed ``vec_id``s;
+    a size drift is detected and raised instead of silently re-basing.
     """
 
     def __init__(self, options: dict):
@@ -154,26 +156,42 @@ class Float32BinStreamReader(SimpleDataSourceStreamReader):
         # a generator is not acceptable here) — the right tool for
         # modest per-batch volumes; a partition-parallel variant would
         # implement the full DataSourceStreamReader instead.
-        seen = set(start.get("seen", []))
+        seen = {p: int(n) for p, n in start.get("seen", [])}
         base = int(start.get("base", 0))
         row_bytes = FLOAT32_BYTES * self.dim
         new = [p for p in self._list() if p not in seen]
         rows: list[tuple] = []
         for p in new:
-            if os.path.getsize(p) % row_bytes != 0:
+            size = os.path.getsize(p)
+            if size % row_bytes != 0:
                 raise ValueError(f"file size not divisible by {row_bytes}: {p}")
             rows.extend(self._rows(p, base))
-            base += os.path.getsize(p) // row_bytes
-        return iter(rows), {"seen": sorted(seen | set(new)), "base": base}
+            n_rows = size // row_bytes
+            seen[p] = n_rows
+            base += n_rows
+        return iter(rows), {
+            "seen": sorted([p, n] for p, n in seen.items()),
+            "base": base,
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        seen = set(start.get("seen", []))
+        start_seen = {p for p, _ in start.get("seen", [])}
         base = int(start.get("base", 0))
-        replay = sorted(p for p in end.get("seen", []) if p not in seen)
+        row_bytes = FLOAT32_BYTES * self.dim
+        replay = sorted(
+            (p, int(n)) for p, n in end.get("seen", []) if p not in start_seen
+        )
         rows: list[tuple] = []
-        for p in replay:
+        for p, n_recorded in replay:
+            size = os.path.getsize(p)
+            if size != n_recorded * row_bytes:
+                raise ValueError(
+                    f"float32bin replay: {p} changed since commit "
+                    f"({size} bytes on disk vs {n_recorded} recorded rows "
+                    f"x {row_bytes} bytes) — refusing to re-base vec_ids"
+                )
             rows.extend(self._rows(p, base))
-            base += os.path.getsize(p) // (FLOAT32_BYTES * self.dim)
+            base += n_recorded
         return iter(rows)
 
 

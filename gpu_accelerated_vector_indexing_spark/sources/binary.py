@@ -153,3 +153,53 @@ def write_float32_bin(df: DataFrame, vec_col: str, out_path: str) -> int:
     mat = np.asarray([r[0] for r in rows], dtype=np.float32)
     mat.tofile(out_path)
     return mat.shape[0]
+
+
+def write_float32_bin_clustered(
+    df: DataFrame,
+    out_dir: str,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Distributed export to the reference's per-cluster ``.bin`` layout
+    (clusters.py:32-35: one ``cluster_embeddings_{label:03d}.bin`` per
+    cluster, rows in id order) — executor-side, no driver collect.
+
+    Shape: ``repartition(label)`` puts each cluster wholly inside one
+    task; ``sortWithinPartitions(label, id)`` lets the task stream rows
+    straight into the current cluster's file with O(1) memory (a plain
+    buffered append — no per-cluster matrix is ever materialized). A
+    task that receives several labels (hash co-residency) just rolls to
+    the next file when the label changes. At cluster scale ``out_dir``
+    is a mounted DFS path; the writer is format-identical either way.
+    """
+    parted = (
+        df.select(label_col, id_col, vec_col)
+        .repartition(F.col(label_col))
+        .sortWithinPartitions(label_col, id_col)
+    )
+
+    def write_partition(rows) -> None:
+        import os
+
+        import numpy as np
+
+        cur_label, fh = None, None
+        try:
+            for r in rows:
+                lab = r[0]
+                if lab != cur_label:
+                    if fh is not None:
+                        fh.close()
+                    cur_label = lab
+                    fh = open(
+                        os.path.join(out_dir, f"cluster_embeddings_{int(lab):03d}.bin"),
+                        "wb",
+                    )
+                fh.write(np.asarray(r[2], dtype="<f4").tobytes())
+        finally:
+            if fh is not None:
+                fh.close()
+
+    parted.foreachPartition(write_partition)

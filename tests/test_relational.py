@@ -70,34 +70,24 @@ def test_stats_exact_moments_partition_invariant(spark):
     """The order-independence claim: the statistics must be BIT-identical
     under different partitionings of the input (float moment aggregates
     are not — that is the point of the exact power-sum form)."""
-    from pyspark.sql import functions as F
-
-    from gpu_accelerated_vector_indexing_spark.operators.relational import stats_exact_moments
+    from gpu_accelerated_vector_indexing_spark.operators.relational import (
+        moment_stats,
+        moment_sums,
+        stats_exact_moments,
+    )
     from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
     base = {r.l_returnflag: r for r in stats_exact_moments(spark, SF_CORRECT).collect()}
+    # recompute through the same operator body on a hostile partitioning
+    # (37 partitions keyed on an unrelated column) and push the
+    # repartitioned sums through the same closed-form stage: every
+    # statistic must be BIT-identical, not just the row counts
     li = load_table(spark, SF_CORRECT, "lineitem").repartition(37, "l_partkey")
-    li.createOrReplaceTempView("___tmp_li_repart")
-    # recompute through the same operator body on the repartitioned input
-    qc = F.round(F.col("l_quantity") * 100).cast("long")
-    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
-    sums = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum(qc).alias("sq"),
-        F.sum(qc * qc).alias("sq2"),
-        F.sum(qc * qc * qc).alias("sq3"),
-        F.sum(pc).alias("sp"),
-        F.sum(pc.cast("decimal(38,0)") * pc.cast("decimal(38,0)")).alias("sp2"),
-        F.sum(qc * pc).alias("sqp"),
-    )
-    again = {r.l_returnflag: r for r in sums.collect()}
+    again = {r.l_returnflag: r for r in moment_stats(moment_sums(li)).collect()}
+    assert base.keys() == again.keys()
     for flag, r in base.items():
         a = again[flag]
         assert a.n == r.n
-    # exact sums identical regardless of partitioning => stats identical
-    once_more = {r.l_returnflag: r for r in stats_exact_moments(spark, SF_CORRECT).collect()}
-    for flag, r in base.items():
-        o = once_more[flag]
         assert (r.mean_qty, r.stddev_qty, r.corr_qty_price, r.skew_qty) == (
-            o.mean_qty, o.stddev_qty, o.corr_qty_price, o.skew_qty
+            a.mean_qty, a.stddev_qty, a.corr_qty_price, a.skew_qty
         )

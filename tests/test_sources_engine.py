@@ -343,3 +343,65 @@ def test_float32bin_stream_incremental_arrival(spark, tmp_path):
     assert sorted(r.vec_id for r in both) == [0, 1, 2, 3, 4]
     got = {r.vec_id: list(r.embedding) for r in both}
     np.testing.assert_allclose(np.array([got[3], got[4]], dtype=np.float32), b)
+
+
+def test_write_float32_bin_clustered_matches_driver_export(spark, tmp_path):
+    """The executor-side per-cluster exporter must produce byte-identical
+    files to a driver-side reference export: one
+    cluster_embeddings_{label:03d}.bin per label, rows in vec_id order."""
+    import os
+
+    from gpu_accelerated_vector_indexing_spark.sources.binary import (
+        write_float32_bin_clustered,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("label", "vec_id", "embedding")
+    out = tmp_path / "clustered"
+    out.mkdir()
+    write_float32_bin_clustered(emb, str(out))
+
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    assert sorted(os.listdir(out)) == [
+        f"cluster_embeddings_{label:03d}.bin" for label in sorted(by_label)
+    ]
+    for label, rs in by_label.items():
+        want = np.array(
+            [r.embedding for r in sorted(rs, key=lambda r: r.vec_id)], dtype="<f4"
+        ).tobytes()
+        got = (out / f"cluster_embeddings_{label:03d}.bin").read_bytes()
+        assert got == want
+
+
+def test_float32bin_stream_replay_uses_recorded_counts(tmp_path):
+    """Exactly-once recovery contract: readBetweenOffsets replays from
+    the row counts RECORDED at commit time, and refuses (rather than
+    silently re-bases vec_ids) when a file changed after commit."""
+    from gpu_accelerated_vector_indexing_spark.sources.bin_datasource import (
+        Float32BinStreamReader,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.random((3, 4), dtype=np.float32)
+    b = rng.random((2, 4), dtype=np.float32)
+    a.tofile(str(tmp_path / "part_a.bin"))
+    b.tofile(str(tmp_path / "part_b.bin"))
+
+    reader = Float32BinStreamReader({"path": str(tmp_path), "dim": "4"})
+    start = reader.initialOffset()
+    batch, end = reader.read(start)
+    assert [r[0] for r in batch] == [0, 1, 2, 3, 4]
+    # offsets record (path, row_count) pairs — replay needs no stat()
+    assert sorted(n for _, n in end["seen"]) == [2, 3]
+    assert end["base"] == 5
+
+    replay = list(reader.readBetweenOffsets(start, end))
+    assert [r[0] for r in replay] == [0, 1, 2, 3, 4]
+
+    # grow a committed file: replay must fail loudly, not shift ids
+    np.concatenate([a, a]).tofile(str(tmp_path / "part_a.bin"))
+    with pytest.raises(ValueError, match="changed since commit"):
+        list(reader.readBetweenOffsets(start, end))

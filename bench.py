@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     ("multi_query_knn", _collect),
     ("knn_with_docs", _collect),
     ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search
+    # reference shape (128 clusters × 384 dims); run 1 pays the memoized
+    # index build, later runs measure the pruned search
+    ("refshape_search_cli", _collect),
+    ("refshape_search_bq", _collect),
     # relational core over the big fact tables
     ("pricing_summary", _collect),
     ("shipping_priority", _collect),

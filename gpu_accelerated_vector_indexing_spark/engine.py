@@ -83,8 +83,12 @@ class IVFEngine:
         collected to the driver to parameterize pruning (the reference's
         own materialize-then-prune control flow, IVF.cpp:282)."""
         q = F.lit([float(x) for x in qvec]).cast("array<double>")
+        # rounded to SCORE_SCALE like every other coarse stage: probe
+        # selection must be reproducible across engines/architectures,
+        # not hang on the last ulp of an unrounded double
         scored = self.centroids.select(
-            "cluster", cosine_similarity(F.col("centroid"), q).alias("cscore")
+            "cluster",
+            F.round(cosine_similarity(F.col("centroid"), q), SCORE_SCALE).alias("cscore"),
         )
         rows = scored.orderBy(F.desc("cscore"), F.desc("cluster")).limit(n_probe).collect()
         return [r.cluster for r in rows]

@@ -152,14 +152,30 @@ def exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+def minhash_from_grams(grams: DataFrame) -> DataFrame:
+    """16-component MinHash signature from a precomputed shingle-hash
+    array column ``gh``: the array folds into a 16-long min-accumulator
+    via zip_with/least — no explode, no shuffle; the signature
+    components fan out of the accumulator at the end (whole-stage
+    codegen CSEs the shared fold)."""
+    a_consts = F.array(*[F.lit(a).cast("long") for a in MINHASH_AS])
+    b_consts = F.array(*[F.lit(b).cast("long") for b in MINHASH_BS])
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * N_MINHASH)
+
+    def step(acc: Column, h: Column) -> Column:
+        vals = F.zip_with(a_consts, b_consts, lambda a, b: (a * h + b) % F.lit(MINHASH_PRIME))
+        return F.zip_with(acc, vals, lambda m, v: F.least(m, v))
+
+    acc = F.aggregate(F.col("gh"), init, step)
+    return grams.select("doc_id", *[acc[i].alias(f"m{i}") for i in range(N_MINHASH)])
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """16-component MinHash signature per document.
 
     Computed per-document in ONE projection (same device as
-    ``simhash_docs``): the shingle-hash array folds into a 16-long
-    min-accumulator via zip_with/least — no explode, no shuffle; the
-    signature components fan out of the accumulator array at the end
-    (whole-stage codegen CSEs the shared fold). ~3× faster than the
+    ``simhash_docs``): shingle hashes straight from character positions,
+    then the :func:`minhash_from_grams` fold. ~3× faster than the
     16-way min-agg over exploded shingles it replaces, bit-identical.
     """
     text = F.col("text")
@@ -172,20 +188,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             ).cast("long")
         return total % F.lit(HASH_MOD)
 
-    a_consts = F.array(*[F.lit(a).cast("long") for a in MINHASH_AS])
-    b_consts = F.array(*[F.lit(b).cast("long") for b in MINHASH_BS])
-    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * N_MINHASH)
     gh = F.transform(F.sequence(F.lit(1), F.length(text) - (SHINGLE_LEN - 1)), poly)
-
-    def step(acc: Column, h: Column) -> Column:
-        vals = F.zip_with(a_consts, b_consts, lambda a, b: (a * h + b) % F.lit(MINHASH_PRIME))
-        return F.zip_with(acc, vals, lambda m, v: F.least(m, v))
-
-    acc = F.aggregate(F.col("gh"), init, step)
-    return (
-        _spread(docs.filter(F.length("text") >= SHINGLE_LEN))
-        .select("doc_id", gh.alias("gh"))
-        .select("doc_id", *[acc[i].alias(f"m{i}") for i in range(N_MINHASH)])
+    return minhash_from_grams(
+        _spread(docs.filter(F.length("text") >= SHINGLE_LEN)).select(
+            "doc_id", gh.alias("gh")
+        )
     )
 
 
@@ -410,9 +417,31 @@ def jaccard_verified_lsh(
     Output = candidates' exact Jaccard ≥ threshold. Subset semantics vs
     the exhaustive variant: a true pair missed by every band is absent
     (the standard LSH recall trade; band parameters set the curve).
+
+    Compute-once shape: the shingle-hash projection is the dominant
+    cost and this plan needs it FOUR times (both sides of the band
+    self-join, both sides of the verify join), so the hashed arrays are
+    materialized once (cache here; a checkpoint/table at cluster scale)
+    and both the signature fold and the verify sides read from it. The
+    signature relation (17 longs/doc) is likewise cached so the band
+    self-join doesn't run the fold twice.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    grams = (
+        _spread(docs.filter(F.length("text") >= SHINGLE_LEN))
+        .select("doc_id", raw_shingle_hashes(F.col("text")).alias("gh"))
+        .withColumn("n", F.size("gh"))
+        .cache()
+    )
+    # signatures from the SAME cached arrays: raw hashes are distinct'd
+    # and unreduced, so re-apply the minhash modulus — min over the
+    # distinct mod-set equals min over the raw multiset, so signature
+    # values are bit-identical to minhash_signatures(docs)
+    sigs = minhash_from_grams(
+        grams.select(
+            "doc_id", F.transform("gh", lambda h: h % F.lit(HASH_MOD)).alias("gh")
+        )
+    ).cache()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -434,9 +463,6 @@ def jaccard_verified_lsh(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    grams = _spread(docs).select(
-        "doc_id", raw_shingle_hashes(F.col("text")).alias("gh")
-    ).withColumn("n", F.size("gh"))
     a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gha"), F.col("n").alias("na"))
     b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("ghb"), F.col("n").alias("nb"))
     inter = F.size(F.array_intersect(F.col("gha"), F.col("ghb")))

@@ -474,6 +474,39 @@ def bq_code(v: Column, dim: int = BQ_DIM) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def bq_codes(v: Column, dim: int) -> Column:
+    """Sign-bit binary quantization packed into ``ceil(dim/64)`` BIGINT
+    words — the general form of :func:`bq_code` for dims beyond one
+    64-bit word (the reference shape is 384 dims → 6 words,
+    IVF.cpp:13-14). Word ``w`` packs dims ``[64w, 64w+63]`` with the
+    same two's-complement bit-63 convention as the one-word code, so
+    word 0 of ``bq_codes(v, 64)`` equals ``bq_code(v)`` exactly.
+    """
+    words = []
+    for w0 in range(0, dim, 64):
+        wd = min(64, dim - w0)
+        weights = F.array(
+            *[F.lit(2**j if j < 63 else -(2**63)).cast("long") for j in range(wd)]
+        )
+        bits = F.zip_with(
+            F.slice(v, w0 + 1, wd),
+            weights,
+            lambda x, w: F.when(x > 0, w).otherwise(F.lit(0).cast("long")),
+        )
+        words.append(F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x))
+    return F.array(*words)
+
+
+def bq_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two multi-word sign codes: per-word
+    ``bit_count(XOR)`` summed across words — one flat fold, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def knn_bq(
     spark: SparkSession,
     sf_dir: str,

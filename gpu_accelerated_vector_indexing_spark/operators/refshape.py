@@ -1,0 +1,192 @@
+"""Reference-shape search: 128 clusters × 384 dims, end to end.
+
+The reference's index constants are 128 clusters of 384-dim MiniLM
+embeddings (IVF.cpp:13-14, embedding.py:16); the test fixtures are
+10 × 64. Constants-driven bugs — bit packing past one 64-bit word,
+probe lists over 128 labels, 384-element folds, partition pruning at
+128 directories — only surface at the reference shape, so this module
+derives a DETERMINISTIC 384-dim corpus from the fixture embeddings and
+runs the real engine paths on it:
+
+* ``refshape_search_cli`` — builds the reference-shape partitioned
+  index once per (session, corpus) and searches it through the same
+  ``IVFEngine`` facade the CLI drives (engine.py:125), n_probe 20 of
+  128 (the reference's own default grid point,
+  run_multiple_configs.sh).
+* ``refshape_search_bq`` — multi-word sign-bit codes (384 dims → six
+  BIGINT words, ``quantize.bq_codes``) as the candidate scan inside the
+  probed set, exact rescore on top.
+
+Derivation: each 64-dim embedding tiles 6× under exact power-of-two
+scalings ±2^-t. Power-of-two multiplies are IEEE-exact, so the DuckDB
+oracle replays the corpus bit-for-bit — the whole reference-shape path
+sits under the value-hash gate. Labels are ``vec_id % 128``: a
+deterministic hash layout at the reference cluster count (the KMeans
+layout is covered by ``engine_full_probe`` and the CLI test; here the
+SHAPE is the subject, so the layout must be oracle-replayable).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_accelerated_vector_indexing_spark.functions.vector import (
+    as_double_array,
+    cosine_similarity_hoisted,
+    l2_norm,
+)
+from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+    coarse_search,
+    label_centroids,
+)
+from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE
+from gpu_accelerated_vector_indexing_spark.operators.quantize import bq_codes, bq_hamming
+from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+REF_DIM = 384  # ≙ IVF.cpp:13 (MiniLM all-MiniLM-L6-v2 dimensionality)
+REF_CLUSTERS = 128  # ≙ IVF.cpp:14
+REF_N_PROBE = 20  # reference CLI default (IVF.cpp:549-555)
+
+# six exact power-of-two scalings: 6 × 64 = 384 dims, float-exact in
+# every engine (sign alternation keeps the copies linearly independent
+# in sign space without breaking exactness)
+REF_SCALES = (1.0, -0.5, 0.25, -0.125, 0.0625, -0.03125)
+
+
+def ref_embed(col: str) -> F.Column:
+    """64-dim fixture embedding → deterministic 384-dim vector."""
+    v = as_double_array(col)
+    return F.flatten(
+        F.array(*[F.transform(v, lambda x: x * F.lit(s)) for s in REF_SCALES])
+    )
+
+
+def ref_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived reference-shape corpus:
+    ``(vec_id, label = vec_id % 128, embedding ARRAY<DOUBLE>[384])``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        (F.col("vec_id") % REF_CLUSTERS).alias("label"),
+        ref_embed("embedding").alias("embedding"),
+    )
+
+
+def ref_query(spark: SparkSession, sf_dir: str, query_id: int) -> DataFrame:
+    """One derived 384-dim query vector with its norm hoisted."""
+    return (
+        ref_corpus(spark, sf_dir)
+        .filter(F.col("vec_id") == query_id)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .withColumn("qnorm", l2_norm(F.col("qvec")))
+    )
+
+
+# Index state, same posture as ivf.fixture_centroids / quantize._PQ_CACHE:
+# built once per (session, corpus dir), never recomputed at query time.
+_REF_INDEX_CACHE: dict[tuple[SparkSession, str], str] = {}
+_REF_CENT_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def refshape_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized 128 × 384 centroid relation (per-label means, 8-dp
+    rounded — the same determinism recipe as ``ivf.label_centroids``)."""
+    key = (spark, sf_dir)
+    if key not in _REF_CENT_CACHE:
+        cents = label_centroids(ref_corpus(spark, sf_dir))
+        _REF_CENT_CACHE[key] = spark.createDataFrame(
+            cents.collect(), schema=cents.schema
+        )
+    return _REF_CENT_CACHE[key]
+
+
+def refshape_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the reference-shape index ONCE per (session, corpus):
+    cluster-partitioned parquet (128 directories) + centroid table —
+    the layout ``IVFEngine.from_pretrained`` consumes, at the
+    reference's own cluster count."""
+    key = (spark, sf_dir)
+    if key not in _REF_INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_refshape_index_")
+        corpus = ref_corpus(spark, sf_dir).withColumnRenamed("label", "cluster")
+        (
+            corpus.repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{out}/embeddings_indexed")
+        )
+        (
+            refshape_centroids(spark, sf_dir)
+            .withColumnRenamed("label", "cluster")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/centroids")
+        )
+        _REF_INDEX_CACHE[key] = out
+    return _REF_INDEX_CACHE[key]
+
+
+def refshape_search_cli(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = REF_N_PROBE,
+) -> DataFrame:
+    """Reference-shape search through the CLI's engine facade: 20 of 128
+    clusters probed (partition pruning over 128 directories), 384-dim
+    cosine fine scan, (score, vec_id) out — ≙ ``./IVF --n_probe 20``
+    (IVF.cpp:558-635) at the reference's true index shape."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+
+    idx = refshape_index(spark, sf_dir)
+    qvec = [float(x) for x in ref_query(spark, sf_dir, query_id).first().qvec]
+    eng = IVFEngine.from_pretrained(spark, idx, n_probe=n_probe)
+    return eng.search(qvec, k=k)
+
+
+def refshape_search_bq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = REF_N_PROBE,
+    n_candidates: int = 400,
+) -> DataFrame:
+    """IVF probe pruning × MULTI-WORD sign-bit Hamming candidates ×
+    exact rescore at 384 dims — the composition that requires
+    ``bq_codes`` to pack six BIGINT words per vector. With the generous
+    candidate margin the result equals the exact fine search within the
+    probed set (margin pinned in tests), so the oracle is the exact
+    reference-shape IVF SQL."""
+    corpus = ref_corpus(spark, sf_dir)
+    q = ref_query(spark, sf_dir, query_id)
+    cents = refshape_centroids(spark, sf_dir)
+    probes = [
+        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
+    ]
+    pruned = corpus.filter(F.col("label").isin(probes))
+    qcode = q.select(
+        "query_id", "qvec", "qnorm", bq_codes(F.col("qvec"), REF_DIM).alias("qcode")
+    )
+    hamming = bq_hamming(bq_codes(F.col("embedding"), REF_DIM), F.col("qcode"))
+    candidates = (
+        pruned.join(F.broadcast(qcode))
+        .select("vec_id", hamming.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(
+        F.col("embedding"), F.col("qvec"), F.col("qnorm")
+    )
+    return (
+        pruned.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, SCORE_SCALE).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

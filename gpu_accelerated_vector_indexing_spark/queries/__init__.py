@@ -52,7 +52,7 @@ _GATE_FIRST = [
     # UDF surface (never sampled)
     "udaf_geomean_price", "udtf_sentences",
     # reference-shape end-to-end (new this round)
-    "refshape_search_cli",
+    "refshape_search_cli", "refshape_search_bq",
 ]
 
 
@@ -66,6 +66,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
         lsh_q,
         modern_q,
         multimodal_q,
+        refshape_q,
         relational_q,
         streaming_q,
         temporal_q,
@@ -78,6 +79,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
     for mod in (
         knn_q,
         ivf_q,
+        refshape_q,
         lsh_q,
         modern_q,
         relational_q,

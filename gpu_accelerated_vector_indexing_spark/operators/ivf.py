@@ -66,13 +66,28 @@ def label_centroids(emb: DataFrame, cluster_col: str = "label") -> DataFrame:
 # Centroids are INDEX STATE: the reference loads them from the prebuilt
 # index (cluster_centroids.bin, IVF.cpp:489-510) and never recomputes
 # them at query time. The fixture path mirrors that — the first call per
-# (session, corpus dir) aggregates per-label means once, collects the
+# (session, corpus dir) aggregates per-label means once and collects the
 # tiny result (n_clusters × dim doubles, the same bounded-collect posture
-# as the coarse materialization, IVF.cpp:282) and rebuilds it as a local
-# relation. Every subsequent query's coarse stage is then a scan-free
-# broadcast of ≤ a few hundred local rows: no registered IVF query pays
-# a corpus-wide exchange before its pruned fine scan.
+# as the coarse materialization, IVF.cpp:282). Every subsequent query's
+# coarse stage then ranks ≤ a few hundred local rows: no registered IVF
+# query pays a corpus-wide exchange before its pruned fine scan.
 _CENTROIDS_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_CENTROID_ROWS: dict[tuple[SparkSession, str], list[tuple[int, list[float]]]] = {}
+_QVEC_CACHE: dict[tuple[SparkSession, str, int], list[float]] = {}
+
+
+def fixture_centroid_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """Memoized collected ``(label, centroid)`` rows — the in-memory
+    form the reference holds after loading cluster_centroids.bin."""
+    key = (spark, sf_dir)
+    if key not in _CENTROID_ROWS:
+        cents = label_centroids(load_table(spark, sf_dir, "embeddings"))
+        _CENTROID_ROWS[key] = [
+            (int(r.label), [float(x) for x in r.centroid]) for r in cents.collect()
+        ]
+    return _CENTROID_ROWS[key]
 
 
 def fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,16 +95,82 @@ def fixture_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ≙ reading the prebuilt centroid table (IVF.cpp:489-510) instead of
     re-deriving it — the exact analog of ``_PQ_CACHE`` memoizing PQ
-    codebooks as build-time index state.
+    codebooks as build-time index state. ``cache()``d so repeat scans
+    stay JVM-side instead of re-serializing the local rows per query.
     """
     key = (spark, sf_dir)
     if key not in _CENTROIDS_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        cents = label_centroids(emb)
-        _CENTROIDS_CACHE[key] = spark.createDataFrame(
-            cents.collect(), schema=cents.schema
-        )
+        rows = fixture_centroid_rows(spark, sf_dir)
+        df = spark.createDataFrame(
+            rows, schema="label int, centroid array<double>"
+        ).cache()
+        df.count()
+        _CENTROIDS_CACHE[key] = df
     return _CENTROIDS_CACHE[key]
+
+
+def fixture_qvec(spark: SparkSession, sf_dir: str, query_id: int) -> list[float]:
+    """Memoized raw query vector (float32 storage widened to float64) —
+    ≙ the reference reading queries_data/*.bin once (IVF.cpp:650-672)."""
+    key = (spark, sf_dir, query_id)
+    if key not in _QVEC_CACHE:
+        row = query_vectors(spark, sf_dir, [query_id]).first()
+        _QVEC_CACHE[key] = [float(x) for x in row.qvec]
+    return _QVEC_CACHE[key]
+
+
+def _round_half_up6(v: float) -> float:
+    """Python twin of ``F.round(col, 6)`` on DOUBLE (HALF_UP over the
+    shortest decimal repr — Spark routes doubles through
+    ``BigDecimal.valueOf``, which uses ``Double.toString``)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def probe_labels(
+    rows: list[tuple[int, list[float]]], qvec: list[float], n_probe: int
+) -> list[int]:
+    """Driver-side coarse search over collected centroid state.
+
+    ≙ IVF.cpp:271-282: the coarse stage is an in-memory op over the
+    tiny (≤128 × dim) centroid matrix. Launching a distributed job to
+    rank ≤128 local rows costs ~0.5 s of fixed scheduling overhead per
+    query (measured at sf0.1) — pure waste at any scale, since the
+    centroid relation is index state that fits in L2. The arithmetic is
+    the SAME expression the oracle replays: sequential float64 folds,
+    ``+1e-8`` guard, HALF_UP round to 6 d.p., (cscore DESC, label DESC)
+    order — so the probe SET is identical to ``coarse_search``'s
+    (pinned by test_ivf parity and every IVF query's value oracle).
+    """
+    import math
+
+    nq = 0.0
+    for x in qvec:
+        nq += x * x
+    qnorm = math.sqrt(nq)
+    scored = []
+    for lab, cent in rows:
+        dot = 0.0
+        nc = 0.0
+        for c, qv in zip(cent, qvec):
+            dot += c * qv
+            nc += c * c
+        scored.append((_round_half_up6(dot / (math.sqrt(nc) * qnorm + 1e-8)), lab))
+    scored.sort(key=lambda t: (-t[0], -t[1]))
+    return [lab for _, lab in scored[:n_probe]]
+
+
+def coarse_probes(
+    spark: SparkSession, sf_dir: str, query_id: int, n_probe: int
+) -> list[int]:
+    """Top-``n_probe`` cluster labels for one fixture query — the
+    memoized-state fast path every fixture IVF query uses."""
+    return probe_labels(
+        fixture_centroid_rows(spark, sf_dir),
+        fixture_qvec(spark, sf_dir, query_id),
+        n_probe,
+    )
 
 
 def coarse_search(centroids: DataFrame, queries: DataFrame, n_probe: int) -> DataFrame:
@@ -126,10 +207,7 @@ def knn_ivf(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = fixture_centroids(spark, sf_dir)
-    probes = [
-        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
-    ]  # ≤ n_clusters rows — plan-time pruning, mirrors IVF.cpp:282
+    probes = coarse_probes(spark, sf_dir, query_id, n_probe)  # driver-side over memoized index state (IVF.cpp:282)
 
     fine = (
         emb.filter(F.col("label").isin(probes))  # ⇒ partition pruning on a partitioned layout
@@ -175,8 +253,7 @@ def knn_ivf_prenorm(
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = fixture_centroids(spark, sf_dir)
-    probes = [r.label for r in coarse_search(cents, q, n_probe).select("label").collect()]
+    probes = coarse_probes(spark, sf_dir, query_id, n_probe)
     nq = (
         emb.filter(F.col("vec_id") == query_id)
         .select(l2_normalize(as_double_array("embedding")).alias("nq"))
@@ -216,8 +293,7 @@ def knn_ivf_filtered(
     docs = load_table(spark, sf_dir, "documents")
     allowed = docs.filter(F.col("lang") == lang).select(F.col("doc_id").alias("vec_id"))
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = fixture_centroids(spark, sf_dir)
-    probes = [r.label for r in coarse_search(cents, q, n_probe).select("label").collect()]
+    probes = coarse_probes(spark, sf_dir, query_id, n_probe)
     fine = (
         emb.filter(F.col("label").isin(probes))
         .join(allowed, "vec_id", "left_semi")
@@ -257,12 +333,35 @@ def multi_query_knn_ivf(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     qs = query_vectors(spark, sf_dir, query_ids)
-    cents = fixture_centroids(spark, sf_dir)
-    probes = coarse_search(cents, qs, n_probe).select("query_id", "label")
-    probe_labels = [r.label for r in probes.select("label").distinct().collect()]
+    # per-query probe pairs from the memoized index state — zero jobs;
+    # the tiny pair relation is rebuilt as JVM struct literals (the
+    # createDataFrame route pays a Python-worker task per scan)
+    pairs = [
+        (int(qid), lab)
+        for qid in query_ids
+        for lab in coarse_probes(spark, sf_dir, qid, n_probe)
+    ]
+    probed_union = sorted({lab for _, lab in pairs})
+    probes = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).cast("long").alias("query_id"),
+                            F.lit(b).cast("int").alias("label"),
+                        )
+                        for a, b in pairs
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.query_id", "s.label")
+    )
 
     fine = (
-        emb.filter(F.col("label").isin(probe_labels))  # partition pruning on the union
+        emb.filter(F.col("label").isin(probed_union))  # partition pruning on the union
         .join(F.broadcast(probes), "label")  # (query, cluster) pairs actually probed
         .join(F.broadcast(qs), "query_id")
         .select(

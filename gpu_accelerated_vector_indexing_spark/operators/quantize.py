@@ -322,18 +322,12 @@ def knn_ivf_sq8(
     exact ranking. Within the probed set the result equals the exact
     fine search, so the oracle is the standard IVF fine-search SQL.
     """
-    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
-        coarse_search,
-        fixture_centroids,
-    )
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import coarse_probes
 
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = corpus_quantizer(spark, sf_dir)
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = fixture_centroids(spark, sf_dir)
-    probes = [
-        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
-    ]  # plan-time pruning, mirrors IVF.cpp:282
+    probes = coarse_probes(spark, sf_dir, query_id, n_probe)  # driver-side over memoized index state (IVF.cpp:282)
     pruned = emb.filter(F.col("label").isin(probes))
 
     v = as_double_array("embedding")
@@ -416,18 +410,12 @@ def knn_ivf_pq(
     are not SQL-expressible) → rows-only driver check; tests pin
     recall@k vs the exact IVF fine search and full-margin equality.
     """
-    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
-        coarse_search,
-        fixture_centroids,
-    )
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import coarse_probes
     from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = fixture_centroids(spark, sf_dir)
-    probes = [
-        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
-    ]  # plan-time pruning, mirrors IVF.cpp:282
+    probes = coarse_probes(spark, sf_dir, query_id, n_probe)  # driver-side over memoized index state (IVF.cpp:282)
     codes_tbl, approx_score = _pq_adc_score(spark, sf_dir, query_id)
     candidates = (
         codes_tbl.filter(F.col("label").isin(probes))
@@ -481,20 +469,35 @@ def bq_codes(v: Column, dim: int) -> Column:
     IVF.cpp:13-14). Word ``w`` packs dims ``[64w, 64w+63]`` with the
     same two's-complement bit-63 convention as the one-word code, so
     word 0 of ``bq_codes(v, 64)`` equals ``bq_code(v)`` exactly.
+
+    Expression-size note: ONE shared 64-literal weight array + a nested
+    fold over word indices, not per-word unrolled literal arrays — at
+    384 dims the unrolled form's ~400-node tree cost seconds of DRIVER
+    analysis/codegen per query (measured), which dwarfed the scan it
+    fed. Sizing expression TREES, not just data, is part of the 100 TB
+    posture: plan time is serial driver time.
+
+    A slice past the end of ``v`` (dim not a multiple of 64) yields a
+    short array; ``zip_with`` pads it with nulls, which the ``when``
+    maps to +0 — high bits of the last word are zero, matching the
+    truncated-weights semantics of the one-word form.
     """
-    words = []
-    for w0 in range(0, dim, 64):
-        wd = min(64, dim - w0)
-        weights = F.array(
-            *[F.lit(2**j if j < 63 else -(2**63)).cast("long") for j in range(wd)]
-        )
-        bits = F.zip_with(
-            F.slice(v, w0 + 1, wd),
-            weights,
-            lambda x, w: F.when(x > 0, w).otherwise(F.lit(0).cast("long")),
-        )
-        words.append(F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x))
-    return F.array(*words)
+    n_words = (dim + 63) // 64
+    w64 = F.array(
+        *[F.lit(2**j if j < 63 else -(2**63)).cast("long") for j in range(64)]
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.zip_with(
+                F.slice(v, w * 64 + 1, F.lit(64)),
+                w64,
+                lambda x, wt: F.when(x > 0, wt).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def bq_hamming(a: Column, b: Column) -> Column:
@@ -574,17 +577,11 @@ def knn_ivf_bq(
     ``knn_ivf`` — the layout decides what is READ, the code decides how
     cheaply it is SCANNED, the rescore restores exact ranking.
     """
-    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
-        coarse_search,
-        fixture_centroids,
-    )
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import coarse_probes
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
-    cents = fixture_centroids(spark, sf_dir)
-    probes = [
-        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
-    ]  # plan-time pruning, mirrors IVF.cpp:282
+    probes = coarse_probes(spark, sf_dir, query_id, n_probe)  # driver-side over memoized index state (IVF.cpp:282)
     pruned = emb.filter(F.col("label").isin(probes))
     qcode = q.select(
         "query_id", "qvec", "qnorm", bq_code(F.col("qvec")).alias("qcode")

@@ -39,8 +39,8 @@ from gpu_accelerated_vector_indexing_spark.functions.vector import (
     l2_norm,
 )
 from gpu_accelerated_vector_indexing_spark.operators.ivf import (
-    coarse_search,
     label_centroids,
+    probe_labels,
 )
 from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE
 from gpu_accelerated_vector_indexing_spark.operators.quantize import bq_codes, bq_hamming
@@ -85,22 +85,39 @@ def ref_query(spark: SparkSession, sf_dir: str, query_id: int) -> DataFrame:
     )
 
 
+_REF_QVEC_CACHE: dict[tuple[SparkSession, str, int], list[float]] = {}
+
+
+def ref_qvec(spark: SparkSession, sf_dir: str, query_id: int) -> list[float]:
+    """Memoized raw 384-dim query vector (≙ reading queries_data/*.bin
+    once, IVF.cpp:650-672)."""
+    key = (spark, sf_dir, query_id)
+    if key not in _REF_QVEC_CACHE:
+        _REF_QVEC_CACHE[key] = [
+            float(x) for x in ref_query(spark, sf_dir, query_id).first().qvec
+        ]
+    return _REF_QVEC_CACHE[key]
+
+
 # Index state, same posture as ivf.fixture_centroids / quantize._PQ_CACHE:
 # built once per (session, corpus dir), never recomputed at query time.
 _REF_INDEX_CACHE: dict[tuple[SparkSession, str], str] = {}
-_REF_CENT_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_REF_CENT_ROWS: dict[tuple[SparkSession, str], list[tuple[int, list[float]]]] = {}
 
 
-def refshape_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized 128 × 384 centroid relation (per-label means, 8-dp
-    rounded — the same determinism recipe as ``ivf.label_centroids``)."""
+def refshape_centroid_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """Memoized collected 128 × 384 centroid rows (per-label means,
+    8-dp rounded — the same determinism recipe as
+    ``ivf.label_centroids``)."""
     key = (spark, sf_dir)
-    if key not in _REF_CENT_CACHE:
+    if key not in _REF_CENT_ROWS:
         cents = label_centroids(ref_corpus(spark, sf_dir))
-        _REF_CENT_CACHE[key] = spark.createDataFrame(
-            cents.collect(), schema=cents.schema
-        )
-    return _REF_CENT_CACHE[key]
+        _REF_CENT_ROWS[key] = [
+            (int(r.label), [float(x) for x in r.centroid]) for r in cents.collect()
+        ]
+    return _REF_CENT_ROWS[key]
 
 
 def refshape_index(spark: SparkSession, sf_dir: str) -> str:
@@ -119,8 +136,10 @@ def refshape_index(spark: SparkSession, sf_dir: str) -> str:
             .parquet(f"{out}/embeddings_indexed")
         )
         (
-            refshape_centroids(spark, sf_dir)
-            .withColumnRenamed("label", "cluster")
+            spark.createDataFrame(
+                refshape_centroid_rows(spark, sf_dir),
+                schema="cluster int, centroid array<double>",
+            )
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{out}/centroids")
@@ -143,7 +162,7 @@ def refshape_search_cli(
     from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
 
     idx = refshape_index(spark, sf_dir)
-    qvec = [float(x) for x in ref_query(spark, sf_dir, query_id).first().qvec]
+    qvec = ref_qvec(spark, sf_dir, query_id)
     eng = IVFEngine.from_pretrained(spark, idx, n_probe=n_probe)
     return eng.search(qvec, k=k)
 
@@ -161,14 +180,25 @@ def refshape_search_bq(
     ``bq_codes`` to pack six BIGINT words per vector. With the generous
     candidate margin the result equals the exact fine search within the
     probed set (margin pinned in tests), so the oracle is the exact
-    reference-shape IVF SQL."""
-    corpus = ref_corpus(spark, sf_dir)
+    reference-shape IVF SQL.
+
+    Reads the MATERIALIZED index, not the derived view: ``label`` on
+    the derived corpus is a computed column (``vec_id % 128``) that no
+    scan can prune on, but on the index it is the partition column — so
+    the probe IN-list prunes 108 of 128 directories here exactly as in
+    the facade path."""
     q = ref_query(spark, sf_dir, query_id)
-    cents = refshape_centroids(spark, sf_dir)
-    probes = [
-        r.label for r in coarse_search(cents, q, n_probe).select("label").collect()
-    ]
-    pruned = corpus.filter(F.col("label").isin(probes))
+    probes = probe_labels(
+        refshape_centroid_rows(spark, sf_dir),
+        ref_qvec(spark, sf_dir, query_id),
+        n_probe,
+    )
+    idx = refshape_index(spark, sf_dir)
+    pruned = (
+        spark.read.parquet(f"{idx}/embeddings_indexed")
+        .filter(F.col("cluster").isin(probes))
+        .withColumnRenamed("cluster", "label")
+    )
     qcode = q.select(
         "query_id", "qvec", "qnorm", bq_codes(F.col("qvec"), REF_DIM).alias("qcode")
     )

@@ -19,40 +19,45 @@ from pyspark.sql import DataFrame, SparkSession
 # Driver-gate rotation (VERDICT r2, "Next round" #2): the driver's
 # CORRECTNESS gate checks a prefix sample of this registry, so
 # registration order decides which queries earn a driver-checked row
-# each round. 113 of 163 queries had no gate row after r2 — the
-# families below (dedup / curation / temporal / streaming / the
-# never-sampled relational flagships / this round's newly-oracled PQ
-# queries) go FIRST this round; the knn/ivf/lsh/modern/relational-head
-# names that are already green in r1+r2 rotate to the back. Rotate this
-# list again next round until every family has a green row.
+# each round. 113 of 163 queries had no gate row after r2. Priority
+# order within the prefix: round-3 novelties (reference-shape, newly
+# oracled PQ, streaming KNN), then the family flagships VERDICT names,
+# then the never-sampled families; the knn/ivf/lsh/modern names already
+# green in r1+r2 rotate to the back. Rotate again next round until
+# every family has a green row.
 _GATE_FIRST = [
-    # dedup family (flagship: dedup_minhash_lsh)
-    "dedup_exact_summary", "dedup_exact_keep", "dedup_minhash_lsh",
+    # round-3 novelties first — these MUST land inside the sampled prefix:
+    # reference-shape end-to-end, the newly-oracled PQ paths, streaming KNN
+    "refshape_search_cli", "refshape_search_bq",
+    "knn_pq", "knn_ivf_pq", "ann_method_comparison",
+    "streaming_knn",
+    # family flagships named in VERDICT r2 "Next round" #2
+    "dedup_minhash_lsh", "curation_decontaminate", "copurchase_pagerank",
+    "join_asof", "streaming_tumbling", "stats_exact_moments",
+    # UDF surface (never sampled)
+    "udaf_geomean_price", "udtf_sentences",
+    # dedup family (rest)
+    "dedup_exact_summary", "dedup_exact_keep",
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_jaccard_verified_lsh",
     "dedup_embedding_topk", "dedup_components", "dedup_keep_canonical",
-    # curation family (flagship: curation_decontaminate)
-    "curation_quality_filter", "curation_decontaminate",
-    "curation_decontaminate_hashed", "curation_pii_redact",
-    "curation_mix_rebalance",
-    # temporal family (flagship: join_asof)
-    "join_asof", "join_range_bucketed", "events_rollup_hierarchy",
+    # curation family (rest)
+    "curation_quality_filter", "curation_decontaminate_hashed",
+    "curation_pii_redact", "curation_mix_rebalance",
+    # temporal family (rest)
+    "join_range_bucketed", "events_rollup_hierarchy",
     "events_funnel", "events_trailing_window", "merge_upsert_latest",
     "join_interval", "events_zscore_outliers", "scd2_user_state",
     "events_transition_matrix", "join_asof_cogroup", "incremental_agg_merge",
-    # streaming family (flagship: streaming_tumbling)
-    "events_tumbling", "events_sliding", "events_sessionize",
-    "streaming_tumbling", "streaming_sliding", "streaming_sessions",
-    "streaming_dedup", "streaming_interval_join", "streaming_stream_static",
-    "streaming_foreach_upsert", "sources_roundtrip", "sources_bin_stream",
+    # sources connectors (never sampled)
+    "sources_roundtrip", "sources_bin_stream",
     # relational flagships with no gate row in r1/r2
-    "copurchase_pagerank", "stats_exact_moments", "copurchase_lift",
-    "events_cohort_retention", "skew_salted_agg", "grouping_sets",
-    # newly-oracled this round (were no_oracle in r2)
-    "knn_pq", "knn_ivf_pq", "ann_method_comparison",
-    # UDF surface (never sampled)
-    "udaf_geomean_price", "udtf_sentences",
-    # reference-shape end-to-end (new this round)
-    "refshape_search_cli", "refshape_search_bq",
+    "copurchase_lift", "events_cohort_retention", "skew_salted_agg",
+    "grouping_sets",
+    # streaming family (rest)
+    "events_tumbling", "events_sliding", "events_sessionize",
+    "streaming_sliding", "streaming_sessions",
+    "streaming_dedup", "streaming_interval_join", "streaming_stream_static",
+    "streaming_foreach_upsert",
 ]
 
 

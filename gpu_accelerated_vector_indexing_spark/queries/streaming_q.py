@@ -195,6 +195,26 @@ ORACLES["sources_roundtrip"] = " UNION ALL ".join(
     _RT_AGG.format(fmt=f) for f in ("csv", "json", "orc")
 )
 
+def _streaming_knn(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.queries import knn_q
+    from gpu_accelerated_vector_indexing_spark.streaming.vector_stream import streaming_knn
+
+    return streaming_knn(spark, sf_dir, query_ids=knn_q.MULTI_QUERY_IDS, k=knn_q.K)
+
+
+QUERIES["streaming_knn"] = _streaming_knn
+
+# the drained stream-of-queries search equals the batch multi-query
+# search (static corpus ⇒ per-query top-k is batching-invariant), so it
+# shares multi_query_knn's full oracle verbatim
+def _multi_query_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries import knn_q
+
+    return knn_q.ORACLES["multi_query_knn"]
+
+
+ORACLES["streaming_knn"] = _multi_query_oracle()
+
 # streaming_profile_tws (transformWithStateInPandas) is implemented in
 # streaming/stateful.py but NOT registered: the API's state-server
 # protocol needs a working google.protobuf, absent in this runtime.

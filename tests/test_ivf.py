@@ -170,3 +170,26 @@ def test_ivf_bq_equals_exact_fine_search(spark):
         ).collect()
     ]
     assert len(tight) == 5  # tighter margin still returns a full k set
+
+
+def test_driver_coarse_probes_match_dataframe_coarse(spark):
+    """The fixture path's driver-side coarse search (probe_labels over
+    memoized centroid rows) must select the SAME probe set as the
+    DataFrame coarse_search for every (query, n_probe) config — same
+    folds, same rounding, same tie-break, two implementations."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        coarse_probes,
+        coarse_search,
+        fixture_centroids,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
+
+    cents = fixture_centroids(spark, SF_CORRECT)
+    for qid in (0, 3, 17):
+        q = query_vectors(spark, SF_CORRECT, [qid])
+        for n_probe in (1, 3, 10):
+            df_probes = sorted(
+                r.label
+                for r in coarse_search(cents, q, n_probe).select("label").collect()
+            )
+            assert df_probes == sorted(coarse_probes(spark, SF_CORRECT, qid, n_probe))

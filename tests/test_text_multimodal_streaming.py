@@ -296,3 +296,34 @@ def test_stateful_checkpoint_restart_recovers_state(spark):
     # 2 events / 14.0 total — instead of recounting from zero
     assert latest.n_events == 2 and latest.sum_value == 14.0
     assert str(latest.last_ts).startswith("2024-01-01 00:02")
+
+
+def test_streaming_knn_batching_invariant(spark, tmp_path):
+    """The stream-of-queries search must produce the batch multi-query
+    result no matter how arrivals are micro-batched: split the corpus
+    into several files, throttle to one file per trigger (≥2 real
+    batches), and compare against the single-batch drain."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from gpu_accelerated_vector_indexing_spark.streaming.vector_stream import streaming_knn
+
+    sfdir = tmp_path / "corpus"
+    sfdir.mkdir()
+    (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .repartition(4, F.col("vec_id"))
+        .write.parquet(str(sfdir / "embeddings.parquet"))
+    )
+
+    throttled = streaming_knn(
+        spark, str(sfdir), max_files_per_trigger=1
+    ).toPandas()
+    single = streaming_knn(spark, str(sfdir)).toPandas()
+    cols = sorted(throttled.columns)
+
+    def canon(df):
+        return df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+
+    assert canon(throttled).equals(canon(single))
+    assert set(throttled.query("rn == 1").query_id) == {0, 1, 2, 3, 4}

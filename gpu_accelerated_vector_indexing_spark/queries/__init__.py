@@ -50,6 +50,7 @@ _GATE_FIRST = [
     "events_transition_matrix", "join_asof_cogroup", "incremental_agg_merge",
     # sources connectors (never sampled)
     "sources_roundtrip", "sources_bin_stream",
+    "sources_npy_roundtrip", "sources_articles_roundtrip",
     # relational flagships with no gate row in r1/r2
     "copurchase_lift", "events_cohort_retention", "skew_salted_agg",
     "grouping_sets",

@@ -183,6 +183,97 @@ SELECT count(*) AS n_rows,
 FROM embeddings
 """
 
+def _npy_roundtrip(spark, sf_dir):
+    """O24's input side under the value gate: export the corpus to the
+    reference build pipeline's per-cluster ``.npy`` layout
+    (clusters.py:32-35) via the distributed writer, read it back with
+    ``read_npy`` (self-describing header parse), and checksum — count,
+    reassigned-id sum and decimal component sum must match the parquet
+    source (same contract as ``sources_bin_stream``)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.sources.binary import (
+        read_npy,
+        write_npy_clustered,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_npy_")
+    write_npy_clustered(
+        load_table(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding"),
+        out,
+    )
+    back = read_npy(spark, f"{out}/*.npy")
+    row_sum = F.aggregate(
+        F.transform("embedding", lambda v: F.round(v.cast("double"), 6)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("vec_id").cast("bigint").alias("sum_ids"),
+        F.sum(row_sum.cast("decimal(18,6)")).cast("double").alias("sum_components"),
+    )
+
+
+QUERIES["sources_npy_roundtrip"] = _npy_roundtrip
+
+ORACLES["sources_npy_roundtrip"] = """
+SELECT count(*) AS n_rows,
+       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS sum_ids,
+       CAST(sum(CAST(list_sum(list_transform(embedding, v -> round(CAST(v AS DOUBLE), 6)))
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_components
+FROM embeddings
+"""
+
+
+def _articles_roundtrip(spark, sf_dir):
+    """O4/O5 under the value gate: export documents to the reference's
+    article-JSON directory layout, re-ingest through
+    ``read_article_dir`` (whole-file JSON array parse + positional
+    global ids), and checksum. ``sum_pos_weighted`` couples each
+    re-derived positional id to its text length, so any id↔content
+    misalignment (wrong file order, wrong in-file order) breaks the
+    hash, not just lost rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.sources.articles import (
+        read_article_dir,
+        write_article_dir,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_articles_")
+    write_article_dir(load_table(spark, sf_dir, "documents"), out)
+    arts = read_article_dir(spark, out)
+    return arts.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.sum(F.col("doc_id") * F.length("text")).cast("bigint").alias("sum_pos_weighted"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+    )
+
+
+QUERIES["sources_articles_roundtrip"] = _articles_roundtrip
+
+# positional ids are re-derived by the reader; fixture doc_ids are the
+# same 0..N-1 sequence, so position == doc_id and the alignment checksum
+# restates directly over the source table
+ORACLES["sources_articles_roundtrip"] = """
+SELECT count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(sum(doc_id * length(text)) AS BIGINT) AS sum_pos_weighted,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents
+"""
+
+
 # each format's round trip must reproduce the aggregates computed
 # directly on the parquet source — one UNION ALL branch per format
 _RT_AGG = """

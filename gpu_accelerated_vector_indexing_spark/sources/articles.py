@@ -69,6 +69,65 @@ def file_lengths(articles: DataFrame) -> DataFrame:
     return articles.groupBy("file").agg(F.count("*").alias("num_articles")).orderBy("file")
 
 
+def write_article_dir(
+    docs: DataFrame, out_dir: str, docs_per_file: int = 512
+) -> None:
+    """Export documents to the reference's article-JSON layout: a
+    directory of files, each a top-level JSON ARRAY of article objects
+    (the store ``read_article_dir`` ingests; reference IVF.cpp:52-81,
+    embedding.py:26-31).
+
+    File = zero-padded ``doc_id // docs_per_file`` bucket, so
+    sorted-filename order reproduces ``doc_id`` order and the reader's
+    positional global ids equal the originals. Executor-side: each
+    bucket lands wholly in one task (``repartition(bucket)``) and
+    streams its array out row by row — no driver collect, O(1) task
+    memory beyond one document.
+    """
+    parted = (
+        docs.select(
+            (F.col("doc_id") / docs_per_file).cast("long").alias("bucket"),
+            "doc_id",
+            "text",
+        )
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "doc_id")
+    )
+
+    def write_partition(rows) -> None:
+        import json
+        import os
+
+        cur, fh, first = None, None, True
+        try:
+            for r in rows:
+                if r[0] != cur:
+                    if fh is not None:
+                        fh.write("]")
+                        fh.close()
+                    cur = r[0]
+                    fh = open(
+                        os.path.join(out_dir, f"articles_{int(cur):06d}.json"), "w"
+                    )
+                    fh.write("[")
+                    first = True
+                if not first:
+                    fh.write(",")
+                first = False
+                fh.write(
+                    json.dumps(
+                        {"id": str(r[1]), "title": "", "text": r[2]},
+                        ensure_ascii=True,
+                    )
+                )
+        finally:
+            if fh is not None:
+                fh.write("]")
+                fh.close()
+
+    parted.foreachPartition(write_partition)
+
+
 def lookup_texts(articles: DataFrame, ids: DataFrame, truncate: int = 200) -> DataFrame:
     """Join result ids to article snippets.
 

@@ -203,3 +203,54 @@ def write_float32_bin_clustered(
                 fh.close()
 
     parted.foreachPartition(write_partition)
+
+
+def write_npy_clustered(
+    df: DataFrame,
+    out_dir: str,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Distributed per-cluster ``.npy`` export — the reference build
+    pipeline's own output layout (clusters.py:32-35 ``np.save`` per
+    cluster matrix), written executor-side.
+
+    Unlike the headerless ``.bin`` writer, the npy header needs the row
+    count up front, so each task buffers ONE cluster's matrix before
+    ``np.save`` — memory is bounded by the largest cluster, exactly the
+    reference's own per-cluster materialization shape. Same
+    repartition(label) + sortWithinPartitions placement contract as
+    :func:`write_float32_bin_clustered`.
+    """
+    parted = (
+        df.select(label_col, id_col, vec_col)
+        .repartition(F.col(label_col))
+        .sortWithinPartitions(label_col, id_col)
+    )
+
+    def write_partition(rows) -> None:
+        import os
+
+        import numpy as np
+
+        state: dict = {"label": None, "buf": []}
+
+        def flush() -> None:
+            if state["label"] is not None and state["buf"]:
+                np.save(
+                    os.path.join(
+                        out_dir, f"cluster_embeddings_{int(state['label']):03d}.npy"
+                    ),
+                    np.asarray(state["buf"], dtype=np.float32),
+                )
+
+        for r in rows:
+            if r[0] != state["label"]:
+                flush()
+                state["label"] = r[0]
+                state["buf"] = []
+            state["buf"].append(list(r[2]))
+        flush()
+
+    parted.foreachPartition(write_partition)

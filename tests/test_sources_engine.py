@@ -405,3 +405,54 @@ def test_float32bin_stream_replay_uses_recorded_counts(tmp_path):
     np.concatenate([a, a]).tofile(str(tmp_path / "part_a.bin"))
     with pytest.raises(ValueError, match="changed since commit"):
         list(reader.readBetweenOffsets(start, end))
+
+
+def test_write_npy_clustered_matches_reference_layout(spark, tmp_path):
+    """Per-cluster .npy export must be byte-identical to the reference
+    build pipeline's np.save of the vec_id-sorted cluster matrix
+    (clusters.py:32-35)."""
+    import io
+    import os
+
+    from gpu_accelerated_vector_indexing_spark.sources.binary import write_npy_clustered
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("label", "vec_id", "embedding")
+    out = tmp_path / "npy"
+    out.mkdir()
+    write_npy_clustered(emb, str(out))
+
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    assert sorted(os.listdir(out)) == [
+        f"cluster_embeddings_{label:03d}.npy" for label in sorted(by_label)
+    ]
+    for label, rs in by_label.items():
+        mat = np.asarray(
+            [r.embedding for r in sorted(rs, key=lambda r: r.vec_id)], dtype=np.float32
+        )
+        buf = io.BytesIO()
+        np.save(buf, mat)
+        assert (out / f"cluster_embeddings_{label:03d}.npy").read_bytes() == buf.getvalue()
+
+
+def test_write_article_dir_roundtrips_ids_and_text(spark, tmp_path):
+    """The article-JSON export must re-ingest through read_article_dir
+    with positional ids equal to the original doc_ids and texts intact,
+    including across file boundaries."""
+    from gpu_accelerated_vector_indexing_spark.sources.articles import (
+        read_article_dir,
+        write_article_dir,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = tmp_path / "articles"
+    out.mkdir()
+    write_article_dir(docs, str(out), docs_per_file=64)  # force several files
+
+    back = {r.doc_id: r.text for r in read_article_dir(spark, str(out)).collect()}
+    want = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert back == want

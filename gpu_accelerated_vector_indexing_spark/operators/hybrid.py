@@ -44,6 +44,38 @@ BM25_B = 0.75
 RRF_K = 60
 
 
+# The inverted-index statistics (tf, df, dl, corpus aggregates) are
+# INDEX STATE: a lexical engine builds them once at ingest, not per
+# query. Memoized per (session, corpus dir) and cache()d — at 100 TB
+# these are materialized tables written beside the corpus by one
+# tokenize pass, and the per-query work is only the broadcast term-set
+# join + per-doc sum below.
+_BM25_STATE: dict[
+    tuple[SparkSession, str], tuple[DataFrame, DataFrame, DataFrame, int, float]
+] = {}
+
+
+def bm25_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, int, float]:
+    """``(tf, df, dl, n_docs, avgdl)`` — tokenize-once corpus state."""
+    key = (spark, sf_dir)
+    if key not in _BM25_STATE:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).cache()
+        df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df")).cache()
+        dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).cache()
+        row = dl.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        ).first()
+        tf.count()
+        df.count()
+        _BM25_STATE[key] = (tf, df, dl, int(row.n_docs), float(row.avgdl))
+    return _BM25_STATE[key]
+
+
 def bm25_scores(spark: SparkSession, sf_dir: str, query_id: int = 0) -> DataFrame:
     """BM25 score of every document containing ≥1 term of the query
     document's text — ``(doc_id, bm25)``.
@@ -54,13 +86,9 @@ def bm25_scores(spark: SparkSession, sf_dir: str, query_id: int = 0) -> DataFram
     values.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    tf, df, dl, n_docs, avgdl = bm25_state(spark, sf_dir)
+    corpus = spark.range(1).select(
+        F.lit(n_docs).alias("n_docs"), F.lit(avgdl).alias("avgdl")
     )
     q_terms = (
         docs.filter(F.col("doc_id") == query_id)

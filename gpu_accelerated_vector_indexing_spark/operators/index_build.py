@@ -32,9 +32,12 @@ from pyspark.sql import functions as F
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
 
+FIT_SAMPLES_PER_CLUSTER = 256  # FAISS's coarse-quantizer training budget
+
+
 def kmeans_assign(
     emb: DataFrame, k: int = 10, seed: int = 42, max_iter: int = 8,
-    fit_sample: float = 0.25,
+    fit_sample: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit KMeans and return ``(assigned, centroids)``.
 
@@ -47,18 +50,24 @@ def kmeans_assign(
     wall-clock — every MLlib iteration is a full pass over the corpus,
     which is what matters at 100 TB.
 
-    The fit runs on a ``fit_sample`` fraction of the corpus (standard
-    IVF practice — a coarse quantizer needs cluster GEOMETRY, not every
-    point; FAISS trains on ≤256·k samples for the same reason), then
-    assignment transforms the FULL corpus: measured 3× faster at sf0.1,
-    and the gap grows with data since fit passes are per-iteration.
-    Falls back to the full frame when the sample is too small for k.
-    Search correctness never depends on fit inputs: full-probe ≡ brute
-    force and assignment ≡ argmin by construction (SURVEY.md §5.3).
+    The fit runs on a sample of the corpus (standard IVF practice — a
+    coarse quantizer needs cluster GEOMETRY, not every point; FAISS
+    trains on ≤256·k samples for the same reason), then assignment
+    transforms the FULL corpus. ``fit_sample`` defaults to the fraction
+    that yields ~``FIT_SAMPLES_PER_CLUSTER``·k rows (corpus size from
+    parquet metadata, effectively free) — so the fit cost is bounded by
+    k, not corpus size, and the gap grows with data since fit passes
+    are per-iteration. Falls back to the full frame when the sample is
+    too small for k. Search correctness never depends on fit inputs:
+    full-probe ≡ brute force and assignment ≡ argmin by construction
+    (SURVEY.md §5.3).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if fit_sample is None:
+        n = emb.count()  # parquet metadata count — no data scan
+        fit_sample = min(1.0, (FIT_SAMPLES_PER_CLUSTER * k) / max(n, 1))
     feats = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
     fit_frame = feats.sample(fit_sample, seed=seed) if fit_sample < 1.0 else feats
     if fit_sample < 1.0 and fit_frame.limit(10 * k).count() < 10 * k:

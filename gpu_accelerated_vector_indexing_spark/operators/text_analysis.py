@@ -343,3 +343,82 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.expr(f"substring(text, pos, {CHUNK_WIDTH})")).alias("chunk_md5"),
         )
     )
+
+
+PACK_SEQ_LEN = 512  # fixture-sized training sequences (2048-8192 at prod)
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, seq_len: int = PACK_SEQ_LEN,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing manifest.
+
+    Documents concatenate in ``doc_id`` order into one global token
+    stream (BPE-ish counts, same regex as ``token_count``); the stream
+    cuts into fixed ``seq_len`` chunks; a document spanning a boundary
+    contributes one SEGMENT per chunk it touches. Output: one row per
+    chunk — segment/doc counts, token total (= seq_len everywhere but
+    the final chunk) and the doc-id span — the manifest a training
+    loader needs to materialize packed sequences.
+
+    Scale shape — the prefix sum: a naive global window
+    (``Window.orderBy(doc_id)``) serializes the corpus through ONE
+    task. Instead: bucket doc_ids into FIXED-width ranges (an explicit,
+    recomputation-stable partitioner — ``repartitionByRange`` was tried
+    first and its SAMPLED boundaries can differ between the subtotal
+    pass and the main pass, silently shifting every offset after the
+    first divergent boundary), collect the per-range token subtotals
+    (ONE tiny row per range), cumulate on the driver, broadcast the
+    bases back as a literal map — the classic two-pass distributed
+    prefix sum; the only window is per-range. The chunk fan-out is
+    ``⌈tokens/seq_len⌉`` rows, never quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    n_ranges = n_ranges or spark.sparkContext.defaultParallelism
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = max((int(hi) - int(lo)) // n_ranges + 1, 1)
+    parted = docs.withColumn("pid", F.expr(f"(doc_id - {int(lo)}) div {span}"))
+    psums = parted.groupBy("pid").agg(F.sum("n_toks").alias("ptoks")).collect()
+    base, bases = 0, {}
+    for r in sorted(psums, key=lambda r: r.pid):
+        bases[int(r.pid)] = base
+        base += int(r.ptoks)
+    base_map = F.create_map(
+        *[F.lit(x) for pid_base in bases.items() for x in pid_base]
+    )
+    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    with_s = parted.withColumn(
+        "s", base_map[F.col("pid")] + F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    segs = (
+        with_s.filter(F.col("n_toks") > 0)
+        .select(
+            "doc_id",
+            "n_toks",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {seq_len}"),
+                    F.expr(f"(s + n_toks - 1) div {seq_len}"),
+                )
+            ).alias("chunk_id"),
+        )
+        .withColumn(
+            "seg_len",
+            F.least(F.lit(seq_len) * (F.col("chunk_id") + 1), F.col("s") + F.col("n_toks"))
+            - F.greatest(F.lit(seq_len) * F.col("chunk_id"), F.col("s")),
+        )
+    )
+    return segs.groupBy("chunk_id").agg(
+        F.count("*").alias("n_segments"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("seg_len").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

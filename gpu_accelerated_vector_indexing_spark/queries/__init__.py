@@ -30,7 +30,7 @@ _GATE_FIRST = [
     # reference-shape end-to-end, the newly-oracled PQ paths, streaming KNN
     "refshape_search_cli", "refshape_search_bq",
     "knn_pq", "knn_ivf_pq", "ann_method_comparison",
-    "streaming_knn",
+    "streaming_knn", "corpus_pack_sequences",
     # family flagships named in VERDICT r2 "Next round" #2
     "dedup_minhash_lsh", "curation_decontaminate", "copurchase_pagerank",
     "join_asof", "streaming_tumbling", "stats_exact_moments",

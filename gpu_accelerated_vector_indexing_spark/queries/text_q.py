@@ -27,6 +27,7 @@ QUERIES = {
     "text_token_count": TA.token_count,
     "corpus_pipeline": TA.corpus_pipeline,
     "text_tfidf_top": TA.tfidf_top_terms,
+    "corpus_pack_sequences": TA.pack_sequences,
 }
 
 # SQL-quote the BPE pattern (it contains an apostrophe)
@@ -218,4 +219,40 @@ FROM (
   SELECT doc_id, text, unnest(generate_series(1, greatest(length(text), 1), 150)) AS gs
   FROM documents
 )
+"""
+
+
+# Concat-and-chunk packing manifest: the global window restates the
+# distributed two-pass prefix sum exactly (same token counts, same
+# doc_id order), and unnest(generate_series) replays the per-chunk
+# segment fan-out. n_tokens = seq_len for every chunk but the last.
+ORACLES["corpus_pack_sequences"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}', 0)) AS BIGINT) AS n_toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_toks,
+         CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM toks
+),
+segs AS (
+  SELECT doc_id, n_toks, s,
+         unnest(generate_series(s // {TA.PACK_SEQ_LEN},
+                                (s + n_toks - 1) // {TA.PACK_SEQ_LEN})) AS chunk_id
+  FROM pos WHERE n_toks > 0
+),
+seg_len AS (
+  SELECT chunk_id, doc_id,
+         least({TA.PACK_SEQ_LEN} * (chunk_id + 1), s + n_toks)
+         - greatest({TA.PACK_SEQ_LEN} * chunk_id, s) AS seg_len
+  FROM segs
+)
+SELECT chunk_id, count(*) AS n_segments,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM seg_len GROUP BY chunk_id
 """

@@ -327,3 +327,35 @@ def test_streaming_knn_batching_invariant(spark, tmp_path):
 
     assert canon(throttled).equals(canon(single))
     assert set(throttled.query("rn == 1").query_id) == {0, 1, 2, 3, 4}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing manifest invariants beyond the oracle: chunks tile the
+    token stream exactly (every chunk but the last holds seq_len
+    tokens, totals match the corpus), chunk ids are contiguous from 0,
+    and doc spans chain (chunk N's first_doc == chunk N-1's last_doc
+    whenever a document straddles the boundary)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        BPE_RE,
+        PACK_SEQ_LEN,
+        pack_sequences,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = sorted(
+        pack_sequences(spark, SF_CORRECT).collect(), key=lambda r: r.chunk_id
+    )
+    total = (
+        load_table(spark, SF_CORRECT, "documents")
+        .agg(F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))))
+        .first()[0]
+    )
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_tokens == PACK_SEQ_LEN for r in rows[:-1])
+    assert 0 < rows[-1].n_tokens <= PACK_SEQ_LEN
+    assert sum(r.n_tokens for r in rows) == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.first_doc in (prev.last_doc, prev.last_doc + 1)
+        assert prev.first_doc <= prev.last_doc

@@ -124,6 +124,57 @@ def build_partitioned_index(
     return emb_path, cent_path
 
 
+def append_to_index(spark: SparkSession, index_dir: str, new_emb: DataFrame) -> int:
+    """Append new vectors to an EXISTING index without a rebuild.
+
+    ≙ the operation the reference cannot do (its per-cluster ``.bin``
+    files are immutable monoliths — adding a vector means rerunning
+    clusters.py over everything): each new vector is assigned to its
+    nearest stored centroid (broadcast argmin over the tiny centroid
+    table, (d², cluster) tie-break — the same rule as
+    ``ivf.assign_incremental``) and written into the matching cluster
+    partition directory with ``mode("append")``. Existing files are
+    untouched; partition pruning keeps working because the layout key
+    is unchanged. Returns the number of appended rows.
+
+    At 100 TB this is the steady-state ingest path: rebuilds are
+    periodic (centroid drift), appends are continuous.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
+
+    cents = spark.read.parquet(f"{index_dir}/centroids").withColumnRenamed(
+        "cluster", "cand"
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                as_double_array("embedding"), F.col("centroid"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cand"))
+    assigned = (
+        new_emb.join(F.broadcast(cents))
+        .select(*new_emb.columns, F.col("cand"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*new_emb.columns, F.col("cand").alias("cluster"))
+    )
+    n = assigned.count()
+    (
+        assigned.repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{index_dir}/embeddings_indexed")
+    )
+    return n
+
+
 def cluster_invariants(spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42) -> DataFrame:
     """Property-style summary of a KMeans build (SURVEY.md §5.3).
 

@@ -193,3 +193,42 @@ def test_driver_coarse_probes_match_dataframe_coarse(spark):
                 for r in coarse_search(cents, q, n_probe).select("label").collect()
             )
             assert df_probes == sorted(coarse_probes(spark, SF_CORRECT, qid, n_probe))
+
+
+def test_append_to_index_searchable_without_rebuild(spark, tmp_path):
+    """Continuous-ingest contract: vectors appended to an existing
+    index (nearest-centroid assignment, partition-directory append)
+    must be found by the engine immediately, existing results must be
+    unchanged for untouched clusters, and the appended rows land in
+    exactly one cluster directory each."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        append_to_index,
+        build_partitioned_index,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    idx = str(tmp_path / "index")
+    build_partitioned_index(spark, SF_SMOKE, idx, k=4, seed=42)
+
+    # a new vector = an existing corpus vector, re-idd: its nearest
+    # centroid is that vector's own cluster, and a full-probe search for
+    # it must now return BOTH copies at score 1.0
+    probe = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") == 7).first()
+    new_id = 1_000_000
+    new_emb = spark.createDataFrame(
+        [(new_id, probe.embedding, probe.label)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    before = spark.read.parquet(f"{idx}/embeddings_indexed").count()
+    assert append_to_index(spark, idx, new_emb) == 1
+    after_df = spark.read.parquet(f"{idx}/embeddings_indexed")
+    assert after_df.count() == before + 1
+    assert after_df.filter(F.col("vec_id") == new_id).count() == 1
+
+    eng = IVFEngine.from_pretrained(spark, idx, n_probe=4)
+    top = eng.search([float(x) for x in probe.embedding], k=2).collect()
+    assert sorted(r.vec_id for r in top) == sorted([7, new_id])
+    assert all(abs(r.score - 1.0) < 1e-6 for r in top)

@@ -79,11 +79,24 @@ def signature(vec: Column, planes: list[list[int]]) -> Column:
     return bucket.cast("bigint")
 
 
+# The signed corpus is INDEX STATE — "signatures are computed once at
+# write time in a real deployment" (module docstring); memoized+cached
+# per (session, corpus, n_planes) so queries probe, not re-sign.
+_SIGNED_CACHE: dict[tuple[SparkSession, str, int], DataFrame] = {}
+
+
 def _signed(spark: SparkSession, sf_dir: str, planes: list[list[int]]) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id", "embedding", signature(as_double_array("embedding"), planes).alias("bucket")
-    )
+    key = (spark, sf_dir, len(planes))
+    if key not in _SIGNED_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = emb.select(
+            "vec_id",
+            "embedding",
+            signature(as_double_array("embedding"), planes).alias("bucket"),
+        ).cache()
+        df.count()
+        _SIGNED_CACHE[key] = df
+    return _SIGNED_CACHE[key]
 
 
 def knn_lsh(

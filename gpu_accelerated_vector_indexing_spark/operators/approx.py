@@ -115,6 +115,20 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CMS_DEPTH = 4  # independent hash rows
 CMS_WIDTH = 256  # buckets per row
+# 2-universal hash family h_d(u) = ((u mod P)·A_d + B_d mod P) mod W —
+# the textbook CMS construction (Cormode & Muthukrishnan '05 §2), in
+# plain BIGINT arithmetic every engine reproduces exactly: P < 2³¹ keeps
+# each product < 2⁶², so nothing overflows an int64 anywhere.
+CMS_P = 2**31 - 1
+CMS_AS = (1_000_003, 1_000_033, 1_000_037, 1_000_039)
+CMS_BS = (12_345, 54_321, 98_765, 56_789)
+
+
+def _cms_bucket(key, d: int):
+    return F.pmod(
+        F.pmod(F.pmod(key, F.lit(CMS_P)) * F.lit(CMS_AS[d]) + F.lit(CMS_BS[d]), F.lit(CMS_P)),
+        F.lit(CMS_WIDTH),
+    )
 
 
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
@@ -128,8 +142,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str, top_n: int = 20) -> Data
     shuffles billions of keys, the sketch shuffles 1024 counters (the
     update explode is map-side partial-aggregated). Estimation joins
     each candidate's d (row, bucket) coordinates against the tiny
-    broadcast sketch. xxhash64 has no DuckDB twin → rows-only; the
-    ≥-truth invariant and top-set quality are pinned in tests.
+    broadcast sketch. The hash family is the portable 2-universal
+    construction (constants above), so the WHOLE sketch — counters,
+    estimates, collisions — replays in ANSI SQL and the query carries a
+    full value oracle (r3; it was rows-only while the buckets came from
+    the engine-specific xxhash64). The ≥-truth invariant and top-set
+    quality remain pinned in tests.
     """
     ev = load_table(spark, sf_dir, "events")
     coords = ev.select(
@@ -138,7 +156,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str, top_n: int = 20) -> Data
             F.array(*[
                 F.struct(
                     F.lit(d).alias("row"),
-                    F.pmod(F.xxhash64(F.col("user_id"), F.lit(d)), F.lit(CMS_WIDTH)).alias("bucket"),
+                    _cms_bucket(F.col("user_id"), d).alias("bucket"),
                 )
                 for d in range(CMS_DEPTH)
             ])
@@ -155,7 +173,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str, top_n: int = 20) -> Data
                 F.array(*[
                     F.struct(
                         F.lit(d).alias("row"),
-                        F.pmod(F.xxhash64(F.col("user_id"), F.lit(d)), F.lit(CMS_WIDTH)).alias("bucket"),
+                        _cms_bucket(F.col("user_id"), d).alias("bucket"),
                     )
                     for d in range(CMS_DEPTH)
                 ])

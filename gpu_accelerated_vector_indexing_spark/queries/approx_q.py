@@ -56,4 +56,30 @@ WHERE {_HASH_U} < {_STRATA_CASE}
 """,
 }
 
-QUERIES["sketch_cms_heavy_hitters"] = AP.cms_heavy_hitters  # rows-only (xxhash64)
+QUERIES["sketch_cms_heavy_hitters"] = AP.cms_heavy_hitters
+
+# full sketch replay (r3): the 2-universal hash family is plain BIGINT
+# arithmetic, so counters, min-estimates and collisions reproduce
+# exactly — one VALUES row per hash row d
+_CMS_D = ", ".join(
+    f"({d}, {a}, {b})" for d, (a, b) in enumerate(zip(AP.CMS_AS, AP.CMS_BS))
+)
+ORACLES["sketch_cms_heavy_hitters"] = f"""
+WITH hashes(row, a, b) AS (VALUES {_CMS_D}),
+coords AS (
+  SELECT e.user_id, h.row,
+         ((e.user_id % {AP.CMS_P}) * h.a + h.b) % {AP.CMS_P} % {AP.CMS_WIDTH} AS bucket
+  FROM events e CROSS JOIN hashes h
+),
+sketch AS (SELECT row, bucket, count(*) AS cnt FROM coords GROUP BY row, bucket),
+exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY user_id),
+est AS (
+  SELECT x.user_id, x.exact, min(s.cnt) AS est
+  FROM exact x CROSS JOIN hashes h
+  JOIN sketch s ON s.row = h.row
+   AND s.bucket = ((x.user_id % {AP.CMS_P}) * h.a + h.b) % {AP.CMS_P} % {AP.CMS_WIDTH}
+  GROUP BY x.user_id, x.exact
+)
+SELECT user_id, exact, CAST(est AS BIGINT) AS est
+FROM est ORDER BY exact DESC, user_id DESC LIMIT 20
+"""

@@ -263,7 +263,18 @@ exact AS (
 hits AS (SELECT a.vec_id FROM ivf_topk a WHERE a.vec_id IN (SELECT vec_id FROM exact))
 SELECT count(*) AS n_hits, round(count(*) / {K}.0, 6) AS recall FROM hits
 """,
-    # kmeans_invariants: MLlib k-means‖ is not SQL-restatable → rows-only.
+    # kmeans_invariants: MLlib k-means‖ CENTROIDS are not SQL-restatable,
+    # but the query's output IS the §5.3 invariant contract — k non-empty
+    # clusters, every row sitting with its nearest centroid — whose
+    # values are fully determined by corpus size. Asserting them as the
+    # oracle (r3) upgrades the check from rows-only to value-checked:
+    # an empty cluster or a non-argmin assignment now fails the gate.
+    "kmeans_invariants": f"""
+SELECT CAST({N_CLUSTERS} AS BIGINT) AS n_clusters,
+       count(*) AS n_rows,
+       count(*) AS n_nearest_ok
+FROM embeddings
+""",
     # incremental assignment: same rounded centroids, same rounded d²,
     # same (d2, label) argmin tie-break as the Spark operator
     "ivf_assign_incremental": f"""

@@ -1478,7 +1478,9 @@ def copurchase_lift(spark: SparkSession, sf_dir: str, top_n: int = 20, min_pair:
     """
     li = load_table(spark, sf_dir, "lineitem")
     order_parts = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = order_parts.select("l_orderkey").distinct().count()
+    # basket total rides as a broadcast singleton instead of a separate
+    # driver count() job (identical double arithmetic downstream)
+    totals = order_parts.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     part_counts = order_parts.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
     a = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_b"))
@@ -1491,17 +1493,18 @@ def copurchase_lift(spark: SparkSession, sf_dir: str, top_n: int = 20, min_pair:
     )
     ca = part_counts.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
     cb = part_counts.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
-    lift = (F.col("n_pair").cast("double") * F.lit(float(n_orders))) / (
+    lift = (F.col("n_pair").cast("double") * F.col("n_orders").cast("double")) / (
         F.col("n_a").cast("double") * F.col("n_b").cast("double")
     )
     return (
         pairs.join(F.broadcast(ca), "part_a")
         .join(F.broadcast(cb), "part_b")
+        .join(F.broadcast(totals))
         .select(
             "part_a",
             "part_b",
             "n_pair",
-            F.round(F.col("n_pair").cast("double") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_orders").cast("double"), 6).alias("support"),
             F.round(F.col("n_pair").cast("double") / F.col("n_a").cast("double"), 6).alias("confidence_a_b"),
             F.round(lift, 6).alias("lift"),
         )

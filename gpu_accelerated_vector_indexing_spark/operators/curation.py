@@ -228,10 +228,11 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of ``decontaminate_ngram_overlap``: the shuffle
     key is ``xxhash64(ngram)`` (8 bytes) instead of the ~30-byte shingle
-    string — the form a 100 TB run would use. Rows-only for the driver
-    (DuckDB has no xxhash64); the string-keyed form is its oracle twin
-    and the results are asserted identical in tests (collision odds at
-    fixture scale ≈ |shingles|²/2⁶⁴ — negligible, and deterministic).
+    string — the form a 100 TB run would use. The string-keyed form is
+    its full value oracle: xxhash64 only changes the shuffle key, so the
+    per-doc counts are identical absent collisions (odds at fixture
+    scale ≈ |shingles|²/2⁶⁴ — negligible, and deterministic at a fixed
+    sf; equality is also asserted in tests).
     """
     docs = load_table(spark, sf_dir, "documents")
     ev = (

@@ -128,3 +128,10 @@ SELECT source, n_docs, n_tokens,
 FROM per_src, tot
 """,
 }
+
+# The hashed scale path must produce EXACTLY the string-keyed result
+# (xxhash64 only changes the shuffle key, not the counts — distinct hash
+# count == distinct shingle count absent collisions, which are both
+# negligible (|shingles|²/2⁶⁴) and deterministic at a fixed sf). So the
+# string-keyed SQL IS its full value oracle.
+ORACLES["curation_decontaminate_hashed"] = ORACLES["curation_decontaminate"]

@@ -11,8 +11,9 @@ over static fixture data its result equals the batch tumbling query,
 so even the streaming engine gets a full value oracle.
 ``streaming_sessions`` (session_window stateful op) is batch-restatable
 too — start = min(ts), end = last event + gap — so it carries a full
-oracle as well; only arrival-order-dependent ops (streaming_dedup) stay
-rows-only.
+oracle as well. ``streaming_dedup`` value-checks the deterministic
+CONTRACT of the arrival-order-dependent dedup (one genuine survivor per
+key), so every entry in this family carries a full oracle.
 """
 
 from __future__ import annotations
@@ -105,6 +106,15 @@ FROM sessions GROUP BY user_id, session_id
     # occur (watermark eviction only bounds state), so the drained result
     # over static data equals the batch interval join
     "streaming_interval_join": _INTERVAL_JOIN_SQL,
+    # the dedup contract: every (user_id, event_type) key in the source
+    # yields exactly one survivor, and that survivor is a genuine event
+    "streaming_dedup": _EV
+    + """
+SELECT user_id, event_type,
+       1::BIGINT AS survivors,
+       TRUE AS survivor_is_real
+FROM ev GROUP BY user_id, event_type
+""",
 }
 
 

@@ -206,17 +206,17 @@ def streaming_session_window(
     return spark.table(name)
 
 
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming deduplication: ``dropDuplicatesWithinWatermark`` on the
+def streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw survivors of ``dropDuplicatesWithinWatermark`` on the
     (user_id, event_type) key — the stateful streaming twin of the batch
     keep-first dedup (state is bounded by the watermark horizon instead
     of growing forever, the only honest contract for an unbounded
     stream).
 
     Which physical row survives per key depends on micro-batch arrival
-    order → rows-only check; tests assert the INVARIANTS instead: one
-    row per key, every key present in the batch distinct, and each
-    surviving row is a real event of that key.
+    order, so THIS relation is not value-checkable; the registered query
+    (``streaming_dedup``) value-checks the deterministic contract
+    instead.
     """
     with _memory_sink_counter:
         _sink_id[0] += 1
@@ -233,6 +233,31 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checkable contract of the streaming dedup (same move as
+    ``kmeans_invariants``): the REAL ``dropDuplicatesWithinWatermark``
+    query runs and drains, then the survivors are verified in-plan —
+    exactly one survivor per (user_id, event_type) key present in the
+    source, and the surviving (event_id, ts, value) payload is a genuine
+    event of that key. Both facts are deterministic even though WHICH
+    row survives is arrival-order dependent, so the result carries a
+    full DuckDB oracle (one all-true row per distinct key).
+    """
+    survivors = streaming_dedup_survivors(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    matched = survivors.join(
+        events.withColumn("in_source", F.lit(True)),
+        ["user_id", "event_type", "event_id", "ts", "value"],
+        "left",
+    )
+    return matched.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("survivors"),
+        F.bool_and(F.coalesce("in_source", F.lit(False))).alias("survivor_is_real"),
+    )
 
 
 def streaming_interval_join(

@@ -165,10 +165,15 @@ def test_streaming_dedup_invariants(spark):
     (user_id, event_type) key, covering every key in the batch data,
     and each survivor is a genuine event of that key."""
     from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
-    from gpu_accelerated_vector_indexing_spark.streaming.windows import streaming_dedup
+    from gpu_accelerated_vector_indexing_spark.streaming.windows import (
+        streaming_dedup,
+        streaming_dedup_survivors,
+    )
     from tests.conftest import SF_CORRECT
 
-    out = streaming_dedup(spark, SF_CORRECT).collect()
+    contract = streaming_dedup(spark, SF_CORRECT).collect()
+    assert contract and all(r.survivors == 1 and r.survivor_is_real for r in contract)
+    out = streaming_dedup_survivors(spark, SF_CORRECT).collect()
     keys = [(r.user_id, r.event_type) for r in out]
     assert len(keys) == len(set(keys)), "duplicate keys survived"
     ev = load_table(spark, SF_CORRECT, "events")

@@ -835,6 +835,93 @@ def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 1 << 14  # m=16384 bits -> 256-row (word, bits) filter relation
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    return [F.pmod(F.xxhash64(key, F.lit(j)), F.lit(n_bits)) for j in range(n_hashes)]
+
+
+def bloom_build(
+    df: DataFrame, key: str, n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES
+) -> DataFrame:
+    """Bitset Bloom filter as a relation: one 64-bit word per row,
+    OR-folded over the build keys. At most ``n_bits/64`` rows — tiny and
+    broadcastable no matter how large the build side grows."""
+    return (
+        df.select(F.explode(F.array(*_bloom_positions(F.col(key), n_bits, n_hashes))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key: str,
+    bloom: DataFrame,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Keep only probe rows whose key might be in the filter: each of the
+    k hashes tests one broadcast word lookup; candidate iff every bit is
+    set. Never drops a true match; false positives pass through (callers
+    verify with the real join)."""
+    cols = df.columns
+    probed = df
+    for j in range(n_hashes):
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(j)), F.lit(n_bits))
+        probed = (
+            probed.withColumn(f"_p{j}", pos)
+            .withColumn(f"_w{j}", (F.col(f"_p{j}") / 64).cast("int"))
+            .withColumn(f"_m{j}", F.expr(f"shiftleft(1L, cast(pmod(_p{j}, 64) AS INT))"))
+            .join(
+                F.broadcast(bloom.withColumnRenamed("word", f"_w{j}").withColumnRenamed("bits", f"_b{j}")),
+                f"_w{j}",
+                "left",
+            )
+        )
+    candidate = F.expr(" AND ".join(f"(_b{j} & _m{j}) = _m{j}" for j in range(n_hashes)))
+    return probed.filter(candidate).select(*cols)
+
+
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: revenue per brand for lineitems
+    whose part is in a filtered dim slice, with the fact side pre-pruned
+    by a Bloom filter built FROM the dim slice — then exactly verified
+    by the real join, so the result is identical to the plain semi-join
+    (which is what the oracle asserts).
+
+    The 100 TB pattern: when the dim slice is too big to broadcast-hash-
+    join but its ~1 bit/key Bloom image still fits in memory, shipping
+    the filter to the fact scan cuts the fact shuffle to candidates only
+    (Spark's own runtime row-group filtering does the same trick; here
+    the filter is an explicit, portable relation). The filter is a
+    (word, bits) bitset relation of m/64 rows built with one tiny
+    aggregate — each of the k probe hashes tests one broadcast-joined
+    word. False positives cost only wasted verify-join work, never
+    wrong answers.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = part.filter(F.col("p_size") >= 48).select("p_partkey", "p_brand")
+    bloom = bloom_build(dim, "p_partkey")
+    candidates = bloom_probe(
+        li.select("l_partkey", "l_extendedprice", "l_discount"), "l_partkey", bloom
+    )
+    # Exact verify join removes Bloom false positives.
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        candidates.join(F.broadcast(dim), candidates.l_partkey == dim.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation: pre-aggregate on (key, salt),
     then finalize on the key.

@@ -42,6 +42,7 @@ QUERIES = {
     "pivot_status": R.pivot_status,
     "grouping_sets": R.grouping_sets_counts,
     "skew_salted_agg": R.skew_salted_agg,
+    "join_bloom_pruned": R.join_bloom_pruned,
     "shipping_priority": R.shipping_priority,
     "exists_late_shipment": R.exists_late_shipment,
     "large_volume_orders": R.large_volume_orders,
@@ -380,6 +381,16 @@ SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
        o_orderstatus, count(*) AS n_orders,
        {_DSUM.format(col='o_totalprice')} AS band_total
 FROM orders GROUP BY 1, 2
+""",
+    # the Bloom-pruned plan must equal the plain semi-join exactly
+    # (false positives are removed by the verify join)
+    "join_bloom_pruned": """
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(l_extendedprice::DECIMAL(18,2)
+                * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 48
+GROUP BY p_brand
 """,
     # the salted two-stage plan must equal the plain aggregate exactly
     "skew_salted_agg": """

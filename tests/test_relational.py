@@ -91,3 +91,29 @@ def test_stats_exact_moments_partition_invariant(spark):
         assert (r.mean_qty, r.stddev_qty, r.corr_qty_price, r.skew_qty) == (
             a.mean_qty, a.stddev_qty, a.corr_qty_price, a.skew_qty
         )
+
+
+def test_bloom_probe_prunes_without_dropping_matches(spark):
+    """The Bloom pre-filter must keep every true match (no false
+    negatives), prune most non-matching fact rows, and stay a tiny
+    broadcastable relation (≤ n_bits/64 words)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.relational import (
+        BLOOM_BITS,
+        bloom_build,
+        bloom_probe,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    part = load_table(spark, SF_CORRECT, "part")
+    li = load_table(spark, SF_CORRECT, "lineitem").select("l_partkey")
+    dim = part.filter(F.col("p_size") >= 48).select("p_partkey")
+    bloom = bloom_build(dim, "p_partkey")
+    assert bloom.count() <= BLOOM_BITS // 64
+    candidates = bloom_probe(li, "l_partkey", bloom)
+    true_matches = li.join(dim, li.l_partkey == dim.p_partkey, "left_semi")
+    n_cand, n_true, n_total = candidates.count(), true_matches.count(), li.count()
+    assert n_true <= n_cand < n_total
+    # no true match is dropped: the candidate set ⊇ the semi-join result
+    assert true_matches.join(candidates, "l_partkey", "left_anti").count() == 0

@@ -225,6 +225,197 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Repetition-rule thresholds (Gopher arXiv:2112.11446 §A1.1 rules,
+# fixture-calibrated: the synthetic word-bag corpus has top-bigram
+# fractions p50≈0.033 / p95≈0.087, duplicate-trigram p95≈0.011,
+# duplicate-token p50≈0.54 — Gopher's own 0.20-of-chars thresholds
+# would pass everything, so the cutoffs sit at the fixture tails)
+REP_MAX_TOP_BIGRAM_FRAC = 0.08
+REP_MAX_DUP_TRIGRAM_FRAC = 0.05
+REP_MAX_DUP_TOKEN_FRAC = 0.70
+
+# semantic decontamination parameters (embedding twin of the n-gram
+# form; same eval-slice convention)
+SEMDECON_THRESHOLD = 0.85
+
+# shard-manifest parameters: Knuth multiplicative constant mod a
+# Mersenne prime — integer-only and portable to any SQL engine (same
+# family as approx.portable_hash_unit / the CMS hashes)
+SHARD_N = 8
+SHARD_A = 2654435761
+SHARD_B = 961748927
+SHARD_P = 2**31 - 1
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, one codegen'd scan.
+
+    Per document (Rae et al. 2021, §A1.1 "repetition" rules, restated
+    over token counts so the DuckDB oracle divides the same integers):
+
+    - ``top_bigram_frac`` — occurrences of the most frequent bigram /
+      total bigrams. Computed with ZERO shuffles: sort the per-doc
+      bigram array and fold it for the longest equal-run
+      (``F.aggregate`` over ``array_sort``), instead of the
+      explode → groupBy(doc, gram) → max two-shuffle plan — at 100 TB
+      the whole operator stays a scan-speed projection.
+    - ``dup_trigram_frac`` — fraction of trigram slots occupied by a
+      repeated trigram: ``(total − distinct) / total``.
+    - ``dup_token_frac`` — same at token granularity.
+    - ``keep`` — all three under their thresholds.
+
+    The reference corpus (curated Wikipedia, embedding.py:26-31) never
+    needed this; a crawled 100 TB corpus does — boilerplate/SEO spam is
+    exactly what these rules drop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+
+    def grams(width: int) -> F.Column:
+        return F.when(
+            n >= width,
+            F.transform(
+                F.sequence(F.lit(1), n - (width - 1)),
+                lambda i: F.array_join(F.slice(toks, i, width), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigrams, trigrams = grams(2), grams(3)
+    # longest equal-run over the sorted bigram array == max occurrence
+    # count of any bigram; empty array folds to best=0
+    run0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    top_bigram_cnt = F.aggregate(
+        F.array_sort(bigrams),
+        run0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bigrams = F.size(bigrams)
+    n_trigrams = F.size(trigrams)
+    dup_tri = F.when(n_trigrams > 0, (n_trigrams - F.size(F.array_distinct(trigrams))) / n_trigrams).otherwise(
+        F.lit(0.0)
+    )
+    dup_tok = F.when(n > 0, (n - F.size(F.array_distinct(toks))) / n).otherwise(F.lit(0.0))
+    top_frac = F.when(n_bigrams > 0, top_bigram_cnt / n_bigrams).otherwise(F.lit(0.0))
+    keep = (
+        (top_frac <= REP_MAX_TOP_BIGRAM_FRAC)
+        & (dup_tri <= REP_MAX_DUP_TRIGRAM_FRAC)
+        & (dup_tok <= REP_MAX_DUP_TOKEN_FRAC)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        top_bigram_cnt.alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        dup_tok.alias("dup_token_frac"),
+        keep.alias("keep"),
+    )
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: training vectors too close to a
+    held-out eval vector (max cosine ≥ SEMDECON_THRESHOLD) are flagged —
+    the semantic twin of ``decontaminate_ngram_overlap`` that catches
+    paraphrased benchmark leakage n-gram overlap misses.
+
+    Same eval-slice convention (``vec_id % DECON_EVAL_MOD == 0``), and
+    the same scale posture: the eval side is a broadcast (held-out
+    benchmarks stay ~thousands of rows while training data grows to
+    100 TB), so the big side streams through one codegen'd
+    broadcast-nested-loop score + a per-doc max aggregation — no
+    shuffle of the training corpus, no n² pair materialization.
+    Exact-cosine brute force is deliberate here: decontamination must
+    not miss near-misses, so this is one place approximate pruning is
+    the wrong trade.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_vec_id"),
+        as_double_array("embedding").alias("eval_embedding"),
+    )
+    tr = emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
+        "vec_id", as_double_array("embedding").alias("embedding")
+    )
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), F.col("eval_embedding")), 6
+    )
+    scored = tr.join(F.broadcast(ev)).select("vec_id", sim.alias("sim"))
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max("sim").alias("max_eval_sim"),
+            F.sum((F.col("sim") >= SEMDECON_THRESHOLD).cast("int")).alias("n_eval_close"),
+        )
+        .select(
+            "vec_id",
+            "max_eval_sim",
+            "n_eval_close",
+            (F.col("max_eval_sim") >= SEMDECON_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str, n_shards: int = SHARD_N) -> DataFrame:
+    """Training-shard assignment manifest: each document hashes to one
+    of ``n_shards`` output shards via the portable affine hash
+    ``((doc_id·A + B) mod P) mod n_shards`` (integer-only — identical
+    in any engine), and the manifest aggregates per-shard document,
+    token, and char totals plus the share of the corpus.
+
+    This is the last step of a curation pipeline — the actual write is
+    ``df.repartition(n_shards, "shard").write.partitionBy("shard")``;
+    the manifest is what the trainer's data loader consumes. One
+    map-side-combined aggregation to ``n_shards`` rows; the affine hash
+    balances shards to within sampling noise regardless of doc_id
+    clustering (verified by the share column).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(SHARD_A) + F.lit(SHARD_B), F.lit(SHARD_P)),
+        F.lit(n_shards),
+    ).cast("int")
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            F.size(tokens(F.col("text"))).alias("n_toks"),
+            F.col("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "total_chars",
+            (F.col("n_docs") / F.col("total_docs")).alias("share"),
+        )
+    )
+
+
 def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of ``decontaminate_ngram_overlap``: the shuffle
     key is ``xxhash64(ngram)`` (8 bytes) instead of the ~30-byte shingle

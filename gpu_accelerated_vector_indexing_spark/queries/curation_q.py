@@ -16,6 +16,14 @@ from gpu_accelerated_vector_indexing_spark.operators.curation import (
     DECON_NGRAM,
     EMAIL_RE,
     PHONE_RE,
+    REP_MAX_DUP_TOKEN_FRAC,
+    REP_MAX_DUP_TRIGRAM_FRAC,
+    REP_MAX_TOP_BIGRAM_FRAC,
+    SEMDECON_THRESHOLD,
+    SHARD_A,
+    SHARD_B,
+    SHARD_N,
+    SHARD_P,
     QF_MAX_AVG_TOKEN_LEN,
     QF_MAX_PUNCT_RATIO,
     QF_MAX_TOKENS,
@@ -37,6 +45,9 @@ QUERIES = {
     "curation_decontaminate_hashed": C.decontaminate_hashed,
     "curation_pii_redact": C.pii_redact,
     "curation_mix_rebalance": C.corpus_mix_rebalance,
+    "curation_repetition_signals": C.repetition_signals,
+    "curation_decontaminate_semantic": C.decontaminate_semantic,
+    "corpus_shard_manifest": C.shard_manifest,
 }
 
 _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
@@ -128,6 +139,83 @@ SELECT source, n_docs, n_tokens,
 FROM per_src, tot
 """,
 }
+
+_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(generate_series(1, len(toks) - 1), "
+    "i -> array_to_string(toks[i:i+1], ' ')) ELSE []::VARCHAR[] END"
+)
+_TRIGRAMS = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> array_to_string(toks[i:i+2], ' ')) ELSE []::VARCHAR[] END"
+)
+
+ORACLES["curation_repetition_signals"] = f"""
+WITH toklists AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, len(toks)::INT AS n,
+         {_BIGRAMS} AS bigrams, {_TRIGRAMS} AS trigrams,
+         len(list_distinct(toks))::INT AS n_distinct_toks
+  FROM toklists
+), cnt AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS g FROM base) GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, max(c)::INT AS mx FROM cnt GROUP BY doc_id
+), sig AS (
+  SELECT b.doc_id, b.n AS n_tokens,
+    COALESCE(t.mx, 0) AS top_bigram_count,
+    CASE WHEN len(bigrams) > 0
+         THEN COALESCE(t.mx, 0) / len(bigrams)::INT ELSE 0.0 END AS top_bigram_frac,
+    CASE WHEN len(trigrams) > 0
+         THEN (len(trigrams)::INT - len(list_distinct(trigrams))::INT) / len(trigrams)::INT
+         ELSE 0.0 END AS dup_trigram_frac,
+    CASE WHEN b.n > 0
+         THEN (b.n - n_distinct_toks) / b.n ELSE 0.0 END AS dup_token_frac
+  FROM base b LEFT JOIN top t USING (doc_id)
+)
+SELECT doc_id, n_tokens, top_bigram_count, top_bigram_frac, dup_trigram_frac,
+  dup_token_frac,
+  (top_bigram_frac <= {REP_MAX_TOP_BIGRAM_FRAC}
+   AND dup_trigram_frac <= {REP_MAX_DUP_TRIGRAM_FRAC}
+   AND dup_token_frac <= {REP_MAX_DUP_TOKEN_FRAC}) AS keep
+FROM sig
+"""
+
+ORACLES["curation_decontaminate_semantic"] = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_vec_id, embedding::DOUBLE[] AS ev_emb
+  FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} = 0
+), tr AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} <> 0
+), scored AS (
+  SELECT tr.vec_id,
+    round(list_dot_product(emb, ev_emb) /
+      (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(ev_emb, ev_emb))
+       + 1e-8), 6) AS sim
+  FROM tr, ev
+)
+SELECT vec_id, max(sim) AS max_eval_sim,
+  sum((sim >= {SEMDECON_THRESHOLD})::INT)::BIGINT AS n_eval_close,
+  max(sim) >= {SEMDECON_THRESHOLD} AS contaminated
+FROM scored GROUP BY vec_id
+"""
+
+ORACLES["corpus_shard_manifest"] = f"""
+WITH per AS (
+  SELECT (((doc_id * {SHARD_A} + {SHARD_B}) % {SHARD_P}) % {SHARD_N})::INT AS shard,
+    count(*)::BIGINT AS n_docs,
+    sum(len({_TOKS})::INT)::BIGINT AS n_tokens,
+    sum(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY 1
+), tot AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM per)
+SELECT shard, n_docs, n_tokens, total_chars,
+  n_docs / total_docs AS share
+FROM per, tot
+"""
 
 # The hashed scale path must produce EXACTLY the string-keyed result
 # (xxhash64 only changes the shuffle key, not the counts — distinct hash

@@ -73,3 +73,61 @@ def test_quality_filter_no_shuffle(spark):
 
     plan = quality_filter(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_signals_match_python_recount(spark):
+    """Fold-computed top-bigram count must equal a direct Python count,
+    and every fraction must live in [0, 1] with a live keep split."""
+    import re
+    from collections import Counter
+
+    from gpu_accelerated_vector_indexing_spark.operators.curation import repetition_signals
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    sig = {r["doc_id"]: r for r in repetition_signals(spark, SF_CORRECT).collect()}
+    docs = load_table(spark, SF_CORRECT, "documents").orderBy("doc_id").limit(25).collect()
+    for d in docs:
+        toks = re.findall("[A-Za-z0-9]+", d["text"].lower())
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        expect = max(Counter(bigrams).values()) if bigrams else 0
+        assert sig[d["doc_id"]]["top_bigram_count"] == expect
+    for r in sig.values():
+        for c in ("top_bigram_frac", "dup_trigram_frac", "dup_token_frac"):
+            assert 0.0 <= r[c] <= 1.0
+    keeps = {r["keep"] for r in sig.values()}
+    assert keeps == {True, False}, "thresholds should split the fixture corpus"
+
+
+def test_repetition_signals_no_shuffle(spark):
+    """The sorted-array fold keeps the operator a scan-side projection."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import repetition_signals
+
+    plan = repetition_signals(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_semantic_decon_eval_excluded_and_verdict_consistent(spark):
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        DECON_EVAL_MOD,
+        decontaminate_semantic,
+    )
+
+    out = decontaminate_semantic(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert r["vec_id"] % DECON_EVAL_MOD != 0
+        assert r["max_eval_sim"] <= 1.000001
+        assert (r["n_eval_close"] > 0) == r["contaminated"]
+
+
+def test_shard_manifest_covers_corpus_and_balances(spark):
+    from gpu_accelerated_vector_indexing_spark.operators.curation import SHARD_N, shard_manifest
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = shard_manifest(spark, SF_CORRECT).collect()
+    n_docs_total = load_table(spark, SF_CORRECT, "documents").count()
+    assert len(rows) == SHARD_N
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0)
+    # affine hash should balance shards: no shard more than 2x uniform
+    assert max(r["n_docs"] for r in rows) <= 2 * n_docs_total / SHARD_N

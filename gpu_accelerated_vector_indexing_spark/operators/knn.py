@@ -299,3 +299,84 @@ def corpus_validation(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFr
         F.sum(F.col("embedding").isNull().cast("long")).alias("n_null_vec"),
         F.sum(has_nonfinite.cast("long")).alias("n_nonfinite"),
     )
+
+
+def knn_chunk_pooled(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "hash table merge join",
+    k: int = 5,
+) -> DataFrame:
+    """Chunked-document retrieval with mean-pooled document embeddings —
+    the RAG/training-pipeline composition of three existing stages:
+    chunk (text_analysis CHUNK_WIDTH/STRIDE windows) → hash-embed each
+    chunk (the O20 featurizer, embedding.py:16,32) → mean-pool per doc →
+    cosine top-k (O8/O13 semantics).
+
+    Determinism contract: the pool sums float32 chunk components in
+    ascending ``chunk_idx`` order via a left fold over the sorted
+    collected array, so the DuckDB oracle (``list_reduce`` over
+    ``list(... ORDER BY chunk_idx)``) adds the same doubles in the same
+    order — bit-identical pooled vectors, score rounded to 6 d.p. like
+    every score.
+
+    Scale: chunk fan-out is len/stride rows per doc (narrow map, no
+    shuffle); the ONE shuffle is the per-doc pool (state = dim doubles
+    per doc); query side broadcasts. At 100 TB this is the canonical
+    map → combine-by-key shape.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import (
+        DEFAULT_DIM,
+        embed_queries,
+        hash_embedder,
+    )
+    from gpu_accelerated_vector_indexing_spark.functions.vector import cosine_similarity
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        ((F.col("pos") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.expr(f"substring(text, pos, {CHUNK_WIDTH})").alias("chunk_text"),
+    )
+    chunk_vecs = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        hash_embedder(DEFAULT_DIM)(F.col("chunk_text")).cast("array<double>").alias("emb"),
+    )
+    pooled = (
+        chunk_vecs.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("chunk_idx", "emb"))).alias("cs"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.aggregate(
+                    F.col("cs"),
+                    F.array_repeat(F.lit(0.0), DEFAULT_DIM),
+                    lambda acc, c: F.zip_with(acc, c["emb"], lambda a, b: a + b),
+                ),
+                lambda x: x / F.size(F.col("cs")),
+            ).alias("doc_vec"),
+        )
+    )
+    q = embed_queries(spark, [query_text])
+    return (
+        pooled.join(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(cosine_similarity(F.col("doc_vec"), F.col("qvec")), SCORE_SCALE).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(k)
+    )

@@ -443,3 +443,98 @@ FROM embeddings
 from gpu_accelerated_vector_indexing_spark.queries._pq_oracle import knn_pq_sql as _knn_pq_sql
 
 ORACLES["knn_pq"] = _knn_pq_sql(QUERY_ID, dim=64, k=K, n_candidates=150)
+
+
+def _knn_chunk_pooled(spark, sf_dir):
+    """Chunk → hash-embed → deterministic mean-pool → cosine top-k; the
+    oracle replays chunking, the md5 featurizer, and the chunk-ordered
+    pool fold (list_reduce over list(... ORDER BY chunk_idx)) so both
+    engines sum the same doubles in the same order."""
+    return knn.knn_chunk_pooled(spark, sf_dir, k=K)
+
+
+QUERIES["knn_chunk_pooled"] = _knn_chunk_pooled
+
+# the chunk-level twin of _EMBED_CTE: same md5 bucket/sign scatter-add,
+# same float32 round-trip, keyed by (doc_id, chunk_idx); pooled by a
+# left fold in chunk_idx order == Spark's sorted-array F.aggregate
+ORACLES["knn_chunk_pooled"] = f"""
+WITH chunks AS (
+  SELECT doc_id, CAST((gs - 1) // 150 AS INT) AS chunk_idx,
+         substring(text, gs, 200) AS chunk_text
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text), 1), 150)) AS gs
+    FROM documents
+  )
+),
+toks AS (
+  SELECT doc_id, chunk_idx, t AS tok
+  FROM (SELECT doc_id, chunk_idx,
+               unnest(string_split_regex(lower(chunk_text), '\\s+')) AS t
+        FROM chunks)
+  WHERE t <> ''
+),
+hashes AS (
+  SELECT doc_id, chunk_idx, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+buckets AS (
+  SELECT doc_id, chunk_idx, (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h >> 63) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+  FROM hashes GROUP BY doc_id, chunk_idx, bucket
+),
+dims AS (SELECT i FROM range(0, 64) t(i)),
+dense AS (
+  SELECT c.doc_id, c.chunk_idx, dims.i, coalesce(b.v, 0.0) AS v
+  FROM (SELECT DISTINCT doc_id, chunk_idx FROM chunks) c
+  CROSS JOIN dims
+  LEFT JOIN buckets b
+    ON b.doc_id = c.doc_id AND b.chunk_idx = c.chunk_idx AND b.bucket = dims.i
+),
+norms AS (
+  SELECT doc_id, chunk_idx, sqrt(sum(v * v)) AS n FROM dense GROUP BY doc_id, chunk_idx
+),
+chunk_vecs AS (
+  SELECT dense.doc_id, dense.chunk_idx,
+         list(CASE WHEN n > 0 THEN ((v / n)::FLOAT)::DOUBLE ELSE 0.0 END ORDER BY i) AS emb
+  FROM dense JOIN norms USING (doc_id, chunk_idx)
+  GROUP BY dense.doc_id, dense.chunk_idx
+),
+pooled_raw AS (
+  SELECT doc_id,
+         list_reduce(list(emb ORDER BY chunk_idx),
+                     (a, b) -> list_transform(generate_series(1, 64), i -> a[i] + b[i])) AS s,
+         count(*)::INT AS n_chunks
+  FROM chunk_vecs GROUP BY doc_id
+),
+pooled AS (
+  SELECT doc_id, list_transform(s, x -> x / n_chunks) AS doc_vec FROM pooled_raw
+),
+q_toks AS (
+  SELECT t AS tok
+  FROM (SELECT unnest(string_split_regex(lower('hash table merge join'), '\\s+')) AS t)
+  WHERE t <> ''
+),
+q_hashes AS (
+  SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM q_toks
+),
+q_buckets AS (
+  SELECT (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h >> 63) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+  FROM q_hashes GROUP BY bucket
+),
+q_dense AS (
+  SELECT dims.i, coalesce(qb.v, 0.0) AS v
+  FROM dims LEFT JOIN q_buckets qb ON qb.bucket = dims.i
+),
+q_norm AS (SELECT sqrt(sum(v * v)) AS n FROM q_dense),
+qvec AS (
+  SELECT list(CASE WHEN n > 0 THEN ((v / n)::FLOAT)::DOUBLE ELSE 0.0 END ORDER BY i) AS q
+  FROM q_dense CROSS JOIN q_norm GROUP BY n
+)
+SELECT doc_id,
+       round(list_dot_product(p.doc_vec, q.q) /
+             (sqrt(list_dot_product(p.doc_vec, p.doc_vec)) * sqrt(list_dot_product(q.q, q.q)) + 1e-8),
+             6) AS score
+FROM pooled p CROSS JOIN qvec q
+ORDER BY score DESC, doc_id DESC LIMIT {K}
+"""

@@ -12,6 +12,7 @@ KNN_NAMES = [
     "multi_query_knn",
     "knn_sq8",
     "knn_prenorm",
+    "knn_chunk_pooled",
 ]
 ROWS_ONLY = ["embed_and_search"]
 

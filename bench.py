@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     ("text_stats", _noop),
     ("curation_quality_filter", _noop),
     ("curation_decontaminate", _noop),
+    ("curation_repetition_signals", _noop),
+    ("curation_decontaminate_semantic", _noop),
+    ("corpus_shard_manifest", _collect),
+    ("knn_chunk_pooled", _collect),
     ("text_vocab_top", _collect),
     ("multimodal_features", _noop),
     # event-time windowing

@@ -98,12 +98,15 @@ def test_repetition_signals_match_python_recount(spark):
     assert keeps == {True, False}, "thresholds should split the fixture corpus"
 
 
-def test_repetition_signals_no_shuffle(spark):
-    """The sorted-array fold keeps the operator a scan-side projection."""
+def test_repetition_signals_no_gram_shuffle(spark):
+    """The sorted-array fold keeps the operator scan-shaped: the ONLY
+    exchange is the fixture-split round-robin spread — no hash exchange
+    (i.e. no gram explode/groupBy) anywhere in the plan."""
     from gpu_accelerated_vector_indexing_spark.operators.curation import repetition_signals
 
     plan = repetition_signals(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning") == 1
 
 
 def test_semantic_decon_eval_excluded_and_verdict_consistent(spark):

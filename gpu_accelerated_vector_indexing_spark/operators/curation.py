@@ -62,21 +62,36 @@ PHONE_RE = "555-[0-9]{4}"
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher-style quality rules + keep verdict.
 
-    Single codegen'd projection over ``documents`` — zero shuffles; at
-    100 TB this runs at scan speed and the ``keep`` predicate composes
-    with downstream filters for pushdown.
+    Scan-shaped (zero shuffles); at 100 TB this runs at scan speed and
+    the ``keep`` predicate composes with downstream filters for
+    pushdown. Staged projections: the token array and the interpreted
+    HOFs over it (length fold, stopword filter) are evaluated once and
+    referenced by column — interpreted higher-order expressions get no
+    codegen CSE, so a flat select re-tokenizes per referencing column.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    token_chars = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    staged = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("tc"),
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(LANG_STOPWORDS["en"]))).alias(
+            "stop"
+        ),
+        (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))).alias(
+            "punct"
+        ),
+        F.length("text").alias("len_chars"),
     )
-    avg_tok = token_chars / n_tokens
-    stop = F.size(F.filter(toks, lambda t: t.isin(LANG_STOPWORDS["en"])))
-    stop_ratio = stop / n_tokens
-    punct = F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
-    punct_ratio = punct / F.length("text")
+    n_tokens = F.col("n")
+    avg_tok = F.col("tc") / n_tokens
+    stop_ratio = F.col("stop") / n_tokens
+    punct_ratio = F.col("punct") / F.col("len_chars")
 
     f_len = (n_tokens < QF_MIN_TOKENS) | (n_tokens > QF_MAX_TOKENS)
     f_avg = (avg_tok < QF_MIN_AVG_TOKEN_LEN) | (avg_tok > QF_MAX_AVG_TOKEN_LEN)
@@ -92,7 +107,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(f_stop, F.lit("stopwords")),
         F.when(f_punct, F.lit("punct")),
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         avg_tok.alias("avg_token_len"),

@@ -46,28 +46,47 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality statistics + a composite quality score."""
+    """Per-document quality statistics + a composite quality score.
+
+    Staged projections: the token array and each interpreted HOF over
+    it (length fold, stopword filter) are named once and referenced by
+    column — interpreted higher-order expressions get no codegen CSE,
+    so a flat select would re-tokenize per referencing output column
+    (~1.7× slower here; 85× on the fold-heavy repetition operator).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    token_chars = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
-    )
-    punct = F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
-    stop = _stopword_hits(toks, LANG_STOPWORDS["en"])
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("len_chars"),
-        n_tokens.alias("n_tokens"),
-        (token_chars / n_tokens).alias("avg_token_len"),
-        (punct / F.length("text")).alias("punct_ratio"),
-        stop.alias("n_stopwords"),
-        (stop / n_tokens).alias("stopword_ratio"),
-        # composite quality: long enough, words not too long, some stopwords
-        (
-            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
-            + F.least(stop / F.greatest(n_tokens, F.lit(1)) * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
-        ).alias("quality_score"),
+    n, stop = F.col("n"), F.col("stop")
+    return (
+        docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "text",
+            F.size("toks").alias("n"),
+            F.aggregate(
+                F.transform(F.col("toks"), lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("tc"),
+            _stopword_hits(F.col("toks"), LANG_STOPWORDS["en"]).alias("stop"),
+        )
+        .select(
+            "doc_id",
+            F.length("text").alias("len_chars"),
+            n.alias("n_tokens"),
+            (F.col("tc") / n).alias("avg_token_len"),
+            (
+                (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, "")))
+                / F.length("text")
+            ).alias("punct_ratio"),
+            stop.alias("n_stopwords"),
+            (stop / n).alias("stopword_ratio"),
+            # composite quality: long enough, words not too long, some stopwords
+            (
+                F.least(n / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+                + F.least(stop / F.greatest(n, F.lit(1)) * F.lit(10.0), F.lit(1.0))
+                * F.lit(0.5)
+            ).alias("quality_score"),
+        )
     )
 
 

@@ -96,16 +96,28 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic tie-break: first language in fixed order wins.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    hit_cols = {lg: _stopword_hits(toks, ws) for lg, ws in LANG_STOPWORDS.items()}
     langs = list(LANG_STOPWORDS)
+    # stage: tokenize once, then one interpreted stopword-filter HOF per
+    # language (a flat select would re-run each filter 3× — hits column,
+    # greatest, argmax chain — with no codegen CSE for interpreted HOFs)
+    staged = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        *[
+            _stopword_hits(F.col("toks"), ws).alias(f"hits_{lg}")
+            for lg, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    hit_cols = {lg: F.col(f"hits_{lg}") for lg in langs}
     max_hits = F.greatest(*[hit_cols[lg] for lg in langs])
     # argmax with deterministic tie-break: first language (in fixed order)
     # whose hit count equals the maximum
     guess = F.when(hit_cols[langs[0]] == max_hits, F.lit(langs[0]))
     for lg in langs[1:]:
         guess = guess.when(hit_cols[lg] == max_hits, F.lit(lg))
-    return docs.select(
+    return staged.select(
         "doc_id",
         "lang",
         *[hit_cols[lg].alias(f"hits_{lg}") for lg in langs],

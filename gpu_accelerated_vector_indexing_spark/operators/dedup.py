@@ -23,6 +23,7 @@ signatures bit-for-bit — see ``queries/dedup_q.py``.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
@@ -624,4 +625,104 @@ def dedup_keep_canonical(
             "keep_doc",
             (F.col("n_docs") - F.lit(1)).cast("long").alias("n_dropped"),
         )
+    )
+
+
+# incremental dedup parameters: deterministic ~10% "today's crawl" slice
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7
+INCR_THRESHOLD = 0.6
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_mod: int = INCR_BATCH_MOD,
+    batch_rem: int = INCR_BATCH_REM,
+    threshold: float = INCR_THRESHOLD,
+) -> DataFrame:
+    """New-batch-vs-archive dedup — the shape a CONTINUOUSLY INGESTING
+    100 TB corpus actually runs: today's crawl (here the deterministic
+    ``doc_id % batch_mod == batch_rem`` slice) is checked against the
+    already-indexed archive (the rest), never archive-vs-archive.
+
+    Mechanics: MinHash band buckets joined batch×archive (no self-join
+    — candidate volume scales with the BATCH, not the corpus), exact
+    distinct-shingle Jaccard verification on candidates only, then one
+    row per new document: its best archive match by
+    ``(jaccard DESC, doc_id DESC)`` and the ``is_duplicate`` verdict.
+    New docs with no colliding band appear with ``best_jaccard = 0``
+    and a NULL match — the batch spine is a left join.
+
+    Both sides read the memoized dedup index state
+    (``grams_state`` / ``sigs_state``): in production the archive side
+    IS the materialized signature table and only the new batch is
+    signed fresh; the values are identical either way.
+    """
+    sigs = sigs_state(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "-",
+                        *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    ).alias("key"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    is_batch = F.col("doc_id") % batch_mod == batch_rem
+    cand = (
+        bands.filter(is_batch)
+        .select(F.col("doc_id").alias("new_doc_id"), "band", "key")
+        .join(
+            bands.filter(~is_batch).select(
+                F.col("doc_id").alias("corpus_doc_id"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    grams = grams_state(spark, sf_dir).filter(F.col("len_chars") >= SHINGLE_LEN)
+    a = grams.select(F.col("doc_id").alias("new_doc_id"), F.col("gh").alias("gha"), F.col("n").alias("na"))
+    b = grams.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("gh").alias("ghb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("gha"), F.col("ghb")))
+    verified = (
+        cand.join(a, "new_doc_id")
+        .join(b, "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jaccard"),
+        )
+    )
+    best = (
+        verified.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("new_doc_id").orderBy(
+                    F.desc("jaccard"), F.desc("corpus_doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    spine = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % batch_mod == batch_rem)
+        .select(F.col("doc_id").alias("new_doc_id"))
+    )
+    return spine.join(best, "new_doc_id", "left").select(
+        "new_doc_id",
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("best_jaccard"),
+        F.col("corpus_doc_id").alias("best_match_doc_id"),
+        (F.coalesce(F.col("jaccard"), F.lit(0.0)) >= threshold).alias("is_duplicate"),
     )

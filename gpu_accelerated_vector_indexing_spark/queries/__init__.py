@@ -32,7 +32,7 @@ _GATE_FIRST = [
     "knn_pq", "knn_ivf_pq", "ann_method_comparison",
     "streaming_knn", "corpus_pack_sequences",
     "curation_repetition_signals", "curation_decontaminate_semantic",
-    "corpus_shard_manifest", "knn_chunk_pooled",
+    "corpus_shard_manifest", "knn_chunk_pooled", "dedup_incremental_batch",
     # family flagships named in VERDICT r2 "Next round" #2
     "dedup_minhash_lsh", "curation_decontaminate", "copurchase_pagerank",
     "join_asof", "streaming_tumbling", "stats_exact_moments",

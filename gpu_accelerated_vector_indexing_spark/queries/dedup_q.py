@@ -206,3 +206,51 @@ SELECT component, count(*) AS n_docs, min(doc_id) AS keep_doc,
        count(*) - 1 AS n_dropped
 FROM comp GROUP BY component
 """
+
+
+from gpu_accelerated_vector_indexing_spark.operators.dedup import (  # noqa: E402
+    INCR_BATCH_MOD,
+    INCR_BATCH_REM,
+    INCR_THRESHOLD,
+)
+
+QUERIES["dedup_incremental_batch"] = D.incremental_dedup
+
+# batch×archive band join (never archive self-join), exact-Jaccard
+# verify, deterministic best-match pick, left-joined batch spine
+ORACLES["dedup_incremental_batch"] = _SHINGLE_CTES + f""",
+sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS corpus_doc_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+    AND y.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1),
+                                      i -> {_GH_POLY})) AS gh
+  FROM documents WHERE length(text) >= {SHINGLE_LEN}
+),
+verified AS (
+  SELECT c.new_doc_id, c.corpus_doc_id,
+         round(len(list_intersect(a.gh, b.gh)) /
+               (len(a.gh) + len(b.gh) - len(list_intersect(a.gh, b.gh))), 6) AS jaccard
+  FROM cand c JOIN grams a ON a.doc_id = c.new_doc_id
+              JOIN grams b ON b.doc_id = c.corpus_doc_id
+),
+best AS (
+  SELECT new_doc_id, corpus_doc_id, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_doc_id
+                                 ORDER BY jaccard DESC, corpus_doc_id DESC) AS rn
+    FROM verified
+  ) WHERE rn = 1
+)
+SELECT d.doc_id AS new_doc_id,
+       coalesce(b.jaccard, 0.0) AS best_jaccard,
+       b.corpus_doc_id AS best_match_doc_id,
+       coalesce(b.jaccard, 0.0) >= {INCR_THRESHOLD} AS is_duplicate
+FROM (SELECT doc_id FROM documents WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}) d
+LEFT JOIN best b ON b.new_doc_id = d.doc_id
+"""

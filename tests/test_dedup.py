@@ -92,3 +92,31 @@ def test_positional_hash_equals_string_hash(spark):
     )
     assert fast.exceptAll(slow).count() == 0
     assert slow.exceptAll(fast).count() == 0
+
+
+def test_incremental_dedup_contract(spark):
+    """Batch spine complete; every match is an archive doc; the verdict
+    agrees with the threshold; at least one live duplicate exists."""
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        INCR_THRESHOLD,
+        incremental_dedup,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = incremental_dedup(spark, SF_CORRECT).collect()
+    n_batch = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(f"doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}")
+        .count()
+    )
+    assert len(rows) == n_batch
+    assert any(r["is_duplicate"] for r in rows)
+    for r in rows:
+        assert r["new_doc_id"] % INCR_BATCH_MOD == INCR_BATCH_REM
+        if r["best_match_doc_id"] is not None:
+            assert r["best_match_doc_id"] % INCR_BATCH_MOD != INCR_BATCH_REM
+        else:
+            assert r["best_jaccard"] == 0.0
+        assert r["is_duplicate"] == (r["best_jaccard"] >= INCR_THRESHOLD)

@@ -489,3 +489,44 @@ def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shared_ngrams") >= DECON_MIN_SHARED).alias("contaminated"),
         )
     )
+
+
+# domain-capping parameters: no source may contribute more than
+# DOMAIN_CAP documents (the single-domain-dominance guard)
+DOMAIN_CAP = 40
+
+
+def domain_cap(spark: SparkSession, sf_dir: str, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Per-source document capping — the anti-dominance guard a crawled
+    corpus runs so one domain cannot swamp the mix (the hard-cap
+    complement of ``corpus_mix_rebalance``'s soft weights).
+
+    Within each source, documents rank by the portable affine hash
+    (``shard_manifest``'s constants — integer-only, engine-agnostic)
+    with ``doc_id`` as the tie-break, and ranks past the cap drop.
+    Output is the per-source summary (kept/dropped) — the keep
+    predicate itself is ``rank <= cap``, composable into any downstream
+    scan. One window shuffle on source + a sources-sized aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.pmod(F.col("doc_id") * F.lit(SHARD_A) + F.lit(SHARD_B), F.lit(SHARD_P))
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(
+        W.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+    )
+    ranked = docs.select("source", rank.alias("rank"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("rank") <= cap).cast("int")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            (F.col("n_docs") > cap).alias("capped"),
+        )
+    )

@@ -643,3 +643,82 @@ def rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(action == "split", F.ceil(F.col("n_vectors") / target)).alias("n_splits"),
         )
     )
+
+
+# delete/compaction parameters: vec_id % DELETE_MOD == 0 tombstones a
+# deterministic ~11% of the corpus (standing in for dedup losers /
+# retention purges); partitions past the fraction threshold rewrite
+DELETE_MOD = 9
+COMPACT_FRAC = 0.15
+VECTOR_BYTES = 4  # float32 storage (reference IVF.cpp:14)
+
+
+def delete_compact_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    delete_mod: int = DELETE_MOD,
+    compact_frac: float = COMPACT_FRAC,
+    dim: int = 64,
+) -> DataFrame:
+    """Tombstone-delete accounting + compaction plan per cluster.
+
+    At 100 TB deletions are never in-place: the delete set is a
+    TOMBSTONE TABLE (here the deterministic ``vec_id % delete_mod``
+    slice standing in for dedup losers or retention purges), reads
+    anti-join it (see ``knn_with_deletes``), and compaction rewrites
+    ONLY the partitions whose tombstone fraction crosses the threshold
+    — the same plan-vs-execute split as ``rebalance_plan``. One
+    groupBy(label) with a conditional count: map-side partials, k-row
+    output, zero extra corpus passes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    deleted = (F.col("vec_id") % delete_mod == 0).cast("int")
+    per = emb.select("label", deleted.alias("del")).groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("del").alias("n_deleted"),
+    )
+    frac = F.col("n_deleted") / F.col("n_vectors")
+    live = F.col("n_vectors") - F.col("n_deleted")
+    return per.select(
+        "label",
+        "n_vectors",
+        "n_deleted",
+        live.alias("n_live"),
+        frac.alias("tombstone_frac"),
+        (frac >= compact_frac).alias("compact"),
+        (live * dim * VECTOR_BYTES).alias("live_bytes"),
+    )
+
+
+def knn_with_deletes(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 1,
+    k: int = 5,
+    delete_mod: int = DELETE_MOD,
+) -> DataFrame:
+    """Read path under deletion: top-k over the corpus MINUS the
+    tombstone set — correctness holds before any compaction runs.
+
+    The tombstone predicate composes with the scan filter (at scale:
+    an anti-join against the broadcast tombstone table, or a pushed
+    ``NOT IN`` when the set is a predicate like here); everything else
+    is the stock brute-force plan (TakeOrderedAndProject, broadcast
+    query).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % delete_mod != 0
+    )
+    q = query_vectors(spark, sf_dir, [query_id])
+    score = F.round(
+        cosine_similarity_hoisted(
+            as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+        ),
+        SCORE_SCALE,
+    )
+    return (
+        emb.join(F.broadcast(q))
+        .select("vec_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

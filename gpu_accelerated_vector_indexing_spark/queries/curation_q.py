@@ -223,3 +223,23 @@ FROM per, tot
 # negligible (|shingles|²/2⁶⁴) and deterministic at a fixed sf). So the
 # string-keyed SQL IS its full value oracle.
 ORACLES["curation_decontaminate_hashed"] = ORACLES["curation_decontaminate"]
+
+
+from gpu_accelerated_vector_indexing_spark.operators.curation import DOMAIN_CAP  # noqa: E402
+
+QUERIES["curation_domain_cap"] = C.domain_cap
+
+ORACLES["curation_domain_cap"] = f"""
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY (doc_id * {SHARD_A} + {SHARD_B}) % {SHARD_P} ASC,
+                                     doc_id ASC) AS rank
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum((rank <= {DOMAIN_CAP})::INT)::BIGINT AS n_kept,
+       count(*)::BIGINT - sum((rank <= {DOMAIN_CAP})::INT)::BIGINT AS n_dropped,
+       count(*)::BIGINT > {DOMAIN_CAP} AS capped
+FROM ranked GROUP BY source
+"""

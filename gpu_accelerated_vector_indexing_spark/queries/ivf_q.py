@@ -426,3 +426,46 @@ ORACLES["ann_method_comparison"] = (
         for name, sql in _AM_METHODS.items()
     )
 )
+
+
+# --- delete/compaction maintenance (r3) -------------------------------------
+
+from gpu_accelerated_vector_indexing_spark.operators.ivf import (  # noqa: E402
+    COMPACT_FRAC,
+    DELETE_MOD,
+    VECTOR_BYTES,
+    delete_compact_plan,
+    knn_with_deletes,
+)
+
+QUERIES["ivf_delete_compact"] = delete_compact_plan
+QUERIES["knn_with_deletes"] = knn_with_deletes
+
+ORACLES["ivf_delete_compact"] = f"""
+WITH per AS (
+  SELECT label, count(*)::BIGINT AS n_vectors,
+         sum((vec_id % {DELETE_MOD} = 0)::INT)::BIGINT AS n_deleted
+  FROM embeddings GROUP BY label
+)
+SELECT label, n_vectors, n_deleted,
+       n_vectors - n_deleted AS n_live,
+       n_deleted / n_vectors AS tombstone_frac,
+       n_deleted / n_vectors >= {COMPACT_FRAC} AS compact,
+       (n_vectors - n_deleted) * 64 * {VECTOR_BYTES} AS live_bytes
+FROM per
+"""
+
+_COS_DEL = (
+    "round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /"
+    " (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6)"
+)
+ORACLES["knn_with_deletes"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT e.vec_id, {_COS_DEL} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % {DELETE_MOD} <> 0
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id DESC LIMIT 5
+"""

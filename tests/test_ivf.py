@@ -17,7 +17,34 @@ IVF_NAMES = [
     "knn_ivf_np10",
     "ivf_recall_sweep",
     "ivf_rebalance_plan",
+    "ivf_delete_compact",
+    "knn_with_deletes",
 ]
+
+
+def test_knn_with_deletes_excludes_tombstones(spark):
+    """No tombstoned vec_id in the result; the result differs from the
+    undeleted top-k exactly when a tombstoned vector was in it."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import DELETE_MOD, knn_with_deletes
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    kept = [r["vec_id"] for r in knn_with_deletes(spark, SF_CORRECT, query_id=1).collect()]
+    assert kept and all(v % DELETE_MOD != 0 for v in kept)
+    full = [r["vec_id"] for r in knn_bruteforce(spark, SF_CORRECT, query_id=1, k=5).collect()]
+    survivors = [v for v in full if v % DELETE_MOD != 0]
+    assert kept[: len(survivors)] == survivors
+
+
+def test_delete_compact_plan_accounts_every_vector(spark):
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import delete_compact_plan
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = delete_compact_plan(spark, SF_CORRECT).collect()
+    total = load_table(spark, SF_CORRECT, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == total
+    for r in rows:
+        assert r["n_live"] + r["n_deleted"] == r["n_vectors"]
+        assert r["compact"] == (r["tombstone_frac"] >= 0.15)
 
 
 def test_rebalance_plan_consistent(spark):

@@ -530,3 +530,89 @@ def domain_cap(spark: SparkSession, sf_dir: str, cap: int = DOMAIN_CAP) -> DataF
             (F.col("n_docs") > cap).alias("capped"),
         )
     )
+
+
+def clean_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP end-to-end curation composition — the whole cleaning
+    pipeline a pre-training corpus runs, as ONE declarative plan over
+    six of this module's operators:
+
+      1. Gopher rule filter        (``quality_filter.keep``)
+      2. repetition filter         (``repetition_signals.keep``)
+      3. exact dedup               (survivor = lowest doc_id per content
+                                    hash, ``dedup.exact_dedup_keep``)
+      4. eval-slice exclusion      (held-out docs never train)
+      5. n-gram decontamination    (``decontaminate_ngram_overlap``,
+                                    docs with no overlap row are clean)
+      6. per-domain cap            (rank survivors within source by the
+                                    portable hash, keep ≤ DOMAIN_CAP)
+
+    and emits the training-shard manifest of what remains (the
+    ``shard_manifest`` aggregation over survivors).
+
+    Every stage is a doc_id-keyed verdict relation joined onto the doc
+    spine, so Catalyst sees one plan: the scan-side verdicts
+    (quality/repetition) fuse into projections, dedup/decon join on
+    hashed keys, and the only orderings are the per-source cap window
+    and the final n_shards-row aggregate. At 100 TB this composition is
+    why verdict operators return predicates instead of filtered copies
+    — no stage materializes an intermediate corpus.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import exact_dedup_keep
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("q_keep"))
+    rep = repetition_signals(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("r_keep")
+    )
+    canon = exact_dedup_keep(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    decon = decontaminate_ngram_overlap(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    survivors = (
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(qf, "doc_id")
+        .join(rep, "doc_id")
+        .join(canon, "doc_id", "left_semi")
+        .join(decon, "doc_id", "left")
+        .filter(
+            F.col("q_keep")
+            & F.col("r_keep")
+            & ~F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    )
+    hkey = F.pmod(F.col("doc_id") * F.lit(SHARD_A) + F.lit(SHARD_B), F.lit(SHARD_P))
+    capped = (
+        survivors.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= DOMAIN_CAP)
+    )
+    shard = F.pmod(hkey, F.lit(SHARD_N)).cast("int")
+    per = (
+        capped.select(
+            shard.alias("shard"),
+            F.size(tokens(F.col("text"))).alias("n_toks"),
+            F.col("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").alias("total_docs"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "total_chars",
+        (F.col("n_docs") / F.col("total_docs")).alias("share"),
+    )

@@ -243,3 +243,93 @@ SELECT source, count(*)::BIGINT AS n_docs,
        count(*)::BIGINT > {DOMAIN_CAP} AS capped
 FROM ranked GROUP BY source
 """
+
+
+QUERIES["corpus_clean_manifest"] = C.clean_corpus_manifest
+
+# the end-to-end composition: every stage's SQL is the SAME fragment as
+# its standalone oracle (quality base, repetition sig, exact-dedup keep
+# list, decon overlap counts), chained onto one survivor spine
+ORACLES["corpus_clean_manifest"] = f"""
+WITH qbase AS (
+  SELECT doc_id,
+         len({_TOKS})::INT AS n_tokens,
+         list_sum(list_transform({_TOKS}, t -> length(t)::INT))::INT
+           / len({_TOKS})::INT AS avg_token_len,
+         len(list_filter({_TOKS}, t -> t IN ({_STOPS})))::INT
+           / len({_TOKS})::INT AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))::INT
+           / length(text) AS punct_ratio
+  FROM documents
+),
+qf AS (SELECT doc_id, ({_QF_NFAIL}) = 0 AS q_keep FROM qbase),
+toklists AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+rbase AS (
+  SELECT doc_id, len(toks)::INT AS n,
+         {_BIGRAMS} AS bigrams, {_TRIGRAMS} AS trigrams,
+         len(list_distinct(toks))::INT AS n_distinct_toks
+  FROM toklists
+),
+rcnt AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS g FROM rbase) GROUP BY doc_id, g
+),
+rtop AS (SELECT doc_id, max(c)::INT AS mx FROM rcnt GROUP BY doc_id),
+rep AS (
+  SELECT b.doc_id,
+    (CASE WHEN len(bigrams) > 0
+          THEN COALESCE(t.mx, 0) / len(bigrams)::INT ELSE 0.0 END
+       <= {REP_MAX_TOP_BIGRAM_FRAC}
+     AND CASE WHEN len(trigrams) > 0
+          THEN (len(trigrams)::INT - len(list_distinct(trigrams))::INT) / len(trigrams)::INT
+          ELSE 0.0 END <= {REP_MAX_DUP_TRIGRAM_FRAC}
+     AND CASE WHEN b.n > 0
+          THEN (b.n - n_distinct_toks) / b.n ELSE 0.0 END
+       <= {REP_MAX_DUP_TOKEN_FRAC}) AS r_keep
+  FROM rbase b LEFT JOIN rtop t USING (doc_id)
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct({_NGRAMS})) AS ngram FROM toklists
+),
+ev AS (
+  SELECT doc_id AS eval_doc_id, ngram FROM shingles WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, ngram FROM shingles WHERE doc_id % {DECON_EVAL_MOD} <> 0
+),
+decon AS (
+  SELECT tr.doc_id, count(DISTINCT tr.ngram) >= {DECON_MIN_SHARED} AS contaminated
+  FROM tr JOIN ev USING (ngram) GROUP BY tr.doc_id
+),
+survivors AS (
+  SELECT d.doc_id, d.source, d.text, d.n_chars
+  FROM documents d
+  JOIN qf USING (doc_id)
+  JOIN rep USING (doc_id)
+  LEFT JOIN decon USING (doc_id)
+  WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    AND d.doc_id IN (SELECT doc_id FROM canon)
+    AND q_keep AND r_keep
+    AND NOT coalesce(contaminated, false)
+),
+capped AS (
+  SELECT doc_id, source, text, n_chars FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source
+        ORDER BY (doc_id * {SHARD_A} + {SHARD_B}) % {SHARD_P} ASC, doc_id ASC) AS rank
+    FROM survivors
+  ) WHERE rank <= {DOMAIN_CAP}
+),
+per AS (
+  SELECT (((doc_id * {SHARD_A} + {SHARD_B}) % {SHARD_P}) % {SHARD_N})::INT AS shard,
+         count(*)::BIGINT AS n_docs,
+         sum(len({_TOKS})::INT)::BIGINT AS n_tokens,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM capped GROUP BY 1
+),
+tot AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM per)
+SELECT shard, n_docs, n_tokens, total_chars,
+       n_docs / total_docs AS share
+FROM per, tot
+"""

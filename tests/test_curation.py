@@ -134,3 +134,25 @@ def test_shard_manifest_covers_corpus_and_balances(spark):
     assert sum(r["share"] for r in rows) == pytest.approx(1.0)
     # affine hash should balance shards: no shard more than 2x uniform
     assert max(r["n_docs"] for r in rows) <= 2 * n_docs_total / SHARD_N
+
+
+def test_clean_corpus_manifest_attrition(spark):
+    """Each stage must actually remove something: survivors < non-eval
+    corpus; shards partition the survivor set."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        DECON_EVAL_MOD,
+        SHARD_N,
+        clean_corpus_manifest,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = clean_corpus_manifest(spark, SF_CORRECT).collect()
+    n_non_eval = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(f"doc_id % {DECON_EVAL_MOD} != 0")
+        .count()
+    )
+    survivors = sum(r["n_docs"] for r in rows)
+    assert 0 < survivors < n_non_eval
+    assert len(rows) <= SHARD_N
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0)

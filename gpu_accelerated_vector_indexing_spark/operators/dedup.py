@@ -726,3 +726,39 @@ def incremental_dedup(
         F.col("corpus_doc_id").alias("best_match_doc_id"),
         (F.coalesce(F.col("jaccard"), F.lit(0.0)) >= threshold).alias("is_duplicate"),
     )
+
+
+def write_dedup_state(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the dedup index state to parquet — the production
+    form of ``grams_state`` / ``sigs_state``: a 100 TB pipeline hashes
+    the corpus ONCE per snapshot and every dedup job (batch, and the
+    incremental batch-vs-archive path) reads the materialized tables
+    instead of re-shingling text."""
+    grams_state(spark, sf_dir).write.mode("overwrite").parquet(f"{out_dir}/grams")
+    sigs_state(spark, sf_dir).write.mode("overwrite").parquet(f"{out_dir}/sigs")
+
+
+def dedup_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the dedup index state, read it back, and value-summarize
+    it — pinning that what lands on disk is EXACTLY the in-session
+    state (the oracle recomputes the same sums straight from the text):
+    signature component sums over three spread-out components, doc
+    counts, and the total distinct-shingle count."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_dedupstate_")
+    write_dedup_state(spark, sf_dir, out)
+    sigs = spark.read.parquet(f"{out}/sigs")
+    grams = spark.read.parquet(f"{out}/grams").filter(
+        F.col("len_chars") >= SHINGLE_LEN
+    )
+    s = sigs.agg(
+        F.count("*").alias("n_sig_docs"),
+        F.sum("m0").alias("sum_m0"),
+        F.sum("m7").alias("sum_m7"),
+        F.sum("m15").alias("sum_m15"),
+    )
+    g = grams.agg(
+        F.count("*").alias("n_gram_docs"), F.sum("n").alias("total_grams")
+    )
+    return s.crossJoin(F.broadcast(g))

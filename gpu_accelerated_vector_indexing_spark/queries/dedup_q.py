@@ -254,3 +254,24 @@ SELECT d.doc_id AS new_doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}) d
 LEFT JOIN best b ON b.new_doc_id = d.doc_id
 """
+
+
+QUERIES["dedup_state_roundtrip"] = D.dedup_state_roundtrip
+
+# the persisted state must carry the SAME values the oracle derives
+# straight from the text: signature sums + distinct-shingle totals
+ORACLES["dedup_state_roundtrip"] = _SHINGLE_CTES + f""",
+sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1),
+                                      i -> {_GH_POLY})) AS gh
+  FROM documents WHERE length(text) >= {SHINGLE_LEN}
+)
+SELECT (SELECT count(*)::BIGINT FROM sig) AS n_sig_docs,
+       (SELECT sum(m0)::BIGINT FROM sig) AS sum_m0,
+       (SELECT sum(m7)::BIGINT FROM sig) AS sum_m7,
+       (SELECT sum(m15)::BIGINT FROM sig) AS sum_m15,
+       (SELECT count(*)::BIGINT FROM grams) AS n_gram_docs,
+       (SELECT sum(len(gh))::BIGINT FROM grams) AS total_grams
+"""

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     ("curation_decontaminate_semantic", _noop),
     ("corpus_shard_manifest", _collect),
     ("knn_chunk_pooled", _collect),
+    ("corpus_clean_manifest", _collect),
+    ("dedup_incremental_batch", _noop),
     ("text_vocab_top", _collect),
     ("multimodal_features", _noop),
     # event-time windowing

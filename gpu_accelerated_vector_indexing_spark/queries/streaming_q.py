@@ -371,3 +371,88 @@ FROM (
 ) WHERE rn = 1
 """
 )
+
+
+def _streaming_incremental_dedup(spark, sf_dir):
+    """Streaming twin of dedup_incremental_batch: the new-doc stream is
+    banded against the STATIC archive signature state per micro-batch;
+    complete-mode drain equals the batch incremental query restricted
+    to docs with ≥1 band collision (the left-join spine has no
+    streaming analog — absence of a row IS the 'clean' verdict)."""
+    from gpu_accelerated_vector_indexing_spark.streaming.dedup_stream import (
+        streaming_incremental_dedup,
+    )
+
+    return streaming_incremental_dedup(spark, sf_dir)
+
+
+QUERIES["streaming_incremental_dedup"] = _streaming_incremental_dedup
+
+from gpu_accelerated_vector_indexing_spark.operators.dedup import (  # noqa: E402
+    HASH_MOD as _D_HASH_MOD,
+    INCR_BATCH_MOD as _D_MOD,
+    INCR_BATCH_REM as _D_REM,
+    INCR_THRESHOLD as _D_THRESH,
+    MINHASH_AS as _D_AS,
+    MINHASH_BS as _D_BS,
+    MINHASH_PRIME as _D_PRIME,
+    N_BANDS as _D_NB,
+    ROWS_PER_BAND as _D_RPB,
+    SHINGLE_LEN as _D_SLEN,
+)
+
+_D_POLY = " + ".join(
+    f"ascii(substr(s, {i}, 1))::BIGINT * {31 ** (_D_SLEN - i)}"
+    for i in range(1, _D_SLEN + 1)
+)
+_D_GH_POLY = " + ".join(
+    f"ascii(substr(text, i + {j - 1}, 1))::BIGINT * {31 ** (_D_SLEN - j)}"
+    for j in range(1, _D_SLEN + 1)
+)
+_D_SIG_COLS = ", ".join(
+    f"min(({a}::BIGINT * h + {b}) % {_D_PRIME}) AS m{i}"
+    for i, (a, b) in enumerate(zip(_D_AS, _D_BS))
+)
+_D_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM sig".format(
+        b=b, cols=", ".join(f"m{b * _D_RPB + r}" for r in range(_D_RPB))
+    )
+    for b in range(_D_NB)
+)
+
+ORACLES["streaming_incremental_dedup"] = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - {_D_SLEN - 1} + 1),
+                               i -> substr(text, i, {_D_SLEN}))) AS s
+  FROM documents WHERE length(text) >= {_D_SLEN}
+),
+h AS (SELECT doc_id, ({_D_POLY}) % {_D_HASH_MOD} AS h FROM sh),
+sig AS (SELECT doc_id, {_D_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_D_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS corpus_doc_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id % {_D_MOD} = {_D_REM} AND y.doc_id % {_D_MOD} <> {_D_REM}
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {_D_SLEN - 1}, 1) + 1),
+                                      i -> {_D_GH_POLY})) AS gh
+  FROM documents WHERE length(text) >= {_D_SLEN}
+),
+verified AS (
+  SELECT c.new_doc_id, c.corpus_doc_id,
+         round(len(list_intersect(a.gh, b.gh)) /
+               (len(a.gh) + len(b.gh) - len(list_intersect(a.gh, b.gh))), 6) AS jaccard
+  FROM cand c JOIN grams a ON a.doc_id = c.new_doc_id
+              JOIN grams b ON b.doc_id = c.corpus_doc_id
+)
+SELECT new_doc_id, jaccard AS best_jaccard, corpus_doc_id AS best_match_doc_id,
+       jaccard >= {_D_THRESH} AS is_duplicate
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY new_doc_id
+                               ORDER BY jaccard DESC, corpus_doc_id DESC) AS rn
+  FROM verified
+) WHERE rn = 1
+"""

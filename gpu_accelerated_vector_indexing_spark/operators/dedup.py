@@ -153,12 +153,14 @@ def exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH -----------------------------------------------------------
 
 
-def minhash_from_grams(grams: DataFrame) -> DataFrame:
+def minhash_from_grams(grams: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """16-component MinHash signature from a precomputed shingle-hash
     array column ``gh``: the array folds into a 16-long min-accumulator
     via zip_with/least — no explode, no shuffle; the signature
     components fan out of the accumulator at the end (whole-stage
-    codegen CSEs the shared fold)."""
+    codegen CSEs the shared fold). ``keep`` carries payload columns
+    through (the streaming path needs gh alongside the signature —
+    a streaming DF cannot re-join itself to fetch it back)."""
     a_consts = F.array(*[F.lit(a).cast("long") for a in MINHASH_AS])
     b_consts = F.array(*[F.lit(b).cast("long") for b in MINHASH_BS])
     init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * N_MINHASH)
@@ -168,7 +170,9 @@ def minhash_from_grams(grams: DataFrame) -> DataFrame:
         return F.zip_with(acc, vals, lambda m, v: F.least(m, v))
 
     acc = F.aggregate(F.col("gh"), init, step)
-    return grams.select("doc_id", *[acc[i].alias(f"m{i}") for i in range(N_MINHASH)])
+    return grams.select(
+        "doc_id", *keep, *[acc[i].alias(f"m{i}") for i in range(N_MINHASH)]
+    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

@@ -93,19 +93,17 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "documents.parque*")
     )
     batch_docs = raw.filter(is_batch & (F.length("text") >= SHINGLE_LEN)).select(
-        "doc_id", raw_shingle_hashes(F.col("text")).alias("gh")
+        "doc_id",
+        raw_shingle_hashes(F.col("text")).alias("gha"),
+        F.transform(
+            raw_shingle_hashes(F.col("text")), lambda h: h % F.lit(HASH_MOD)
+        ).alias("gh"),
     )
-    sigs = minhash_from_grams(
-        batch_docs.select(
-            "doc_id", F.transform("gh", lambda h: h % F.lit(HASH_MOD)).alias("gh")
-        )
-    )
-    # bands built inline (not via _band_relation) so the stream rows keep
-    # their gh payload for the verify stage — a streaming DF can't be
-    # re-joined to itself to fetch it back
-    stream_side = (
-        sigs.join(batch_docs.withColumnRenamed("gh", "gha"), "doc_id")
-        .withColumn("na", F.size("gha"))
+    # the signature fold carries the raw-hash payload through (keep=) —
+    # a streaming DF cannot re-join itself to fetch gh back, and the
+    # verify stage needs it
+    stream_side = minhash_from_grams(batch_docs, keep=("gha",)).withColumn(
+        "na", F.size("gha")
     )
     bands_with_payload = stream_side.select(
         F.col("doc_id").alias("new_doc_id"),

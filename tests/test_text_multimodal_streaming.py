@@ -364,3 +364,27 @@ def test_pack_sequences_invariants(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.first_doc in (prev.last_doc, prev.last_doc + 1)
         assert prev.first_doc <= prev.last_doc
+
+
+def test_streaming_incremental_dedup_equals_batch(spark):
+    """Complete-mode drain of the document stream against the static
+    archive state must equal the batch incremental query restricted to
+    docs with a band collision (absence of a row IS the clean verdict
+    in the streaming contract)."""
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import incremental_dedup
+    from gpu_accelerated_vector_indexing_spark.streaming.dedup_stream import (
+        streaming_incremental_dedup,
+    )
+
+    cols = ["new_doc_id", "best_jaccard", "best_match_doc_id", "is_duplicate"]
+    s = sorted(map(tuple, streaming_incremental_dedup(spark, SF_CORRECT).select(cols).collect()))
+    b = sorted(
+        map(
+            tuple,
+            incremental_dedup(spark, SF_CORRECT)
+            .filter("best_match_doc_id IS NOT NULL")
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert s == b and len(s) > 0

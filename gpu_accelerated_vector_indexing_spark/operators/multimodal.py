@@ -130,3 +130,33 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes").cast("long").alias("max_bytes"),
         )
     )
+
+
+def corpus_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the text/vector twin tables —
+    the ops check a multimodal store runs after every ingest: documents
+    without an embedding row, embeddings without a document, id-space
+    stats (range + gap count) on each side, and dimension consistency.
+
+    One full outer join on the shared id plus two bounded aggregates;
+    at 100 TB both sides are id-sorted parquet, so the join is a
+    sort-merge over co-partitioned scans and the output is ONE row.
+    """
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.size("embedding").alias("dim")
+    )
+    joined = docs.withColumn("has_doc", F.lit(1)).join(
+        emb.withColumn("has_vec", F.lit(1)), "id", "full_outer"
+    )
+    return joined.agg(
+        F.count("*").alias("n_ids"),
+        F.sum(F.when(F.col("has_vec").isNull(), 1).otherwise(0)).alias("docs_without_vec"),
+        F.sum(F.when(F.col("has_doc").isNull(), 1).otherwise(0)).alias("vecs_without_doc"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        (F.max("id") - F.min("id") + 1 - F.count("*")).alias("id_gaps"),
+        F.count_distinct(F.col("dim")).alias("n_distinct_dims"),
+    )

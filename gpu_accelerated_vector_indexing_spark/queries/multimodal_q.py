@@ -37,3 +37,23 @@ SELECT 'text/plain' AS mime, lang, count(*) AS n_docs,
 FROM documents GROUP BY lang
 """,
 }
+
+
+from gpu_accelerated_vector_indexing_spark.operators.multimodal import corpus_integrity  # noqa: E402
+
+QUERIES["corpus_integrity"] = corpus_integrity
+
+ORACLES["corpus_integrity"] = """
+WITH d AS (SELECT doc_id AS id, 1 AS has_doc FROM documents),
+e AS (SELECT vec_id AS id, 1 AS has_vec, len(embedding) AS dim FROM embeddings),
+j AS (SELECT coalesce(d.id, e.id) AS id, has_doc, has_vec, dim
+      FROM d FULL OUTER JOIN e ON d.id = e.id)
+SELECT count(*)::BIGINT AS n_ids,
+       sum(CASE WHEN has_vec IS NULL THEN 1 ELSE 0 END)::BIGINT AS docs_without_vec,
+       sum(CASE WHEN has_doc IS NULL THEN 1 ELSE 0 END)::BIGINT AS vecs_without_doc,
+       min(id) AS min_id,
+       max(id) AS max_id,
+       max(id) - min(id) + 1 - count(*)::BIGINT AS id_gaps,
+       count(DISTINCT dim)::BIGINT AS n_distinct_dims
+FROM j
+"""

@@ -32,6 +32,13 @@ from pyspark.sql import types as T
 DEFAULT_DIM = 64  # fixture embedding dim (TESTDATA.md); reference uses 384
 
 
+# per-process token → (bucket, sign) memo: md5 is the portability
+# device, not a security boundary, and natural-language token streams
+# are extremely repetitive (Zipf) — memoizing turns the per-token cost
+# into a dict hit without changing a single output bit
+_TOKEN_MEMO: dict[tuple[str, int], tuple[int, float]] = {}
+
+
 def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
     """Hashing-trick featurizer: md5(token) → (bucket, sign), L2 norm.
 
@@ -41,12 +48,18 @@ def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
     """
     import numpy as np
 
+    memo = _TOKEN_MEMO
     out = []
     for text in texts:
         vec = np.zeros(dim, dtype=np.float64)
         for tok in (text or "").lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            vec[h % dim] += 1.0 if (h >> 63) & 1 else -1.0
+            key = (tok, dim)
+            hit = memo.get(key)
+            if hit is None:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                hit = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
+                memo[key] = hit
+            vec[hit[0]] += hit[1]
         n = np.linalg.norm(vec)
         out.append((vec / n if n > 0 else vec).astype(np.float32))
     return pd.Series(out)

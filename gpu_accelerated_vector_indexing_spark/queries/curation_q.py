@@ -40,8 +40,8 @@ from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
 QUERIES = {
     "curation_quality_filter": C.quality_filter,
     "curation_decontaminate": C.decontaminate_ngram_overlap,
-    # rows-only: xxhash64 join key has no DuckDB twin; equality with the
-    # string-keyed form is test-pinned (tests/test_curation.py)
+    # full oracle: the string-keyed SQL (xxhash64 only changes the
+    # shuffle key); equality also test-pinned (tests/test_curation.py)
     "curation_decontaminate_hashed": C.decontaminate_hashed,
     "curation_pii_redact": C.pii_redact,
     "curation_mix_rebalance": C.corpus_mix_rebalance,

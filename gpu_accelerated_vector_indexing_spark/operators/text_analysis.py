@@ -453,3 +453,40 @@ def pack_sequences(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+BPE_MERGE_TOP_N = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str, top_n: int = BPE_MERGE_TOP_N) -> DataFrame:
+    """Corpus-wide adjacent-symbol-pair counts — the FIRST iteration of
+    BPE tokenizer training (Sennrich et al. 2016): the pair with the
+    highest count is the next merge rule. Full training iterates
+    (re-segment, re-count); one distributed iteration is the building
+    block, and its counts are exact, so the query carries a full value
+    oracle.
+
+    Shape: token explode → in-token pair explode (both narrow maps) →
+    groupBy(pair) with map-side partial counts — the canonical
+    word-count shuffle, bounded by |symbol-pair vocabulary|, not corpus
+    size. Ties broken pair ASC for determinism.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.length("tok") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_n)
+    )

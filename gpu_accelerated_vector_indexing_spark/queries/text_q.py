@@ -256,3 +256,27 @@ SELECT chunk_id, count(*) AS n_segments,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM seg_len GROUP BY chunk_id
 """
+
+
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (  # noqa: E402
+    BPE_MERGE_TOP_N,
+    bpe_merge_candidates,
+)
+
+QUERIES["text_bpe_merges"] = bpe_merge_candidates
+
+ORACLES["text_bpe_merges"] = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok FROM documents
+),
+pairs AS (
+  SELECT unnest(CASE WHEN length(tok) >= 2
+                     THEN list_transform(generate_series(1, length(tok) - 1),
+                                         i -> substr(tok, i, 2))
+                     ELSE []::VARCHAR[] END) AS pair
+  FROM toks
+)
+SELECT pair, count(*)::BIGINT AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC LIMIT {BPE_MERGE_TOP_N}
+"""

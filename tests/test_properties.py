@@ -157,3 +157,46 @@ def test_chunking_reconstructs_documents(spark, docs):
         assert stitched == text, (i, text, parts)
         assert all(len(p) <= CHUNK_WIDTH for p in parts)
         assert all(len(p) == CHUNK_WIDTH for p in parts[:-1] if len(text) >= CHUNK_WIDTH)
+
+
+word = st.text(alphabet="ab1", min_size=1, max_size=3)
+texts_rep = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(texts_rep, min_size=1, max_size=6))
+def test_repetition_fold_matches_python_model(spark, docs):
+    """The sorted-array run-length fold must equal a direct Python
+    Counter on arbitrary token streams (tiny alphabet maximizes
+    repeated bigrams — the regime the fold exists for)."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    run0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, x):
+        bump = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), bump.alias("run"), F.greatest(acc["best"], bump).alias("best"))
+
+    top = F.aggregate(F.array_sort(bigrams), run0, step, lambda acc: acc["best"])
+    got = {r["doc_id"]: r["top"] for r in df.select("doc_id", top.alias("top")).collect()}
+    for i, t in enumerate(docs):
+        ts = re.findall("[A-Za-z0-9]+", t.lower())
+        bg = [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        assert got[i] == (max(Counter(bg).values()) if bg else 0)

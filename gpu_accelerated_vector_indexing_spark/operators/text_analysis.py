@@ -490,3 +490,70 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str, top_n: int = BPE_MERG
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+BPE_TRAIN_ROUNDS = 4
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_rounds: int = BPE_TRAIN_ROUNDS
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    first ``n_rounds`` greedy merge rules learned from the corpus, with
+    the re-segmentation between rounds done IN-PLAN.
+
+    The segmentation travels as a delimiter-wrapped string
+    (``|a|b|c|`` for token ``abc``), so applying merge rule (a, b) is
+    ONE literal ``replace('|a|b|', '|ab|')`` — and because SQL replace
+    substitutes non-overlapping matches left to right, this reproduces
+    BPE's greedy left-to-right merge semantics exactly, in Spark and in
+    the DuckDB oracle alike (tokens are alnum-only, so the delimiter
+    can never collide). Per round: pair counts are a word-count-shaped
+    shuffle bounded by pair vocabulary; the winning rule is a ≤1-row
+    driver collect (same device as the IVF coarse probes); the rewrite
+    is a codegen'd projection. No per-round corpus materialization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seg0 = F.concat(F.lit("|"), F.regexp_replace(F.col("tok"), "(.)", "$1|"))
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .select(seg0.alias("seg"))
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    df = words
+    for step in range(1, n_rounds + 1):
+        syms = F.filter(F.split(F.col("seg"), "\\|"), lambda x: x != "")
+        pair = F.explode(
+            F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        top = (
+            df.select(pair.alias("p"))
+            .groupBy("p")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        p, c = top[0]["p"], top[0]["c"]
+        left, right = p.split(" ")
+        merges.append((step, left, right, c))
+        df = df.select(
+            F.replace(
+                F.col("seg"),
+                F.lit(f"|{left}|{right}|"),
+                F.lit(f"|{left}{right}|"),
+            ).alias("seg")
+        )
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, n_occurrences bigint"
+    )

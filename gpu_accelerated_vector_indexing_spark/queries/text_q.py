@@ -280,3 +280,50 @@ SELECT pair, count(*)::BIGINT AS n_occurrences
 FROM pairs GROUP BY pair
 ORDER BY n_occurrences DESC, pair ASC LIMIT {BPE_MERGE_TOP_N}
 """
+
+
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (  # noqa: E402
+    BPE_TRAIN_ROUNDS,
+    bpe_train_merges,
+)
+
+QUERIES["text_bpe_train"] = bpe_train_merges
+
+
+def _bpe_pairs_from(w: str) -> str:
+    return (
+        "SELECT unnest(list_transform(generate_series(1, len(sym) - 1), "
+        "i -> sym[i] || ' ' || sym[i+1])) AS p "
+        f"FROM (SELECT list_filter(string_split(seg, '|'), x -> x <> '') AS sym FROM {w}) "
+        "WHERE len(sym) >= 2"
+    )
+
+
+def _bpe_train_sql(n_rounds: int) -> str:
+    ctes = [
+        "toks AS (SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok FROM documents)",
+        "w0 AS (SELECT '|' || regexp_replace(tok, '(.)', '\\1|', 'g') AS seg FROM toks)",
+    ]
+    finals = []
+    for i in range(1, n_rounds + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT p, count(*) AS c FROM ({_bpe_pairs_from(prev)}) GROUP BY p)"
+        )
+        ctes.append(f"m{i} AS (SELECT p, c FROM c{i} ORDER BY c DESC, p ASC LIMIT 1)")
+        ctes.append(
+            f"w{i} AS (SELECT replace(seg, "
+            f"(SELECT '|' || replace(p, ' ', '|') || '|' FROM m{i}), "
+            f"(SELECT '|' || replace(p, ' ', '') || '|' FROM m{i})) AS seg FROM {prev})"
+        )
+        finals.append(
+            f"SELECT {i} AS step, split_part(p, ' ', 1) AS left_sym, "
+            f"split_part(p, ' ', 2) AS right_sym, c::BIGINT AS n_occurrences FROM m{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+# the greedy merge replay: SQL replace substitutes non-overlapping
+# matches left→right — exactly BPE's greedy application — so every
+# round's winning rule and count replays as staged CTEs
+ORACLES["text_bpe_train"] = _bpe_train_sql(BPE_TRAIN_ROUNDS)

@@ -388,3 +388,16 @@ def test_streaming_incremental_dedup_equals_batch(spark):
         )
     )
     assert s == b and len(s) > 0
+
+
+def test_bpe_train_prefix_and_validity(spark):
+    """Determinism: fewer rounds = a prefix of more rounds; every rule
+    merges two non-empty symbols with a positive count."""
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import bpe_train_merges
+
+    four = [tuple(r) for r in bpe_train_merges(spark, SF_CORRECT, n_rounds=4).collect()]
+    two = [tuple(r) for r in bpe_train_merges(spark, SF_CORRECT, n_rounds=2).collect()]
+    assert two == four[:2]
+    assert [r[0] for r in four] == [1, 2, 3, 4]
+    for _, left, right, c in four:
+        assert left and right and c > 0

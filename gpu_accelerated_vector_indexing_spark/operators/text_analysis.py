@@ -557,3 +557,58 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, n_occurrences bigint"
     )
+
+
+def bpe_compression_curve(
+    spark: SparkSession, sf_dir: str, n_rounds: int = BPE_TRAIN_ROUNDS
+) -> DataFrame:
+    """Tokenizer compression curve: corpus symbol count after each BPE
+    merge round (round 0 = character baseline) — the objective
+    tokenizer training actually optimizes. Same loop as
+    :func:`bpe_train_merges` with one extra bounded count per round;
+    each round's symbol total drops by exactly that round's merge
+    count (every applied merge removes one symbol), which the oracle
+    replays independently.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seg0 = F.concat(F.lit("|"), F.regexp_replace(F.col("tok"), "(.)", "$1|"))
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).select(
+        seg0.alias("seg")
+    )
+    syms = F.filter(F.split(F.col("seg"), "\\|"), lambda x: x != "")
+
+    def total(df: DataFrame) -> int:
+        return df.select(F.sum(F.size(syms)).alias("t")).collect()[0]["t"]
+
+    rows: list[tuple[int, int]] = [(0, total(words))]
+    df = words
+    for step in range(1, n_rounds + 1):
+        pair = F.explode(
+            F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        top = (
+            df.select(pair.alias("p"))
+            .groupBy("p")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["p"].split(" ")
+        df = df.select(
+            F.replace(
+                F.col("seg"), F.lit(f"|{left}|{right}|"), F.lit(f"|{left}{right}|")
+            ).alias("seg")
+        )
+        rows.append((step, total(df)))
+    return spark.createDataFrame(rows, "step int, total_symbols bigint")

@@ -327,3 +327,24 @@ def _bpe_train_sql(n_rounds: int) -> str:
 # matches left→right — exactly BPE's greedy application — so every
 # round's winning rule and count replays as staged CTEs
 ORACLES["text_bpe_train"] = _bpe_train_sql(BPE_TRAIN_ROUNDS)
+
+
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (  # noqa: E402
+    bpe_compression_curve,
+)
+
+QUERIES["text_bpe_compression"] = bpe_compression_curve
+
+
+def _bpe_compression_sql(n_rounds: int) -> str:
+    body = _bpe_train_sql(n_rounds)
+    ctes = body.split("\nSELECT 1 AS step,")[0]  # reuse the CTE chain verbatim
+    counts = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, sum(len(list_filter(string_split(seg, '|'), x -> x <> '')))::BIGINT"
+        f" AS total_symbols FROM w{i}"
+        for i in range(0, n_rounds + 1)
+    )
+    return ctes + "\n" + counts
+
+
+ORACLES["text_bpe_compression"] = _bpe_compression_sql(BPE_TRAIN_ROUNDS)

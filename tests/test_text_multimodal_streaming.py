@@ -401,3 +401,17 @@ def test_bpe_train_prefix_and_validity(spark):
     assert [r[0] for r in four] == [1, 2, 3, 4]
     for _, left, right, c in four:
         assert left and right and c > 0
+
+
+def test_bpe_compression_drops_by_merge_counts(spark):
+    """Every applied merge removes exactly one symbol, so each round's
+    total drop must equal that round's merge count."""
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        bpe_compression_curve,
+        bpe_train_merges,
+    )
+
+    curve = {r["step"]: r["total_symbols"] for r in bpe_compression_curve(spark, SF_CORRECT).collect()}
+    merges = {r["step"]: r["n_occurrences"] for r in bpe_train_merges(spark, SF_CORRECT).collect()}
+    for step, c in merges.items():
+        assert curve[step - 1] - curve[step] == c

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     ("copurchase_lift", _collect),
     ("events_cohort_retention", _collect),
     ("text_token_count", _noop),
+    ("text_bpe_merges", _collect),
     ("corpus_pack_sequences", _collect),
     ("dedup_minhash_lsh", _noop),
     ("dedup_simhash_pairs", _noop),

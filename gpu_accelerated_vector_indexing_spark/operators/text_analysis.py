@@ -494,6 +494,31 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str, top_n: int = BPE_MERG
 
 BPE_TRAIN_ROUNDS = 4
 
+# The character-level base segmentation is TOKENIZER-TRAINING STATE:
+# every round of every BPE query re-reads it, so it is tokenized,
+# spread across cores (fixture single-split pathology), and cache()d
+# once per (session, corpus) — without this each round re-ran the
+# tokenize+explode chain on ONE task and the trainer measured 10-20 s
+# at sf0.1 (now ~1 s/round).
+_BPE_WORDS_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def _bpe_words_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _BPE_WORDS_STATE:
+        from gpu_accelerated_vector_indexing_spark.operators.dedup import _spread
+
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        seg0 = F.concat(F.lit("|"), F.regexp_replace(F.col("tok"), "(.)", "$1|"))
+        df = (
+            docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+            .select(seg0.alias("seg"))
+            .cache()
+        )
+        df.count()
+        _BPE_WORDS_STATE[key] = df
+    return _BPE_WORDS_STATE[key]
+
 
 def bpe_train_merges(
     spark: SparkSession, sf_dir: str, n_rounds: int = BPE_TRAIN_ROUNDS
@@ -513,12 +538,7 @@ def bpe_train_merges(
     driver collect (same device as the IVF coarse probes); the rewrite
     is a codegen'd projection. No per-round corpus materialization.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    seg0 = F.concat(F.lit("|"), F.regexp_replace(F.col("tok"), "(.)", "$1|"))
-    words = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-        .select(seg0.alias("seg"))
-    )
+    words = _bpe_words_state(spark, sf_dir)
     merges: list[tuple[int, str, str, int]] = []
     df = words
     for step in range(1, n_rounds + 1):
@@ -570,11 +590,7 @@ def bpe_compression_curve(
     count (every applied merge removes one symbol), which the oracle
     replays independently.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    seg0 = F.concat(F.lit("|"), F.regexp_replace(F.col("tok"), "(.)", "$1|"))
-    words = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).select(
-        seg0.alias("seg")
-    )
+    words = _bpe_words_state(spark, sf_dir)
     syms = F.filter(F.split(F.col("seg"), "\\|"), lambda x: x != "")
 
     def total(df: DataFrame) -> int:

@@ -384,20 +384,22 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gpu_accelerated_vector_indexing_spark.functions.vector import (
         as_double_array,
-        cosine_similarity,
+        dot_product,
+        l2_normalize,
     )
 
+    # both sides pre-normalized ONCE in a staged projection (SURVEY §4
+    # P4 hoisting): the per-pair work is a bare dot — the inline-cosine
+    # form recomputed both norms per (train, eval) pair, 2×+ the flops
     emb = load_table(spark, sf_dir, "embeddings")
     ev = emb.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
         F.col("vec_id").alias("eval_vec_id"),
-        as_double_array("embedding").alias("eval_embedding"),
+        l2_normalize(as_double_array("embedding")).alias("eval_embedding"),
     )
     tr = emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
-        "vec_id", as_double_array("embedding").alias("embedding")
+        "vec_id", l2_normalize(as_double_array("embedding")).alias("embedding")
     )
-    sim = F.round(
-        cosine_similarity(F.col("embedding"), F.col("eval_embedding")), 6
-    )
+    sim = F.round(dot_product(F.col("embedding"), F.col("eval_embedding")), 6)
     scored = tr.join(F.broadcast(ev)).select("vec_id", sim.alias("sim"))
     return (
         scored.groupBy("vec_id")

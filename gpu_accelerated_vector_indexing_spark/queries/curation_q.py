@@ -184,18 +184,20 @@ SELECT doc_id, n_tokens, top_bigram_count, top_bigram_frac, dup_trigram_frac,
 FROM sig
 """
 
+_SD_NORM = "list_transform({v}, x -> x / (sqrt(list_dot_product({v}, {v})) + 1e-8))"
+
+# both sides pre-normalized exactly like the Spark plan (l2_normalize:
+# divide by norm + 1e-8), then a bare dot — same doubles, same order
 ORACLES["curation_decontaminate_semantic"] = f"""
 WITH ev AS (
-  SELECT vec_id AS eval_vec_id, embedding::DOUBLE[] AS ev_emb
+  SELECT vec_id AS eval_vec_id,
+         {_SD_NORM.format(v='embedding::DOUBLE[]')} AS ev_emb
   FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} = 0
 ), tr AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb
+  SELECT vec_id, {_SD_NORM.format(v='embedding::DOUBLE[]')} AS emb
   FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} <> 0
 ), scored AS (
-  SELECT tr.vec_id,
-    round(list_dot_product(emb, ev_emb) /
-      (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(ev_emb, ev_emb))
-       + 1e-8), 6) AS sim
+  SELECT tr.vec_id, round(list_dot_product(emb, ev_emb), 6) AS sim
   FROM tr, ev
 )
 SELECT vec_id, max(sim) AS max_eval_sim,

@@ -500,6 +500,16 @@ BPE_TRAIN_ROUNDS = 4
 # once per (session, corpus) — without this each round re-ran the
 # tokenize+explode chain on ONE task and the trainer measured 10-20 s
 # at sf0.1 (now ~1 s/round).
+#
+# Representation: every symbol is wrapped in its OWN delimiter pair
+# ("|b||a||n|" for "ban"), so applying merge rule (l, r) is the literal
+# replace("|l||r|", "|lr|") — and because adjacent rule occurrences no
+# longer share a character, SQL replace's non-overlapping left→right
+# substitution is EXACTLY BPE's symbol-level greedy pass (including
+# self-pair runs: "aaaa" → (aa)(aa), "aaa" → (aa)(a); the earlier
+# single-delimiter form silently skipped back-to-back occurrences).
+# Symbols never contain the delimiter, and "||" occurs only between
+# adjacent symbols, so cross-boundary false matches are impossible.
 _BPE_WORDS_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
@@ -509,7 +519,7 @@ def _bpe_words_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         from gpu_accelerated_vector_indexing_spark.operators.dedup import _spread
 
         docs = _spread(load_table(spark, sf_dir, "documents"))
-        seg0 = F.concat(F.lit("|"), F.regexp_replace(F.col("tok"), "(.)", "$1|"))
+        seg0 = F.regexp_replace(F.col("tok"), "(.)", "|$1|")
         df = (
             docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
             .select(seg0.alias("seg"))
@@ -520,60 +530,74 @@ def _bpe_words_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BPE_WORDS_STATE[key]
 
 
+def _bpe_syms() -> Column:
+    # built lazily: creating Columns at import time needs an active
+    # session (driver import order is not guaranteed)
+    return F.filter(F.split(F.col("seg"), "\\|"), lambda x: x != "")
+
+
+def _bpe_top_pair(df: DataFrame) -> tuple[str, str, int] | None:
+    """One BPE round's winning rule: the most frequent adjacent symbol
+    pair over the current segmentation (count DESC, pair ASC), via one
+    pair-vocabulary-bounded shuffle + a ≤1-row driver collect."""
+    syms = _bpe_syms()
+    pair = F.explode(
+        F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    top = (
+        df.select(pair.alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("p"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return None
+    left, right = top[0]["p"].split(" ")
+    return left, right, top[0]["c"]
+
+
+def _bpe_apply(df: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one merge rule in-plan: a codegen'd literal replace whose
+    non-overlapping left→right substitution IS the greedy BPE pass
+    under the double-delimiter representation."""
+    return df.select(
+        F.replace(
+            F.col("seg"), F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
+        ).alias("seg")
+    )
+
+
 def bpe_train_merges(
     spark: SparkSession, sf_dir: str, n_rounds: int = BPE_TRAIN_ROUNDS
 ) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): the
     first ``n_rounds`` greedy merge rules learned from the corpus, with
-    the re-segmentation between rounds done IN-PLAN.
-
-    The segmentation travels as a delimiter-wrapped string
-    (``|a|b|c|`` for token ``abc``), so applying merge rule (a, b) is
-    ONE literal ``replace('|a|b|', '|ab|')`` — and because SQL replace
-    substitutes non-overlapping matches left to right, this reproduces
-    BPE's greedy left-to-right merge semantics exactly, in Spark and in
-    the DuckDB oracle alike (tokens are alnum-only, so the delimiter
-    can never collide). Per round: pair counts are a word-count-shaped
-    shuffle bounded by pair vocabulary; the winning rule is a ≤1-row
-    driver collect (same device as the IVF coarse probes); the rewrite
-    is a codegen'd projection. No per-round corpus materialization.
+    the re-segmentation between rounds done IN-PLAN (see the
+    representation note above `_BPE_WORDS_STATE`). Per round: pair
+    counts are a word-count-shaped shuffle bounded by pair vocabulary;
+    the winning rule is a ≤1-row driver collect (same device as the
+    IVF coarse probes); the rewrite is a codegen'd projection. No
+    per-round corpus materialization.
     """
-    words = _bpe_words_state(spark, sf_dir)
     merges: list[tuple[int, str, str, int]] = []
-    df = words
+    df = _bpe_words_state(spark, sf_dir)
     for step in range(1, n_rounds + 1):
-        syms = F.filter(F.split(F.col("seg"), "\\|"), lambda x: x != "")
-        pair = F.explode(
-            F.when(
-                F.size(syms) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(syms) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(syms, i), F.element_at(syms, i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
-        top = (
-            df.select(pair.alias("p"))
-            .groupBy("p")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.desc("c"), F.asc("p"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        top = _bpe_top_pair(df)
+        if top is None:
             break
-        p, c = top[0]["p"], top[0]["c"]
-        left, right = p.split(" ")
+        left, right, c = top
         merges.append((step, left, right, c))
-        df = df.select(
-            F.replace(
-                F.col("seg"),
-                F.lit(f"|{left}|{right}|"),
-                F.lit(f"|{left}{right}|"),
-            ).alias("seg")
-        )
+        df = _bpe_apply(df, left, right)
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, n_occurrences bigint"
     )
@@ -584,47 +608,23 @@ def bpe_compression_curve(
 ) -> DataFrame:
     """Tokenizer compression curve: corpus symbol count after each BPE
     merge round (round 0 = character baseline) — the objective
-    tokenizer training actually optimizes. Same loop as
-    :func:`bpe_train_merges` with one extra bounded count per round;
-    each round's symbol total drops by exactly that round's merge
-    count (every applied merge removes one symbol), which the oracle
-    replays independently.
+    tokenizer training actually optimizes. Shares the per-round helpers
+    with :func:`bpe_train_merges`; each round's symbol drop equals the
+    number of merges replace actually applied (≤ the adjacent-pair
+    count, which also counts overlapping occurrences inside self-pair
+    runs), and the oracle replays every round independently.
     """
     words = _bpe_words_state(spark, sf_dir)
-    syms = F.filter(F.split(F.col("seg"), "\\|"), lambda x: x != "")
 
     def total(df: DataFrame) -> int:
-        return df.select(F.sum(F.size(syms)).alias("t")).collect()[0]["t"]
+        return df.select(F.sum(F.size(_bpe_syms())).alias("t")).collect()[0]["t"]
 
     rows: list[tuple[int, int]] = [(0, total(words))]
     df = words
     for step in range(1, n_rounds + 1):
-        pair = F.explode(
-            F.when(
-                F.size(syms) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(syms) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(syms, i), F.element_at(syms, i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
-        top = (
-            df.select(pair.alias("p"))
-            .groupBy("p")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.desc("c"), F.asc("p"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        top = _bpe_top_pair(df)
+        if top is None:
             break
-        left, right = top[0]["p"].split(" ")
-        df = df.select(
-            F.replace(
-                F.col("seg"), F.lit(f"|{left}|{right}|"), F.lit(f"|{left}{right}|")
-            ).alias("seg")
-        )
+        df = _bpe_apply(df, top[0], top[1])
         rows.append((step, total(df)))
     return spark.createDataFrame(rows, "step int, total_symbols bigint")

@@ -302,7 +302,7 @@ def _bpe_pairs_from(w: str) -> str:
 def _bpe_train_sql(n_rounds: int) -> str:
     ctes = [
         "toks AS (SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok FROM documents)",
-        "w0 AS (SELECT '|' || regexp_replace(tok, '(.)', '\\1|', 'g') AS seg FROM toks)",
+        "w0 AS (SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS seg FROM toks)",
     ]
     finals = []
     for i in range(1, n_rounds + 1):
@@ -313,7 +313,7 @@ def _bpe_train_sql(n_rounds: int) -> str:
         ctes.append(f"m{i} AS (SELECT p, c FROM c{i} ORDER BY c DESC, p ASC LIMIT 1)")
         ctes.append(
             f"w{i} AS (SELECT replace(seg, "
-            f"(SELECT '|' || replace(p, ' ', '|') || '|' FROM m{i}), "
+            f"(SELECT '|' || replace(p, ' ', '||') || '|' FROM m{i}), "
             f"(SELECT '|' || replace(p, ' ', '') || '|' FROM m{i})) AS seg FROM {prev})"
         )
         finals.append(

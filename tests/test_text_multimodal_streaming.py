@@ -405,7 +405,11 @@ def test_bpe_train_prefix_and_validity(spark):
 
 def test_bpe_compression_drops_by_merge_counts(spark):
     """Every applied merge removes exactly one symbol, so each round's
-    total drop must equal that round's merge count."""
+    total drop equals the number of greedy-applied merges: ≤ the
+    adjacent-pair count (which also counts the overlapping occurrences
+    inside self-pair runs that greedy skips), with equality on this
+    corpus (no self-pair run among the winning rules — asserted so a
+    fixture change that breaks the equality is noticed)."""
     from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
         bpe_compression_curve,
         bpe_train_merges,
@@ -414,4 +418,24 @@ def test_bpe_compression_drops_by_merge_counts(spark):
     curve = {r["step"]: r["total_symbols"] for r in bpe_compression_curve(spark, SF_CORRECT).collect()}
     merges = {r["step"]: r["n_occurrences"] for r in bpe_train_merges(spark, SF_CORRECT).collect()}
     for step, c in merges.items():
-        assert curve[step - 1] - curve[step] == c
+        drop = curve[step - 1] - curve[step]
+        assert 0 < drop <= c
+        assert drop == c, "winning rule hit a self-pair run; update this pin"
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """The double-delimiter replace must implement the symbol-level
+    greedy pass exactly: 'banana' with rule (a,n) → (b,an,an,a);
+    'aaaa' with (a,a) → (aa,aa); 'aaa' → (aa,a)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import _bpe_apply
+
+    df = spark.createDataFrame(
+        [("|b||a||n||a||n||a|",), ("|a||a||a||a|",), ("|a||a||a|",)], "seg string"
+    )
+    out = [
+        [x for x in r["seg"].split("|") if x]
+        for r in _bpe_apply(_bpe_apply(df, "a", "n"), "a", "a").collect()
+    ]
+    assert out == [["b", "an", "an", "a"], ["aa", "aa"], ["aa", "a"]]

@@ -35,8 +35,12 @@ DEFAULT_DIM = 64  # fixture embedding dim (TESTDATA.md); reference uses 384
 # per-process token → (bucket, sign) memo: md5 is the portability
 # device, not a security boundary, and natural-language token streams
 # are extremely repetitive (Zipf) — memoizing turns the per-token cost
-# into a dict hit without changing a single output bit
+# into a dict hit without changing a single output bit. Bounded: a
+# crawled vocabulary is effectively unbounded (URLs, hex ids, typos),
+# so past the cap the memo resets rather than growing without limit —
+# Zipf means the refilled head recovers the hit rate immediately.
 _TOKEN_MEMO: dict[tuple[str, int], tuple[int, float]] = {}
+_TOKEN_MEMO_MAX = 1 << 20
 
 
 def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
@@ -58,6 +62,8 @@ def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
             if hit is None:
                 h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
                 hit = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
+                if len(memo) >= _TOKEN_MEMO_MAX:
+                    memo.clear()
                 memo[key] = hit
             vec[hit[0]] += hit[1]
         n = np.linalg.norm(vec)

@@ -256,7 +256,10 @@ SEMDECON_THRESHOLD = 0.85
 
 # shard-manifest parameters: Knuth multiplicative constant mod a
 # Mersenne prime — integer-only and portable to any SQL engine (same
-# family as approx.portable_hash_unit / the CMS hashes)
+# family as approx.portable_hash_unit / the CMS hashes). The id is
+# pre-reduced mod P before the multiply, so (P-1)·A + B ≈ 5.7e18 stays
+# inside int64 for ANY doc_id (the unreduced form overflowed — ANSI
+# error in Spark, HUGEINT promotion in DuckDB — past doc_id ≈ 3.5e9).
 SHARD_N = 8
 SHARD_A = 2654435761
 SHARD_B = 961748927
@@ -432,7 +435,10 @@ def shard_manifest(spark: SparkSession, sf_dir: str, n_shards: int = SHARD_N) ->
     """
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(
-        F.pmod(F.col("doc_id") * F.lit(SHARD_A) + F.lit(SHARD_B), F.lit(SHARD_P)),
+        F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(SHARD_P)) * F.lit(SHARD_A) + F.lit(SHARD_B),
+        F.lit(SHARD_P),
+    ),
         F.lit(n_shards),
     ).cast("int")
     per = (
@@ -510,7 +516,10 @@ def domain_cap(spark: SparkSession, sf_dir: str, cap: int = DOMAIN_CAP) -> DataF
     scan. One window shuffle on source + a sources-sized aggregate.
     """
     docs = load_table(spark, sf_dir, "documents")
-    hkey = F.pmod(F.col("doc_id") * F.lit(SHARD_A) + F.lit(SHARD_B), F.lit(SHARD_P))
+    hkey = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(SHARD_P)) * F.lit(SHARD_A) + F.lit(SHARD_B),
+        F.lit(SHARD_P),
+    )
     from pyspark.sql import Window as W
 
     rank = F.row_number().over(
@@ -609,7 +618,10 @@ def clean_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.coalesce(F.col("contaminated"), F.lit(False))
         )
     )
-    hkey = F.pmod(F.col("doc_id") * F.lit(SHARD_A) + F.lit(SHARD_B), F.lit(SHARD_P))
+    hkey = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(SHARD_P)) * F.lit(SHARD_A) + F.lit(SHARD_B),
+        F.lit(SHARD_P),
+    )
     capped = (
         survivors.withColumn(
             "rank",

@@ -66,7 +66,12 @@ def kmeans_assign(
     from pyspark.ml.functions import array_to_vector
 
     if fit_sample is None:
-        n = emb.count()  # parquet metadata count — no data scan
+        # a real Spark job, not a metadata shortcut: emb is often a
+        # derived frame (refshape projection, filtered slices), so this
+        # costs one pass over the frame — priced in as part of the
+        # build, the same place the reference pays its full corpus load
+        # (IVF.cpp:456-486); pass fit_sample explicitly to skip it
+        n = emb.count()
         fit_sample = min(1.0, (FIT_SAMPLES_PER_CLUSTER * k) / max(n, 1))
     feats = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
     fit_frame = feats.sample(fit_sample, seed=seed) if fit_sample < 1.0 else feats

@@ -115,6 +115,10 @@ def revenue_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~80-month fixtures but fatal for a longer order history), so the
     limit is raised here to cover any plausible date range (10 000
     months ≈ 833 years; the spine stays a tiny relation either way).
+    DELIBERATE session-level side effect: the conf must hold at
+    EXECUTION time of the returned lazy DataFrame, so it cannot be
+    set/restored around this builder — callers sharing the session
+    inherit the raised ceiling for their own recursive CTEs.
     """
     if int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")) < 10_000:
         spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")

@@ -120,6 +120,11 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
     missing = oracles.keys() - queries.keys()
     if missing:
         raise ValueError(f"oracle without query: {missing}")
-    ordered = {n: queries[n] for n in _GATE_FIRST if n in queries}
+    unknown = [n for n in _GATE_FIRST if n not in queries]
+    if unknown:
+        # a silent skip would quietly forfeit that family's curated
+        # gate slot — the exact drift this list exists to prevent
+        raise ValueError(f"_GATE_FIRST names not in registry: {unknown}")
+    ordered = {n: queries[n] for n in _GATE_FIRST}
     ordered.update(queries)
     return ordered, oracles

@@ -208,7 +208,7 @@ FROM scored GROUP BY vec_id
 
 ORACLES["corpus_shard_manifest"] = f"""
 WITH per AS (
-  SELECT (((doc_id * {SHARD_A} + {SHARD_B}) % {SHARD_P}) % {SHARD_N})::INT AS shard,
+  SELECT ((((doc_id % {SHARD_P}) * {SHARD_A} + {SHARD_B}) % {SHARD_P}) % {SHARD_N})::INT AS shard,
     count(*)::BIGINT AS n_docs,
     sum(len({_TOKS})::INT)::BIGINT AS n_tokens,
     sum(n_chars)::BIGINT AS total_chars
@@ -235,7 +235,7 @@ ORACLES["curation_domain_cap"] = f"""
 WITH ranked AS (
   SELECT source,
          row_number() OVER (PARTITION BY source
-                            ORDER BY (doc_id * {SHARD_A} + {SHARD_B}) % {SHARD_P} ASC,
+                            ORDER BY ((doc_id % {SHARD_P}) * {SHARD_A} + {SHARD_B}) % {SHARD_P} ASC,
                                      doc_id ASC) AS rank
   FROM documents
 )
@@ -319,12 +319,12 @@ capped AS (
   SELECT doc_id, source, text, n_chars FROM (
     SELECT *, row_number() OVER (
         PARTITION BY source
-        ORDER BY (doc_id * {SHARD_A} + {SHARD_B}) % {SHARD_P} ASC, doc_id ASC) AS rank
+        ORDER BY ((doc_id % {SHARD_P}) * {SHARD_A} + {SHARD_B}) % {SHARD_P} ASC, doc_id ASC) AS rank
     FROM survivors
   ) WHERE rank <= {DOMAIN_CAP}
 ),
 per AS (
-  SELECT (((doc_id * {SHARD_A} + {SHARD_B}) % {SHARD_P}) % {SHARD_N})::INT AS shard,
+  SELECT ((((doc_id % {SHARD_P}) * {SHARD_A} + {SHARD_B}) % {SHARD_P}) % {SHARD_N})::INT AS shard,
          count(*)::BIGINT AS n_docs,
          sum(len({_TOKS})::INT)::BIGINT AS n_tokens,
          sum(n_chars)::BIGINT AS total_chars

@@ -32,11 +32,10 @@ from pyspark.sql import functions as F
 
 from gpu_accelerated_vector_indexing_spark.operators.dedup import (
     HASH_MOD,
+    band_keys,
     INCR_BATCH_MOD,
     INCR_BATCH_REM,
     INCR_THRESHOLD,
-    N_BANDS,
-    ROWS_PER_BAND,
     SHINGLE_LEN,
     grams_state,
     minhash_from_grams,
@@ -50,26 +49,6 @@ _sink_n = [0]
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
-def _band_relation(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, key) from an m0..m15 signature relation — the
-    same banding as the batch path (N_BANDS × ROWS_PER_BAND keys)."""
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "-",
-                        *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                    ).alias("key"),
-                )
-                for b in range(N_BANDS)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-
-
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the document stream to completion against the static archive
     state and return the per-new-doc best-match verdicts."""
@@ -79,7 +58,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # static archive sides, from the memoized dedup index state
     is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM
-    arch_bands = _band_relation(sigs_state(spark, sf_dir).filter(~is_batch)).select(
+    arch_bands = band_keys(sigs_state(spark, sf_dir).filter(~is_batch)).select(
         F.col("doc_id").alias("corpus_doc_id"), "band", "key"
     )
     arch_grams = (
@@ -99,29 +78,15 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw_shingle_hashes(F.col("text")), lambda h: h % F.lit(HASH_MOD)
         ).alias("gh"),
     )
-    # the signature fold carries the raw-hash payload through (keep=) —
-    # a streaming DF cannot re-join itself to fetch gh back, and the
-    # verify stage needs it
+    # the signature fold and the banding both carry the raw-hash
+    # payload through (keep=) — a streaming DF cannot re-join itself to
+    # fetch gh back, and the verify stage needs it
     stream_side = minhash_from_grams(batch_docs, keep=("gha",)).withColumn(
         "na", F.size("gha")
     )
-    bands_with_payload = stream_side.select(
-        F.col("doc_id").alias("new_doc_id"),
-        "gha",
-        "na",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "-",
-                        *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                    ).alias("key"),
-                )
-                for b in range(N_BANDS)
-            ])
-        ).alias("bk"),
-    ).select("new_doc_id", "gha", "na", "bk.band", "bk.key")
+    bands_with_payload = band_keys(stream_side, keep=("gha", "na")).withColumnRenamed(
+        "doc_id", "new_doc_id"
+    )
 
     inter = F.size(F.array_intersect(F.col("gha"), F.col("ghb")))
     verified = (

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     ("knn_ivf_bq", _collect),
     ("hybrid_search_rrf", _collect),
     ("hybrid_search_rrf_topn", _collect),
+    ("knn_matryoshka", _collect),
     ("knn_prenorm", _collect),
     ("knn_ivf_prenorm", _collect),
     ("multi_query_knn", _collect),
@@ -98,6 +99,7 @@ BENCH_QUERIES = [
     ("dedup_simhash_pairs", _noop),
     ("dedup_ngram_jaccard", _noop),
     ("dedup_jaccard_verified_lsh", _noop),
+    ("dedup_substring_spans", _noop),
     ("text_stats", _noop),
     ("curation_quality_filter", _noop),
     ("curation_decontaminate", _noop),

@@ -761,3 +761,63 @@ def dedup_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_gram_docs"), F.sum("n").alias("total_grams")
     )
     return s.crossJoin(F.broadcast(g))
+
+
+# --- exact substring-span dedup (Lee et al. 2021 style) ----------------------
+
+SPAN_K = 8  # tokens per window; ≈ the 50-token spans of the paper, scaled
+# to the ~50-token fixture documents so spans are discriminative yet common
+SPAN_TOKEN_RE = "[A-Za-z0-9]+"
+
+
+def substring_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFrame:
+    """Exact duplicated-substring detection: every ``k``-token window
+    (stride 1) shared verbatim by ≥2 documents, reported per document as
+    the fraction of its windows that also occur elsewhere.
+
+    The training-data counterpart of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2021): suffix-array exact
+    substring dedup, re-expressed as a rolling-window equi-join — the
+    only formulation that distributes. Relation to the reference: the
+    same shared-content question its MinHash family answers
+    probabilistically, answered exactly for fixed-length spans.
+
+    Plan shape: one scan builds each doc's window array JVM-side
+    (``transform`` over ``sequence`` — no Python), one explode fans out
+    ~n_tokens rows per doc, and everything after is two hash aggregates
+    plus an equi-join on the window key. Nothing is quadratic: the join
+    key is the window itself, so only *actually duplicated* spans meet.
+    At 100 TB the window string would be replaced by ``xxhash64(win)``
+    (8 bytes instead of ~50) and the stride raised — same plan, smaller
+    shuffle; the string key is kept here for oracle bit-parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(SPAN_TOKEN_RE), F.lit(0))
+    n = F.size(F.col("toks"))
+    windows = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
+    )
+    per_doc = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(n >= k)
+        .select("doc_id", F.explode(windows).alias("win"))
+        .distinct()  # a span repeated WITHIN one doc counts once
+    )
+    dup_wins = per_doc.groupBy("win").agg(F.count("*").alias("n_docs")).filter(
+        F.col("n_docs") >= 2
+    )
+    totals = per_doc.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    dup_counts = (
+        per_doc.join(dup_wins.select("win"), "win")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    return totals.join(dup_counts, "doc_id").select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"), 6
+        ).alias("dup_ratio"),
+    )

@@ -380,3 +380,62 @@ def knn_chunk_pooled(
         .orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(k)
     )
+
+
+# --- matryoshka (prefix-dimension) two-stage search ---------------------------
+
+MRL_PREFIX_DIM = 16
+MRL_CANDIDATES = 50
+
+
+def knn_matryoshka(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    n_candidates: int = MRL_CANDIDATES,
+) -> DataFrame:
+    """Two-stage search over dimension PREFIXES (matryoshka-style): rank
+    candidates by cosine over the first ``prefix_dim`` dims (¼ of the
+    per-row fold work), then rescore the top ``n_candidates`` exactly on
+    the full vector.
+
+    The dimension-truncation rung of the compression ladder (next to
+    SQ8/PQ/BQ in ``quantize.py``): with matryoshka-trained embeddings
+    the prefix IS a valid low-rank embedding; with generic embeddings
+    (this fixture) it is simply a cheap correlated screen — the
+    candidate stage reads and folds 16 of 64 floats per row. At 100 TB
+    the prefix would live as its own narrow column (or a separate
+    parquet file), so the candidate scan's I/O shrinks 4× too, and the
+    exact rescore touches only ``n_candidates`` rows — the same
+    scan-narrow-then-rescore-exact shape as SQ8 (quantize.py).
+
+    Both stages round scores to 6 d.p. and tie-break ``vec_id DESC``
+    (reference IVF.cpp:247 policy), so candidate sets — not just final
+    ranks — are deterministic and oracle-replayable.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    q16 = q.select(F.slice("qvec", 1, prefix_dim).alias("q16"))
+    s16 = cosine_similarity(
+        F.slice(as_double_array("embedding"), 1, prefix_dim), F.col("q16")
+    )
+    cand = (
+        emb.join(F.broadcast(q16))
+        .select("vec_id", F.round(s16, SCORE_SCALE).alias("s16"))
+        .orderBy(F.desc("s16"), F.desc("vec_id"))
+        .limit(n_candidates)
+    )
+    full = cosine_similarity_hoisted(
+        as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+    )
+    return (
+        emb.join(cand.select("vec_id"), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(full, SCORE_SCALE).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

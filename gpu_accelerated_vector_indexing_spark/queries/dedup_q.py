@@ -275,3 +275,31 @@ SELECT (SELECT count(*)::BIGINT FROM sig) AS n_sig_docs,
        (SELECT count(*)::BIGINT FROM grams) AS n_gram_docs,
        (SELECT sum(len(gh))::BIGINT FROM grams) AS total_grams
 """
+
+
+QUERIES["dedup_substring_spans"] = D.substring_spans
+
+# Exact duplicated k-token spans (Lee et al. 2021 style). The window
+# string itself is the join key on both sides, so counts agree exactly;
+# the one double (dup_ratio) is an int/int division rounded to 6 d.p.
+ORACLES["dedup_substring_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{D.SPAN_TOKEN_RE}') AS t
+  FROM documents
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(list_slice(t, i, i + {D.SPAN_K - 1}), 'string_agg', ' ') AS win
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - {D.SPAN_K - 1})) AS r(i)
+  WHERE len(t) >= {D.SPAN_K}
+),
+dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+dups AS (
+  SELECT w.doc_id, count(*) AS n_dup_windows
+  FROM wins w JOIN dup USING (win) GROUP BY w.doc_id
+)
+SELECT t.doc_id, t.n_windows, d.n_dup_windows,
+       round(d.n_dup_windows / t.n_windows, 6) AS dup_ratio
+FROM tot t JOIN dups d USING (doc_id)
+"""

@@ -538,3 +538,42 @@ SELECT doc_id,
 FROM pooled p CROSS JOIN qvec q
 ORDER BY score DESC, doc_id DESC LIMIT {K}
 """
+
+
+def _knn_matryoshka(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_matryoshka
+
+    return knn_matryoshka(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+QUERIES["knn_matryoshka"] = _knn_matryoshka
+
+# Matryoshka two-stage: candidate set = top-50 by prefix-16 cosine
+# (rounded, vec_id-desc tie-break — deterministic), exact full-dim
+# rescore on the candidates. The oracle replays both stages.
+from gpu_accelerated_vector_indexing_spark.operators.knn import (  # noqa: E402
+    MRL_CANDIDATES,
+    MRL_PREFIX_DIM,
+)
+
+ORACLES["knn_matryoshka"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+qs AS (SELECT qvec, qvec[1:{MRL_PREFIX_DIM}] AS q16 FROM q),
+s1 AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding[1:{MRL_PREFIX_DIM}]::DOUBLE[], q16) /
+               (sqrt(list_dot_product(e.embedding[1:{MRL_PREFIX_DIM}]::DOUBLE[],
+                                      e.embedding[1:{MRL_PREFIX_DIM}]::DOUBLE[])) *
+                sqrt(list_dot_product(q16, q16)) + 1e-8), 6) AS s16
+  FROM embeddings e CROSS JOIN qs
+),
+cand AS (SELECT vec_id FROM s1 ORDER BY s16 DESC, vec_id DESC LIMIT {MRL_CANDIDATES}),
+rescore AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], qvec) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qvec, qvec)) + 1e-8), 6) AS score
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qs
+)
+SELECT vec_id, score FROM rescore ORDER BY score DESC, vec_id DESC LIMIT {K}
+"""

@@ -120,3 +120,39 @@ def test_incremental_dedup_contract(spark):
         else:
             assert r["best_jaccard"] == 0.0
         assert r["is_duplicate"] == (r["best_jaccard"] >= INCR_THRESHOLD)
+
+
+def test_substring_spans_detects_exact_dups(spark):
+    """Fully-contained fixture docs must show dup_ratio 1.0; every row
+    is internally consistent (dup windows never exceed totals); one
+    fully-covered doc is brute-force re-verified window by window."""
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import substring_spans
+
+    rows = substring_spans(spark, SF_CORRECT).collect()
+    assert rows, "fixture has engineered duplicates; expected span hits"
+    by_doc = {r.doc_id: r for r in rows}
+    full = [r for r in rows if r.dup_ratio == 1.0]
+    assert full, "exact duplicate docs must be fully covered by dup spans"
+    for r in rows:
+        assert 1 <= r.n_dup_windows <= r.n_windows
+
+    # brute-force recheck one fully-covered doc (the containment case
+    # doc-level hashing misses): every one of its 8-token windows must
+    # occur verbatim in at least one OTHER document
+    import re
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import SPAN_K
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    texts = {
+        r.doc_id: re.findall("[A-Za-z0-9]+", r.text.lower())
+        for r in load_table(spark, SF_CORRECT, "documents").collect()
+    }
+    probe = full[0].doc_id
+    toks = texts[probe]
+    other = {
+        d: " ".join(t) for d, t in texts.items() if d != probe
+    }
+    for i in range(len(toks) - SPAN_K + 1):
+        win = " ".join(toks[i : i + SPAN_K])
+        assert any(win in t for t in other.values()), f"window {i} of doc {probe} not found elsewhere"

@@ -191,3 +191,27 @@ def test_knn_bq_equals_bruteforce_at_margin(spark):
     bf = [tuple(r) for r in knn_bruteforce(spark, SF_CORRECT).collect()]
     bq = [tuple(r) for r in knn_bq(spark, SF_CORRECT).collect()]
     assert bq == bf
+
+
+def test_matryoshka_full_candidates_equals_bruteforce(spark):
+    """With the candidate stage widened to the whole corpus, the prefix
+    screen cannot drop anything and the rescore IS brute force — the
+    approx-equals-exact contract of the dimension-truncation rung.
+    At the default 50-candidate budget the exact top-k must still rank
+    identically for whichever of its members survive the screen."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import (
+        knn_bruteforce,
+        knn_matryoshka,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    n = load_table(spark, SF_CORRECT, "embeddings").count()
+    bf = [tuple(r) for r in knn_bruteforce(spark, SF_CORRECT).collect()]
+    wide = [tuple(r) for r in knn_matryoshka(spark, SF_CORRECT, n_candidates=n).collect()]
+    assert wide == bf
+
+    narrow = knn_matryoshka(spark, SF_CORRECT).collect()
+    bf_scores = dict(bf)
+    for r in narrow:
+        if r.vec_id in bf_scores:
+            assert r.score == bf_scores[r.vec_id]

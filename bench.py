@@ -105,7 +105,9 @@ BENCH_QUERIES = [
     ("curation_decontaminate", _noop),
     ("curation_repetition_signals", _noop),
     ("curation_decontaminate_semantic", _noop),
+    ("curation_nb_language", _noop),
     ("corpus_shard_manifest", _collect),
+    ("sources_jsonl_shards", _collect),
     ("knn_chunk_pooled", _collect),
     ("corpus_clean_manifest", _collect),
     ("dedup_incremental_batch", _noop),

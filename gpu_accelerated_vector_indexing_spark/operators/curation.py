@@ -658,3 +658,87 @@ def clean_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         (F.col("n_docs") / total).alias("share"),
     )
+
+
+# --- Naive-Bayes language/quality classifier ----------------------------------
+
+NB_TARGET_LANG = "en"
+
+
+def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes classifier scoring every document for
+    "is this {target}-language text" from its token counts — the
+    fastText/CCNet-style linear quality classifier of a training-data
+    pipeline (Wenzek et al. 2019, arXiv:1911.00359), trained and applied
+    in one Catalyst plan with no ML library and no UDF.
+
+    Training = two hash aggregates over the exploded token stream
+    (per-token class counts + class totals); the model is the per-token
+    add-1-smoothed log-likelihood ratio, a |vocab|-row relation that
+    broadcasts back onto the token stream for scoring. At 100 TB the
+    token explode is the same shuffle every dedup/TF-IDF op here pays,
+    the model stays bounded by vocabulary (broadcastable), and scoring
+    is one broadcast-join + one groupBy — fully distributed, no driver
+    state, retrainable per corpus snapshot.
+
+    Determinism (repo transcendental policy, ≙ bigram_logprob_score):
+    each ln is rounded to 6 d.p. and the per-doc sum runs through
+    DECIMAL(18,6), so partial-aggregation order cannot move the result;
+    the prior joins the sum before the single final cast to double.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == NB_TARGET_LANG).alias("is_tgt"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_tgt"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("c_oth"),
+    )
+    tot = counts.agg(
+        F.sum("c_tgt").alias("n_tgt"),
+        F.sum("c_oth").alias("n_oth"),
+        F.count("*").alias("v"),
+    )
+    weights = counts.join(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.log((F.col("c_tgt") + 1).cast("double") / (F.col("n_tgt") + F.col("v")).cast("double"))
+            - F.log((F.col("c_oth") + 1).cast("double") / (F.col("n_oth") + F.col("v")).cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    prior = docs.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("lang") == NB_TARGET_LANG, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            )
+            - F.log(
+                F.sum(F.when(F.col("lang") != NB_TARGET_LANG, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("p")
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w").alias("sw"))
+    )
+    return (
+        scored.join(F.broadcast(prior))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("p") + F.col("sw")).cast("double").alias("nb_score"),
+            ((F.col("p") + F.col("sw")) > 0).alias("pred_tgt"),
+        )
+    )

@@ -42,7 +42,7 @@ _GATE_FIRST = [
     "corpus_clean_manifest", "dedup_state_roundtrip",
     "streaming_incremental_dedup", "corpus_integrity", "text_bpe_merges",
     "text_bpe_train", "text_bpe_compression", "dedup_substring_spans",
-    "knn_matryoshka",
+    "knn_matryoshka", "curation_nb_language", "sources_jsonl_shards",
     # family flagships named in VERDICT r2 "Next round" #2
     "dedup_minhash_lsh", "curation_decontaminate", "copurchase_pagerank",
     "join_asof", "streaming_tumbling", "stats_exact_moments",

@@ -335,3 +335,48 @@ SELECT shard, n_docs, n_tokens, total_chars,
        n_docs / total_docs AS share
 FROM per, tot
 """
+
+
+QUERIES["curation_nb_language"] = C.nb_language_classifier
+
+# NB classifier: integer token counts on both sides, per-token ln
+# rounded to 6 d.p. (repo transcendental policy), DECIMAL(18,6) sums —
+# the one final cast to double is exact in both engines.
+ORACLES["curation_nb_language"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang = '{C.NB_TARGET_LANG}' AS is_tgt, unnest({_TOKS}) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS c_tgt,
+         sum(CASE WHEN is_tgt THEN 0 ELSE 1 END)::BIGINT AS c_oth
+  FROM toks GROUP BY token
+),
+tot AS (
+  SELECT sum(c_tgt)::BIGINT AS n_tgt, sum(c_oth)::BIGINT AS n_oth,
+         count(*)::BIGINT AS v
+  FROM counts
+),
+w AS (
+  SELECT token,
+         CAST(round(ln((c_tgt + 1) / (n_tgt + v)) -
+                    ln((c_oth + 1) / (n_oth + v)), 6) AS DECIMAL(18,6)) AS w
+  FROM counts, tot
+),
+prior AS (
+  SELECT CAST(round(
+           ln(count(*) FILTER (lang = '{C.NB_TARGET_LANG}') / count(*)) -
+           ln(count(*) FILTER (lang <> '{C.NB_TARGET_LANG}') / count(*)), 6)
+         AS DECIMAL(18,6)) AS p
+  FROM documents
+),
+scored AS (
+  SELECT t.doc_id, count(*)::INT AS n_tokens, sum(w.w) AS sw
+  FROM toks t JOIN w USING (token) GROUP BY t.doc_id
+)
+SELECT s.doc_id, d.lang, s.n_tokens,
+       CAST(p + sw AS DOUBLE) AS nb_score,
+       (p + sw) > 0 AS pred_tgt
+FROM scored s JOIN documents d USING (doc_id) CROSS JOIN prior
+"""

@@ -456,3 +456,25 @@ FROM (
   FROM verified
 ) WHERE rn = 1
 """
+
+
+def _jsonl_shards(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.sources.formats import jsonl_shards_roundtrip
+
+    return jsonl_shards_roundtrip(spark, sf_dir)
+
+
+QUERIES["sources_jsonl_shards"] = _jsonl_shards
+
+# per-shard checksums restate directly over the source table (shard key
+# is doc_id % n, deterministic); sum_keyed_len couples id↔content so a
+# row in the wrong shard breaks the hash
+ORACLES["sources_jsonl_shards"] = """
+SELECT CAST(doc_id % 4 AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(sum(doc_id * length(text)) AS BIGINT) AS sum_keyed_len,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY 1
+"""

@@ -81,3 +81,56 @@ def roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- training-shard JSONL sink -------------------------------------------------
+
+SHARD_JSONL_N = 4
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def jsonl_shards_roundtrip(
+    spark: SparkSession, sf_dir: str, n_shards: int = SHARD_JSONL_N
+) -> DataFrame:
+    """Export ``documents`` as the gzip-JSONL training shards an LLM
+    data pipeline hands to the tokenizer/loader (one directory per
+    shard, ``shard=<i>/part-*.json.gz``), re-read them with an explicit
+    schema, and per-shard checksum the round trip.
+
+    Sink design for 100 TB: ``partitionBy(shard)`` routes rows to shard
+    directories in ONE distributed write (no driver involvement);
+    ``maxRecordsPerFile`` bounds individual .gz members so downstream
+    loaders stream them; gzip (not snappy) because training-shard
+    consumers are plain-file readers, not Spark. The shard key is
+    ``doc_id % n`` — deterministic, restated by the oracle, and at real
+    scale it would be a content hash for hot-spot-free routing.
+
+    The read-back aggregates couple id↔content per shard
+    (``sum_keyed_len`` = Σ doc_id·len(text)), so a row landing in the
+    wrong shard — not just a lost row — breaks the value hash.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_jsonl_")
+    (
+        docs.withColumn("shard", F.col("doc_id") % n_shards)
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .option("maxRecordsPerFile", 100_000)
+        .json(out)
+    )
+    back = spark.read.schema(_DOC_SCHEMA + ", shard int").json(out)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+            F.sum(F.col("doc_id") * F.length("text")).cast("bigint").alias("sum_keyed_len"),
+            F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+        )
+        .select("shard", "n_docs", "sum_ids", "sum_text_len", "sum_keyed_len", "n_distinct_texts")
+    )

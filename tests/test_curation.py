@@ -156,3 +156,30 @@ def test_clean_corpus_manifest_attrition(spark):
     assert 0 < survivors < n_non_eval
     assert len(rows) <= SHARD_N
     assert sum(r["share"] for r in rows) == pytest.approx(1.0)
+
+
+def test_nb_classifier_beats_majority_baseline(spark):
+    """The in-plan NB classifier must (a) be internally consistent
+    (pred_tgt ⇔ score > 0), (b) score every document exactly once, and
+    (c) separate the target language better than always guessing the
+    majority class — the minimum bar for a trained classifier."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        NB_TARGET_LANG,
+        nb_language_classifier,
+    )
+
+    rows = nb_language_classifier(spark, SF_CORRECT).collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert n_docs == len(rows), "one score row per document"
+    correct = 0
+    n_tgt = 0
+    for r in rows:
+        assert r.pred_tgt == (r.nb_score > 0)
+        assert r.n_tokens >= 1
+        is_tgt = r.lang == NB_TARGET_LANG
+        n_tgt += is_tgt
+        correct += r.pred_tgt == is_tgt
+    majority = max(n_tgt, len(rows) - n_tgt) / len(rows)
+    assert correct / len(rows) > majority, (
+        f"accuracy {correct / len(rows):.3f} ≤ majority baseline {majority:.3f}"
+    )

@@ -456,3 +456,36 @@ def test_write_article_dir_roundtrips_ids_and_text(spark, tmp_path):
     back = {r.doc_id: r.text for r in read_article_dir(spark, str(out)).collect()}
     want = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
     assert back == want
+
+
+def test_jsonl_shard_layout_on_disk(spark):
+    """The sink must actually produce shard=<i> directories of .json.gz
+    members (the layout a plain-file training loader consumes), and the
+    gzip members must decode to one JSON object per line."""
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from gpu_accelerated_vector_indexing_spark.sources.formats import SHARD_JSONL_N
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_jsonl_test_")
+    (
+        docs.withColumn("shard", F.col("doc_id") % SHARD_JSONL_N)
+        .repartition(SHARD_JSONL_N, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    shard_dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(shard_dirs) == SHARD_JSONL_N
+    files = glob.glob(f"{out}/shard=*/part-*.json.gz")
+    assert files, "expected gzip JSONL members"
+    with gzip.open(files[0], "rt") as fh:
+        first = json.loads(fh.readline())
+    assert {"doc_id", "text", "lang", "source"} <= set(first)

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     ("knn_ivf_sq8", _collect),
     ("knn_pq", _collect),
     ("knn_ivf_pq", _collect),
+    ("knn_ivf_pq_residual", _collect),
     ("knn_bq", _collect),
     ("knn_ivf_bq", _collect),
     ("hybrid_search_rrf", _collect),
@@ -92,6 +93,8 @@ BENCH_QUERIES = [
     ("stats_exact_moments", _collect),
     ("copurchase_lift", _collect),
     ("events_cohort_retention", _collect),
+    ("contrastive_triplets", _collect),
+    ("embedding_drift", _collect),
     ("text_token_count", _noop),
     ("text_bpe_merges", _collect),
     ("corpus_pack_sequences", _collect),

@@ -182,8 +182,6 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     """
     key = (spark, sf_dir)
     if key not in _PQ_CACHE:
-        import numpy as np
-
         emb = load_table(spark, sf_dir, "embeddings")
         sample = (
             emb.orderBy("vec_id")
@@ -191,24 +189,33 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
             .select(as_double_array("embedding").alias("v"))
             .collect()
         )
-        mat = np.asarray([r.v for r in sample], dtype=np.float64)
-        dim = mat.shape[1]
-        assert dim % PQ_SUBSPACES == 0, dim
-        sub = dim // PQ_SUBSPACES
-        books: list[list[list[float]]] = []
-        for s in range(PQ_SUBSPACES):
-            X = mat[:, s * sub : (s + 1) * sub]
-            C = X[:PQ_K].copy()
-            for _ in range(PQ_ITERS):
-                d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
-                assign = d2.argmin(axis=1)  # first (lowest-index) min on ties
-                for j in range(PQ_K):
-                    members = X[assign == j]
-                    if len(members):
-                        C[j] = np.round(members.mean(axis=0), 8)
-            books.append([[float(x) for x in row] for row in C])
-        _PQ_CACHE[key] = books
+        _PQ_CACHE[key] = _lloyd_fit([r.v for r in sample])
     return _PQ_CACHE[key]
+
+
+def _lloyd_fit(rows: list[list[float]]) -> list[list[list[float]]]:
+    """The deterministic, SQL-replayable Lloyd fit shared by the raw-
+    vector and residual PQ variants (rounding recipe per
+    ``pq_codebooks``'s docstring)."""
+    import numpy as np
+
+    mat = np.asarray(rows, dtype=np.float64)
+    dim = mat.shape[1]
+    assert dim % PQ_SUBSPACES == 0, dim
+    sub = dim // PQ_SUBSPACES
+    books: list[list[list[float]]] = []
+    for s in range(PQ_SUBSPACES):
+        X = mat[:, s * sub : (s + 1) * sub]
+        C = X[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+            assign = d2.argmin(axis=1)  # first (lowest-index) min on ties
+            for j in range(PQ_K):
+                members = X[assign == j]
+                if len(members):
+                    C[j] = np.round(members.mean(axis=0), 8)
+        books.append([[float(x) for x in row] for row in C])
+    return books
 
 
 def _pq_encode(v: Column, books: list[list[list[float]]], dim: int) -> Column:
@@ -420,6 +427,172 @@ def knn_ivf_pq(
     candidates = (
         codes_tbl.filter(F.col("label").isin(probes))
         .select("vec_id", F.round(approx_score, 6).alias("approx_score"))
+        .orderBy(F.desc("approx_score"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(
+        as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+    )
+    return (
+        emb.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+# --- IVF-PQ with RESIDUAL encoding (FAISS "IVFADC" proper) -------------------
+
+# Residual codebooks/codes are index state exactly like _PQ_CACHE.
+_PQR_CACHE: dict[tuple[SparkSession, str], list[list[list[float]]]] = {}
+_PQR_CODES_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def _residual_col() -> Column:
+    """``embedding − centroid(label)`` as a JVM-side zip_with — assumes
+    the row is joined to its ``(label, centroid)``."""
+    return F.zip_with(
+        as_double_array("embedding"), F.col("centroid"), lambda x, c: x - c
+    )
+
+
+def pq_residual_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Codebooks trained on RESIDUALS ``v − c(label)`` instead of raw
+    vectors — the encoding FAISS's IVFADC uses, because residuals within
+    a cell are much lower-variance than raw vectors, so the same code
+    budget quantizes them with far less error.
+
+    Same deterministic rounded-Lloyd fit as ``pq_codebooks`` (replayable
+    as SQL CTEs), over the same first-``PQ_TRAIN_SAMPLE``-by-vec_id
+    sample; the centroids subtracted are the memoized 8-d.p. index
+    state, so Spark and the oracle see bit-identical residuals.
+    """
+    key = (spark, sf_dir)
+    if key not in _PQR_CACHE:
+        from gpu_accelerated_vector_indexing_spark.operators.ivf import fixture_centroids
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        sample = (
+            emb.join(F.broadcast(fixture_centroids(spark, sf_dir)), "label")
+            .orderBy("vec_id")
+            .limit(PQ_TRAIN_SAMPLE)
+            .select(_residual_col().alias("v"))
+            .collect()
+        )
+        _PQR_CACHE[key] = _lloyd_fit([r.v for r in sample])
+    return _PQR_CACHE[key]
+
+
+def pq_residual_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-encoded corpus ``(vec_id, label, codes)`` — written
+    at build time in production; memoized + cached here (same posture
+    as ``pq_codes_table``)."""
+    key = (spark, sf_dir)
+    if key not in _PQR_CODES_CACHE:
+        from gpu_accelerated_vector_indexing_spark.operators.ivf import fixture_centroids
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        books = pq_residual_codebooks(spark, sf_dir)
+        codes = (
+            emb.join(F.broadcast(fixture_centroids(spark, sf_dir)), "label")
+            .select(
+                "vec_id",
+                "label",
+                _pq_encode(_residual_col(), books, dim).alias("codes"),
+            )
+            .cache()
+        )
+        codes.count()  # materialize now: build-time cost, not query-time
+        _PQR_CODES_CACHE[key] = codes
+    return _PQR_CODES_CACHE[key]
+
+
+def knn_ivf_pq_residual(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    n_candidates: int = 150,
+) -> DataFrame:
+    """IVFADC with residual encoding — the production IVF-PQ layout
+    (Jégou et al. 2011 §IV; what ``faiss.IndexIVFPQ`` stores).
+
+    vs ``knn_ivf_pq`` (raw-vector codes): the stored code reconstructs
+    ``r̂ = c(label) + decode(codes)``, so the approximate cosine is
+    ``(q·c + q·d̂) / (√(‖c‖² + 2·c·d̂ + ‖d̂‖²)·‖q‖ + ε)``. Every term
+    is a lookup: ``q·d̂`` and ``‖d̂‖²`` come from per-subspace literal
+    LUTs (label-independent, hoisted once per query ≙ IVF.cpp:130-136);
+    the label-dependent pieces (``q·c``, ``‖c‖²``, the S×K cross-term
+    table ``c·d̂``) travel as a BROADCAST per-label relation — exactly
+    how FAISS ships its "precomputed tables". The scan therefore reads
+    only the 4-byte codes column: never the float vectors, which are
+    touched solely by the ≤``n_candidates`` exact rescore.
+
+    Ranking is recall-contracted like all PQ paths, but the codebooks
+    are deterministic → the driver oracle replays the whole fit as
+    staged CTEs (queries/_pq_oracle.pq_replay_ctes(residual=True)) and
+    the query gets a FULL value oracle.
+    """
+    import numpy as np
+
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        coarse_probes,
+        fixture_centroid_rows,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    probes = coarse_probes(spark, sf_dir, query_id, n_probe)
+    books = pq_residual_codebooks(spark, sf_dir)
+    codes_tbl = pq_residual_codes_table(spark, sf_dir)
+
+    qrow = q.select("qvec", "qnorm").first()
+    qvec, qnorm = np.asarray(qrow.qvec), float(qrow.qnorm)
+    sub = len(qvec) // PQ_SUBSPACES
+    B = [np.asarray(book) for book in books]
+    # label-independent LUTs (literals): q·codeword, ‖codeword‖²
+    dot_luts = [
+        _lit_array((B[s] @ qvec[s * sub : (s + 1) * sub]).tolist())
+        for s in range(PQ_SUBSPACES)
+    ]
+    nsq_luts = [_lit_array((B[s] * B[s]).sum(axis=1).tolist()) for s in range(PQ_SUBSPACES)]
+    # label-dependent precomputed tables → tiny broadcast relation
+    cent_rows = [
+        (
+            label,
+            float(np.dot(c, qvec)),
+            float(np.dot(c, c)),
+            [
+                (B[s] @ np.asarray(c[s * sub : (s + 1) * sub])).tolist()
+                for s in range(PQ_SUBSPACES)
+            ],
+        )
+        for label, c in fixture_centroid_rows(spark, sf_dir)
+        if label in probes
+    ]
+    cent_tbl = spark.createDataFrame(
+        cent_rows, schema="label int, qdotc double, cnormsq double, cdot array<array<double>>"
+    )
+    approx_dot = F.col("qdotc") + sum(
+        F.element_at(dot_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES)
+    )
+    recon_nsq = (
+        F.col("cnormsq")
+        + 2.0 * sum(
+            F.element_at(F.col("cdot")[s], F.col("codes")[s])
+            for s in range(PQ_SUBSPACES)
+        )
+        + sum(F.element_at(nsq_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES))
+    )
+    approx = approx_dot / (F.sqrt(recon_nsq) * F.lit(qnorm) + F.lit(EPSILON))
+    candidates = (
+        codes_tbl.filter(F.col("label").isin(probes))
+        .join(F.broadcast(cent_tbl), "label")
+        .select("vec_id", F.round(approx, 6).alias("approx_score"))
         .orderBy(F.desc("approx_score"), F.desc("vec_id"))
         .limit(n_candidates)
         .select("vec_id")

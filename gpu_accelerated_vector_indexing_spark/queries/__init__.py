@@ -34,7 +34,7 @@ _GATE_FIRST = [
     # round-3 novelties (reference-shape, newly-oracled PQ, streaming
     # KNN, the new curation/dedup/index-maintenance surface)
     "refshape_search_cli", "refshape_search_bq",
-    "knn_pq", "knn_ivf_pq", "ann_method_comparison",
+    "knn_pq", "knn_ivf_pq", "knn_ivf_pq_residual", "ann_method_comparison",
     "streaming_knn", "corpus_pack_sequences",
     "curation_repetition_signals", "curation_decontaminate_semantic",
     "corpus_shard_manifest", "knn_chunk_pooled", "dedup_incremental_batch",
@@ -43,17 +43,20 @@ _GATE_FIRST = [
     "streaming_incremental_dedup", "corpus_integrity", "text_bpe_merges",
     "text_bpe_train", "text_bpe_compression", "dedup_substring_spans",
     "knn_matryoshka", "curation_nb_language", "sources_jsonl_shards",
+    "contrastive_triplets", "embedding_drift",
     # family flagships named in VERDICT r2 "Next round" #2
     "dedup_minhash_lsh", "curation_decontaminate", "copurchase_pagerank",
     "join_asof", "streaming_tumbling", "stats_exact_moments",
     # UDF surface (never sampled)
     "udaf_geomean_price", "udtf_sentences",
-    # dedup family (rest)
-    "dedup_exact_summary", "dedup_exact_keep",
+    # dedup family (rest; exact_keep/keep_canonical rotate below the
+    # 50-line — their siblings exact_summary/components keep the slots)
+    "dedup_exact_summary",
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_jaccard_verified_lsh",
-    "dedup_embedding_topk", "dedup_components", "dedup_keep_canonical",
-    # curation family (rest)
-    "curation_quality_filter", "curation_decontaminate_hashed",
+    "dedup_embedding_topk", "dedup_components",
+    # curation family (rest; decontaminate_hashed rotates below — the
+    # decontaminate flagship holds the family's slot)
+    "curation_quality_filter",
     "curation_pii_redact", "curation_mix_rebalance",
     # sources connectors (never sampled)
     "sources_roundtrip", "sources_bin_stream",
@@ -68,6 +71,7 @@ _GATE_FIRST = [
     "streaming_interval_join",
     # --- ~50-name line: remainders below still precede the legacy
     # knn/ivf/lsh/modern names that are already green in r1+r2
+    "dedup_exact_keep", "dedup_keep_canonical", "curation_decontaminate_hashed",
     "events_rollup_hierarchy", "events_trailing_window", "join_interval",
     "events_zscore_outliers", "events_transition_matrix",
     "join_asof_cogroup", "incremental_agg_merge",

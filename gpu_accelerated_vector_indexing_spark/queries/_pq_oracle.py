@@ -23,92 +23,142 @@ from gpu_accelerated_vector_indexing_spark.operators.quantize import (
 )
 
 
-def pq_replay_ctes(query_id: int, dim: int) -> str:
-    """CTE chain ending in ``pq_approx(vec_id, label, ascore)`` — the
-    rounded ADC approximate score of every corpus vector for one query.
+def pq_replay_ctes(query_id: int, dim: int, residual: bool = False) -> str:
+    """CTE chain ending in ``{p}approx(vec_id, label, ascore)`` — the
+    rounded ADC approximate score of every corpus vector for one query
+    (prefix ``p`` = ``pq_`` for raw-vector codes, ``pqr_`` for residual
+    codes so both can compose into one statement).
 
-    Mirrors quantize.py exactly: per-iteration CTEs ``pq_b{i}`` (rounded
-    d² argmin assignment), ``pq_mu{i}`` (8-d.p. per-dimension means) and
-    ``pq_c{i}`` (codebook update; empty codewords keep their previous
+    Mirrors quantize.py exactly: per-iteration CTEs ``{p}b{i}`` (rounded
+    d² argmin assignment), ``{p}mu{i}`` (8-d.p. per-dimension means) and
+    ``{p}c{i}`` (codebook update; empty codewords keep their previous
     centroid via the LEFT JOIN + coalesce). Iteration CTEs are
-    ``MATERIALIZED`` — each ``pq_c{i}`` is referenced twice, so without
+    ``MATERIALIZED`` — each ``{p}c{i}`` is referenced twice, so without
     the hint DuckDB's CTE inlining doubles the plan per iteration
     (2^ITERS blowup).
+
+    With ``residual=True`` (the IVFADC layout,
+    ``quantize.knn_ivf_pq_residual``) the trained/encoded value is
+    ``embedding − centroid(label)`` and the reconstruction adds the
+    centroid back; the block then REQUIRES the shared IVF ``cent`` and
+    ``q`` CTEs (``ivf_q._ivf_ctes``) in scope — the same rounded
+    centroids Spark memoizes as index state.
     """
+    p = "pqr_" if residual else "pq_"
     sub = dim // PQ_SUBSPACES
     d2 = (
         "round(list_sum(list_transform(generate_series(1, {n}), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
     )
+    if residual:
+        sample_src = f"""
+  SELECT e.vec_id,
+         list_transform(generate_series(1, {dim}),
+                        i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS v
+  FROM embeddings e JOIN cent c ON e.label = c.label
+  ORDER BY e.vec_id LIMIT {PQ_TRAIN_SAMPLE}"""
+        allsub_x = (
+            f"list_transform(generate_series(1, {sub}), "
+            f"i -> e.embedding[ss.s * {sub} + i]::DOUBLE "
+            f"- c.centroid[ss.s * {sub} + i])"
+        )
+        allsub_from = f"FROM embeddings e JOIN cent c ON e.label = c.label CROSS JOIN {p}ss ss"
+    else:
+        sample_src = f"""
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ORDER BY vec_id LIMIT {PQ_TRAIN_SAMPLE}"""
+        allsub_x = (
+            f"list_transform(generate_series(1, {sub}), "
+            f"i -> e.embedding[ss.s * {sub} + i]::DOUBLE)"
+        )
+        allsub_from = f"FROM embeddings e CROSS JOIN {p}ss ss"
     parts = [
         f"""
-pq_sample AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-  ORDER BY vec_id LIMIT {PQ_TRAIN_SAMPLE}
+{p}sample AS ({sample_src}
 ),
-pq_ss AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
-pq_subv AS MATERIALIZED (
+{p}ss AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+{p}subv AS MATERIALIZED (
   SELECT ss.s, sm.vec_id,
          list_transform(generate_series(1, {sub}), i -> sm.v[ss.s * {sub} + i]) AS x
-  FROM pq_sample sm CROSS JOIN pq_ss ss
+  FROM {p}sample sm CROSS JOIN {p}ss ss
 ),
-pq_c0 AS MATERIALIZED (
+{p}c0 AS MATERIALIZED (
   SELECT s, rn AS cw, x AS c FROM (
-    SELECT s, x, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM pq_subv
+    SELECT s, x, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM {p}subv
   ) WHERE rn <= {PQ_K}
 )"""
     ]
     for it in range(1, PQ_ITERS + 1):
-        prev = f"pq_c{it - 1}"
+        prev = f"{p}c{it - 1}"
         dist = d2.format(n=sub, a="sv.x", b="c.c")
         parts.append(
             f"""
-pq_b{it} AS MATERIALIZED (
+{p}b{it} AS MATERIALIZED (
   SELECT s, vec_id, x, cw FROM (
     SELECT sv.s, sv.vec_id, sv.x, c.cw,
            row_number() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY {dist}, c.cw) AS rn
-    FROM pq_subv sv JOIN {prev} c ON sv.s = c.s
+    FROM {p}subv sv JOIN {prev} c ON sv.s = c.s
   ) WHERE rn = 1
 ),
-pq_mu{it} AS (
+{p}mu{it} AS (
   SELECT b.s, b.cw, d.i, round(avg(b.x[d.i]), 8) AS mv
-  FROM pq_b{it} b CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) d
+  FROM {p}b{it} b CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) d
   GROUP BY b.s, b.cw, d.i
 ),
-pq_c{it} AS MATERIALIZED (
+{p}c{it} AS MATERIALIZED (
   SELECT c.s, c.cw, coalesce(m.cm, c.c) AS c
   FROM {prev} c LEFT JOIN (
-    SELECT s, cw, list(mv ORDER BY i) AS cm FROM pq_mu{it} GROUP BY s, cw
+    SELECT s, cw, list(mv ORDER BY i) AS cm FROM {p}mu{it} GROUP BY s, cw
   ) m ON m.s = c.s AND m.cw = c.cw
 )"""
         )
     enc_dist = d2.format(n=sub, a="a.x", b="c.c")
-    parts.append(
-        f"""
-pq_allsub AS (
-  SELECT ss.s, e.vec_id, e.label,
-         list_transform(generate_series(1, {sub}), i -> e.embedding[ss.s * {sub} + i]::DOUBLE) AS x
-  FROM embeddings e CROSS JOIN pq_ss ss
+    if residual:
+        recon = f"""
+{p}recon AS (
+  SELECT vec_id, any_value(label) AS label, flatten(list(c ORDER BY s)) AS dv
+  FROM {p}codes GROUP BY vec_id
 ),
-pq_codes AS MATERIALIZED (
-  SELECT s, vec_id, label, c FROM (
-    SELECT a.s, a.vec_id, a.label, c.c,
-           row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY {enc_dist}, c.cw) AS rn
-    FROM pq_allsub a JOIN pq_c{PQ_ITERS} c ON a.s = c.s
-  ) WHERE rn = 1
+{p}rv AS (
+  SELECT r.vec_id, r.label,
+         list_transform(generate_series(1, {dim}), i -> c.centroid[i] + r.dv[i]) AS rv
+  FROM {p}recon r JOIN cent c ON r.label = c.label
 ),
-pq_recon AS (
-  SELECT vec_id, any_value(label) AS label, flatten(list(c ORDER BY s)) AS rv
-  FROM pq_codes GROUP BY vec_id
-),
-pq_q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {query_id}),
-pq_approx AS MATERIALIZED (
+{p}approx AS MATERIALIZED (
   SELECT r.vec_id, r.label,
          round(list_dot_product(r.rv, q.qvec) /
                (sqrt(list_dot_product(r.rv, r.rv)) *
                 sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS ascore
-  FROM pq_recon r CROSS JOIN pq_q q
+  FROM {p}rv r CROSS JOIN q
 )"""
+    else:
+        recon = f"""
+{p}recon AS (
+  SELECT vec_id, any_value(label) AS label, flatten(list(c ORDER BY s)) AS rv
+  FROM {p}codes GROUP BY vec_id
+),
+{p}q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {query_id}),
+{p}approx AS MATERIALIZED (
+  SELECT r.vec_id, r.label,
+         round(list_dot_product(r.rv, q.qvec) /
+               (sqrt(list_dot_product(r.rv, r.rv)) *
+                sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS ascore
+  FROM {p}recon r CROSS JOIN {p}q q
+)"""
+    parts.append(
+        f"""
+{p}allsub AS (
+  SELECT ss.s, e.vec_id, e.label,
+         {allsub_x} AS x
+  {allsub_from}
+),
+{p}codes AS MATERIALIZED (
+  SELECT s, vec_id, label, c FROM (
+    SELECT a.s, a.vec_id, a.label, c.c,
+           row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY {enc_dist}, c.cw) AS rn
+    FROM {p}allsub a JOIN {p}c{PQ_ITERS} c ON a.s = c.s
+  ) WHERE rn = 1
+),{recon.lstrip()}"""
     )
     return ",".join(parts)
 
@@ -155,6 +205,32 @@ pq_cand AS (
 SELECT e.vec_id, {_COS} AS score
 FROM embeddings e CROSS JOIN pq_q q
 WHERE e.vec_id IN (SELECT vec_id FROM pq_cand)
+ORDER BY score DESC, vec_id DESC LIMIT {k}
+"""
+    )
+
+
+def knn_ivf_pq_residual_sql(
+    ivf_ctes: str, query_id: int, dim: int, k: int, n_candidates: int
+) -> str:
+    """Full-value oracle for ``knn_ivf_pq_residual``: replays the
+    residual-codebook fit (training vectors = embedding − the shared
+    8-d.p. ``cent`` centroids), reconstructs ``centroid + decoded
+    residual``, ranks candidates inside the probed labels, exact-rescores
+    — mirroring quantize.knn_ivf_pq_residual stage for stage."""
+    return (
+        ivf_ctes
+        + ","
+        + pq_replay_ctes(query_id, dim, residual=True)
+        + f""",
+pqr_cand AS (
+  SELECT vec_id FROM pqr_approx
+  WHERE label IN (SELECT label FROM probes)
+  ORDER BY ascore DESC, vec_id DESC LIMIT {n_candidates}
+)
+SELECT e.vec_id, {_COS} AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id IN (SELECT vec_id FROM pqr_cand)
 ORDER BY score DESC, vec_id DESC LIMIT {k}
 """
     )

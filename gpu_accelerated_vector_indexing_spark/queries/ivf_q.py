@@ -125,6 +125,19 @@ def _knn_ivf_pq(spark, sf_dir):
     return knn_ivf_pq(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
 
 
+def _knn_ivf_pq_residual(spark, sf_dir):
+    """IVFADC proper (residual encoding, Jégou et al. 2011 §IV): codes
+    quantize ``v − centroid(label)``, the scan reconstructs via per-label
+    broadcast precomputed tables, exact rescore restores true cosine.
+    Full value oracle: the residual fit replays as staged CTEs on the
+    shared 8-d.p. centroid state (queries/_pq_oracle, residual=True)."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        knn_ivf_pq_residual,
+    )
+
+    return knn_ivf_pq_residual(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
+
+
 QUERIES = {
     "ivf_centroids": _centroids_table,
     "engine_full_probe": _engine_full_probe,
@@ -141,9 +154,34 @@ QUERIES = {
     "knn_ivf_sq8": _knn_ivf_sq8,
     "knn_ivf_bq": _knn_ivf_bq,
     "knn_ivf_pq": _knn_ivf_pq,
+    "knn_ivf_pq_residual": _knn_ivf_pq_residual,
     "kmeans_invariants": partial(index_build.cluster_invariants, k=N_CLUSTERS, seed=42),
     "ivf_assign_incremental": ivf.assign_incremental,
 }
+
+
+def _contrastive_triplets(spark, sf_dir):
+    """Hard-negative mining for contrastive fine-tuning: per anchor, the
+    nearest same-label neighbor (positive) + the N nearest different-
+    label neighbors (hard negatives). operators/mining.py."""
+    from gpu_accelerated_vector_indexing_spark.operators.mining import (
+        contrastive_triplets,
+    )
+
+    return contrastive_triplets(spark, sf_dir)
+
+
+def _embedding_drift(spark, sf_dir):
+    """Per-label drift between two corpus snapshots (even/odd vec_id
+    parity standing in for t0/t1): churn + centroid displacement — the
+    index-staleness signal feeding ivf_rebalance_plan."""
+    from gpu_accelerated_vector_indexing_spark.operators.mining import embedding_drift
+
+    return embedding_drift(spark, sf_dir)
+
+
+QUERIES["contrastive_triplets"] = _contrastive_triplets
+QUERIES["embedding_drift"] = _embedding_drift
 
 # n_probe sweep ≙ the reference's experiment grid (n_probe ∈ {5,20,40,80}
 # of 128 clusters — here {1,5,10} of 10; 10 = full probe = brute force)
@@ -394,6 +432,9 @@ from gpu_accelerated_vector_indexing_spark.queries import lsh_q as _lsh_q
 ORACLES["knn_ivf_pq"] = _pq.knn_ivf_pq_sql(
     _IVF_CTES, QUERY_ID, dim=DIM, k=K, n_candidates=150
 )
+ORACLES["knn_ivf_pq_residual"] = _pq.knn_ivf_pq_residual_sql(
+    _IVF_CTES, QUERY_ID, dim=DIM, k=K, n_candidates=150
+)
 
 # ann_method_comparison: every method's top-k is SQL-expressible — the
 # exact-contract methods (sq8/bq) use the brute-force SQL their own
@@ -468,4 +509,60 @@ scored AS (
   WHERE e.vec_id % {DELETE_MOD} <> 0
 )
 SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id DESC LIMIT 5
+"""
+
+
+# --- training-pair mining + drift monitoring (operators/mining.py) ------------
+from gpu_accelerated_vector_indexing_spark.operators.mining import ANCHOR_IDS, N_NEG
+
+_ANCHOR_IN = ", ".join(str(a) for a in ANCHOR_IDS)
+ORACLES["contrastive_triplets"] = f"""
+WITH anchors AS (
+  SELECT e.vec_id AS anchor_id, e.label AS anchor_label, e.embedding::DOUBLE[] AS qvec
+  FROM embeddings e WHERE e.vec_id IN ({_ANCHOR_IN})
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+         round(list_dot_product(e.embedding::DOUBLE[], a.qvec) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(a.qvec, a.qvec)) + 1e-8), 6) AS score
+  FROM embeddings e CROSS JOIN anchors a
+  WHERE e.vec_id <> a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, 'pos' AS role, rn AS "rank", vec_id, score, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, vec_id DESC) AS rn
+    FROM scored WHERE label = anchor_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, 'neg' AS role, rn AS "rank", vec_id, score, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, vec_id DESC) AS rn
+    FROM scored WHERE label <> anchor_label
+  ) WHERE rn <= {N_NEG}
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+"""
+
+ORACLES["embedding_drift"] = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+snap_flat AS (
+  SELECT e.label, (e.vec_id % 2)::INT AS snap, d.i,
+         round(avg(e.embedding[d.i]::DOUBLE), 8) AS v, count(*) AS n
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, e.vec_id % 2, d.i
+),
+snaps AS (
+  SELECT label, snap, any_value(n) AS n, list(v ORDER BY i) AS c
+  FROM snap_flat GROUP BY label, snap
+),
+t0 AS (SELECT label, n AS n_t0, c AS c0 FROM snaps WHERE snap = 0),
+t1 AS (SELECT label, n AS n_t1, c AS c1 FROM snaps WHERE snap = 1)
+SELECT t0.label, n_t0, n_t1,
+       round(n_t1 / n_t0::DOUBLE, 6) AS growth,
+       round(1.0 - list_dot_product(c0, c1) /
+             (sqrt(list_dot_product(c0, c0)) * sqrt(list_dot_product(c1, c1)) + 1e-8), 6) AS cos_dist,
+       round(sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+             i -> (c0[i] - c1[i]) * (c0[i] - c1[i])))), 6) AS l2_shift
+FROM t0 JOIN t1 USING (label) ORDER BY t0.label
 """

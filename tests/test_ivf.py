@@ -19,6 +19,9 @@ IVF_NAMES = [
     "ivf_rebalance_plan",
     "ivf_delete_compact",
     "knn_with_deletes",
+    "knn_ivf_pq_residual",
+    "contrastive_triplets",
+    "embedding_drift",
 ]
 
 
@@ -158,6 +161,97 @@ def test_ivf_pq_recall_floor_and_full_margin(spark):
         ).collect()
     ]
     assert pq_full == exact_full
+
+
+def test_contrastive_triplets_contract(spark):
+    """Per anchor: exactly one positive with the ANCHOR's label, n_neg
+    negatives with OTHER labels, self never present, and the positive's
+    score ≥ is not required (a hard negative may outrank it — that is
+    the point) but negatives are rank-ordered by score."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.mining import (
+        ANCHOR_IDS,
+        N_NEG,
+        contrastive_triplets,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", "label")
+        .filter(F.col("vec_id").isin(list(ANCHOR_IDS)))
+        .collect()
+    }
+    rows = contrastive_triplets(spark, SF_CORRECT).collect()
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+        assert r.vec_id != r.anchor_id
+    assert set(by_anchor) == set(ANCHOR_IDS)
+    for aid, group in by_anchor.items():
+        pos = [r for r in group if r.role == "pos"]
+        neg = sorted((r for r in group if r.role == "neg"), key=lambda r: r.rank)
+        assert len(pos) == 1 and pos[0].label == labels[aid]
+        assert len(neg) == N_NEG
+        assert all(r.label != labels[aid] for r in neg)
+        scores = [r.score for r in neg]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_drift_contract(spark):
+    """Every label present; counts partition the corpus; cos_dist in
+    [0, 2]; l2_shift ≥ 0; growth = n_t1/n_t0."""
+    from gpu_accelerated_vector_indexing_spark.operators.mining import embedding_drift
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = embedding_drift(spark, SF_CORRECT).collect()
+    n_total = load_table(spark, SF_CORRECT, "embeddings").count()
+    assert len(rows) == 10
+    assert sum(r.n_t0 + r.n_t1 for r in rows) == n_total
+    for r in rows:
+        assert 0.0 <= r.cos_dist <= 2.0
+        assert r.l2_shift >= 0.0
+        assert abs(r.growth - r.n_t1 / r.n_t0) < 1e-6
+
+
+def test_ivf_pq_residual_recall_floor_and_full_margin(spark):
+    """IVFADC (residual encoding): same contract as the raw-code PQ path
+    — recall@5 ≥ 3/5 vs the exact IVF fine search at the default
+    candidate margin; bit-equal to the exact fine search at full margin
+    (every probed vector survives to the exact rescore)."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import knn_ivf
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        knn_ivf_pq_residual,
+    )
+
+    for qid in (0, 3):
+        exact = {
+            (r.vec_id, r.score)
+            for r in knn_ivf(spark, SF_CORRECT, query_id=qid, k=5, n_probe=3).collect()
+        }
+        got = [
+            (r.vec_id, r.score)
+            for r in knn_ivf_pq_residual(
+                spark, SF_CORRECT, query_id=qid, k=5, n_probe=3
+            ).collect()
+        ]
+        assert len(got) == 5
+        hits = sum(1 for g in got if g in exact)
+        assert hits >= 3, f"q{qid}: recall {hits}/5, got={got}"
+
+    exact_full = [
+        (r.vec_id, r.score)
+        for r in knn_ivf(spark, SF_CORRECT, query_id=7, k=5, n_probe=3).collect()
+    ]
+    pqr_full = [
+        (r.vec_id, r.score)
+        for r in knn_ivf_pq_residual(
+            spark, SF_CORRECT, query_id=7, k=5, n_probe=3, n_candidates=10_000
+        ).collect()
+    ]
+    assert pqr_full == exact_full
 
 
 def test_ann_method_comparison_bounds(spark):

@@ -296,3 +296,16 @@ def test_decontaminate_shingle_sides_pre_aggregated(spark):
     plan = physical_plan(df)
     assert "array_distinct" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_pq_residual_scan_is_codes_only_broadcast_bounded(spark):
+    """IVFADC residual path: the candidate stage must be a bounded
+    TakeOrderedAndProject over the codes scan with the per-label
+    precomputed tables riding a BROADCAST join — a sort-merge join or
+    global sort here would shuffle the whole codes table at 100 TB."""
+    df = _q(spark, "knn_ivf_pq_residual")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

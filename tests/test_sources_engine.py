@@ -143,6 +143,76 @@ def test_sentence_transformer_gated():
         sentence_transformer_embedder()
 
 
+def test_sentence_transformer_real_path_with_stub_model(spark, tmp_path):
+    """Execute the REAL model-UDF path (reference embedding.py:16,32) —
+    the one reference behavior with no test execution before r3 —
+    against a deterministic stand-in SentenceTransformer shipped to the
+    Python workers via addPyFile. The UDF body (per-worker model
+    construction, 1024-batch encode, Series plumbing, float32 output)
+    runs for real; only the network weights are faked."""
+    import importlib
+    import sys
+    import textwrap
+
+    from pyspark.sql import functions as F
+
+    stub = tmp_path / "sentence_transformers.py"
+    stub.write_text(
+        textwrap.dedent(
+            """
+            import hashlib
+
+            import numpy as np
+
+
+            class SentenceTransformer:
+                DIM = 16
+
+                def __init__(self, model_name):
+                    self.model_name = model_name
+
+                def encode(self, texts, batch_size=32):
+                    out = []
+                    for t in texts:
+                        h = hashlib.md5((t or "").encode()).digest()
+                        v = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+                        out.append(v[: self.DIM] / 255.0)
+                    return np.stack(out)
+            """
+        )
+    )
+    spark.sparkContext.addPyFile(str(stub))
+    sys.path.insert(0, str(tmp_path))
+    importlib.invalidate_caches()
+    try:
+        from gpu_accelerated_vector_indexing_spark.functions.embedder import (
+            sentence_transformer_embedder,
+        )
+        from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").limit(8).select("doc_id", "text")
+        embed = sentence_transformer_embedder("stub-model")
+        rows = docs.select("doc_id", embed(F.col("text")).alias("embedding")).collect()
+        assert len(rows) == 8
+        assert all(len(r.embedding) == 16 for r in rows)
+        assert any(any(x != 0.0 for x in r.embedding) for r in rows)
+        rows2 = docs.select("doc_id", embed(F.col("text")).alias("embedding")).collect()
+        assert [r.embedding for r in rows] == [r.embedding for r in rows2]
+    finally:
+        # addPyFile also prepends the SparkFiles root to the DRIVER's
+        # sys.path — scrub both entries so the import-gate test stays
+        # honest wherever it runs in the session
+        from pyspark import SparkFiles
+
+        sys.path[:] = [
+            p
+            for p in sys.path
+            if p != str(tmp_path) and not p.startswith(SparkFiles.getRootDirectory())
+        ]
+        sys.modules.pop("sentence_transformers", None)
+        importlib.invalidate_caches()
+
+
 # --- engine facade + CLI parity (O28, M1+M2 end-to-end) ----------------------
 
 

@@ -95,6 +95,10 @@ BENCH_QUERIES = [
     ("events_cohort_retention", _collect),
     ("contrastive_triplets", _collect),
     ("embedding_drift", _collect),
+    ("sketch_hll_distinct", _collect),
+    ("sample_weighted_pps", _noop),
+    ("copurchase_triangles", _collect),
+    ("quantiles_histogram", _collect),
     ("text_token_count", _noop),
     ("text_bpe_merges", _collect),
     ("corpus_pack_sequences", _collect),

@@ -506,7 +506,13 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         import shutil
         from urllib.parse import urlparse
 
+        import os
+
+        # pid in the name: two engine PROCESSES sharing a warehouse dir
+        # (e.g. the pytest suite and the gate sweep side by side) must
+        # not drop/rewrite each other's managed tables mid-read
         tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/")).strip("_")
+        tag = f"{tag}_{os.getpid()}"
         lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
         # a previous PROCESS may have left the managed location behind
         # without this session's in-memory catalog knowing the table —
@@ -651,6 +657,52 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75_qty"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
         F.count("*").alias("n_items"),
+    )
+
+
+def quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p50/p90/p99) of price per return flag
+    computed the way a 100 TB engine computes them: a VALUE HISTOGRAM +
+    cumulative window over the distinct-value relation — never a
+    per-group sort of the raw rows.
+
+    ``percentile_summary`` sorts all rows inside the aggregate (exact
+    but O(n log n) per group, full-width shuffle); here the shuffle
+    carries only (group, distinct-cent, count) — for a price-like column
+    the distinct domain is orders of magnitude smaller than the row
+    count, and it's bounded regardless of row count. Definition is
+    percentile_disc: the smallest value whose running count reaches
+    ⌈p·n⌉ — pure integer thresholds, so the oracle replays it exactly
+    (no interpolation floats).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    hist = li.groupBy(F.col("l_returnflag"), cents.alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("l_returnflag").orderBy("v")
+    wn = W.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def disc(p: float) -> Column:
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("v"))
+        )
+
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n_rows"),
+            (disc(0.5) / 100.0).alias("p50_price"),
+            (disc(0.9) / 100.0).alias("p90_price"),
+            (disc(0.99) / 100.0).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

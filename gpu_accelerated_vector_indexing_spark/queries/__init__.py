@@ -44,20 +44,22 @@ _GATE_FIRST = [
     "text_bpe_train", "text_bpe_compression", "dedup_substring_spans",
     "knn_matryoshka", "curation_nb_language", "sources_jsonl_shards",
     "contrastive_triplets", "embedding_drift",
+    "sketch_hll_distinct", "sample_weighted_pps", "copurchase_triangles",
     # family flagships named in VERDICT r2 "Next round" #2
     "dedup_minhash_lsh", "curation_decontaminate", "copurchase_pagerank",
     "join_asof", "streaming_tumbling", "stats_exact_moments",
     # UDF surface (never sampled)
     "udaf_geomean_price", "udtf_sentences",
-    # dedup family (rest; exact_keep/keep_canonical rotate below the
-    # 50-line — their siblings exact_summary/components keep the slots)
+    # dedup family (rest; exact_keep/keep_canonical/simhash/ngram rotate
+    # below the 50-line — exact_summary, the verified-LSH scale path and
+    # components hold the family's slots)
     "dedup_exact_summary",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_jaccard_verified_lsh",
+    "dedup_jaccard_verified_lsh",
     "dedup_embedding_topk", "dedup_components",
-    # curation family (rest; decontaminate_hashed rotates below — the
-    # decontaminate flagship holds the family's slot)
+    # curation family (rest; decontaminate_hashed/pii_redact rotate
+    # below — the decontaminate flagship holds the family's slot)
     "curation_quality_filter",
-    "curation_pii_redact", "curation_mix_rebalance",
+    "curation_mix_rebalance",
     # sources connectors (never sampled)
     "sources_roundtrip", "sources_bin_stream",
     "sources_npy_roundtrip", "sources_articles_roundtrip",
@@ -71,7 +73,8 @@ _GATE_FIRST = [
     "streaming_interval_join",
     # --- ~50-name line: remainders below still precede the legacy
     # knn/ivf/lsh/modern names that are already green in r1+r2
-    "dedup_exact_keep", "dedup_keep_canonical", "curation_decontaminate_hashed",
+    "dedup_exact_keep", "dedup_keep_canonical", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "curation_decontaminate_hashed", "curation_pii_redact",
     "events_rollup_hierarchy", "events_trailing_window", "join_interval",
     "events_zscore_outliers", "events_transition_matrix",
     "join_asof_cogroup", "incremental_agg_merge",

@@ -83,3 +83,72 @@ est AS (
 SELECT user_id, exact, CAST(est AS BIGINT) AS est
 FROM est ORDER BY exact DESC, user_id DESC LIMIT 20
 """
+
+QUERIES["sketch_hll_distinct"] = AP.hll_distinct
+
+# full HLL replay (r3): bucket/rank/register/estimator arithmetic is
+# integer + exact-dyadic doubles end to end (operators/approx.hll_distinct),
+# so the ESTIMATE — not just an error flag — value-hashes across engines.
+_RHO = " + ".join(
+    f"CASE WHEN rest < {1 << (AP.HLL_REST_BITS - i)} THEN 1 ELSE 0 END"
+    for i in range(1, AP.HLL_REST_BITS + 1)
+)
+_HLL_ALPHA = f"0.7213 / (1.0 + 1.079 / {AP.HLL_M}.0)"
+ORACLES["sketch_hll_distinct"] = f"""
+WITH h1 AS (
+  SELECT event_type,
+         ((user_id % {AP.CMS_P}) * {AP.HLL_A} + {AP.HLL_B}) % {AP.CMS_P} AS h1
+  FROM events
+),
+h2 AS (
+  SELECT event_type,
+         (((h1 * h1) % {AP.CMS_P}) * {AP.HLL_A2} + {AP.HLL_B2}) % {AP.CMS_P} AS h
+  FROM h1
+),
+hashed AS (
+  SELECT event_type,
+         h % {AP.HLL_M} AS bucket,
+         ({_RHO}) + 1 AS rho
+  FROM (SELECT event_type, h, h // {AP.HLL_M} AS rest FROM h2)
+),
+regs AS (SELECT event_type, bucket, max(rho) AS reg FROM hashed GROUP BY event_type, bucket),
+per_type AS (
+  SELECT event_type, count(*) AS n_buckets,
+         sum(1.0 / (1::BIGINT << reg)) AS s
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CAST({AP.HLL_M} - n_buckets AS DOUBLE) AS zeros,
+         ({_HLL_ALPHA}) * {AP.HLL_M} * {AP.HLL_M} / (s + ({AP.HLL_M} - n_buckets)) AS raw
+  FROM per_type
+),
+final_est AS (
+  SELECT event_type,
+         CASE WHEN raw <= 2.5 * {AP.HLL_M} AND zeros > 0
+              THEN floor({AP.HLL_M} * ln({AP.HLL_M} / zeros) * 10000) / 10000
+              ELSE floor(raw * 10000) / 10000 END AS hll_est
+  FROM est
+),
+exact AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+SELECT x.event_type, x.n_exact, f.hll_est,
+       floor(abs(f.hll_est - x.n_exact) / x.n_exact * 1000000) / 1000000 AS rel_err,
+       abs(f.hll_est - x.n_exact) / x.n_exact <= {AP.HLL_REL_ERR} AS hll_ok
+FROM exact x JOIN final_est f USING (event_type)
+ORDER BY x.event_type
+"""
+
+QUERIES["sample_weighted_pps"] = AP.sample_weighted_pps
+
+# exact integer cross-multiplied inclusion test — no floats, so the
+# sampled id-set replays bit-identically (operators/approx.sample_weighted_pps)
+ORACLES["sample_weighted_pps"] = f"""
+WITH weighted AS (
+  SELECT doc_id, lang, length(text)::BIGINT AS weight FROM documents
+),
+total AS (SELECT sum(weight) AS w_total FROM weighted)
+SELECT w.doc_id, w.lang, w.weight
+FROM weighted w CROSS JOIN total t
+WHERE (((w.doc_id * {AP.HASH_A} + {AP.HASH_B}) % {AP.HASH_M})::DECIMAL(38,0)) * t.w_total
+      < ({AP.PPS_TARGET}::DECIMAL(38,0)) * w.weight * {AP.HASH_M}
+"""

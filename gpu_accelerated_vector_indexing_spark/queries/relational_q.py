@@ -722,6 +722,55 @@ r{t + 1} AS (
 
 ORACLES["copurchase_pagerank"] = _pagerank_oracle()
 
+
+def _copurchase_triangles(spark, sf_dir):
+    """Degree-oriented triangle counting (skew-safe wedge join) —
+    operators/graph.triangle_counts."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph import triangle_counts
+
+    return triangle_counts(spark, sf_dir)
+
+
+QUERIES["copurchase_triangles"] = _copurchase_triangles
+
+# integer joins end to end — the oracle replays orientation, wedge join
+# and closure verbatim
+ORACLES["copurchase_triangles"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS node, count(*) AS d FROM p GROUP BY src),
+und AS (SELECT src, dst FROM p WHERE src < dst),
+e AS (
+  SELECT u.src, u.dst, ds.d AS sd, dd.d AS dd
+  FROM und u JOIN deg ds ON u.src = ds.node JOIN deg dd ON u.dst = dd.node
+),
+oriented AS (
+  SELECT CASE WHEN sd < dd OR (sd = dd AND src < dst) THEN src ELSE dst END AS u,
+         CASE WHEN sd < dd OR (sd = dd AND src < dst) THEN dst ELSE src END AS v,
+         CASE WHEN sd < dd OR (sd = dd AND src < dst) THEN dd ELSE sd END AS vd
+  FROM e
+),
+wedges AS (
+  SELECT o1.u, o1.v AS v1, o2.v AS v2
+  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+  WHERE (o1.vd < o2.vd) OR (o1.vd = o2.vd AND o1.v < o2.v)
+),
+tris AS (
+  SELECT w.u, w.v1, w.v2
+  FROM wedges w JOIN oriented c ON c.u = w.v1 AND c.v = w.v2
+),
+corners AS (
+  SELECT u AS node FROM tris
+  UNION ALL SELECT v1 FROM tris
+  UNION ALL SELECT v2 FROM tris
+)
+SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+ORDER BY n_tri DESC, node ASC LIMIT 20
+"""
+
 QUERIES["copurchase_lift"] = R.copurchase_lift
 QUERIES["events_cohort_retention"] = R.events_cohort_retention
 
@@ -823,4 +872,27 @@ SELECT l_returnflag,
        CAST(sum(CAST(ratio AS DECIMAL(18,4))) AS DOUBLE) AS sum_ratio,
        bool_and(l_quantity > 0) AS all_qty_positive
 FROM t GROUP BY l_returnflag
+"""
+
+
+QUERIES["quantiles_histogram"] = R.quantiles_histogram
+
+# histogram + cumulative window, integer thresholds — replays exactly
+ORACLES["quantiles_histogram"] = """
+WITH hist AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, v,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist
+)
+SELECT l_returnflag,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) / 100.0 AS p50_price,
+       min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) / 100.0 AS p90_price,
+       min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) / 100.0 AS p99_price
+FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -117,3 +117,36 @@ def test_bloom_probe_prunes_without_dropping_matches(spark):
     assert n_true <= n_cand < n_total
     # no true match is dropped: the candidate set ⊇ the semi-join result
     assert true_matches.join(candidates, "l_partkey", "left_anti").count() == 0
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-oriented enumeration must agree with the naive a<b<c
+    triple join — per node, not just in total."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph import (
+        copurchase_edges,
+        triangle_counts,
+    )
+
+    und = copurchase_edges(spark, SF_CORRECT).filter(F.col("src") < F.col("dst"))
+    und.createOrReplaceTempView("tri_und")
+    brute = spark.sql(
+        """
+        WITH t AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM tri_und e1
+          JOIN tri_und e2 ON e1.dst = e2.src
+          JOIN tri_und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        corners AS (
+          SELECT a AS node FROM t
+          UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t
+        )
+        SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+        ORDER BY n_tri DESC, node ASC LIMIT 20
+        """
+    ).collect()
+    fast = triangle_counts(spark, SF_CORRECT).collect()
+    assert [(r.node, r.n_tri) for r in fast] == [(r.node, r.n_tri) for r in brute]

@@ -153,3 +153,44 @@ def test_cms_overestimates_only(spark):
     for r in rows:
         assert r.est >= r.exact, (r.user_id, r.est, r.exact)
         assert r.est <= 3 * r.exact, (r.user_id, r.est, r.exact)
+
+
+def test_hll_estimate_within_bound(spark):
+    """The from-scratch deterministic HLL (m=256): every event_type's
+    estimate lands within the 15% acceptance bound on the fixture, and
+    the relative error column agrees with the estimate."""
+    from gpu_accelerated_vector_indexing_spark.operators.approx import hll_distinct
+
+    rows = hll_distinct(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_ok, f"{r.event_type}: est {r.hll_est} vs {r.n_exact}"
+        assert abs(r.hll_est - r.n_exact) / r.n_exact <= 0.15
+        assert r.rel_err <= 0.15
+
+
+def test_weighted_pps_favors_long_documents(spark):
+    """Poisson PPS: the realized sample size sits near the target, and
+    the inclusion RATE of the longest-doc quartile exceeds the shortest
+    quartile's (the whole point of weighting by length)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.approx import (
+        PPS_TARGET,
+        sample_weighted_pps,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    sampled = sample_weighted_pps(spark, SF_CORRECT)
+    n = sampled.count()
+    assert 0.5 * PPS_TARGET <= n <= 1.5 * PPS_TARGET
+    docs = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", F.length("text").alias("w")
+    )
+    q1, q3 = docs.approxQuantile("w", [0.25, 0.75], 0.0)
+    hit = docs.join(sampled.select("doc_id", F.lit(1).alias("s")), "doc_id", "left")
+    rates = hit.agg(
+        F.avg(F.when(F.col("w") <= q1, F.coalesce("s", F.lit(0)))).alias("lo"),
+        F.avg(F.when(F.col("w") >= q3, F.coalesce("s", F.lit(0)))).alias("hi"),
+    ).first()
+    assert rates.hi > rates.lo

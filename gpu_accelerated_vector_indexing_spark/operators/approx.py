@@ -19,6 +19,8 @@ training-data pipeline needs for train/test splits at scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -210,6 +212,17 @@ HLL_REST_BITS = 23  # hash bits above the bucket index feeding the rank
 HLL_A, HLL_B = 1_000_081, 24_683
 HLL_A2, HLL_B2 = 1_000_099, 777_777
 
+# Linear-counting lookup: zeros (empty registers) is an INTEGER in
+# [1, m-1], so m·ln(m/zeros) is tabulated ONCE here (pre-floor-scaled)
+# and both engines read the identical literal doubles — no engine libm
+# ln() on any path, whose 1-ULP differences could flip the floor.
+_HLL_LC_TABLE: list[float] = [
+    math.floor(HLL_M * math.log(HLL_M / z) * 10000) / 10000 for z in range(1, HLL_M)
+]
+# bare decimal literals parse as DECIMAL in both engines — force DOUBLE
+HLL_LC_VALUES = ", ".join(repr(v) for v in _HLL_LC_TABLE)  # oracle (::DOUBLE[] cast)
+HLL_LC_VALUES_SPARK = ", ".join(f"{v!r}D" for v in _HLL_LC_TABLE)  # D-suffixed
+
 
 def _hll_rho(rest: Column) -> Column:
     """Rank = leading zeros of ``rest`` in a HLL_REST_BITS-wide field,
@@ -258,12 +271,12 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shortest-repr boundaries (observed: 4516.36625 → .3662 vs .3663)
     est = per_type.selectExpr(
         "event_type",
-        f"CAST({HLL_M} - n_buckets AS DOUBLE) AS zeros",
+        f"CAST({HLL_M} - n_buckets AS INT) AS zeros",
         f"({alpha}) * {HLL_M} * {HLL_M} / (s + ({HLL_M} - n_buckets)) AS raw",
     ).selectExpr(
         "event_type",
         f"CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0"
-        f" THEN floor({HLL_M} * ln({HLL_M} / zeros) * 10000) / 10000"
+        f" THEN element_at(array({HLL_LC_VALUES_SPARK}), zeros)"
         " ELSE floor(raw * 10000) / 10000 END AS hll_est",
     )
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))

@@ -37,21 +37,35 @@ DAMPING = 0.85
 PR_ITERS = 12
 
 
+# The edge relation is GRAPH STATE shared by PageRank, triangle
+# counting and lift: the distinct-pair build (a self-join + distinct)
+# is the expensive step, and without memoization a plan that references
+# the relation k times re-executes that build k times (measured: the
+# triangle query's 3 references tripled its runtime).
+_EDGES_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edges (both directions materialized) —
     (src, dst) part pairs sharing ≥1 order. Pair fan-out is bounded by
-    (order size choose 2), never corpus-quadratic."""
-    li = load_table(spark, sf_dir, "lineitem")
-    order_parts = li.select("l_orderkey", "l_partkey").distinct()
-    a = order_parts.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = order_parts.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return pairs
+    (order size choose 2), never corpus-quadratic. Memoized + cached
+    per (session, corpus) as graph state."""
+    key = (spark, sf_dir)
+    if key not in _EDGES_CACHE:
+        li = load_table(spark, sf_dir, "lineitem")
+        order_parts = li.select("l_orderkey", "l_partkey").distinct()
+        a = order_parts.select("l_orderkey", F.col("l_partkey").alias("src"))
+        b = order_parts.select("l_orderkey", F.col("l_partkey").alias("dst"))
+        pairs = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+            .cache()
+        )
+        pairs.count()
+        _EDGES_CACHE[key] = pairs
+    return _EDGES_CACHE[key]
 
 
 def copurchase_pagerank(
@@ -72,7 +86,7 @@ def copurchase_pagerank(
     10 d.p. each round to damp float-order noise; the output rounds to
     6 d.p. like every engine score.
     """
-    edges = copurchase_edges(spark, sf_dir).cache()
+    edges = copurchase_edges(spark, sf_dir)  # memoized + cached graph state
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # (src, dst, outdeg) — the loop-invariant join is done ONCE
     contrib_edges = edges.join(deg, "src").select("src", "dst", "outdeg").cache()
@@ -126,9 +140,10 @@ def triangle_counts(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFr
     edges = copurchase_edges(spark, sf_dir)  # both directions materialized
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     und = edges.filter(F.col("src") < F.col("dst"))
+    # degree relation is |V|-sized — broadcast both attachments
     e = (
-        und.join(deg.select(F.col("node").alias("src"), F.col("d").alias("sd")), "src")
-        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        und.join(F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("sd"))), "src")
+        .join(F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))), "dst")
     )
     fwd = (F.col("sd") < F.col("dd")) | (
         (F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst"))
@@ -144,8 +159,13 @@ def triangle_counts(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFr
         (F.col("vd1") < F.col("vd2"))
         | ((F.col("vd1") == F.col("vd2")) & (F.col("v1") < F.col("v2")))
     )
+    # the closure check joins |wedges| rows (Σ outdeg² — 41M at sf0.1)
+    # against |edges| rows: BROADCAST the edge side so the wedge stream
+    # never pays an exchange on (v1, v2) — the edge list is the small
+    # side by an outdeg factor, and at 100 TB this is where a Bloom
+    # pre-filter on the broadcast would slot in if |E| outgrew the limit
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    tris = wedges.join(F.broadcast(closing), ["v1", "v2"]).select("u", "v1", "v2")
     # explode, not a 3-way union: a union of three selects over `tris`
     # re-executes the whole join tree per branch (measured: a 618-node
     # plan); exploding emits all three corners in ONE pass

@@ -32,7 +32,6 @@ from gpu_accelerated_vector_indexing_spark.functions.vector import (
     as_double_array,
     cosine_similarity_hoisted,
 )
-from gpu_accelerated_vector_indexing_spark.operators.ivf import CENTROID_SCALE
 from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
@@ -97,31 +96,27 @@ def contrastive_triplets(
     )
 
 
-def _snapshot_centroids(emb: DataFrame, snap: F.Column) -> DataFrame:
-    """Per-(label, snapshot) counts + 8-d.p. mean centroids — the
-    ``label_centroids`` aggregate with a snapshot key added."""
-    exploded = emb.select(
-        "label",
-        snap.alias("snap"),
-        F.posexplode(as_double_array("embedding")).alias("pos", "x"),
-    )
-    return (
-        exploded.groupBy("label", "snap", "pos")
-        .agg(F.round(F.avg("x"), CENTROID_SCALE).alias("v"), F.count("*").alias("n"))
-        .groupBy("label", "snap")
-        .agg(
-            F.first("n").alias("n"),  # every pos group has the row count
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-            ).alias("centroid"),
-        )
+def _snapshot_side(emb: DataFrame, parity: int, n_col: str, c_col: str) -> DataFrame:
+    """One snapshot's ``(label, n, centroid)`` — delegates the centroid
+    recipe (CENTROID_SCALE rounding, position-ordered collect) to
+    ``ivf.label_centroids`` so the determinism contract lives in ONE
+    place, exactly as the shared ``cent`` oracle CTEs assume."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import label_centroids
+
+    snap = emb.filter((F.col("vec_id") % 2) == parity)
+    counts = snap.groupBy("label").agg(F.count("*").alias(n_col))
+    return counts.join(
+        label_centroids(snap).withColumnRenamed("centroid", c_col), "label"
     )
 
 
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label drift between snapshot t0 (even vec_id) and t1 (odd
     vec_id): row counts, growth ratio, centroid cosine distance and L2
-    displacement.
+    displacement. A label present in only ONE snapshot — a cluster that
+    emptied or newly appeared, the loudest drift signal — survives the
+    FULL-outer join with zero counts and null displacement columns
+    instead of silently vanishing.
 
     The deterministic parity split stands in for two time-ordered corpus
     snapshots (the fixtures carry no ingest timestamp); in production
@@ -129,13 +124,8 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the final join is labels-sized regardless of corpus size.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _snapshot_centroids(emb, (F.col("vec_id") % 2).cast("int"))
-    t0 = cents.filter(F.col("snap") == 0).select(
-        "label", F.col("n").alias("n_t0"), F.col("centroid").alias("c0")
-    )
-    t1 = cents.filter(F.col("snap") == 1).select(
-        "label", F.col("n").alias("n_t1"), F.col("centroid").alias("c1")
-    )
+    t0 = _snapshot_side(emb, 0, "n_t0", "c0")
+    t1 = _snapshot_side(emb, 1, "n_t1", "c1")
     dot = F.aggregate(
         F.zip_with("c0", "c1", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -149,17 +139,21 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
+    both = F.col("c0").isNotNull() & F.col("c1").isNotNull()
     return (
-        t0.join(t1, "label")
+        t0.join(t1, "label", "full")
         .select(
             "label",
-            "n_t0",
-            "n_t1",
-            F.round(F.col("n_t1") / F.col("n_t0"), 6).alias("growth"),
-            F.round(1.0 - dot / (nrm(F.col("c0")) * nrm(F.col("c1")) + 1e-8), 6).alias(
-                "cos_dist"
-            ),
-            F.round(l2, 6).alias("l2_shift"),
+            F.coalesce("n_t0", F.lit(0)).alias("n_t0"),
+            F.coalesce("n_t1", F.lit(0)).alias("n_t1"),
+            F.when(
+                F.col("n_t0").isNotNull() & F.col("n_t1").isNotNull(),
+                F.round(F.col("n_t1") / F.col("n_t0"), 6),
+            ).alias("growth"),
+            F.when(
+                both, F.round(1.0 - dot / (nrm(F.col("c0")) * nrm(F.col("c1")) + 1e-8), 6)
+            ).alias("cos_dist"),
+            F.when(both, F.round(l2, 6)).alias("l2_shift"),
         )
         .orderBy("label")
     )

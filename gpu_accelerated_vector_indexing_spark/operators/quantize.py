@@ -536,6 +536,15 @@ def knn_ivf_pq_residual(
     are deterministic → the driver oracle replays the whole fit as
     staged CTEs (queries/_pq_oracle.pq_replay_ctes(residual=True)) and
     the query gets a FULL value oracle.
+
+    Cross-engine note: the approximate score here is the LUT
+    decomposition while the oracle folds the reconstructed vector —
+    real-equal, but different float association, so a 6-d.p. rounding
+    boundary could in principle reorder the candidate cut at rank
+    ``n_candidates``. The exact rescore makes that harmless unless a
+    true top-k vector sits AT the candidate boundary — a 30× margin
+    (150 candidates for k=5) away from any observed case; the raw-PQ
+    path has shipped green under the same argument since r2.
     """
     import numpy as np
 

@@ -507,18 +507,39 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         from urllib.parse import urlparse
 
         import os
+        import re
 
         # pid in the name: two engine PROCESSES sharing a warehouse dir
         # (e.g. the pytest suite and the gate sweep side by side) must
         # not drop/rewrite each other's managed tables mid-read
-        tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/")).strip("_")
-        tag = f"{tag}_{os.getpid()}"
+        base_tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/")).strip("_")
+        tag = f"{base_tag}_{os.getpid()}"
         lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
-        # a previous PROCESS may have left the managed location behind
-        # without this session's in-memory catalog knowing the table —
-        # drop both forms before writing
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        for t in (lt, ot):
+        # prune leftovers: our own names, any legacy un-suffixed pair,
+        # and siblings whose writer pid is dead — pid-suffixed names
+        # would otherwise accumulate one orphaned pair per process
+        # every *_bkt_* name ends in digits (the sf tag for legacy
+        # un-suffixed names, the writer pid for current ones) — parse
+        # the trailing run as a pid; a legacy tag like "...sf0_01"
+        # yields a long-dead pid and is cleaned, which is the intent
+        stale = re.compile(r"^(?:lineitem|orders)_bkt_.*_(\d+)$")
+        for entry in os.listdir(warehouse) if os.path.isdir(warehouse) else []:
+            m = stale.match(entry)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            if pid != os.getpid():
+                try:
+                    os.kill(pid, 0)  # raises if the writer is gone
+                    continue  # live sibling process — leave its tables
+                except (OSError, ProcessLookupError):
+                    pass
+            spark.sql(f"DROP TABLE IF EXISTS {entry}")
+            shutil.rmtree(f"{warehouse}/{entry}", ignore_errors=True)
+        # our own names + this corpus's legacy un-suffixed pair (whose
+        # trailing sf digits parse as a live low pid above)
+        for t in (lt, ot, f"lineitem_bkt_{base_tag}", f"orders_bkt_{base_tag}"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
         (

@@ -126,7 +126,7 @@ est AS (
 final_est AS (
   SELECT event_type,
          CASE WHEN raw <= 2.5 * {AP.HLL_M} AND zeros > 0
-              THEN floor({AP.HLL_M} * ln({AP.HLL_M} / zeros) * 10000) / 10000
+              THEN ([{AP.HLL_LC_VALUES}]::DOUBLE[])[CAST(zeros AS INT)]
               ELSE floor(raw * 10000) / 10000 END AS hll_est
   FROM est
 ),

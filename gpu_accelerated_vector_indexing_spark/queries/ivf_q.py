@@ -558,11 +558,18 @@ snaps AS (
 ),
 t0 AS (SELECT label, n AS n_t0, c AS c0 FROM snaps WHERE snap = 0),
 t1 AS (SELECT label, n AS n_t1, c AS c1 FROM snaps WHERE snap = 1)
-SELECT t0.label, n_t0, n_t1,
-       round(n_t1 / n_t0::DOUBLE, 6) AS growth,
-       round(1.0 - list_dot_product(c0, c1) /
-             (sqrt(list_dot_product(c0, c0)) * sqrt(list_dot_product(c1, c1)) + 1e-8), 6) AS cos_dist,
-       round(sqrt(list_sum(list_transform(generate_series(1, {DIM}),
-             i -> (c0[i] - c1[i]) * (c0[i] - c1[i])))), 6) AS l2_shift
-FROM t0 JOIN t1 USING (label) ORDER BY t0.label
+SELECT label,
+       coalesce(n_t0, 0) AS n_t0,
+       coalesce(n_t1, 0) AS n_t1,
+       CASE WHEN n_t0 IS NOT NULL AND n_t1 IS NOT NULL
+            THEN round(n_t1 / n_t0::DOUBLE, 6) END AS growth,
+       CASE WHEN c0 IS NOT NULL AND c1 IS NOT NULL
+            THEN round(1.0 - list_dot_product(c0, c1) /
+                 (sqrt(list_dot_product(c0, c0)) * sqrt(list_dot_product(c1, c1)) + 1e-8), 6)
+       END AS cos_dist,
+       CASE WHEN c0 IS NOT NULL AND c1 IS NOT NULL
+            THEN round(sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                 i -> (c0[i] - c1[i]) * (c0[i] - c1[i])))), 6)
+       END AS l2_shift
+FROM t0 FULL JOIN t1 USING (label) ORDER BY label
 """

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     ("corpus_shard_manifest", _collect),
     ("sources_jsonl_shards", _collect),
     ("knn_chunk_pooled", _collect),
+    ("knn_maxsim", _collect),
     ("corpus_clean_manifest", _collect),
     ("dedup_incremental_batch", _noop),
     ("text_vocab_top", _collect),

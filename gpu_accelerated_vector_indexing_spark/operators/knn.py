@@ -301,6 +301,40 @@ def corpus_validation(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFr
     )
 
 
+def chunk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, chunk_idx, emb ARRAY<DOUBLE>)`` — every document's
+    overlap-window chunks, each hash-embedded (the O20 featurizer,
+    embedding.py:16,32). Shared by the mean-pool (``knn_chunk_pooled``)
+    and late-interaction (``knn_maxsim``) retrieval paths; chunk
+    fan-out is len/stride rows per doc — a narrow map, no shuffle."""
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import (
+        DEFAULT_DIM,
+        hash_embedder,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        ((F.col("pos") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.expr(f"substring(text, pos, {CHUNK_WIDTH})").alias("chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        hash_embedder(DEFAULT_DIM)(F.col("chunk_text")).cast("array<double>").alias("emb"),
+    )
+
+
 def knn_chunk_pooled(
     spark: SparkSession,
     sf_dir: str,
@@ -328,31 +362,10 @@ def knn_chunk_pooled(
     from gpu_accelerated_vector_indexing_spark.functions.embedder import (
         DEFAULT_DIM,
         embed_queries,
-        hash_embedder,
     )
     from gpu_accelerated_vector_indexing_spark.functions.vector import cosine_similarity
-    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
-        CHUNK_STRIDE,
-        CHUNK_WIDTH,
-    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    chunks = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE))
-        ).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        ((F.col("pos") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
-        F.expr(f"substring(text, pos, {CHUNK_WIDTH})").alias("chunk_text"),
-    )
-    chunk_vecs = chunks.select(
-        "doc_id",
-        "chunk_idx",
-        hash_embedder(DEFAULT_DIM)(F.col("chunk_text")).cast("array<double>").alias("emb"),
-    )
+    chunk_vecs = chunk_vectors(spark, sf_dir)
     pooled = (
         chunk_vecs.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("chunk_idx", "emb"))).alias("cs"))
@@ -376,6 +389,61 @@ def knn_chunk_pooled(
             F.round(cosine_similarity(F.col("doc_vec"), F.col("qvec")), SCORE_SCALE).alias(
                 "score"
             ),
+        )
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(k)
+    )
+
+
+def knn_maxsim(
+    spark: SparkSession,
+    sf_dir: str,
+    query_doc_id: int = 0,
+    k: int = 5,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) document retrieval: the
+    query is a MULTI-VECTOR bag (the query document's chunk embeddings)
+    and ``score(doc) = (1/m) Σᵢ maxⱼ cos(qᵢ, dⱼ)`` — each query chunk
+    independently finds its best-matching candidate chunk, so a long
+    document matching on two different topics outranks one matching a
+    single pooled average (the failure mode of ``knn_chunk_pooled``'s
+    mean-pool this exists to fix).
+
+    Determinism: per-pair cosines round to 6 d.p. BEFORE the max (max
+    of identical rounded doubles is engine-independent); the Σ over
+    query chunks converts each max to an exact integer (×10⁶, rounded)
+    and sums LONGs — float-order-free, like the moment sums — then one
+    final double division.
+
+    Scale: the query bag (m chunk vectors) broadcasts; candidate chunks
+    stream through one codegen'd score + two map-side-combined
+    aggregates keyed on doc_id (max per (doc, qᵢ), then the exact sum).
+    Chunk fan-out is len/stride per doc; nothing materializes the
+    |query chunks| × |corpus chunks| relation past the scan.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import cosine_similarity
+
+    cv = chunk_vectors(spark, sf_dir)
+    q_chunks = cv.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("chunk_idx").alias("q_idx"), F.col("emb").alias("qemb")
+    )
+    m = q_chunks.count()  # tiny: the query document's chunk count
+    scored = (
+        cv.filter(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(q_chunks))
+        .select(
+            "doc_id",
+            "q_idx",
+            F.round(cosine_similarity(F.col("emb"), F.col("qemb")), SCORE_SCALE).alias("c"),
+        )
+    )
+    per_q = scored.groupBy("doc_id", "q_idx").agg(F.max("c").alias("mx"))
+    return (
+        per_q.groupBy("doc_id")
+        .agg(F.sum(F.round(F.col("mx") * 1e6).cast("long")).alias("s"))
+        .select(
+            "doc_id",
+            F.round(F.col("s") / F.lit(m * 1e6), SCORE_SCALE).alias("score"),
         )
         .orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(k)

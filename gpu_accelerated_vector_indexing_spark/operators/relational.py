@@ -529,12 +529,17 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             if not m:
                 continue
             pid = int(m.group(1))
-            if pid != os.getpid():
-                try:
-                    os.kill(pid, 0)  # raises if the writer is gone
-                    continue  # live sibling process — leave its tables
-                except (OSError, ProcessLookupError):
-                    pass
+            if pid == os.getpid():
+                # OUR tables for another corpus, tracked by the live
+                # _BUCKETED memo — pruning them here strands the memo
+                # on dropped names (observed: a later memo hit read a
+                # table this prune had deleted)
+                continue
+            try:
+                os.kill(pid, 0)  # raises if the writer is gone
+                continue  # live sibling process — leave its tables
+            except (OSError, ProcessLookupError):
+                pass
             spark.sql(f"DROP TABLE IF EXISTS {entry}")
             shutil.rmtree(f"{warehouse}/{entry}", ignore_errors=True)
         # our own names + this corpus's legacy un-suffixed pair (whose

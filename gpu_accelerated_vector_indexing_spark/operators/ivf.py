@@ -484,6 +484,69 @@ def assign_incremental(spark: SparkSession, sf_dir: str, modulus: int = 7) -> Da
     )
 
 
+def centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd step over the live index state — the
+    ACTION the drift monitor (mining.embedding_drift) feeds: reassign
+    every vector to its nearest CURRENT centroid, recompute per-label
+    means, and report each label's new population and how far its
+    centroid moved. An operator a 100 TB index runs periodically
+    instead of the reference's full offline rebuild (clusters.py:20).
+
+    Determinism (the PQ-fit recipe, one iteration at full dim): d²
+    rounds to 6 d.p. before the argmin with ties → lowest label
+    (struct-min), means round to 8 d.p. — so the oracle replays the
+    step exactly. A label that loses all members keeps a row with
+    n_assigned = 0 and null shift (the rebalance/merge signal).
+
+    Scale: centroids broadcast; assignment is a per-row argmin (no
+    shuffle); the mean recompute is the ``label_centroids`` shape —
+    (labels × dims) partial-aggregate rows, never a vector shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fixture_centroids(spark, sf_dir).withColumnRenamed("label", "c_label")
+    v = as_double_array("embedding")
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(v, F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    best = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("c_label")).alias("cand"))
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"))
+        .select("vec_id", F.col("best.c_label").alias("new_label"))
+    )
+    reassigned = emb.select("vec_id", "embedding").join(best, "vec_id")
+    new_cents = label_centroids(reassigned, cluster_col="new_label").withColumnRenamed(
+        "centroid", "new_centroid"
+    )
+    counts = reassigned.groupBy(F.col("new_label").alias("label")).agg(
+        F.count("*").alias("n")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("centroid", "new_centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        fixture_centroids(spark, sf_dir)
+        .join(new_cents.withColumnRenamed("label", "nl"), F.col("label") == F.col("nl"), "left")
+        .join(counts.withColumnRenamed("label", "cl"), F.col("label") == F.col("cl"), "left")
+        .select(
+            "label",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n_assigned"),
+            F.when(F.col("new_centroid").isNotNull(), F.round(l2, 6)).alias("l2_shift"),
+        )
+        .orderBy("label")
+    )
+
+
 def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index health monitoring: per-cluster population and dispersion
     (mean / max squared distance to the cluster centroid).

@@ -573,3 +573,58 @@ SELECT label,
        END AS l2_shift
 FROM t0 FULL JOIN t1 USING (label) ORDER BY label
 """
+
+
+def _ivf_centroid_refresh(spark, sf_dir):
+    """One deterministic Lloyd step over the index state: reassign →
+    re-mean → per-label population + centroid displacement
+    (operators/ivf.centroid_refresh). The maintenance ACTION the drift
+    monitor feeds."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import centroid_refresh
+
+    return centroid_refresh(spark, sf_dir)
+
+
+QUERIES["ivf_centroid_refresh"] = _ivf_centroid_refresh
+
+ORACLES["ivf_centroid_refresh"] = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (SELECT label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label),
+scored AS (
+  SELECT e.vec_id, c.label AS c_label,
+         round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (e.embedding[i]::DOUBLE - c.centroid[i]) *
+                    (e.embedding[i]::DOUBLE - c.centroid[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, c_label AS new_label FROM (
+    SELECT vec_id, c_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+newflat AS (
+  SELECT b.new_label AS label, d.i,
+         round(avg(e.embedding[d.i]::DOUBLE), 8) AS v, count(*) AS n
+  FROM best b JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+  GROUP BY b.new_label, d.i
+),
+newcent AS (
+  SELECT label, any_value(n) AS n_assigned, list(v ORDER BY i) AS c
+  FROM newflat GROUP BY label
+)
+SELECT o.label,
+       coalesce(nc.n_assigned, 0) AS n_assigned,
+       CASE WHEN nc.c IS NOT NULL
+            THEN round(sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                 i -> (o.centroid[i] - nc.c[i]) * (o.centroid[i] - nc.c[i])))), 6)
+       END AS l2_shift
+FROM cent o LEFT JOIN newcent nc USING (label)
+ORDER BY o.label
+"""

@@ -22,6 +22,7 @@ IVF_NAMES = [
     "knn_ivf_pq_residual",
     "contrastive_triplets",
     "embedding_drift",
+    "ivf_centroid_refresh",
 ]
 
 
@@ -353,3 +354,42 @@ def test_append_to_index_searchable_without_rebuild(spark, tmp_path):
     top = eng.search([float(x) for x in probe.embedding], k=2).collect()
     assert sorted(r.vec_id for r in top) == sorted([7, new_id])
     assert all(abs(r.score - 1.0) < 1e-6 for r in top)
+
+
+def test_centroid_refresh_lloyd_monotone(spark):
+    """One Lloyd step must not increase total within-cluster SSE
+    (k-means' defining monotonicity), populations must partition the
+    corpus, and shifts are finite non-negative."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        centroid_refresh,
+        fixture_centroid_rows,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = centroid_refresh(spark, SF_CORRECT).collect()
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    assert sum(r.n_assigned for r in rows) == emb.count()
+    assert all(r.l2_shift is None or r.l2_shift >= 0.0 for r in rows)
+
+    # SSE before (fixture labels vs their centroids) ≥ SSE after one step
+    cents = {label: c for label, c in fixture_centroid_rows(spark, SF_CORRECT)}
+    import numpy as np
+
+    data = emb.select("vec_id", "label", as_double_array("embedding").alias("v")).collect()
+    V = np.asarray([r.v for r in data])
+    C = np.asarray([cents[r.label] for r in data])
+    sse_before = float(((V - C) ** 2).sum())
+    # after: nearest-centroid assignment, then per-cluster means
+    allc = np.asarray([cents[i] for i in sorted(cents)])
+    d2 = ((V[:, None, :] - allc[None, :, :]) ** 2).sum(axis=2)
+    assign = np.round(d2, 6).argmin(axis=1)
+    sse_after = 0.0
+    for j in sorted(cents):
+        members = V[assign == j]
+        if len(members):
+            mu = np.round(members.mean(axis=0), 8)
+            sse_after += float(((members - mu) ** 2).sum())
+    assert sse_after <= sse_before + 1e-6

@@ -43,8 +43,15 @@ DEFAULT_FRAC = 0.2
 
 
 def portable_hash_unit(id_col: Column) -> Column:
-    """Deterministic hash of an id to [0, 1): same value in any engine."""
-    return ((id_col.cast("bigint") * HASH_A + HASH_B) % HASH_M) / F.lit(float(HASH_M))
+    """Deterministic hash of an id to [0, 1): same value in any engine.
+
+    Mod-reduce BEFORE the multiply: ``((id % M) · A + B) % M`` equals
+    ``(id·A + B) % M`` in exact arithmetic, but the reduced form's
+    product stays < 2⁶² for ANY id — the raw form silently wraps int64
+    past id ≈ 3.5e9 (exactly the 100 TB regime this hash exists for).
+    """
+    h = (id_col.cast("bigint") % HASH_M) * HASH_A + HASH_B
+    return (h % HASH_M) / F.lit(float(HASH_M))
 
 
 def sketch_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,8 +269,9 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = f"0.7213 / (1.0 + 1.079 / {HLL_M}.0)"  # α_m, same double fold both engines
     per_type = regs.groupBy("event_type").agg(
         F.count("*").alias("n_buckets"),
-        # 2^(−reg) as 1/(1<<reg): exact dyadic doubles, and with every
-        # term's lsb ≥ 2^−26 the 64-term sum is exact in ANY order
+        # 2^(−reg) as 1/(1<<reg): exact dyadic doubles — reg ≤ 24
+        # (HLL_REST_BITS + 1) so every term's lsb ≥ 2^−24, and the
+        # ≤256-term sum needs ≤ 8+24 mantissa bits: exact in ANY order
         F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), CAST(reg AS INT))")).alias("s"),
     )
     # floor-scaling, not round(): floor on a double is EXACT in every
@@ -305,18 +313,19 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``p_i = TARGET · w_i / W`` is tested as the cross-multiplied INTEGER
     inequality ``h_i · W < TARGET · w_i · M`` (h = portable modular
-    hash) — no floats anywhere, so the sampled id-set is bit-identical
-    in any engine, under any partitioning. The products route through
-    DECIMAL(38,0): at 100 TB, W (total corpus chars) times a 7-digit
-    hash overflows int64, exactly like the moment sums
-    (relational.moment_sums) this recipe mirrors.
+    hash, mod-reduced before the multiply so the hash itself never
+    wraps int64 at any doc_id) — no floats anywhere, so the sampled
+    id-set is bit-identical in any engine, under any partitioning. The
+    cross-multiplication routes through DECIMAL(38,0): at 100 TB, W
+    (total corpus chars) times a 7-digit hash overflows int64, exactly
+    like the moment sums (relational.moment_sums) this recipe mirrors.
     """
     docs = load_table(spark, sf_dir, "documents")
     weighted = docs.select(
         "doc_id", "lang", F.length("text").cast("bigint").alias("weight")
     )
     total = weighted.agg(F.sum("weight").alias("w_total"))
-    h = (F.col("doc_id").cast("bigint") * HASH_A + HASH_B) % HASH_M
+    h = ((F.col("doc_id").cast("bigint") % HASH_M) * HASH_A + HASH_B) % HASH_M
     return (
         weighted.join(F.broadcast(total))
         .filter(

@@ -427,7 +427,6 @@ def knn_maxsim(
     q_chunks = cv.filter(F.col("doc_id") == query_doc_id).select(
         F.col("chunk_idx").alias("q_idx"), F.col("emb").alias("qemb")
     )
-    m = q_chunks.count()  # tiny: the query document's chunk count
     scored = (
         cv.filter(F.col("doc_id") != query_doc_id)
         .join(F.broadcast(q_chunks))
@@ -438,12 +437,18 @@ def knn_maxsim(
         )
     )
     per_q = scored.groupBy("doc_id", "q_idx").agg(F.max("c").alias("mx"))
+    # m (the query's chunk count) is derivable IN-PLAN: the cross join
+    # gives every candidate doc exactly one per_q row per query chunk,
+    # so count(*) per doc == m — no eager driver-side count job
     return (
         per_q.groupBy("doc_id")
-        .agg(F.sum(F.round(F.col("mx") * 1e6).cast("long")).alias("s"))
+        .agg(
+            F.sum(F.round(F.col("mx") * 1e6).cast("long")).alias("s"),
+            F.count("*").alias("m"),
+        )
         .select(
             "doc_id",
-            F.round(F.col("s") / F.lit(m * 1e6), SCORE_SCALE).alias("score"),
+            F.round(F.col("s") / (F.col("m") * F.lit(1e6)), SCORE_SCALE).alias("score"),
         )
         .orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(k)

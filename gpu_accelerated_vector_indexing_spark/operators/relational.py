@@ -521,8 +521,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # would otherwise accumulate one orphaned pair per process
         # every *_bkt_* name ends in digits (the sf tag for legacy
         # un-suffixed names, the writer pid for current ones) — parse
-        # the trailing run as a pid; a legacy tag like "...sf0_01"
-        # yields a long-dead pid and is cleaned, which is the intent
+        # the trailing run as a pid. Only a POSITIVELY-dead pid (ESRCH)
+        # is pruned; anything alive-or-unsignalable is left, so a
+        # legacy tag whose digits collide with a live pid (e.g. "..._01"
+        # → init) survives here — the current corpus's legacy pair is
+        # dropped explicitly below instead.
         stale = re.compile(r"^(?:lineitem|orders)_bkt_.*_(\d+)$")
         for entry in os.listdir(warehouse) if os.path.isdir(warehouse) else []:
             m = stale.match(entry)
@@ -536,10 +539,14 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 # table this prune had deleted)
                 continue
             try:
-                os.kill(pid, 0)  # raises if the writer is gone
+                os.kill(pid, 0)
                 continue  # live sibling process — leave its tables
-            except (OSError, ProcessLookupError):
-                pass
+            except ProcessLookupError:
+                pass  # ESRCH: positively dead — safe to prune
+            except OSError:
+                # EPERM et al.: the pid EXISTS but we can't signal it
+                # (another user's live process) — never prune those
+                continue
             spark.sql(f"DROP TABLE IF EXISTS {entry}")
             shutil.rmtree(f"{warehouse}/{entry}", ignore_errors=True)
         # our own names + this corpus's legacy un-suffixed pair (whose

@@ -45,7 +45,7 @@ _GATE_FIRST = [
     "knn_matryoshka", "curation_nb_language", "sources_jsonl_shards",
     "contrastive_triplets", "embedding_drift",
     "sketch_hll_distinct", "sample_weighted_pps", "copurchase_triangles",
-    "knn_maxsim", "ivf_centroid_refresh",
+    "knn_maxsim", "ivf_centroid_refresh", "quantiles_histogram",
     # family flagships named in VERDICT r2 "Next round" #2
     # (stats_exact_moments rotates below the 50-line to make room for
     # the r3 novelties; its family stays represented by quantiles work)
@@ -59,10 +59,10 @@ _GATE_FIRST = [
     "dedup_exact_summary",
     "dedup_jaccard_verified_lsh",
     "dedup_embedding_topk", "dedup_components",
-    # curation family (rest; decontaminate_hashed/pii_redact rotate
-    # below — the decontaminate flagship holds the family's slot)
+    # curation family (rest; decontaminate_hashed/pii_redact/
+    # mix_rebalance rotate below — the decontaminate flagship holds
+    # the family's slot)
     "curation_quality_filter",
-    "curation_mix_rebalance",
     # sources connectors (never sampled)
     "sources_roundtrip", "sources_bin_stream",
     "sources_npy_roundtrip", "sources_articles_roundtrip",
@@ -76,7 +76,7 @@ _GATE_FIRST = [
     "streaming_interval_join",
     # --- ~50-name line: remainders below still precede the legacy
     # knn/ivf/lsh/modern names that are already green in r1+r2
-    "udtf_sentences", "stats_exact_moments",
+    "udtf_sentences", "stats_exact_moments", "curation_mix_rebalance",
     "dedup_exact_keep", "dedup_keep_canonical", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "curation_decontaminate_hashed", "curation_pii_redact",
     "events_rollup_hierarchy", "events_trailing_window", "join_interval",

@@ -20,7 +20,7 @@ from gpu_accelerated_vector_indexing_spark.operators.approx import (
     VAL_FRAC,
 )
 
-_HASH_U = f"((doc_id * {HASH_A} + {HASH_B}) % {HASH_M}) / {float(HASH_M)}"
+_HASH_U = f"(((doc_id % {HASH_M}) * {HASH_A} + {HASH_B}) % {HASH_M}) / {float(HASH_M)}"
 
 _STRATA_CASE = (
     "CASE lang "
@@ -149,6 +149,6 @@ WITH weighted AS (
 total AS (SELECT sum(weight) AS w_total FROM weighted)
 SELECT w.doc_id, w.lang, w.weight
 FROM weighted w CROSS JOIN total t
-WHERE (((w.doc_id * {AP.HASH_A} + {AP.HASH_B}) % {AP.HASH_M})::DECIMAL(38,0)) * t.w_total
+WHERE ((((w.doc_id % {AP.HASH_M}) * {AP.HASH_A} + {AP.HASH_B}) % {AP.HASH_M})::DECIMAL(38,0)) * t.w_total
       < ({AP.PPS_TARGET}::DECIMAL(38,0)) * w.weight * {AP.HASH_M}
 """

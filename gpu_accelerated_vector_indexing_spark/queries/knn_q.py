@@ -601,7 +601,6 @@ WITH {_CHUNK_VECS_CTES},
 q_chunks AS (
   SELECT chunk_idx AS q_idx, emb AS qemb FROM chunk_vecs WHERE doc_id = 0
 ),
-m AS (SELECT count(*) AS m FROM q_chunks),
 scored AS (
   SELECT cv.doc_id, q.q_idx,
          round(list_dot_product(cv.emb, q.qemb) /
@@ -611,8 +610,11 @@ scored AS (
   WHERE cv.doc_id <> 0
 ),
 per_q AS (SELECT doc_id, q_idx, max(c) AS mx FROM scored GROUP BY doc_id, q_idx),
-agg AS (SELECT doc_id, sum(CAST(round(mx * 1000000) AS BIGINT)) AS s FROM per_q GROUP BY doc_id)
-SELECT a.doc_id, round(a.s / (m.m * 1000000.0), 6) AS score
-FROM agg a CROSS JOIN m
+agg AS (
+  SELECT doc_id, sum(CAST(round(mx * 1000000) AS BIGINT)) AS s, count(*) AS m
+  FROM per_q GROUP BY doc_id
+)
+SELECT doc_id, round(s / (m * 1000000.0), 6) AS score
+FROM agg
 ORDER BY score DESC, doc_id DESC LIMIT {K}
 """

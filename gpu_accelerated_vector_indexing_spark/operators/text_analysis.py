@@ -204,7 +204,15 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
-            F.round(F.sum("quality_score") / F.count("*"), 6).cast("double").alias("avg_quality"),
+            # DOUBLE division + floor-scaling, NOT round: the exact
+            # decimal sums are bit-identical across engines, but Spark
+            # divides decimals exactly while DuckDB divides as DOUBLE —
+            # at a half-way 7th digit (hit at sf0.1) round() then splits.
+            # Casting the sum to DOUBLE first makes both engines fold
+            # the identical (sum, count) doubles; floor is exact.
+            (
+                F.floor(F.sum("quality_score").cast("double") / F.count("*") * 1e6) / 1e6
+            ).alias("avg_quality"),
         )
     )
 

@@ -140,7 +140,7 @@ keep AS (
 SELECT lang, source,
   count(*) AS n_docs,
   CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-  CAST(round(sum(quality_score) / count(*), 6) AS DOUBLE) AS avg_quality
+  floor(CAST(sum(quality_score) AS DOUBLE) / count(*) * 1000000) / 1000000 AS avg_quality
 FROM scored JOIN keep USING (content_hash, doc_id)
 GROUP BY lang, source
 """

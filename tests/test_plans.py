@@ -309,3 +309,27 @@ def test_ivf_pq_residual_scan_is_codes_only_broadcast_bounded(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantiles_histogram_aggregates_before_window(spark):
+    """The quantile window must sort the HISTOGRAM relation (post-
+    aggregation), never the raw rows: partial+final HashAggregate
+    upstream of the Window's sort, and no TakeOrdered/global sort of
+    the fact table."""
+    df = _q(spark, "quantiles_histogram")
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2  # map-side partials exist
+    assert "Window" in plan
+    # the scan feeds an aggregate first — a Sort directly over the
+    # parquet scan would mean the raw rows are being sorted
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_hll_registers_are_partial_aggregated(spark):
+    """The HLL register build must be a two-level hash aggregate
+    (mergeable map-side partials — the property that makes the sketch
+    a one-shuffle distinct-count at 100 TB)."""
+    df = _q(spark, "sketch_hll_distinct")
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 4  # registers + estimate, partial/final each
+    assert "CartesianProduct" not in plan

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     ("text_vocab_top", _collect),
     ("multimodal_features", _noop),
     # event-time windowing
+    ("events_mad_outliers", _collect),
     ("events_tumbling", _noop),
     ("events_sessionize", _noop),
 ]

@@ -470,3 +470,84 @@ def incremental_agg_merge(
             F.sum("s").cast("double").alias("sum_value"),
         )
     )
+
+
+MAD_Z_NUM = 6745  # 0.6745 (Φ⁻¹(0.75)) as ×10⁴ integer
+MAD_CUT_NUM = 35000  # 3.5 cutoff (Iglewicz–Hoaglin) as ×10⁴ integer
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: modified z-score
+    ``0.6745·|v − median| / MAD > 3.5`` — the heavy-tail-safe twin of
+    ``value_outliers`` (whose mean/stddev are themselves dragged by the
+    outliers they hunt).
+
+    Everything is INTEGER-exact: values scale to cents, the median and
+    the MAD (median absolute deviation) come from value-HISTOGRAM
+    cumulative windows (the ``quantiles_histogram`` shape — the window
+    sorts the distinct-value relation, never the raw rows), and the
+    cutoff is the cross-multiplied integer inequality
+    ``6745·dev > 35000·MAD`` — no division, no floats, so the oracle
+    replays the flags bit-exactly. MAD = 0 (a majority-constant type)
+    degrades gracefully: any differing value is flagged.
+
+    Shuffles: two histogram aggregates + tiny broadcast med/MAD
+    relations back onto the scan — corpus-size-linear.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    vals = ev.select("event_type", vc.alias("v"))
+
+    def _disc_median(df: DataFrame, col: str) -> DataFrame:
+        hist = df.groupBy("event_type", F.col(col).alias("v")).agg(
+            F.count("*").alias("cnt")
+        )
+        w = W.partitionBy("event_type").orderBy("v")
+        wn = W.partitionBy("event_type")
+        cum = hist.select(
+            "event_type",
+            "v",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(wn).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")), F.col("v"))
+            ).alias("med"),
+        )
+
+    med = _disc_median(vals, "v").select("event_type", "n", F.col("med").alias("med_c"))
+    devs = vals.join(F.broadcast(med.select("event_type", "med_c")), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med_c")).alias("dev")
+    )
+    mad = (
+        _disc_median(devs.select("event_type", F.col("dev").alias("v")), "v")
+        .select("event_type", F.col("med").alias("mad_c"))
+    )
+    flagged = (
+        vals.join(F.broadcast(med.select("event_type", "med_c")), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (
+                    F.lit(MAD_Z_NUM) * F.abs(F.col("v") - F.col("med_c"))
+                    > F.lit(MAD_CUT_NUM) * F.col("mad_c")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return (
+        flagged.join(med.select("event_type", "med_c"), "event_type")
+        .join(mad, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("med_c") / 100.0).alias("median_value"),
+            (F.col("mad_c") / 100.0).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

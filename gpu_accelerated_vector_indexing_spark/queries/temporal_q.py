@@ -201,3 +201,51 @@ SELECT event_type, count(*) AS n_events,
        CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """
+
+
+QUERIES["events_mad_outliers"] = TP.mad_outliers
+
+# integer-exact median/MAD via histogram cumulative windows; the flag
+# inequality is a cross-multiplied integer — replays bit-exactly
+ORACLES["events_mad_outliers"] = f"""
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+h1 AS (SELECT event_type, v, count(*) AS cnt FROM vals GROUP BY event_type, v),
+c1 AS (
+  SELECT event_type, v,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h1
+),
+med AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS med_c
+  FROM c1 GROUP BY event_type
+),
+devs AS (
+  SELECT va.event_type, abs(va.v - m.med_c) AS dev
+  FROM vals va JOIN med m USING (event_type)
+),
+h2 AS (SELECT event_type, dev, count(*) AS cnt FROM devs GROUP BY event_type, dev),
+c2 AS (
+  SELECT event_type, dev,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h2
+),
+mad AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN dev END) AS mad_c
+  FROM c2 GROUP BY event_type
+)
+SELECT va.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       any_value(m.med_c) / 100.0 AS median_value,
+       any_value(d.mad_c) / 100.0 AS mad_value,
+       CAST(sum(CASE WHEN {TP.MAD_Z_NUM} * abs(va.v - m.med_c)
+                          > {TP.MAD_CUT_NUM} * d.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM vals va JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY va.event_type
+ORDER BY va.event_type
+"""

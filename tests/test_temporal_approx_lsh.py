@@ -194,3 +194,39 @@ def test_weighted_pps_favors_long_documents(spark):
         F.avg(F.when(F.col("w") >= q3, F.coalesce("s", F.lit(0)))).alias("hi"),
     ).first()
     assert rates.hi > rates.lo
+
+
+def test_mad_outliers_contract(spark):
+    """Events partition across types; the median sits inside each
+    type's value range; MAD ≥ 0; outlier count < n; and the robust flag
+    agrees with a direct python recomputation for one type."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import (
+        MAD_CUT_NUM,
+        MAD_Z_NUM,
+        mad_outliers,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = mad_outliers(spark, SF_CORRECT).collect()
+    ev = load_table(spark, SF_CORRECT, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert r.mad_value >= 0.0
+        assert 0 <= r.n_outliers < r.n_events
+    # recompute one type directly
+    t = rows[0].event_type
+    vals = sorted(
+        int(round(v * 100))
+        for (v,) in ev.filter(F.col("event_type") == t).select("value").collect()
+    )
+    import math
+
+    med = vals[math.ceil(0.5 * len(vals)) - 1]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[math.ceil(0.5 * len(devs)) - 1]
+    n_out = sum(1 for v in vals if MAD_Z_NUM * abs(v - med) > MAD_CUT_NUM * mad)
+    assert rows[0].median_value == med / 100.0
+    assert rows[0].mad_value == mad / 100.0
+    assert rows[0].n_outliers == n_out

@@ -319,6 +319,20 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication routes through DECIMAL(38,0): at 100 TB, W
     (total corpus chars) times a 7-digit hash overflows int64, exactly
     like the moment sums (relational.moment_sums) this recipe mirrors.
+
+    Cap semantics (standard Poisson-PPS): the inclusion test silently
+    caps ``p_i`` at 1 — any document with ``w_i > W/TARGET`` is ALWAYS
+    sampled (its right-hand side exceeds every possible ``h·W``). On a
+    length-skewed corpus the realized expected sample size therefore
+    falls below ``PPS_TARGET`` by ``Σ_capped (TARGET·w_i/W − 1)``, and
+    capped documents are deterministically included rather than
+    included with the nominal ``p_i``. This is the textbook behavior of
+    uncorrected Poisson PPS; pipelines that need the expected size to
+    track TARGET exactly on skewed weights should iterate the Sampford
+    cap-and-redistribute adjustment upstream (out of scope here). At
+    the fixture (TARGET=400 of 500 docs) the cap genuinely binds —
+    docs longer than 1.25× the mean are always included — and tests
+    pin exactly that: every capped doc appears in the sample.
     """
     docs = load_table(spark, sf_dir, "documents")
     weighted = docs.select(

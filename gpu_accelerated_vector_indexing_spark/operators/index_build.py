@@ -187,10 +187,16 @@ def cluster_invariants(spark: SparkSession, sf_dir: str, k: int = 10, seed: int 
     rows sit with their nearest centroid (must = n_rows — i.e. the
     assignment IS the argmin, reference clusters.py:20 semantics).
     """
-    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
-
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = kmeans_assign(emb, k=k, seed=seed)
+    return assignment_invariants(assigned, centroids)
+
+
+def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """The §5.3 invariant contract over any (assigned, centroids) pair
+    — shared by the fixture-shape ``cluster_invariants`` and the
+    128×384 reference-shape query (``refshape.refshape_kmeans_invariants``)."""
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
 
     # squared L2 distance to every centroid; nearest must equal assignment
     dists = assigned.join(F.broadcast(centroids.withColumnRenamed("cluster", "cand"))).select(

@@ -542,10 +542,41 @@ def knn_ivf_pq_residual(
     real-equal, but different float association, so a 6-d.p. rounding
     boundary could in principle reorder the candidate cut at rank
     ``n_candidates``. The exact rescore makes that harmless unless a
-    true top-k vector sits AT the candidate boundary — a 30× margin
-    (150 candidates for k=5) away from any observed case; the raw-PQ
-    path has shipped green under the same argument since r2.
+    true top-k vector sits AT the candidate boundary — and for THIS
+    path (not borrowed from raw PQ) the separation is measured:
+    ``tests/test_ivf.py::test_ivf_pq_residual_candidate_boundary_margin``
+    asserts every final top-k vector ranks well inside the cut with an
+    approx-score gap to the boundary orders of magnitude above the
+    1e-6 rounding quantum, so a ULP-level association flip cannot move
+    a top-k vector across the cut on either engine.
     """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    scored = residual_approx_scores(spark, sf_dir, query_id, n_probe)
+    candidates = (
+        scored.orderBy(F.desc("approx_score"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    exact = cosine_similarity_hoisted(
+        as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+    )
+    return (
+        emb.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def residual_approx_scores(
+    spark: SparkSession, sf_dir: str, query_id: int, n_probe: int
+) -> DataFrame:
+    """The IVFADC approximate-score relation ``(vec_id, approx_score)``
+    over the probed clusters — the candidate stage of
+    ``knn_ivf_pq_residual``, exposed so tests can measure the
+    cut-boundary separation directly."""
     import numpy as np
 
     from gpu_accelerated_vector_indexing_spark.operators.ivf import (
@@ -553,7 +584,6 @@ def knn_ivf_pq_residual(
         fixture_centroid_rows,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
     q = query_vectors(spark, sf_dir, [query_id])
     probes = coarse_probes(spark, sf_dir, query_id, n_probe)
     books = pq_residual_codebooks(spark, sf_dir)
@@ -598,23 +628,10 @@ def knn_ivf_pq_residual(
         + sum(F.element_at(nsq_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES))
     )
     approx = approx_dot / (F.sqrt(recon_nsq) * F.lit(qnorm) + F.lit(EPSILON))
-    candidates = (
+    return (
         codes_tbl.filter(F.col("label").isin(probes))
         .join(F.broadcast(cent_tbl), "label")
         .select("vec_id", F.round(approx, 6).alias("approx_score"))
-        .orderBy(F.desc("approx_score"), F.desc("vec_id"))
-        .limit(n_candidates)
-        .select("vec_id")
-    )
-    exact = cosine_similarity_hoisted(
-        as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
-    )
-    return (
-        emb.join(F.broadcast(candidates), "vec_id")
-        .join(F.broadcast(q))
-        .select("vec_id", F.round(exact, 6).alias("score"))
-        .orderBy(F.desc("score"), F.desc("vec_id"))
-        .limit(k)
     )
 
 

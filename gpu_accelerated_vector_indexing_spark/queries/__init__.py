@@ -16,75 +16,49 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-gate rotation (VERDICT r2, "Next round" #2): the driver's
-# CORRECTNESS gate checks a prefix sample of this registry, so
-# registration order decides which queries earn a driver-checked row
-# each round. 113 of 163 queries had no gate row after r2. Priority
-# order within the prefix: round-3 novelties (reference-shape, newly
-# oracled PQ, streaming KNN), then the family flagships VERDICT names,
-# then the never-sampled families; the knn/ivf/lsh/modern names already
-# green in r1+r2 rotate to the back. Rotate again next round until
-# every family has a green row.
+# Driver-gate rotation, round 4 (VERDICT r3 "Next round" #1): the
+# driver samples a ~50-query PREFIX of this registry, so registration
+# order decides which queries earn a driver-written CORRECTNESS row.
+# After r1-r3 the gated union is 105/199; the names below lead with
+# the round-4 novelties, then ALL 94 never-gated queries (flagships
+# VERDICT names first), so this round's sample comes entirely from the
+# never-gated set and the union crosses 150. Already-green legacy
+# names follow in merged()'s natural order. Rotate again next round.
 _GATE_FIRST = [
-    # The first ~50 names are curated so a 50-query driver sample (the
-    # r1/r2 sample size) covers every family that has never earned a
-    # gate row, plus all round-3 novelties. Breadth beats depth here:
-    # each family's flagship lands inside the prefix; family remainders
-    # follow immediately after.
-    # round-3 novelties (reference-shape, newly-oracled PQ, streaming
-    # KNN, the new curation/dedup/index-maintenance surface)
-    "refshape_search_cli", "refshape_search_bq",
-    "knn_pq", "knn_ivf_pq", "knn_ivf_pq_residual", "ann_method_comparison",
-    "streaming_knn", "corpus_pack_sequences",
-    "curation_repetition_signals", "curation_decontaminate_semantic",
-    "corpus_shard_manifest", "knn_chunk_pooled", "dedup_incremental_batch",
-    "ivf_delete_compact", "knn_with_deletes", "curation_domain_cap",
-    "corpus_clean_manifest", "dedup_state_roundtrip",
-    "streaming_incremental_dedup", "corpus_integrity", "text_bpe_merges",
-    "text_bpe_train", "text_bpe_compression", "dedup_substring_spans",
-    "knn_matryoshka", "curation_nb_language", "sources_jsonl_shards",
-    "contrastive_triplets", "embedding_drift",
-    "sketch_hll_distinct", "sample_weighted_pps", "copurchase_triangles",
-    "knn_maxsim", "ivf_centroid_refresh", "quantiles_histogram",
-    # family flagships named in VERDICT r2 "Next round" #2
-    # (stats_exact_moments rotates below the 50-line to make room for
-    # the r3 novelties; its family stays represented by quantiles work)
-    "dedup_minhash_lsh", "curation_decontaminate", "copurchase_pagerank",
-    "join_asof", "streaming_tumbling",
-    # UDF surface (never sampled; udtf rotates below the 50-line)
-    "udaf_geomean_price",
-    # dedup family (rest; exact_keep/keep_canonical/simhash/ngram rotate
-    # below the 50-line — exact_summary, the verified-LSH scale path and
-    # components hold the family's slots)
-    "dedup_exact_summary",
-    "dedup_jaccard_verified_lsh",
-    "dedup_embedding_topk", "dedup_components",
-    # curation family (rest; decontaminate_hashed/pii_redact/
-    # mix_rebalance rotate below — the decontaminate flagship holds
-    # the family's slot)
-    "curation_quality_filter",
-    # sources connectors (never sampled)
-    "sources_roundtrip", "sources_bin_stream",
-    "sources_npy_roundtrip", "sources_articles_roundtrip",
-    # temporal flagship slice (rest of the family follows below)
-    "join_range_bucketed", "events_funnel", "merge_upsert_latest",
-    "scd2_user_state",
-    # relational flagships with no gate row in r1/r2
-    "copurchase_lift", "events_cohort_retention",
-    # streaming flagship slice
-    "events_tumbling", "streaming_sliding", "streaming_dedup",
-    "streaming_interval_join",
-    # --- ~50-name line: remainders below still precede the legacy
-    # knn/ivf/lsh/modern names that are already green in r1+r2
-    "udtf_sentences", "stats_exact_moments", "curation_mix_rebalance",
-    "dedup_exact_keep", "dedup_keep_canonical", "dedup_simhash_pairs",
-    "dedup_ngram_jaccard", "curation_decontaminate_hashed", "curation_pii_redact",
-    "events_rollup_hierarchy", "events_trailing_window", "join_interval",
-    "events_zscore_outliers", "events_transition_matrix",
-    "join_asof_cogroup", "incremental_agg_merge",
-    "skew_salted_agg", "grouping_sets",
-    "events_sliding", "events_sessionize", "streaming_sessions",
-    "streaming_stream_static", "streaming_foreach_upsert",
+    "dedup_substring_spans_hashed", "refshape_kmeans_invariants",
+    "events_mad_outliers", "stats_exact_moments", "join_range_bucketed",
+    "events_funnel", "scd2_user_state", "streaming_sessions",
+    "streaming_interval_join", "text_tfidf_top", "text_winnow",
+    "multimodal_features", "sketch_cms_heavy_hitters", "dedup_simhash_pairs",
+    "curation_pii_redact", "merge_upsert_latest", "copurchase_lift",
+    "events_cohort_retention", "events_tumbling", "streaming_sliding",
+    "streaming_dedup", "udtf_sentences", "curation_mix_rebalance",
+    "dedup_exact_keep", "dedup_keep_canonical", "dedup_ngram_jaccard",
+    "curation_decontaminate_hashed", "events_rollup_hierarchy",
+    "events_trailing_window", "join_interval", "events_zscore_outliers",
+    "events_transition_matrix", "join_asof_cogroup", "incremental_agg_merge",
+    "skew_salted_agg", "grouping_sets", "events_sliding",
+    "events_sessionize", "streaming_stream_static",
+    "streaming_foreach_upsert", "window_topk_per_group", "window_lag_frames",
+    "window_distribution", "percentile_summary", "set_operations",
+    "string_functions", "date_functions", "math_functions",
+    "array_functions", "json_functions", "map_functions", "case_bucketing",
+    "pivot_status", "join_bloom_pruned", "shipping_priority",
+    "exists_late_shipment", "large_volume_orders", "disjunctive_revenue",
+    "bilateral_trade_volume", "local_supplier_volume", "revenue_forecast",
+    "returned_item_revenue", "promo_revenue", "small_quantity_revenue",
+    "dormant_rich_customers", "customer_order_distribution",
+    "top_revenue_suppliers", "cheapest_supplier_per_part",
+    "null_safe_semantics", "fuzzy_customer_pairs", "window_topk_with_ties",
+    "events_value_histogram", "market_share", "copurchase_part_pairs",
+    "supplier_ship_delay", "profit_by_nation_year", "important_part_value",
+    "ship_delay_priority", "parts_supplier_count",
+    "excess_inventory_suppliers", "unpivot_flag_measures", "listagg_nations",
+    "try_arithmetic_summary", "sketch_functions", "sample_train_split",
+    "sample_stratified", "text_stats", "text_lang_id", "text_vocab_top",
+    "text_fingerprints", "text_token_count", "corpus_pipeline",
+    "text_bigram_logprob", "corpus_chunks", "multimodal_frames",
+    "multimodal_meta",
 ]
 
 

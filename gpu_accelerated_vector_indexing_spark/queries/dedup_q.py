@@ -303,3 +303,33 @@ SELECT t.doc_id, t.n_windows, d.n_dup_windows,
        round(d.n_dup_windows / t.n_windows, 6) AS dup_ratio
 FROM tot t JOIN dups d USING (doc_id)
 """
+
+QUERIES["dedup_substring_spans_hashed"] = D.substring_spans_hashed
+
+# Scale twin (xxhash64 window keys + stride): hashing only changes the
+# SHUFFLE KEY, so the per-doc counts equal the string-keyed computation
+# absent 64-bit collisions (≈|windows|²/2⁶⁴ — negligible, deterministic
+# at a fixed sf; stride-1 equality with the string form is pinned in
+# tests). The oracle is therefore the STRING-keyed SQL with the same
+# stride — the curation_decontaminate_hashed template.
+ORACLES["dedup_substring_spans_hashed"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{D.SPAN_TOKEN_RE}') AS t
+  FROM documents
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(list_slice(t, i, i + {D.SPAN_K - 1}), 'string_agg', ' ') AS win
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - {D.SPAN_K - 1}, {D.SPAN_STRIDE})) AS r(i)
+  WHERE len(t) >= {D.SPAN_K}
+),
+dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+dups AS (
+  SELECT w.doc_id, count(*) AS n_dup_windows
+  FROM wins w JOIN dup USING (win) GROUP BY w.doc_id
+)
+SELECT t.doc_id, t.n_windows, d.n_dup_windows,
+       round(d.n_dup_windows / t.n_windows, 6) AS dup_ratio
+FROM tot t JOIN dups d USING (doc_id)
+"""

@@ -71,6 +71,7 @@ SELECT score, vec_id FROM fine ORDER BY score DESC, vec_id DESC LIMIT {K}
 QUERIES = {
     "refshape_search_cli": partial(refshape.refshape_search_cli, query_id=QUERY_ID, k=K),
     "refshape_search_bq": partial(refshape.refshape_search_bq, query_id=QUERY_ID, k=K),
+    "refshape_kmeans_invariants": refshape.refshape_kmeans_invariants,
 }
 
 ORACLES = {
@@ -78,4 +79,15 @@ ORACLES = {
     # bq variant returns (vec_id, score); same values, column order is
     # irrelevant to the gate's name-sorted compare
     "refshape_search_bq": _REF_IVF_SQL,
+    # learned 128-cluster layout at reference shape: MLlib centroids are
+    # not SQL-restatable, but the invariant CONTRACT is fully determined
+    # by corpus size (the kmeans_invariants template) — 128 non-empty
+    # clusters, every row present, every assignment the argmin. An empty
+    # cluster or a non-argmin assignment fails the value hash.
+    "refshape_kmeans_invariants": f"""
+SELECT CAST({refshape.REF_CLUSTERS} AS BIGINT) AS n_clusters,
+       count(*) AS n_rows,
+       count(*) AS n_nearest_ok
+FROM embeddings
+""",
 }

@@ -809,9 +809,9 @@ GROUP BY 1, 2
 
 QUERIES["stats_exact_moments"] = R.stats_exact_moments
 
-# exact integer power sums (HUGEINT on the DuckDB side ≙ LONG/DECIMAL(38,0)
-# in Spark — both exact, both cast to the same doubles), then the SAME
-# closed-form double expressions as the Spark selectExpr
+# exact integer power sums (HUGEINT on the DuckDB side ≙ LONG/narrow
+# DECIMAL in Spark — both exact, both cast to the same doubles), then
+# the SAME closed-form double expressions as the Spark selectExpr
 ORACLES["stats_exact_moments"] = """
 WITH c AS (
   SELECT l_returnflag,

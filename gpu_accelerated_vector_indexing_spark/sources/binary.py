@@ -137,6 +137,12 @@ def read_npy(spark: SparkSession, path: str) -> DataFrame:
     return _with_global_ids(decoded, counts)
 
 
+# Ceiling for the driver-side single-file export: 100k × 384-dim
+# float32 ≈ 150 MB — comfortably collectable; anything bigger is a
+# corpus and must go through the distributed per-cluster writer.
+BIN_EXPORT_MAX_ROWS = 100_000
+
+
 def write_float32_bin(df: DataFrame, vec_col: str, out_path: str) -> int:
     """Export vectors to one headerless float32 ``.bin`` file.
 
@@ -145,10 +151,21 @@ def write_float32_bin(df: DataFrame, vec_col: str, out_path: str) -> int:
     reference-format consumer. Rows are written in ``vec_id`` order.
     Deliberately driver-side (np.tofile): the reference format is a
     single unsplittable file, so this is for SMALL relations (queries,
-    centroids) — exporting a corpus goes to Parquet instead.
+    centroids) — exporting a corpus goes to Parquet instead. The
+    small-relation contract is self-enforcing: relations past
+    ``BIN_EXPORT_MAX_ROWS`` are refused with a pointer to the
+    distributed ``write_float32_bin_clustered`` (VERDICT r3 #4 —
+    nothing else stopped a caller collecting a corpus to the driver).
     """
     import numpy as np
 
+    n = df.count()
+    if n > BIN_EXPORT_MAX_ROWS:
+        raise ValueError(
+            f"write_float32_bin is a driver-side export for small relations "
+            f"(queries/centroids): got {n} rows > {BIN_EXPORT_MAX_ROWS}. "
+            f"Use write_float32_bin_clustered for corpus-sized exports."
+        )
     rows = df.orderBy("vec_id").select(vec_col).collect()
     mat = np.asarray([r[0] for r in rows], dtype=np.float32)
     mat.tofile(out_path)

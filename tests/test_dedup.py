@@ -156,3 +156,35 @@ def test_substring_spans_detects_exact_dups(spark):
     for i in range(len(toks) - SPAN_K + 1):
         win = " ".join(toks[i : i + SPAN_K])
         assert any(win in t for t in other.values()), f"window {i} of doc {probe} not found elsewhere"
+
+
+def test_substring_spans_hashed_equals_string_form_at_stride_1(spark):
+    """The xxhash64 scale twin changes only the shuffle key: at
+    stride 1 every per-doc count must equal the string-keyed form
+    (collision odds ≈ |windows|²/2⁶⁴ — a mismatch means a logic bug,
+    not bad luck). The registered stride-2 form must also be a
+    consistent subsample: per-doc window totals ~halve and every
+    doc flagged at stride 2 is flagged at stride 1."""
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        substring_spans,
+        substring_spans_hashed,
+    )
+
+    string_form = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+        for r in substring_spans(spark, SF_CORRECT).collect()
+    }
+    hashed_s1 = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+        for r in substring_spans_hashed(spark, SF_CORRECT, stride=1).collect()
+    }
+    assert hashed_s1 == string_form
+
+    s2 = {r.doc_id: r for r in substring_spans_hashed(spark, SF_CORRECT).collect()}
+    assert s2, "stride-2 subsample must still catch the engineered dups"
+    for doc_id, r in s2.items():
+        assert doc_id in string_form  # flagged at stride 2 ⇒ flagged at stride 1
+        n_windows_s1 = string_form[doc_id][0]
+        # sampled starts: ceil(n/2) of the stride-1 grid
+        assert r.n_windows == (n_windows_s1 + 1) // 2
+        assert 1 <= r.n_dup_windows <= r.n_windows

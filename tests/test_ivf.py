@@ -255,7 +255,45 @@ def test_ivf_pq_residual_recall_floor_and_full_margin(spark):
     assert pqr_full == exact_full
 
 
-def test_ann_method_comparison_bounds(spark):
+def test_ivf_pq_residual_candidate_boundary_margin(spark):
+    """The cross-engine soundness argument for the registered residual
+    query, MEASURED (ADVICE r3): every final top-k vector must rank
+    well inside the candidate cut, with an approx-score gap to the
+    rank-n_candidates boundary far above the 1e-6 rounding quantum —
+    so a ULP-level float-association difference between the Spark LUT
+    decomposition and the oracle's reconstructed-vector fold cannot
+    move a top-k vector across the cut on either engine."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        knn_ivf_pq_residual,
+        residual_approx_scores,
+    )
+
+    k, n_probe, qid = 5, 3, 0  # the registered config
+    ranked = (
+        residual_approx_scores(spark, SF_CORRECT, query_id=qid, n_probe=n_probe)
+        .orderBy("approx_score", ascending=False)
+        .collect()
+    )
+    # At the gate corpus the registered n_candidates=150 exceeds the
+    # probed pool, so the cut admits EVERY probed vector — both engines
+    # trivially share the candidate set and the boundary concern is
+    # vacuous at gate scale. Pin that fact…
+    assert len(ranked) <= 150
+    # …then measure the margin where a cut genuinely binds (the shape
+    # a larger corpus would face), at a harsher n_candidates:
+    n_candidates = 50
+    rank_of = {r.vec_id: i for i, r in enumerate(ranked)}
+    boundary_score = ranked[n_candidates - 1].approx_score
+    topk = knn_ivf_pq_residual(
+        spark, SF_CORRECT, query_id=qid, k=k, n_probe=n_probe, n_candidates=n_candidates
+    ).collect()
+    assert len(topk) == k
+    for r in topk:
+        # inside the cut with ≥20% rank slack…
+        assert rank_of[r.vec_id] <= n_candidates * 0.8, (r.vec_id, rank_of[r.vec_id])
+        # …and separated from the boundary by ≫ the rounding quantum
+        gap = ranked[rank_of[r.vec_id]].approx_score - boundary_score
+        assert gap >= 1e-4, (r.vec_id, gap)
     """The cross-method recall harness: exact-contract methods (sq8, bq)
     must hit recall 1.0; every method stays within [0,1] with all seven
     methods present."""

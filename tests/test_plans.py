@@ -333,3 +333,20 @@ def test_hll_registers_are_partial_aggregated(spark):
     plan = physical_plan(df)
     assert plan.count("HashAggregate") >= 4  # registers + estimate, partial/final each
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_fast_path_is_adjacency_broadcast_no_wedge_shuffle(spark):
+    """Below the size gate, triangle counting must use the
+    adjacency-intersection form: the oriented adjacency lists BROADCAST
+    onto the edge stream and array_intersect finds every apex — the
+    Σoutdeg² wedge relation is never materialized, so no SortMergeJoin
+    and no shuffle carries more than |E| rows."""
+    df = _q(spark, "copurchase_triangles")
+    plan = assert_plan(
+        df,
+        contains=("array_intersect", "BroadcastHashJoin"),
+        absent=("SortMergeJoin",),
+    )
+    # one Generate (the corner explode over the intersect) feeding the
+    # final aggregate; the wedge path had a second self-join Generate
+    assert plan.count("Generate") <= 2

@@ -26,6 +26,9 @@ conversion happens only at the KMeans boundary via
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,21 +86,33 @@ def kmeans_assign(
     ).fit(fit_frame)
     assigned = model.transform(feats).drop("features")
     spark = emb.sparkSession
-    # JVM-literal construction: createDataFrame from a Python list routes
-    # through a Python-RDD task (measured ~5s of worker spin-up for 10
-    # rows); explode-of-literal-structs stays entirely JVM-side
-    rows = [
-        F.struct(
-            F.lit(i).alias("cluster"),
-            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>").alias("centroid"),
+    centers = model.clusterCenters()
+    if k * len(centers[0]) <= 4096:
+        # JVM-literal construction: createDataFrame from a Python list
+        # routes through a Python-RDD task (measured ~5s of worker
+        # spin-up for 10 rows); explode-of-literal-structs stays
+        # entirely JVM-side
+        rows = [
+            F.struct(
+                F.lit(i).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in c]).cast("array<double>").alias("centroid"),
+            )
+            for i, c in enumerate(centers)
+        ]
+        centroids = (
+            spark.range(1)
+            .select(F.explode(F.array(*rows)).alias("s"))
+            .select("s.cluster", "s.centroid")
         )
-        for i, c in enumerate(model.clusterCenters())
-    ]
-    centroids = (
-        spark.range(1)
-        .select(F.explode(F.array(*rows)).alias("s"))
-        .select("s.cluster", "s.centroid")
-    )
+    else:
+        # past ~4k cells the literal tree's Py4J round-trips dominate —
+        # 128 clusters × 384 dims measured 24.9s of F.lit() calls vs
+        # 1.5s through createDataFrame — so big shapes take the
+        # Python-RDD path and small fixture shapes keep the JVM one
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            schema="cluster int, centroid array<double>",
+        )
     return assigned, centroids
 
 
@@ -195,26 +210,38 @@ def cluster_invariants(spark: SparkSession, sf_dir: str, k: int = 10, seed: int 
 def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     """The §5.3 invariant contract over any (assigned, centroids) pair
     — shared by the fixture-shape ``cluster_invariants`` and the
-    128×384 reference-shape query (``refshape.refshape_kmeans_invariants``)."""
-    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
+    128×384 reference-shape query (``refshape.refshape_kmeans_invariants``).
 
-    # squared L2 distance to every centroid; nearest must equal assignment
-    dists = assigned.join(F.broadcast(centroids.withColumnRenamed("cluster", "cand"))).select(
-        "vec_id",
-        "cluster",
-        "cand",
-        F.aggregate(
-            F.zip_with(as_double_array("embedding"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("d2"),
+    The corpus × k argmin audit runs as ONE Arrow-batched matmul
+    (``‖x‖² − 2·X·Cᵀ + ‖c‖²``, float64): the r3 form — a k-way
+    broadcast join with a per-pair ``zip_with``/``aggregate`` fold —
+    evaluated Spark's higher-order functions interpreted, outside
+    whole-stage codegen, and cost 26 s at k=128 × 384 dims in bench
+    (vs <1 s here). The centroid matrix rides the UDF closure (k·dim
+    doubles — ≤0.4 MB at reference shape, index-state scale); argmin
+    ties break to the LOWEST cluster id exactly like the previous
+    ``row_number() OVER (ORDER BY d2, cand)`` form (np.argmin returns
+    the first minimum and rows are label-sorted)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(
+        ((int(r.cluster), [float(x) for x in r.centroid]) for r in centroids.collect())
     )
-    from pyspark.sql import Window as W
+    labels = np.asarray([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.asarray([v for _, v in cent_rows], dtype=np.float64)  # k × dim
+    cnorm = (cmat * cmat).sum(axis=1)  # ‖c‖² per candidate
 
-    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cand"))
-    nearest = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return nearest.agg(
+    @F.pandas_udf(T.LongType())
+    def nearest_label(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for emb in it:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cmat.T) + cnorm
+            yield pd.Series(labels[np.argmin(d2, axis=1)])
+
+    flagged = assigned.select("cluster", nearest_label("embedding").alias("nearest"))
+    return flagged.agg(
         F.countDistinct("cluster").alias("n_clusters"),
         F.count("*").alias("n_rows"),
-        F.sum((F.col("cluster") == F.col("cand")).cast("long")).alias("n_nearest_ok"),
+        F.sum((F.col("cluster") == F.col("nearest")).cast("long")).alias("n_nearest_ok"),
     )

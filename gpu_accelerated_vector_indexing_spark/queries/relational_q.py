@@ -809,38 +809,30 @@ GROUP BY 1, 2
 
 QUERIES["stats_exact_moments"] = R.stats_exact_moments
 
-# exact integer power sums (HUGEINT on the DuckDB side ≙ LONG/narrow
-# DECIMAL in Spark — both exact, both cast to the same doubles), then
-# the SAME closed-form double expressions as the Spark selectExpr
-ORACLES["stats_exact_moments"] = """
+# exact integer LIMB sums (the same MOMENT_LIMBS splits the Spark agg
+# runs, rendered with DuckDB's `//` integer division), then the SAME
+# reassembly + closed-form double expressions (MOMENT_STAT_EXPRS is
+# rendered verbatim into both engines) — bit-equal by construction
+_LIMB_COLS = ",\n         ".join(
+    f"sum({expr.format(d='//')}) AS {name}" for name, expr in R.MOMENT_LIMBS.items()
+)
+_STAT_COLS = ",\n       ".join(R.MOMENT_STAT_EXPRS)
+ORACLES["stats_exact_moments"] = f"""
 WITH c AS (
   SELECT l_returnflag,
-         CAST(round(l_quantity * 100) AS BIGINT) AS q,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
   FROM lineitem
 ),
 sums AS (
   SELECT l_returnflag,
          count(*) AS n,
-         sum(q) AS sq,
-         sum(q * q) AS sq2,
-         sum(q * q * q) AS sq3,
-         sum(p) AS sp,
-         sum(p::HUGEINT * p::HUGEINT) AS sp2,
-         sum(q * p) AS sqp
+         {_LIMB_COLS}
   FROM c GROUP BY l_returnflag
 )
 SELECT l_returnflag,
        n,
-       round(CAST(sq AS DOUBLE) / n / 100, 6) AS mean_qty,
-       round(sqrt((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)) / 100, 6) AS stddev_qty,
-       round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
-        (sqrt(n * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
-         sqrt(n * CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS corr_qty_price,
-       round((CAST(sq3 AS DOUBLE) / n - 3 * (CAST(sq AS DOUBLE) / n) * (CAST(sq2 AS DOUBLE) / n)
-         + 2 * (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) /
-        ((CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) *
-         sqrt(CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))), 6) AS skew_qty
+       {_STAT_COLS}
 FROM sums
 """
 

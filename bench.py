@@ -174,7 +174,11 @@ def main() -> None:
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
     ]
     n = max(rounds, default=0) + 1
-    with open(os.path.join(here, f"BENCH_full_r{n:02d}.json"), "w") as f:
+    # only the driver's full-scale config owns the canonical name — a
+    # smoke-scale run (SPARK_GRAFT_SF_DIR override) must not overwrite
+    # the committed full-scale per-query record
+    suffix = "" if sf == "0.1" else f"_sf{sf}"
+    with open(os.path.join(here, f"BENCH_full_r{n:02d}{suffix}.json"), "w") as f:
         json.dump(payload, f, indent=1)
 
 

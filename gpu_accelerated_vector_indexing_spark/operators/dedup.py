@@ -818,8 +818,17 @@ def substring_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFr
         "doc_id",
         "n_windows",
         "n_dup_windows",
-        F.round(
-            F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"), 6
+        # floor-scaling, not round(): exact on identical doubles in any
+        # engine (memory recipe — round() splits at half-way digits
+        # because Spark rounds via BigDecimal while DuckDB rounds the
+        # double)
+        (
+            F.floor(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double")
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
         ).alias("dup_ratio"),
     )
 
@@ -877,7 +886,16 @@ def substring_spans_hashed(
         "doc_id",
         "n_windows",
         "n_dup_windows",
-        F.round(
-            F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"), 6
+        # floor-scaling, not round(): exact on identical doubles in any
+        # engine (memory recipe — round() splits at half-way digits
+        # because Spark rounds via BigDecimal while DuckDB rounds the
+        # double)
+        (
+            F.floor(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double")
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
         ).alias("dup_ratio"),
     )

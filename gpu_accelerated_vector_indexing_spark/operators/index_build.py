@@ -212,16 +212,24 @@ def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFram
     — shared by the fixture-shape ``cluster_invariants`` and the
     128×384 reference-shape query (``refshape.refshape_kmeans_invariants``).
 
-    The corpus × k argmin audit runs as ONE Arrow-batched matmul
-    (``‖x‖² − 2·X·Cᵀ + ‖c‖²``, float64): the r3 form — a k-way
-    broadcast join with a per-pair ``zip_with``/``aggregate`` fold —
-    evaluated Spark's higher-order functions interpreted, outside
-    whole-stage codegen, and cost 26 s at k=128 × 384 dims in bench
-    (vs <1 s here). The centroid matrix rides the UDF closure (k·dim
-    doubles — ≤0.4 MB at reference shape, index-state scale); argmin
-    ties break to the LOWEST cluster id exactly like the previous
-    ``row_number() OVER (ORDER BY d2, cand)`` form (np.argmin returns
-    the first minimum and rows are label-sorted)."""
+    The corpus × k argmin audit runs as an Arrow-batched NumPy kernel:
+    the r3 form — a k-way broadcast join with a per-pair ``zip_with``/
+    ``aggregate`` fold — evaluated Spark's higher-order functions
+    interpreted, outside whole-stage codegen, and cost 26 s at
+    k=128 × 384 dims in bench (vs <1 s here). The centroid matrix
+    rides the UDF closure (k·dim doubles — ≤0.4 MB at reference shape,
+    index-state scale).
+
+    Distances use the EXACT difference form ``Σ(x−c)²`` — not the
+    expanded ``‖x‖²−2x·c+‖c‖²`` matmul, whose cancellation error can
+    disagree with MLlib's assignment on a near-equidistant row (MLlib
+    itself falls back to exact distances when its norm-trick bound is
+    loose) and fail the gate on a correct clustering. The difference
+    tensor is chunked so peak memory stays ~chunk·k·dim doubles
+    (≈100 MB at reference shape). Argmin ties break to the LOWEST
+    cluster id exactly like the previous ``row_number() OVER
+    (ORDER BY d2, cand)`` form (np.argmin returns the first minimum
+    and rows are label-sorted)."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -230,14 +238,18 @@ def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFram
     )
     labels = np.asarray([c for c, _ in cent_rows], dtype=np.int64)
     cmat = np.asarray([v for _, v in cent_rows], dtype=np.float64)  # k × dim
-    cnorm = (cmat * cmat).sum(axis=1)  # ‖c‖² per candidate
 
     @F.pandas_udf(T.LongType())
     def nearest_label(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for emb in it:
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cmat.T) + cnorm
-            yield pd.Series(labels[np.argmin(d2, axis=1)])
+            out = np.empty(len(x), dtype=np.int64)
+            chunk = 256
+            for lo in range(0, len(x), chunk):
+                diff = x[lo : lo + chunk, None, :] - cmat[None, :, :]
+                d2 = (diff * diff).sum(axis=2)  # exact per-pair form
+                out[lo : lo + chunk] = np.argmin(d2, axis=1)
+            yield pd.Series(labels[out])
 
     flagged = assigned.select("cluster", nearest_label("embedding").alias("nearest"))
     return flagged.agg(

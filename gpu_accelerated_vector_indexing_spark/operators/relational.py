@@ -529,11 +529,15 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # explicitly below instead. The age backstop covers pid
         # recycling: a dead writer whose pid now names an unrelated
         # long-lived process would otherwise orphan its pair forever.
+        # The threshold is a week — far past any plausible LIVE engine
+        # session on one host — because past it the prune fires with
+        # NO liveness check at all (dropping a truly-live >7-day
+        # session's tables would strand its _BUCKETED memo).
         # The middle segment is restricted to identifier characters so
         # every matched name interpolates safely into DROP TABLE
         # (base_tag is sanitized to [alnum_], so ours always match).
         stale = re.compile(r"^(?:lineitem|orders)_bkt_[a-z0-9_]*_(\d+)$")
-        max_age_s = 24 * 3600  # dir mtime = creation time: write-once tables
+        max_age_s = 7 * 24 * 3600  # dir mtime = creation time: write-once tables
         import time
 
         for entry in os.listdir(warehouse) if os.path.isdir(warehouse) else []:

@@ -300,7 +300,7 @@ dups AS (
   FROM wins w JOIN dup USING (win) GROUP BY w.doc_id
 )
 SELECT t.doc_id, t.n_windows, d.n_dup_windows,
-       round(d.n_dup_windows / t.n_windows, 6) AS dup_ratio
+       floor(d.n_dup_windows / t.n_windows * 1000000) / 1000000 AS dup_ratio
 FROM tot t JOIN dups d USING (doc_id)
 """
 
@@ -330,6 +330,6 @@ dups AS (
   FROM wins w JOIN dup USING (win) GROUP BY w.doc_id
 )
 SELECT t.doc_id, t.n_windows, d.n_dup_windows,
-       round(d.n_dup_windows / t.n_windows, 6) AS dup_ratio
+       floor(d.n_dup_windows / t.n_windows * 1000000) / 1000000 AS dup_ratio
 FROM tot t JOIN dups d USING (doc_id)
 """

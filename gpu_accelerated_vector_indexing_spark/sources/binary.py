@@ -159,11 +159,13 @@ def write_float32_bin(df: DataFrame, vec_col: str, out_path: str) -> int:
     """
     import numpy as np
 
-    n = df.count()
-    if n > BIN_EXPORT_MAX_ROWS:
+    # bounded probe, not a full count: limit(MAX+1) stops scanning the
+    # moment the ceiling is provably exceeded, so the guard never
+    # re-executes an expensive upstream plan in full
+    if df.limit(BIN_EXPORT_MAX_ROWS + 1).count() > BIN_EXPORT_MAX_ROWS:
         raise ValueError(
             f"write_float32_bin is a driver-side export for small relations "
-            f"(queries/centroids): got {n} rows > {BIN_EXPORT_MAX_ROWS}. "
+            f"(queries/centroids): more than {BIN_EXPORT_MAX_ROWS} rows. "
             f"Use write_float32_bin_clustered for corpus-sized exports."
         )
     rows = df.orderBy("vec_id").select(vec_col).collect()

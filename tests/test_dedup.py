@@ -184,7 +184,7 @@ def test_substring_spans_hashed_equals_string_form_at_stride_1(spark):
     assert s2, "stride-2 subsample must still catch the engineered dups"
     for doc_id, r in s2.items():
         assert doc_id in string_form  # flagged at stride 2 ⇒ flagged at stride 1
-        n_windows_s1 = string_form[doc_id][0]
-        # sampled starts: ceil(n/2) of the stride-1 grid
-        assert r.n_windows == (n_windows_s1 + 1) // 2
-        assert 1 <= r.n_dup_windows <= r.n_windows
+        # DISTINCT windows over a sampled start grid: bounded by the
+        # stride-1 distinct count (an exact ceil(n/2) identity would
+        # only hold for docs with no internally repeated window)
+        assert 1 <= r.n_dup_windows <= r.n_windows <= string_form[doc_id][0]

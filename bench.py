@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     ("embedding_drift", _collect),
     ("ivf_centroid_refresh", _collect),
     ("sketch_hll_distinct", _collect),
+    ("sketch_hll_merge", _collect),
+    ("curation_temperature_mix", _collect),
+    ("dedup_corpus_overlap", _collect),
     ("sample_weighted_pps", _noop),
     ("copurchase_triangles", _collect),
     ("quantiles_histogram", _collect),

@@ -301,6 +301,75 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_estimate(regs: DataFrame, name: str) -> DataFrame:
+    """One-row ``(name: double)`` estimate from a ``(bucket, reg)``
+    register relation — the estimator stage of :func:`hll_distinct`
+    factored out so merged and directly-built sketches share it
+    verbatim. Same exactness argument: ``2^(−reg)`` terms are dyadic
+    doubles with lsb ≥ 2⁻²⁴, so the ≤256-term sum is exact in ANY
+    accumulation order."""
+    alpha = f"0.7213 / (1.0 + 1.079 / {HLL_M}.0)"
+    agg = regs.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), CAST(reg AS INT))")).alias("s"),
+    )
+    return agg.selectExpr(
+        f"CAST({HLL_M} - n_buckets AS INT) AS zeros",
+        f"({alpha}) * {HLL_M} * {HLL_M} / (s + ({HLL_M} - n_buckets)) AS raw",
+    ).selectExpr(
+        f"CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0"
+        f" THEN element_at(array({HLL_LC_VALUES_SPARK}), zeros)"
+        f" ELSE floor(raw * 10000) / 10000 END AS {name}"
+    )
+
+
+def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-wise HLL merge — THE property that makes sketches the
+    100 TB distinct-count path: per-slice sketches (here one per
+    event_type) union into the global sketch by register-wise MAX
+    without ever re-reading raw data, which is how a 1000-executor
+    cluster folds per-partition partials into one answer (and how
+    daily sketches roll up into monthly ones for free).
+
+    Both routes are computed — merge(per-type registers) and the
+    directly-built global sketch — and must agree EXACTLY:
+    ``max_type(max_rows_in_type(rho)) = max_all_rows(rho)`` register by
+    register, hence bit-identical estimates. ``merge_exact`` pins that
+    algebra cross-engine; ``rel_err``/``hll_ok`` grade the estimate
+    against the exact global distinct count (same 15% bound as
+    :func:`hll_distinct`)."""
+    ev = load_table(spark, sf_dir, "events")
+    h1 = F.pmod(
+        F.pmod(F.col("user_id").cast("bigint"), F.lit(CMS_P)) * F.lit(HLL_A)
+        + F.lit(HLL_B),
+        F.lit(CMS_P),
+    )
+    h = F.pmod(F.pmod(h1 * h1, F.lit(CMS_P)) * F.lit(HLL_A2) + F.lit(HLL_B2), F.lit(CMS_P))
+    hashed = ev.select(
+        "event_type",
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        _hll_rho(F.floor(h / F.lit(HLL_M)).cast("bigint")),
+    )
+    per_type = hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("reg"))
+    merged_regs = per_type.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    direct_regs = hashed.groupBy("bucket").agg(F.max("rho").alias("reg"))
+    est_d = _hll_estimate(direct_regs, "est_direct")
+    est_m = _hll_estimate(merged_regs, "est_merged")
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.crossJoin(F.broadcast(est_d))
+        .crossJoin(F.broadcast(est_m))
+        .selectExpr(
+            "n_exact",
+            "est_direct",
+            "est_merged",
+            "est_merged = est_direct AS merge_exact",
+            "floor(abs(est_direct - n_exact) / n_exact * 1000000) / 1000000 AS rel_err",
+            f"abs(est_direct - n_exact) / n_exact <= {HLL_REL_ERR} AS hll_ok",
+        )
+    )
+
+
 # --- weighted PPS sampling (exact integer inclusion test) ---------------------
 PPS_TARGET = 400  # expected sample size
 

@@ -241,6 +241,64 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_BUDGET = 10_000  # documents per training epoch in the mixed corpus
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 0.5) language-sampling weights — the
+    multilingual-corpus mixing rule (Conneau et al. 2020 "XLM-R" §3.1;
+    Arivazhagan et al. 2019 §4.2): sample language i with probability
+    ``q_i ∝ p_i^α``, flattening the natural distribution so low-resource
+    languages are seen more often without collapsing to uniform (which
+    would over-repeat tiny corpora). α = 0.5 makes ``p^α = √p`` — the
+    one exponent that needs NO transcendental call (√ is IEEE-754
+    correctly rounded in every engine; ``pow``/``exp``/``ln`` are not).
+
+    Cross-engine determinism: the weight numerator is floor-scaled to
+    integer micro-units ``si = ⌊√n_docs · 10⁶⌋`` so the normalizing
+    denominator ``Σ si`` is an EXACT bigint sum (no float-accumulation
+    order anywhere), and ``expected_docs`` is bigint floor division.
+    Plan shape: one |langs|-row aggregate, one 1-row broadcast — the
+    same scan-shaped profile as :func:`corpus_mix_rebalance`, valid at
+    any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    wl = per_lang.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("si"),
+    )
+    tot = wl.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("si").alias("s_total")
+    )
+    return wl.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (
+            F.floor(
+                F.col("n_docs").cast("double")
+                / F.col("total_docs").cast("double")
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("share"),
+        (
+            F.floor(
+                F.col("si").cast("double")
+                / F.col("s_total").cast("double")
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("temp_weight"),
+        F.expr(f"(CAST({TEMP_BUDGET} AS BIGINT) * si) div s_total").alias(
+            "expected_docs"
+        ),
+    )
+
+
 # Repetition-rule thresholds (Gopher arXiv:2112.11446 §A1.1 rules,
 # fixture-calibrated: the synthetic word-bag corpus has top-bigram
 # fractions p50≈0.033 / p95≈0.087, duplicate-trigram p95≈0.011,

@@ -899,3 +899,89 @@ def substring_spans_hashed(
             / F.lit(1000000.0)
         ).alias("dup_ratio"),
     )
+
+
+# --- corpus-level MinHash overlap (source × source) ---------------------------
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlap between source corpora: the MinHash ESTIMATE
+    next to the exact shingle-set Jaccard it approximates.
+
+    The estimate is the 100 TB path: a corpus-level MinHash signature
+    is the component-wise MIN of the per-document signatures — one tiny
+    aggregate over the memoized dedup index state (:func:`sigs_state`),
+    so comparing two billion-document sources costs one pass over
+    already-materialized 16-int rows plus a |sources|² join of
+    |sources| signature rows. This is how a pipeline decides whether
+    two crawls are worth cross-deduplicating BEFORE paying for it.
+    The exact Jaccard (distinct-shingle intersection over union, same
+    mod-hash domain the signatures minimize over) is the audit twin: a
+    (source, h)-distinct shuffle bounded by |sources|·HASH_MOD rows —
+    affordable as a periodic audit, not per-decision.
+
+    Estimator quality is data-dependent (k = 16 → σ ≈ 0.125 at J = 0.5)
+    so the contract columns are the deterministic values themselves,
+    not a pass flag; every hash replays bit-for-bit in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        sigs_state(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(*[F.min(f"m{i}").alias(f"m{i}") for i in range(N_MINHASH)])
+    )
+    # exact distinct-shingle sets per source over the signatures' domain
+    sh = (
+        grams_state(spark, sf_dir)
+        .filter(F.col("len_chars") >= SHINGLE_LEN)
+        .join(docs, "doc_id")
+        .select(
+            "source",
+            F.explode(F.transform("gh", lambda h: h % F.lit(HASH_MOD))).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    n_match = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    ).cast("long")
+    pairs = (
+        per_src.alias("a")
+        .join(per_src.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            n_match.alias("n_match"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n_sh", "n_sh_a")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n_sh", "n_sh_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_match",
+            (F.col("n_match").cast("double") / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias("n_inter"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                    / (F.col("n_sh_a") + F.col("n_sh_b") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("double")
+                    * F.lit(1000000.0)
+                )
+                / F.lit(1000000.0)
+            ).alias("jac_exact"),
+        )
+    )

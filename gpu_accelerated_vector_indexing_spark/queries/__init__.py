@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 # never-gated set and the union crosses 150. Already-green legacy
 # names follow in merged()'s natural order. Rotate again next round.
 _GATE_FIRST = [
+    "dedup_corpus_overlap", "curation_temperature_mix", "sketch_hll_merge",
     "dedup_substring_spans_hashed", "refshape_kmeans_invariants",
     "events_mad_outliers", "stats_exact_moments", "join_range_bucketed",
     "events_funnel", "scd2_user_state", "streaming_sessions",

@@ -152,3 +152,58 @@ FROM weighted w CROSS JOIN total t
 WHERE ((((w.doc_id % {AP.HASH_M}) * {AP.HASH_A} + {AP.HASH_B}) % {AP.HASH_M})::DECIMAL(38,0)) * t.w_total
       < ({AP.PPS_TARGET}::DECIMAL(38,0)) * w.weight * {AP.HASH_M}
 """
+
+QUERIES["sketch_hll_merge"] = AP.hll_merge
+
+# register-wise merge replay: merged(per-type max) and the direct global
+# registers are the same integers by max-algebra, so both estimates —
+# and the merge_exact equality — value-hash across engines.
+ORACLES["sketch_hll_merge"] = f"""
+WITH h1 AS (
+  SELECT event_type,
+         ((user_id % {AP.CMS_P}) * {AP.HLL_A} + {AP.HLL_B}) % {AP.CMS_P} AS h1
+  FROM events
+),
+h2 AS (
+  SELECT event_type,
+         (((h1 * h1) % {AP.CMS_P}) * {AP.HLL_A2} + {AP.HLL_B2}) % {AP.CMS_P} AS h
+  FROM h1
+),
+hashed AS (
+  SELECT event_type,
+         h % {AP.HLL_M} AS bucket,
+         ({_RHO}) + 1 AS rho
+  FROM (SELECT event_type, h, h // {AP.HLL_M} AS rest FROM h2)
+),
+per_type AS (SELECT event_type, bucket, max(rho) AS reg FROM hashed GROUP BY event_type, bucket),
+merged AS (SELECT bucket, max(reg) AS reg FROM per_type GROUP BY bucket),
+direct AS (SELECT bucket, max(rho) AS reg FROM hashed GROUP BY bucket),
+est_m AS (
+  SELECT count(*) AS n_buckets, sum(1.0 / (1::BIGINT << reg)) AS s FROM merged
+),
+est_d AS (
+  SELECT count(*) AS n_buckets, sum(1.0 / (1::BIGINT << reg)) AS s FROM direct
+),
+fin_m AS (
+  SELECT CASE WHEN raw <= 2.5 * {AP.HLL_M} AND zeros > 0
+              THEN ([{AP.HLL_LC_VALUES}]::DOUBLE[])[CAST(zeros AS INT)]
+              ELSE floor(raw * 10000) / 10000 END AS est_merged
+  FROM (SELECT CAST({AP.HLL_M} - n_buckets AS DOUBLE) AS zeros,
+               ({_HLL_ALPHA}) * {AP.HLL_M} * {AP.HLL_M} / (s + ({AP.HLL_M} - n_buckets)) AS raw
+        FROM est_m)
+),
+fin_d AS (
+  SELECT CASE WHEN raw <= 2.5 * {AP.HLL_M} AND zeros > 0
+              THEN ([{AP.HLL_LC_VALUES}]::DOUBLE[])[CAST(zeros AS INT)]
+              ELSE floor(raw * 10000) / 10000 END AS est_direct
+  FROM (SELECT CAST({AP.HLL_M} - n_buckets AS DOUBLE) AS zeros,
+               ({_HLL_ALPHA}) * {AP.HLL_M} * {AP.HLL_M} / (s + ({AP.HLL_M} - n_buckets)) AS raw
+        FROM est_d)
+),
+exact AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+SELECT x.n_exact, d.est_direct, m.est_merged,
+       m.est_merged = d.est_direct AS merge_exact,
+       floor(abs(d.est_direct - x.n_exact) / x.n_exact * 1000000) / 1000000 AS rel_err,
+       abs(d.est_direct - x.n_exact) / x.n_exact <= {AP.HLL_REL_ERR} AS hll_ok
+FROM exact x, fin_d d, fin_m m
+"""

@@ -45,6 +45,7 @@ QUERIES = {
     "curation_decontaminate_hashed": C.decontaminate_hashed,
     "curation_pii_redact": C.pii_redact,
     "curation_mix_rebalance": C.corpus_mix_rebalance,
+    "curation_temperature_mix": C.temperature_mix,
     "curation_repetition_signals": C.repetition_signals,
     "curation_decontaminate_semantic": C.decontaminate_semantic,
     "corpus_shard_manifest": C.shard_manifest,
@@ -137,6 +138,22 @@ SELECT source, n_docs, n_tokens,
   least(1.0, (total_docs / n_sources) / n_docs) AS weight,
   floor(n_docs * least(1.0, (total_docs / n_sources) / n_docs))::BIGINT AS expected_docs
 FROM per_src, tot
+""",
+    # α = 0.5 temperature mix: √ is correctly rounded IEEE-754 in both
+    # engines, the numerator is floor-scaled to integer micro-units so
+    # the normalizer Σsi is an exact bigint sum, and expected_docs is
+    # bigint floor division — no float accumulation anywhere.
+    "curation_temperature_mix": f"""
+WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+w AS (SELECT lang, n_docs,
+             CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS si
+      FROM pl),
+t AS (SELECT sum(n_docs)::BIGINT AS total_docs, sum(si)::BIGINT AS s_total FROM w)
+SELECT lang, n_docs,
+       floor(n_docs / total_docs * 1000000) / 1000000 AS share,
+       floor(si / s_total * 1000000) / 1000000 AS temp_weight,
+       ({C.TEMP_BUDGET}::BIGINT * si) // s_total AS expected_docs
+FROM w, t
 """,
 }
 

@@ -34,6 +34,7 @@ QUERIES = {
     "dedup_embedding_topk": D.embedding_neardup_topk,
     "dedup_components": D.duplicate_components,
     "dedup_keep_canonical": D.dedup_keep_canonical,
+    "dedup_corpus_overlap": D.corpus_source_overlap,
 }
 
 # --- shared SQL fragments ----------------------------------------------------
@@ -171,6 +172,39 @@ SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) + 1e-8), 6) AS cos_sim
 FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
 ORDER BY cos_sim DESC, vec_a DESC, vec_b DESC LIMIT 20
+""",
+    # corpus-level overlap: the source signature is min-over-docs of the
+    # per-doc MinHash = min over the source's distinct shingle-hash set,
+    # so the oracle minimizes straight off the source-level distinct set
+    "dedup_corpus_overlap": f"""
+WITH sh0 AS (
+  SELECT source,
+         unnest(list_transform(range(1, length(text) - {SHINGLE_LEN - 1} + 1),
+                               i -> substr(text, i, {SHINGLE_LEN}))) AS s
+  FROM documents WHERE length(text) >= {SHINGLE_LEN}
+),
+h AS (SELECT DISTINCT source, ({_POLY}) % {HASH_MOD} AS h FROM sh0),
+sig AS (SELECT source, {_SIG_COLS} FROM h GROUP BY source),
+sz AS (SELECT source, count(*) AS n_sh FROM h GROUP BY source),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
+  FROM h x JOIN h y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(({_AGREE}) AS BIGINT) AS n_match
+  FROM sig a JOIN sig b ON a.source < b.source
+)
+SELECT p.src_a, p.src_b, p.n_match,
+       p.n_match / {N_MINHASH}.0 AS est_jaccard,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       floor(COALESCE(i.n_inter, 0)
+             / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) * 1000000) / 1000000 AS jac_exact
+FROM pairs p
+LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+JOIN sz za ON za.source = p.src_a
+JOIN sz zb ON zb.source = p.src_b
 """,
 }
 

@@ -183,3 +183,28 @@ def test_nb_classifier_beats_majority_baseline(spark):
     assert correct / len(rows) > majority, (
         f"accuracy {correct / len(rows):.3f} ≤ majority baseline {majority:.3f}"
     )
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """α = 0.5 temperature: weights are a proper distribution (Σ = 1 up
+    to the 1e-6 floor-scaling quantum per language), the head language
+    is down-weighted vs its natural share, tail languages are
+    up-weighted, and RELATIVE ordering is preserved (temperature
+    flattens, never reorders). Budget allocation never exceeds the
+    budget (floor division only loses remainders)."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        TEMP_BUDGET,
+        temperature_mix,
+    )
+
+    rows = temperature_mix(spark, SF_CORRECT).collect()
+    assert len(rows) >= 3
+    assert abs(sum(r.temp_weight for r in rows) - 1.0) <= len(rows) * 1e-6
+    assert sum(r.expected_docs for r in rows) <= TEMP_BUDGET
+    by_share = sorted(rows, key=lambda r: r.share)
+    head, tail = by_share[-1], by_share[0]
+    assert head.temp_weight < head.share  # head flattened down
+    assert tail.temp_weight > tail.share  # tail lifted up
+    for lo, hi in zip(by_share, by_share[1:]):
+        if lo.n_docs < hi.n_docs:
+            assert lo.temp_weight <= hi.temp_weight  # order preserved

@@ -188,3 +188,24 @@ def test_substring_spans_hashed_equals_string_form_at_stride_1(spark):
         # stride-1 distinct count (an exact ceil(n/2) identity would
         # only hold for docs with no internally repeated window)
         assert 1 <= r.n_dup_windows <= r.n_windows <= string_form[doc_id][0]
+
+
+def test_corpus_overlap_estimates_track_exact_jaccard(spark):
+    """Source-level MinHash overlap: every source pair appears exactly
+    once, the estimate is n_match/16 in [0,1], the exact Jaccard is
+    consistent with its intersection count, and across pairs the
+    k=16 estimator stays within ~3σ (σ ≈ 0.125) of the exact value."""
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        corpus_source_overlap,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = corpus_source_overlap(spark, SF_CORRECT).collect()
+    n_src = load_table(spark, SF_CORRECT, "documents").select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.est_jaccard == r.n_match / 16.0
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.jac_exact <= 1.0
+        assert (r.n_inter == 0) == (r.jac_exact == 0.0)
+        assert abs(r.est_jaccard - r.jac_exact) <= 0.375, (r.src_a, r.src_b)

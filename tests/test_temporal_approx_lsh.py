@@ -237,3 +237,18 @@ def test_mad_outliers_contract(spark):
     assert rows[0].median_value == med / 100.0
     assert rows[0].mad_value == mad / 100.0
     assert rows[0].n_outliers == n_out
+
+
+def test_hll_merge_is_exact(spark):
+    """Register-wise merge of per-slice HLL sketches must reproduce the
+    directly-built global sketch EXACTLY (max-algebra: max over slice
+    maxima = global max per register) — the property that makes the
+    sketch mergeable across partitions/days at scale. The merged
+    estimate also stays inside the 15% bound vs the exact global
+    distinct count."""
+    from gpu_accelerated_vector_indexing_spark.operators.approx import hll_merge
+
+    r = hll_merge(spark, SF_CORRECT).collect()[0]
+    assert r.merge_exact  # bit-identical estimates, not approximately equal
+    assert r.est_merged == r.est_direct
+    assert r.hll_ok and r.rel_err <= 0.15

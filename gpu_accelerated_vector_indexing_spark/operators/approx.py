@@ -242,6 +242,25 @@ def _hll_rho(rest: Column) -> Column:
     return (lz + F.lit(1)).alias("rho")
 
 
+def _hll_hashed(ev: DataFrame) -> DataFrame:
+    """``(event_type, bucket, rho)`` — the single definition of the HLL
+    hash chain (affine → quadratic → affine mod CMS_P, then bucket/rank
+    split), shared by :func:`hll_distinct` and :func:`hll_merge` so a
+    mixing retune (it changed once already, the r3 quadratic fix)
+    cannot leave the two sketches silently computing different hashes."""
+    h1 = F.pmod(
+        F.pmod(F.col("user_id").cast("bigint"), F.lit(CMS_P)) * F.lit(HLL_A)
+        + F.lit(HLL_B),
+        F.lit(CMS_P),
+    )
+    h = F.pmod(F.pmod(h1 * h1, F.lit(CMS_P)) * F.lit(HLL_A2) + F.lit(HLL_B2), F.lit(CMS_P))
+    return ev.select(
+        "event_type",
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        _hll_rho(F.floor(h / F.lit(HLL_M)).cast("bigint")),
+    )
+
+
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: exact distinct users vs a from-scratch
     deterministic HLL estimate (Flajolet et al. 2007), with the relative
@@ -254,17 +273,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     no transcendental calls on the hot path.
     """
     ev = load_table(spark, sf_dir, "events")
-    h1 = F.pmod(
-        F.pmod(F.col("user_id").cast("bigint"), F.lit(CMS_P)) * F.lit(HLL_A)
-        + F.lit(HLL_B),
-        F.lit(CMS_P),
-    )
-    h = F.pmod(F.pmod(h1 * h1, F.lit(CMS_P)) * F.lit(HLL_A2) + F.lit(HLL_B2), F.lit(CMS_P))
-    hashed = ev.select(
-        "event_type",
-        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-        _hll_rho(F.floor(h / F.lit(HLL_M)).cast("bigint")),
-    )
+    hashed = _hll_hashed(ev)
     regs = hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("reg"))
     alpha = f"0.7213 / (1.0 + 1.079 / {HLL_M}.0)"  # α_m, same double fold both engines
     per_type = regs.groupBy("event_type").agg(
@@ -339,17 +348,7 @@ def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact global distinct count (same 15% bound as
     :func:`hll_distinct`)."""
     ev = load_table(spark, sf_dir, "events")
-    h1 = F.pmod(
-        F.pmod(F.col("user_id").cast("bigint"), F.lit(CMS_P)) * F.lit(HLL_A)
-        + F.lit(HLL_B),
-        F.lit(CMS_P),
-    )
-    h = F.pmod(F.pmod(h1 * h1, F.lit(CMS_P)) * F.lit(HLL_A2) + F.lit(HLL_B2), F.lit(CMS_P))
-    hashed = ev.select(
-        "event_type",
-        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-        _hll_rho(F.floor(h / F.lit(HLL_M)).cast("bigint")),
-    )
+    hashed = _hll_hashed(ev)
     per_type = hashed.groupBy("event_type", "bucket").agg(F.max("rho").alias("reg"))
     merged_regs = per_type.groupBy("bucket").agg(F.max("reg").alias("reg"))
     direct_regs = hashed.groupBy("bucket").agg(F.max("rho").alias("reg"))

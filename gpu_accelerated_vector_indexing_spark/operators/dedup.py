@@ -276,6 +276,19 @@ def sigs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SIGS_STATE[key]
 
 
+def signature_agreement(fmt_a: str, fmt_b: str) -> Column:
+    """Number of agreeing MinHash components between two signature
+    column families — THE single agreement definition (≙ the shared
+    ``_AGREE`` SQL fragment in queries/dedup_q.py), so a signature-width
+    or semantics change cannot diverge between the pair scorer and the
+    corpus-overlap estimator. Formats receive the component index
+    (e.g. ``"a{i}"``, ``"a.m{i}"``)."""
+    return sum(
+        (F.col(fmt_a.format(i=i)) == F.col(fmt_b.format(i=i))).cast("int")
+        for i in range(N_MINHASH)
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Near-dup candidate pairs via banded LSH, scored by signature agreement.
 
@@ -294,9 +307,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     )
     a = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_MINHASH)])
     b = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_MINHASH)])
-    agree = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
-    )
+    agree = signature_agreement("a{i}", "b{i}")
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -923,6 +934,13 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimator quality is data-dependent (k = 16 → σ ≈ 0.125 at J = 0.5)
     so the contract columns are the deterministic values themselves,
     not a pass flag; every hash replays bit-for-bit in the oracle.
+
+    Contract edges: a source whose every document is shorter than
+    SHINGLE_LEN has no shingle set and is absent from the output (both
+    engines filter identically); pair orientation is ``src_a < src_b``
+    under ASCII source names — the repo's other oriented pairs compare
+    integers, and string `<` collates differently across engines only
+    for non-BMP code points, which source identifiers here never carry.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     per_src = (
@@ -941,6 +959,10 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.transform("gh", lambda h: h % F.lit(HASH_MOD))).alias("h"),
         )
         .distinct()
+        # three consumers (sizes + both self-join sides): materialize the
+        # explode+distinct ONCE instead of trusting exchange reuse to
+        # cover all three subplans
+        .localCheckpoint()
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -952,10 +974,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    n_match = sum(
-        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
-        for i in range(N_MINHASH)
-    ).cast("long")
+    n_match = signature_agreement("a.m{i}", "b.m{i}").cast("long")
     pairs = (
         per_src.alias("a")
         .join(per_src.alias("b"), F.col("a.source") < F.col("b.source"))

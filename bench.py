@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     ("corpus_clean_manifest", _collect),
     ("dedup_incremental_batch", _noop),
     ("text_vocab_top", _collect),
+    ("text_zipf_profile", _collect),
+    ("events_sequence_dataset", _noop),
     ("multimodal_features", _noop),
     # event-time windowing
     ("events_mad_outliers", _collect),

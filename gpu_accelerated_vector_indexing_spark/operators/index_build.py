@@ -220,16 +220,18 @@ def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFram
     rides the UDF closure (k·dim doubles — ≤0.4 MB at reference shape,
     index-state scale).
 
-    Distances use the EXACT difference form ``Σ(x−c)²`` — not the
-    expanded ``‖x‖²−2x·c+‖c‖²`` matmul, whose cancellation error can
-    disagree with MLlib's assignment on a near-equidistant row (MLlib
-    itself falls back to exact distances when its norm-trick bound is
-    loose) and fail the gate on a correct clustering. The difference
-    tensor is chunked so peak memory stays ~chunk·k·dim doubles
-    (≈100 MB at reference shape). Argmin ties break to the LOWEST
-    cluster id exactly like the previous ``row_number() OVER
-    (ORDER BY d2, cand)`` form (np.argmin returns the first minimum
-    and rows are label-sorted)."""
+    Distance strategy is MLlib's own: the fast expanded matmul
+    ``‖x‖²−2·X·Cᵀ+‖c‖²`` decides every row whose best-to-second-best
+    gap exceeds a slack far above the matmul's cancellation error
+    (bound ≈ dim·ε·‖x‖‖c‖ ≈ 1e-11 at reference shape; slack 1e-6),
+    and only near-tie rows are re-decided with the exact difference
+    form ``Σ(x−c)²`` — so the audit is matmul-priced (the all-exact
+    chunked form cost 2.7 s vs ~1.6 s at 128×384 bench scale; the
+    interpreted zip_with fold form cost 26 s) yet can never mis-flag a
+    near-equidistant row. Argmin ties break to the LOWEST cluster id
+    exactly like the previous ``row_number() OVER (ORDER BY d2, cand)``
+    form: unambiguous rows have no tie by construction, and the exact
+    re-check uses np.argmin (first minimum) over label-sorted rows."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -238,17 +240,19 @@ def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFram
     )
     labels = np.asarray([c for c, _ in cent_rows], dtype=np.int64)
     cmat = np.asarray([v for _, v in cent_rows], dtype=np.float64)  # k × dim
+    cnorm = (cmat * cmat).sum(axis=1)
+    TIE_SLACK = 1e-6  # ≫ matmul cancellation error, ≪ any real gap
 
     @F.pandas_udf(T.LongType())
     def nearest_label(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for emb in it:
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-            out = np.empty(len(x), dtype=np.int64)
-            chunk = 256
-            for lo in range(0, len(x), chunk):
-                diff = x[lo : lo + chunk, None, :] - cmat[None, :, :]
-                d2 = (diff * diff).sum(axis=2)  # exact per-pair form
-                out[lo : lo + chunk] = np.argmin(d2, axis=1)
+            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cmat.T) + cnorm
+            out = np.argmin(d2, axis=1)
+            two = np.partition(d2, 1, axis=1)
+            for i in np.flatnonzero(two[:, 1] - two[:, 0] < TIE_SLACK):
+                diff = x[i] - cmat
+                out[i] = np.argmin((diff * diff).sum(axis=1))
             yield pd.Series(labels[out])
 
     flagged = assigned.select("cluster", nearest_label("embedding").alias("nearest"))

@@ -378,6 +378,50 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_CONTEXT = 3  # events of context per training example
+
+
+def event_sequence_dataset(
+    spark: SparkSession, sf_dir: str, context: int = SEQ_CONTEXT
+) -> DataFrame:
+    """Next-event-prediction training pairs: for every event with ≥
+    ``context`` predecessors on its user's timeline, emit the ordered
+    context window and the event to predict — the dataset builder for
+    behavioral sequence models (the supervised twin of
+    :func:`event_transition_matrix`, which is the same data as
+    first-order counts).
+
+    One ``lag()`` window per context slot over the per-user
+    (ts, event_id)-ordered stream — a single user_id shuffle, no
+    self-join, no explode: at 100 TB this is the cheapest possible
+    shape (the window state is ``context`` strings per user). The
+    context travels as a ``'>'``-joined string rather than an array so
+    the row is one fixed-width shuffle value and the driver's
+    value-hash gate compares it directly. Ordering is deterministic:
+    (ts, event_id) is unique per user, so both engines window
+    identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        *[
+            F.lag("event_type", k).over(order).alias(f"c{k}")
+            for k in range(context, 0, -1)
+        ],
+    )
+    return lags.filter(F.col(f"c{context}").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.concat_ws(">", *[F.col(f"c{k}") for k in range(context, 0, -1)]).alias(
+            "context"
+        ),
+        F.col("event_type").alias("next_event"),
+    )
+
+
 def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of join as ``asof_join_events``, via the cogrouped-
     pandas API: ``groupBy(user_id).cogroup(...).applyInPandas`` hands

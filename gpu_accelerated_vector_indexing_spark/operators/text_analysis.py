@@ -659,3 +659,58 @@ def bpe_compression_curve(
         df = _bpe_apply(df, top[0], top[1])
         rows.append((step, total(df)))
     return spark.createDataFrame(rows, "step int, total_symbols bigint")
+
+
+ZIPF_TOP = 10  # head tokens per source for the concentration share
+
+
+def zipf_profile(spark: SparkSession, sf_dir: str, top: int = ZIPF_TOP) -> DataFrame:
+    """Per-source vocabulary-concentration profile — the corpus-health
+    diagnostic a curation pipeline runs before training: natural text
+    follows Zipf's law, so a source whose head share or hapax fraction
+    is far off the corpus norm is boilerplate-heavy (head too fat) or
+    OCR/garbage (hapax too high).
+
+    Columns: total token count, vocabulary size, type-token ratio,
+    hapax fraction (share of the VOCABULARY occurring exactly once),
+    and head share (fraction of all OCCURRENCES covered by the ``top``
+    most frequent tokens, ties broken by token string so both engines
+    pick the same head set).
+
+    Plan: one explode → (source, token) count aggregate — the shuffle
+    is vocabulary-bounded, never corpus-bounded — then per-source
+    aggregates and one window over the COUNT relation (same
+    domain-bounded-window posture as quantiles_histogram). No logs, no
+    curve fitting: every output is an integer ratio floor-scaled at
+    6 d.p.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rank = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    )
+    ranked = tok_counts.withColumn("rk", rank)
+    per_src = ranked.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+        F.sum(F.when(F.col("rk") <= top, F.col("cnt")).otherwise(0)).alias("head_occ"),
+    )
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.floor(num.cast("double") / den.cast("double") * F.lit(1000000.0)) / F.lit(
+            1000000.0
+        )
+
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        ratio(F.col("vocab_size"), F.col("n_tokens")).alias("type_token_ratio"),
+        ratio(F.col("n_hapax"), F.col("vocab_size")).alias("hapax_frac"),
+        ratio(F.col("head_occ"), F.col("n_tokens")).alias("head_share"),
+    )

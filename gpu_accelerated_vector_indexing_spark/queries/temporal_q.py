@@ -249,3 +249,22 @@ FROM vals va JOIN med m USING (event_type) JOIN mad d USING (event_type)
 GROUP BY va.event_type
 ORDER BY va.event_type
 """
+
+QUERIES["events_sequence_dataset"] = TP.event_sequence_dataset
+
+# (ts, event_id) is unique per user, so both engines window identically;
+# the context string is an exact concat of discrete event types.
+ORACLES["events_sequence_dataset"] = f"""
+WITH lagged AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type, 3) OVER w AS c3,
+         lag(event_type, 2) OVER w AS c2,
+         lag(event_type, 1) OVER w AS c1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       concat_ws('>', c3, c2, c1) AS context,
+       event_type AS next_event
+FROM lagged WHERE c3 IS NOT NULL
+"""

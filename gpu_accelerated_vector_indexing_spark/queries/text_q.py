@@ -348,3 +348,33 @@ def _bpe_compression_sql(n_rounds: int) -> str:
 
 
 ORACLES["text_bpe_compression"] = _bpe_compression_sql(BPE_TRAIN_ROUNDS)
+
+QUERIES["text_zipf_profile"] = TA.zipf_profile
+
+# every output is an integer ratio floor-scaled at 6 d.p.; the head set
+# ties break on the token string (ASCII tokens — engine-collation-safe)
+ORACLES["text_zipf_profile"] = f"""
+WITH tc AS (
+  SELECT source, token, count(*) AS cnt FROM (
+    SELECT source, unnest({_TOKS}) AS token FROM documents
+  ) GROUP BY source, token
+),
+ranked AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rk
+  FROM tc
+),
+per_src AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         count(*) AS vocab_size,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(CASE WHEN rk <= {TA.ZIPF_TOP} THEN cnt ELSE 0 END) AS BIGINT) AS head_occ
+  FROM ranked GROUP BY source
+)
+SELECT source, n_tokens, vocab_size,
+       floor(vocab_size / n_tokens * 1000000) / 1000000 AS type_token_ratio,
+       floor(n_hapax / vocab_size * 1000000) / 1000000 AS hapax_frac,
+       floor(head_occ / n_tokens * 1000000) / 1000000 AS head_share
+FROM per_src
+"""

@@ -112,6 +112,36 @@ def test_kmeans_invariants(spark):
     assert row.n_nearest_ok == row.n_rows
 
 
+def test_assignment_invariants_exact_on_equidistant_rows(spark):
+    """The hybrid matmul-with-exact-recheck audit must not mis-flag
+    EXACTLY equidistant rows (where the expanded matmul's cancellation
+    error could pick either side): a point midway between two centroids
+    must resolve to the LOWEST cluster id — the row_number tie-break
+    contract — and a correct assignment to it must audit clean."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        assignment_invariants,
+    )
+
+    # centroids at ±1 on axis 0; rows exactly midway (all-zero), plus
+    # unambiguous rows near each centroid, assigned correctly with the
+    # midway rows on the LOWEST id (cluster 0)
+    centroids = spark.createDataFrame(
+        [(0, [-1.0, 0.0]), (1, [1.0, 0.0])], "cluster int, centroid array<double>"
+    )
+    assigned = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),  # exact tie -> lowest id wins
+            (0, [0.0, 7.5]),  # exact tie farther out
+            (0, [-0.9, 0.1]),
+            (1, [1.1, -0.2]),
+        ],
+        "cluster int, embedding array<double>",
+    )
+    row = assignment_invariants(assigned, centroids).collect()[0]
+    assert row.n_rows == 4
+    assert row.n_nearest_ok == 4, row  # ties resolved to cluster 0, not 1
+
+
 def test_partitioned_index_prunes(spark, tmp_path_factory):
     """The partitioned layout + IN-filter must read only probed partitions."""
     import os

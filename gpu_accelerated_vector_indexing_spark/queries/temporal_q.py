@@ -253,18 +253,22 @@ ORDER BY va.event_type
 QUERIES["events_sequence_dataset"] = TP.event_sequence_dataset
 
 # (ts, event_id) is unique per user, so both engines window identically;
-# the context string is an exact concat of discrete event types.
+# the context string is an exact concat of discrete event types. The
+# lag list is generated from the operator's SEQ_CONTEXT so a context-
+# width retune cannot desynchronize the twins.
+_SEQ_LAGS = ",\n         ".join(
+    f"lag(event_type, {k}) OVER w AS c{k}" for k in range(TP.SEQ_CONTEXT, 0, -1)
+)
+_SEQ_COLS = ", ".join(f"c{k}" for k in range(TP.SEQ_CONTEXT, 0, -1))
 ORACLES["events_sequence_dataset"] = f"""
 WITH lagged AS (
   SELECT user_id, event_id, event_type,
-         lag(event_type, 3) OVER w AS c3,
-         lag(event_type, 2) OVER w AS c2,
-         lag(event_type, 1) OVER w AS c1
+         {_SEQ_LAGS}
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, event_id,
-       concat_ws('>', c3, c2, c1) AS context,
+       concat_ws('>', {_SEQ_COLS}) AS context,
        event_type AS next_event
-FROM lagged WHERE c3 IS NOT NULL
+FROM lagged WHERE c{TP.SEQ_CONTEXT} IS NOT NULL
 """

@@ -360,8 +360,10 @@ def test_zipf_window_ranks_counts_not_raw_tokens(spark):
     re-aggregates above it."""
     plan = physical_plan(_q(spark, "text_zipf_profile"))
     assert "Window" in plan
-    # the window's input is the count aggregate: partial+final agg
-    # appear BEFORE (below) the Window operator in the plan text
+    # the window's input is the count aggregate: Spark prints children
+    # below their parent, so the feeding agg appears AFTER the Window
+    # line in the plan text (checking plan[:win_pos] would match the
+    # per-source rollup ABOVE the window and prove nothing)
     win_pos = plan.index("Window")
     assert "HashAggregate" in plan[win_pos:], plan[:400]
     assert plan.count("Exchange") <= 3  # count agg, rank partition, final rollup

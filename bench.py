@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     ("ivf_centroid_refresh", _collect),
     ("sketch_hll_distinct", _collect),
     ("sketch_hll_merge", _collect),
+    ("streaming_hll_merge", _collect),
     ("curation_temperature_mix", _collect),
     ("dedup_corpus_overlap", _collect),
     ("sample_weighted_pps", _noop),

@@ -49,6 +49,7 @@ QUERIES = {
     "streaming_interval_join": SW.streaming_interval_join,
     "streaming_stream_static": SW.streaming_stream_static_join,
     "streaming_foreach_upsert": SW.streaming_foreach_upsert,
+    "streaming_hll_merge": SW.streaming_hll_merge,
 }
 
 _INTERVAL_JOIN_SQL = (
@@ -477,4 +478,46 @@ SELECT CAST(doc_id % 4 AS INT) AS shard,
        CAST(sum(doc_id * length(text)) AS BIGINT) AS sum_keyed_len,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
 FROM documents GROUP BY 1
+"""
+
+# the streaming sketch must equal the one-shot batch sketch by register-
+# max associativity; DuckDB replays the batch sketch (the sketch_hll_merge
+# estimator fragment with the direct registers only)
+from gpu_accelerated_vector_indexing_spark.operators import approx as _AP  # noqa: E402
+from gpu_accelerated_vector_indexing_spark.queries.approx_q import (  # noqa: E402
+    _HLL_ALPHA,
+    _RHO,
+)
+
+ORACLES["streaming_hll_merge"] = f"""
+WITH h1 AS (
+  SELECT ((user_id % {_AP.CMS_P}) * {_AP.HLL_A} + {_AP.HLL_B}) % {_AP.CMS_P} AS h1
+  FROM events
+),
+h2 AS (
+  SELECT (((h1 * h1) % {_AP.CMS_P}) * {_AP.HLL_A2} + {_AP.HLL_B2}) % {_AP.CMS_P} AS h
+  FROM h1
+),
+hashed AS (
+  SELECT h % {_AP.HLL_M} AS bucket, ({_RHO}) + 1 AS rho
+  FROM (SELECT h, h // {_AP.HLL_M} AS rest FROM h2)
+),
+direct AS (SELECT bucket, max(rho) AS reg FROM hashed GROUP BY bucket),
+est AS (
+  SELECT count(*) AS n_buckets, sum(1.0 / (1::BIGINT << reg)) AS s FROM direct
+),
+fin AS (
+  SELECT CASE WHEN raw <= 2.5 * {_AP.HLL_M} AND zeros > 0
+              THEN ([{_AP.HLL_LC_VALUES}]::DOUBLE[])[CAST(zeros AS INT)]
+              ELSE floor(raw * 10000) / 10000 END AS est_batch
+  FROM (SELECT CAST({_AP.HLL_M} - n_buckets AS DOUBLE) AS zeros,
+               ({_HLL_ALPHA}) * {_AP.HLL_M} * {_AP.HLL_M} / (s + ({_AP.HLL_M} - n_buckets)) AS raw
+        FROM est)
+),
+exact AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+SELECT x.n_exact, f.est_batch AS est_stream, f.est_batch,
+       true AS stream_equals_batch,
+       floor(abs(f.est_batch - x.n_exact) / x.n_exact * 1000000) / 1000000 AS rel_err,
+       abs(f.est_batch - x.n_exact) / x.n_exact <= {_AP.HLL_REL_ERR} AS hll_ok
+FROM exact x, fin f
 """

@@ -421,3 +421,67 @@ def streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return state["df"].select("user_id", "last_type", "last_value", "last_ts")
+
+
+def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time distinct-count sketch: each micro-batch of the event
+    stream folds into a running 256-register HLL state by register-wise
+    MAX inside ``foreachBatch`` — the production cardinality dashboard
+    shape (state is 256 rows FOREVER, regardless of stream volume; no
+    distinct-set shuffle ever happens).
+
+    Register-max is associative and commutative, so the drained
+    estimate must equal the one-shot batch sketch over the same rows
+    under ANY batching — the ``stream_equals_batch`` column pins that
+    (the streaming analog of hll_merge's merge_exact). The state is
+    localCheckpoint-ed per batch to truncate lineage (the
+    streaming_foreach_upsert posture). Full oracle: DuckDB replays the
+    batch sketch, which the stream must equal bit-for-bit.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.approx import (
+        HLL_REL_ERR,
+        _hll_estimate,
+        _hll_hashed,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    state: dict[str, DataFrame] = {}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        regs = _hll_hashed(batch_df).groupBy("bucket").agg(F.max("rho").alias("reg"))
+        merged = (
+            state["df"].unionByName(regs).groupBy("bucket").agg(F.max("reg").alias("reg"))
+            if "df" in state
+            else regs
+        )
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_hll_"))
+        .foreachBatch(fold)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    batch_regs = _hll_hashed(ev).groupBy("bucket").agg(F.max("rho").alias("reg"))
+    est_stream = _hll_estimate(state["df"], "est_stream")
+    est_batch = _hll_estimate(batch_regs, "est_batch")
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.crossJoin(F.broadcast(est_stream))
+        .crossJoin(F.broadcast(est_batch))
+        .selectExpr(
+            "n_exact",
+            "est_stream",
+            "est_batch",
+            "est_stream = est_batch AS stream_equals_batch",
+            "floor(abs(est_stream - n_exact) / n_exact * 1000000) / 1000000 AS rel_err",
+            f"abs(est_stream - n_exact) / n_exact <= {HLL_REL_ERR} AS hll_ok",
+        )
+    )

@@ -461,3 +461,16 @@ def test_zipf_profile_invariants(spark):
         # the top-k types cover at least k/vocab of occurrences only in
         # the uniform worst case; Zipfian text concentrates far above it
         assert r.head_share >= min(ZIPF_TOP, r.vocab_size) / r.vocab_size - 1e-6
+
+
+def test_streaming_hll_equals_batch_sketch(spark):
+    """The foreachBatch register fold must land on EXACTLY the one-shot
+    batch sketch (register-max associativity across any micro-batching)
+    and within the 15% estimate bound of the exact distinct count —
+    the streaming analog of sketch_hll_merge's merge_exact pin."""
+    from gpu_accelerated_vector_indexing_spark.streaming.windows import streaming_hll_merge
+
+    r = streaming_hll_merge(spark, SF_CORRECT).collect()[0]
+    assert r.stream_equals_batch
+    assert r.est_stream == r.est_batch
+    assert r.hll_ok and r.rel_err <= 0.15

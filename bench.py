@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     ("ship_delay_priority", _collect),
     # training-data pipeline operators
     ("join_asof", _noop),
+    ("join_asof_forward", _noop),
     ("join_range_bucketed", _noop),
     ("sample_train_split", _noop),
     ("sketch_functions", _collect),

@@ -88,6 +88,68 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 'view' event: the EARLIEST 'purchase' by the same user with
+    ``purchase.ts >= view.ts`` — the FORWARD as-of (pandas
+    ``merge_asof(direction='forward')``), i.e. the label-alignment
+    direction of a training pipeline: attach the next conversion to
+    each impression. Views that never convert keep NULLs (they are the
+    negatives a ranking model trains on).
+
+    Same union-window device as :func:`asof_join_events` run in
+    reverse: traversal order ``(ts DESC, kind, event_id DESC)`` with a
+    carry-backward ``last(ignorenulls)`` hands each view the next
+    purchase in ONE user_id shuffle — no self-join, no range explode.
+    Same-second purchases are eligible (kind orders them before the
+    view within a tie), and ties on ts resolve to the SMALLEST purchase
+    event_id (the DESC traversal carries it last).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("kind"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        purchases.unionByName(views)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "kind",
+            F.last("p_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+            F.last("p_ts", ignorenulls=True).over(w).alias("next_purchase_ts"),
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "next_purchase_id",
+            "next_purchase_ts",
+            (F.unix_timestamp("next_purchase_ts") - F.unix_timestamp("ts"))
+            .cast("long")
+            .alias("secs_to_purchase"),
+        )
+    )
+
+
 def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: day → hour → minute
     rollup of the event stream in ONE pass.

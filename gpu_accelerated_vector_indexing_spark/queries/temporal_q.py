@@ -272,3 +272,29 @@ SELECT user_id, event_id,
        event_type AS next_event
 FROM lagged WHERE c{TP.SEQ_CONTEXT} IS NOT NULL
 """
+
+QUERIES["join_asof_forward"] = TP.asof_join_forward
+
+# the backward oracle mirrored: DESC traversal + carry-backward gives
+# each view the earliest at-or-after purchase; ts ties resolve to the
+# smallest purchase event_id in both engines (identical window order)
+ORACLES["join_asof_forward"] = _EV + """,
+u AS (
+  SELECT user_id, ts, event_id, 0 AS kind, event_id AS p_id, ts AS p_ts
+  FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS kind, NULL::BIGINT, NULL::TIMESTAMP
+  FROM ev WHERE event_type = 'view'
+),
+filled AS (
+  SELECT user_id, ts, event_id, kind,
+    last_value(p_id IGNORE NULLS) OVER w AS next_purchase_id,
+    last_value(p_ts IGNORE NULLS) OVER w AS next_purchase_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, kind ASC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, next_purchase_id, next_purchase_ts,
+       CAST(epoch(next_purchase_ts) - epoch(ts) AS BIGINT) AS secs_to_purchase
+FROM filled WHERE kind = 1
+"""

@@ -282,3 +282,36 @@ def test_sequence_dataset_counts_and_shape(spark):
         parts = r.context.split(">")
         assert len(parts) == SEQ_CONTEXT and set(parts) <= types
         assert r.next_event in types
+
+
+def test_asof_forward_semantics(spark):
+    """Forward as-of: every result's next purchase is the user's
+    earliest purchase at-or-after the view (verified against a
+    brute-force per-user scan), never-converting views keep NULLs, and
+    gaps are non-negative."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import asof_join_forward
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = asof_join_forward(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases: dict[int, list] = {}
+    for r in ev.filter(F.col("event_type") == "purchase").collect():
+        purchases.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    matched = 0
+    for r in rows:
+        cands = [
+            (ts, eid)
+            for ts, eid in purchases.get(r.user_id, [])
+            if ts >= r.ts
+        ]
+        if not cands:
+            assert r.next_purchase_id is None and r.secs_to_purchase is None
+            continue
+        best = min(cands)  # earliest ts, then smallest event_id
+        assert (r.next_purchase_ts, r.next_purchase_id) == best, (r, best)
+        assert r.secs_to_purchase >= 0
+        matched += 1
+    assert matched > 0  # the fixture must exercise the non-NULL path

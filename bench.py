@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     ("hybrid_search_rrf", _collect),
     ("hybrid_search_rrf_topn", _collect),
     ("knn_matryoshka", _collect),
+    ("knn_ivf_matryoshka", _collect),
     ("knn_prenorm", _collect),
     ("knn_ivf_prenorm", _collect),
     ("multi_query_knn", _collect),

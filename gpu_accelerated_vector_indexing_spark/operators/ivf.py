@@ -602,7 +602,11 @@ def ann_method_comparison(
     PQ via the staged-CTE codebook replay) → full value oracle; bounds
     are additionally pinned in tests.
     """
-    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from gpu_accelerated_vector_indexing_spark.operators.knn import (
+        knn_bruteforce,
+        knn_ivf_matryoshka,
+        knn_matryoshka,
+    )
     from gpu_accelerated_vector_indexing_spark.operators.lsh_ann import knn_lsh
     from gpu_accelerated_vector_indexing_spark.operators.quantize import (
         knn_bq,
@@ -623,6 +627,8 @@ def ann_method_comparison(
         "bq": knn_bq(spark, sf_dir, query_id=query_id, k=k),
         "ivf_bq": knn_ivf_bq(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
         "ivf_pq": knn_ivf_pq(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
+        "mrl": knn_matryoshka(spark, sf_dir, query_id=query_id, k=k),
+        "ivf_mrl": knn_ivf_matryoshka(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
     }
     out = None
     for name, df in methods.items():

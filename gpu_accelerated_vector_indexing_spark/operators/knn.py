@@ -512,3 +512,54 @@ def knn_matryoshka(
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(k)
     )
+
+
+def knn_ivf_matryoshka(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    n_candidates: int = MRL_CANDIDATES,
+) -> DataFrame:
+    """IVF × matryoshka — the composition of the engine's two
+    independent cheap levers: partition pruning cuts the fraction of
+    the index READ to ``n_probe/n_clusters`` (SURVEY.md §4 P1), the
+    candidate stage folds only the first ``prefix_dim`` dims of the
+    probed rows (¼ of the per-row work; a production matryoshka store
+    co-locates the prefix as its own narrow column inside the pruned
+    partitions, so I/O shrinks by the same factor), and the exact
+    rescore touches ≤ ``n_candidates`` rows. Completes the IVF
+    composition matrix alongside knn_ivf_{sq8,pq,bq,prenorm}.
+
+    Same determinism contract as :func:`knn_matryoshka`: both stages
+    round to 6 d.p. and tie-break ``vec_id DESC``, so the candidate
+    set — not just the final top-k — replays exactly in the oracle.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import cosine_similarity
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import coarse_probes
+
+    probes = coarse_probes(spark, sf_dir, query_id, n_probe)  # memoized index state
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label").isin(probes))
+    q = query_vectors(spark, sf_dir, [query_id])
+    q16 = q.select(F.slice("qvec", 1, prefix_dim).alias("q16"))
+    s16 = cosine_similarity(
+        F.slice(as_double_array("embedding"), 1, prefix_dim), F.col("q16")
+    )
+    cand = (
+        emb.join(F.broadcast(q16))
+        .select("vec_id", F.round(s16, SCORE_SCALE).alias("s16"))
+        .orderBy(F.desc("s16"), F.desc("vec_id"))
+        .limit(n_candidates)
+    )
+    full = cosine_similarity_hoisted(
+        as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+    )
+    return (
+        emb.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(full, SCORE_SCALE).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

@@ -628,3 +628,61 @@ SELECT o.label,
 FROM cent o LEFT JOIN newcent nc USING (label)
 ORDER BY o.label
 """
+
+
+def _knn_ivf_matryoshka(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_ivf_matryoshka
+
+    return knn_ivf_matryoshka(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
+
+
+QUERIES["knn_ivf_matryoshka"] = _knn_ivf_matryoshka
+
+# IVF pruning + prefix-dim candidate scan + exact rescore: the oracle
+# replays the coarse probes (shared CTEs) and both matryoshka stages
+# with the same 6 d.p. / vec_id DESC candidate determinism.
+from gpu_accelerated_vector_indexing_spark.operators.knn import (  # noqa: E402
+    MRL_CANDIDATES,
+    MRL_PREFIX_DIM,
+)
+
+ORACLES["knn_ivf_matryoshka"] = _ivf_ctes(N_PROBE) + f""",
+probed AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  WHERE e.label IN (SELECT label FROM probes)
+),
+s1 AS (
+  SELECT p.vec_id,
+         round(list_dot_product(p.embedding[1:{MRL_PREFIX_DIM}]::DOUBLE[], q.qvec[1:{MRL_PREFIX_DIM}]) /
+               (sqrt(list_dot_product(p.embedding[1:{MRL_PREFIX_DIM}]::DOUBLE[],
+                                      p.embedding[1:{MRL_PREFIX_DIM}]::DOUBLE[])) *
+                sqrt(list_dot_product(q.qvec[1:{MRL_PREFIX_DIM}], q.qvec[1:{MRL_PREFIX_DIM}])) + 1e-8), 6) AS s16
+  FROM probed p CROSS JOIN q
+),
+cand AS (SELECT vec_id FROM s1 ORDER BY s16 DESC, vec_id DESC LIMIT {MRL_CANDIDATES}),
+rescore AS (
+  SELECT p.vec_id,
+         round(list_dot_product(p.embedding::DOUBLE[], q.qvec) /
+               (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS score
+  FROM probed p JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, score FROM rescore ORDER BY score DESC, vec_id DESC LIMIT {K}
+"""
+
+# r4: the comparison harness gains the matryoshka rungs — rebuild its
+# oracle with the extended method map now that knn_ivf_matryoshka's SQL
+# exists (the operator added "mrl"/"ivf_mrl" in ivf.ann_method_comparison).
+from gpu_accelerated_vector_indexing_spark.queries import knn_q as _knn_q  # noqa: E402
+
+_AM_METHODS["mrl"] = _knn_q.ORACLES["knn_matryoshka"]
+_AM_METHODS["ivf_mrl"] = ORACLES["knn_ivf_matryoshka"]
+ORACLES["ann_method_comparison"] = (
+    f"WITH am_exact AS MATERIALIZED (SELECT vec_id FROM ({_AM_BRUTE}))\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, count(*) AS n_hits,"
+        f" round(count(*) / {K}.0, 6) AS recall"
+        f" FROM ({sql}) m WHERE m.vec_id IN (SELECT vec_id FROM am_exact)"
+        for name, sql in _AM_METHODS.items()
+    )
+)

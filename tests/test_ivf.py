@@ -336,7 +336,10 @@ def test_ann_method_comparison_bounds(spark):
     from gpu_accelerated_vector_indexing_spark.operators.ivf import ann_method_comparison
 
     rows = {r.method: r.recall for r in ann_method_comparison(spark, SF_CORRECT).collect()}
-    assert set(rows) == {"ivf_np3", "lsh", "sq8", "ivf_sq8", "pq", "ivf_pq", "bq", "ivf_bq"}
+    assert set(rows) == {
+        "ivf_np3", "lsh", "sq8", "ivf_sq8", "pq", "ivf_pq", "bq", "ivf_bq",
+        "mrl", "ivf_mrl",
+    }
     assert rows["sq8"] == 1.0  # exact-equality contract
     assert rows["bq"] == 1.0  # exact-equality contract (margin-backed)
     assert all(0.0 <= v <= 1.0 for v in rows.values())

@@ -230,3 +230,32 @@ def test_maxsim_contract(spark):
     assert all(-1.0 <= r.score <= 1.0 for r in rows)
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_matryoshka_full_budget_equals_ivf_exact(spark):
+    """IVF × matryoshka with the candidate stage widened to the whole
+    probed pool must equal the exact IVF fine search at the same probes
+    (the prefix screen cannot drop anything inside the pruned set) —
+    the approx-equals-exact contract of the composed path."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import knn_ivf
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_ivf_matryoshka
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    n = load_table(spark, SF_CORRECT, "embeddings").count()
+    for qid in (0, 3):
+        exact = [
+            tuple(r) for r in knn_ivf(spark, SF_CORRECT, query_id=qid, k=5, n_probe=3).collect()
+        ]
+        wide = [
+            tuple(r)
+            for r in knn_ivf_matryoshka(
+                spark, SF_CORRECT, query_id=qid, k=5, n_probe=3, n_candidates=n
+            ).collect()
+        ]
+        assert wide == exact
+        # at the default budget, survivors of the screen keep exact scores
+        narrow = knn_ivf_matryoshka(spark, SF_CORRECT, query_id=qid, k=5, n_probe=3).collect()
+        exact_scores = dict(exact)
+        for r in narrow:
+            if r.vec_id in exact_scores:
+                assert r.score == exact_scores[r.vec_id]

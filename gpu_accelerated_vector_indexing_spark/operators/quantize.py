@@ -802,3 +802,71 @@ def knn_ivf_bq(
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(k)
     )
+
+
+# --- PQ index-state persistence (the ANN side of dedup's state roundtrip) ----
+
+_PQ_STATE_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def write_pq_state(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the PQ index state to parquet — the production form
+    of ``pq_codebooks`` / ``pq_codes_table``: a vector store trains
+    codebooks and encodes the corpus ONCE at build time and every query
+    session loads the materialized tables (log2(K)·S bits/vector at
+    rest) instead of refitting. Mirrors ``dedup.write_dedup_state``."""
+    books = pq_codebooks(spark, sf_dir)
+    rows = [
+        (s, cw + 1, books[s][cw])  # codeword ids 1-based like the codes column
+        for s in range(len(books))
+        for cw in range(len(books[s]))
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, codeword int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{out_dir}/codebooks")
+    pq_codes_table(spark, sf_dir).write.mode("overwrite").parquet(f"{out_dir}/codes")
+
+
+def pq_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the PQ index state, read it back, and value-summarize it
+    — pinning that what lands on disk is EXACTLY the in-session state
+    (the oracle replays the deterministic Lloyd fit + encode from the
+    raw embeddings and computes the same sums).
+
+    Checksums are exact-integer (memory recipe): every centroid
+    component floor-scales to micro-units BEFORE summation, so both the
+    codebook checksum and the reconstruction checksum (codes joined
+    back to their codeword vectors) are order-free bigint sums — a
+    single flipped code assignment or perturbed component anywhere in
+    the persisted state changes the result.
+    """
+    import tempfile
+
+    key = (spark, sf_dir)
+    if key not in _PQ_STATE_DIR:
+        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_pqstate_")
+        write_pq_state(spark, sf_dir, out)
+        _PQ_STATE_DIR[key] = out
+    out = _PQ_STATE_DIR[key]
+    books = spark.read.parquet(f"{out}/codebooks")
+    codes = spark.read.parquet(f"{out}/codes")
+    micro_sum = F.aggregate(
+        F.transform(
+            "centroid", lambda v: F.floor(v * F.lit(1000000.0)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    b = books.agg(
+        F.count("*").alias("n_codewords"),
+        F.sum(micro_sum).alias("book_checksum"),
+    )
+    assigned = (
+        codes.select("vec_id", F.posexplode("codes").alias("subspace", "codeword"))
+        .join(F.broadcast(books), ["subspace", "codeword"])
+    )
+    r = assigned.agg(
+        (F.count("*") / F.lit(len(pq_codebooks(spark, sf_dir)))).cast("long").alias("n_code_rows"),
+        F.sum(micro_sum).alias("recon_checksum"),
+    )
+    return b.crossJoin(F.broadcast(r))

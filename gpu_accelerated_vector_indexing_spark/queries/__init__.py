@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 _GATE_FIRST = [
     "dedup_corpus_overlap", "curation_temperature_mix", "sketch_hll_merge",
     "events_sequence_dataset", "text_zipf_profile", "streaming_hll_merge",
-    "join_asof_forward", "knn_ivf_matryoshka",
+    "join_asof_forward", "knn_ivf_matryoshka", "pq_state_roundtrip",
     "dedup_substring_spans_hashed", "refshape_kmeans_invariants",
     "events_mad_outliers", "stats_exact_moments", "join_range_bucketed",
     "events_funnel", "scd2_user_state", "streaming_sessions",

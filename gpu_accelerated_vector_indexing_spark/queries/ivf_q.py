@@ -686,3 +686,24 @@ ORACLES["ann_method_comparison"] = (
         for name, sql in _AM_METHODS.items()
     )
 )
+
+# --- PQ index-state persistence roundtrip (r4) -------------------------------
+from gpu_accelerated_vector_indexing_spark.operators.quantize import (  # noqa: E402
+    PQ_ITERS,
+    pq_state_roundtrip,
+)
+
+QUERIES["pq_state_roundtrip"] = pq_state_roundtrip
+
+# the oracle replays the deterministic Lloyd fit + corpus encode from
+# raw embeddings and computes the SAME exact-integer checksums the
+# Spark side reads back off the persisted parquet state
+_PQ_MICROSUM = "CAST(sum(list_sum(list_transform(c, v -> CAST(floor(v * 1000000) AS BIGINT)))) AS BIGINT)"
+ORACLES["pq_state_roundtrip"] = f"""
+WITH {_pq.pq_replay_ctes(QUERY_ID, DIM)}
+SELECT
+  (SELECT count(*) FROM pq_c{PQ_ITERS}) AS n_codewords,
+  (SELECT {_PQ_MICROSUM} FROM pq_c{PQ_ITERS}) AS book_checksum,
+  (SELECT count(DISTINCT vec_id) FROM pq_codes) AS n_code_rows,
+  (SELECT {_PQ_MICROSUM} FROM pq_codes) AS recon_checksum
+"""

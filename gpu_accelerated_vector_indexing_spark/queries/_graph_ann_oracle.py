@@ -1,0 +1,140 @@
+"""Staged-CTE DuckDB oracle for the graph-ANN family.
+
+Replays the ENTIRE cluster-seeded NN-descent build
+(operators/graph_ann.build_knn_graph) and the bounded-hop beam search
+(knn_graph_beam) as deterministic SQL, mirroring the Spark stages
+one-to-one: same rounded-cosine scores (with the same hoisted-norm
+factoring — ``sqrt(dot(v,v))`` is the same double wherever computed, so
+hoisting is value-neutral and both engines get the cheap form), same
+(score DESC, nbr ASC) edge cut, same (score DESC, vec_id DESC) beam
+cut, UNION ALL where Spark ``union``s and DISTINCT where Spark
+``.distinct()``s. The same pattern as queries/_pq_oracle.py: if any
+stage diverges between engines the value hash catches it.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+    BEAM_HOPS,
+    BEAM_WIDTH,
+    K_GRAPH,
+    NN_DESCENT_ROUNDS,
+    SEED_WINDOW,
+)
+
+# MATERIALIZED: every CTE below is referenced several times downstream
+# (u{i} twice by the self-join, g{i} by u/p/scoring, en by every scoring
+# stage, the final graph once per beam hop); materializing pins DuckDB
+# to linear work exactly like the Spark side's localCheckpoint rounds.
+_EN = (
+    "en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"
+)
+
+
+def _pair_score(a: str = "a", b: str = "b") -> str:
+    return (
+        f"round(list_dot_product({a}.v, {b}.v) /"
+        f" ({a}.nrm * {b}.nrm + 1e-8), 6)"
+    )
+
+
+def _scored_topk(src: str, out: str, k: int) -> str:
+    """Score (node, nbr) pairs from CTE ``src`` and keep the per-node
+    top-k — the SQL twin of graph_ann._score_pairs + _topk_per_node."""
+    return f"""{out} AS MATERIALIZED (
+  SELECT node, nbr, score, rk FROM (
+    SELECT node, nbr, score,
+           row_number() OVER (PARTITION BY node ORDER BY score DESC, nbr ASC) AS rk
+    FROM (
+      SELECT c.node, c.nbr, {_pair_score()} AS score
+      FROM {src} c JOIN en a ON a.vec_id = c.node JOIN en b ON b.vec_id = c.nbr
+    )
+  ) WHERE rk <= {k})"""
+
+
+def graph_build_ctes(k: int = K_GRAPH, rounds: int = NN_DESCENT_ROUNDS) -> tuple[str, str]:
+    """Return (cte_text, final_graph_name) for the NN-descent build."""
+    parts = [
+        "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
+        _EN,
+        f"""ranked AS (
+  SELECT vec_id, label,
+         (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // {SEED_WINDOW} AS cg
+  FROM e)""",
+        f"""seed AS (
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM ranked a JOIN ranked b
+    ON a.label = b.label AND a.cg = b.cg AND a.vec_id <> b.vec_id
+  UNION
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM e a JOIN e b
+    ON (a.vec_id // {SEED_WINDOW}) = (b.vec_id // {SEED_WINDOW})
+   AND a.vec_id <> b.vec_id)""",
+        _scored_topk("seed", "g0", k),
+    ]
+    g = "g0"
+    for i in range(1, rounds + 1):
+        u, p = f"u{i}", f"p{i}"
+        parts.append(
+            f"{u} AS (SELECT node, nbr FROM {g} UNION ALL SELECT nbr AS node, node AS nbr FROM {g})"
+        )
+        parts.append(f"""{p} AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT x.node AS node, y.nbr AS nbr
+    FROM {u} x JOIN {u} y ON x.nbr = y.node WHERE x.node <> y.nbr
+    UNION ALL SELECT node, nbr FROM {g}
+  ))""")
+        parts.append(_scored_topk(p, f"g{i}", k))
+        g = f"g{i}"
+    return ",\n".join(parts), g
+
+
+def build_digest_sql() -> str:
+    ctes, g = graph_build_ctes()
+    return f"""WITH {ctes}
+SELECT rk,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS score_sum_micro,
+       CAST(sum(nbr) AS BIGINT) AS nbr_id_sum
+FROM {g}
+GROUP BY rk ORDER BY rk"""
+
+
+def beam_search_sql(
+    query_id: int = 0,
+    k: int = 5,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+) -> str:
+    qscore = "round(list_dot_product(en.v, q.qv) / (en.nrm * q.qn + 1e-8), 6)"
+    ctes, g = graph_build_ctes()
+    parts = [
+        ctes,
+        (
+            "q AS (SELECT v AS qv, nrm AS qn FROM en"
+            f" WHERE vec_id = {query_id})"
+        ),
+        "ent AS (SELECT min(vec_id) AS vec_id FROM e GROUP BY label)",
+        f"""v0 AS (
+  SELECT en.vec_id, {qscore} AS score
+  FROM en CROSS JOIN q WHERE en.vec_id IN (SELECT vec_id FROM ent))""",
+        f"f0 AS (SELECT vec_id FROM v0 ORDER BY score DESC, vec_id DESC LIMIT {beam})",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(f"""x{i} AS (
+  SELECT DISTINCT gr.nbr AS vec_id FROM {g} gr JOIN f{i - 1} f ON gr.node = f.vec_id)""")
+        parts.append(f"""s{i} AS (
+  SELECT en.vec_id, {qscore} AS score
+  FROM x{i} JOIN en USING (vec_id) CROSS JOIN q)""")
+        parts.append(f"""v{i} AS (
+  SELECT vec_id, max(score) AS score FROM (
+    SELECT * FROM v{i - 1} UNION ALL SELECT * FROM s{i}
+  ) GROUP BY vec_id)""")
+        parts.append(
+            f"f{i} AS (SELECT vec_id FROM v{i} ORDER BY score DESC, vec_id DESC LIMIT {beam})"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT vec_id, score FROM v{hops} ORDER BY score DESC, vec_id DESC LIMIT {k}"
+    )

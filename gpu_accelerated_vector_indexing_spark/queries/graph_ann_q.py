@@ -1,0 +1,37 @@
+"""Graph-ANN query family: NN-descent build digest + beam search.
+
+Both carry FULL value oracles — queries/_graph_ann_oracle.py replays
+the cluster-seeded NN-descent build and the bounded-hop beam search as
+staged CTEs, so every edge of the built graph and every visited-set cut
+of the search is value-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from gpu_accelerated_vector_indexing_spark.operators import graph_ann
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (
+    beam_search_sql,
+    build_digest_sql,
+)
+
+QUERY_ID = 0
+K = 5
+
+
+def _build_digest(spark, sf_dir):
+    return graph_ann.graph_build_digest(spark, sf_dir)
+
+
+def _beam(spark, sf_dir):
+    return graph_ann.knn_graph_beam(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+QUERIES = {
+    "graph_ann_build": _build_digest,
+    "knn_graph_beam": _beam,
+}
+
+ORACLES = {
+    "graph_ann_build": build_digest_sql(),
+    "knn_graph_beam": beam_search_sql(query_id=QUERY_ID, k=K),
+}

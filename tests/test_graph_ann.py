@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+from tests.parity import assert_parity
+
+NAMES = ["graph_ann_build", "knn_graph_beam"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_graph_ann_oracle_parity_smoke(spark, duck, name):
+    assert_parity(spark, duck, name, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_graph_ann_oracle_parity_sf001(spark, duck, name):
+    assert_parity(spark, duck, name, SF_CORRECT)
+
+
+def test_graph_contract(spark):
+    """k edges per node, no self loops, no duplicate edges, scores
+    rounded and within [-1, 1]."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import K_GRAPH, fixture_graph
+
+    g = fixture_graph(spark, SF_SMOKE)
+    per_node = g.groupBy("node").agg(
+        F.count("*").alias("deg"), F.countDistinct("nbr").alias("dnbr")
+    )
+    bad = per_node.filter((F.col("deg") != K_GRAPH) | (F.col("dnbr") != K_GRAPH)).count()
+    assert bad == 0
+    assert g.filter(F.col("node") == F.col("nbr")).count() == 0
+    assert g.filter((F.col("score") < -1.0) | (F.col("score") > 1.0)).count() == 0
+
+
+def test_dot_kernel_bit_exact_vs_jvm_fold(spark):
+    """The Arrow build kernel must match the JVM sequential fold
+    BIT-FOR-BIT (same float association) — this is what licenses using
+    it inside a value-hash-oracled build."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        as_double_array,
+        dot_product,
+        dot_product_seq_pandas,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), as_double_array("embedding").alias("vb"))
+    pairs = a.crossJoin(b)
+    n = pairs.count()
+    same = pairs.select(
+        (dot_product_seq_pandas(F.col("va"), F.col("vb"))
+         == dot_product(F.col("va"), F.col("vb"))).alias("eq")
+    ).filter("eq").count()
+    assert same == n, f"kernel diverged from fold on {n - same}/{n} pairs"
+
+
+def test_beam_recall_floor(spark):
+    """Beam search must land most of the exact top-k — the ANN quality
+    contract (graph quality × navigability), floor well under the
+    measured ~0.9 so fixture noise can't flake it."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import knn_graph_beam
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    hits = total = 0
+    for qid in (0, 1):
+        exact = {r.vec_id for r in knn_bruteforce(spark, SF_CORRECT, query_id=qid, k=5).collect()}
+        got = {r.vec_id for r in knn_graph_beam(spark, SF_CORRECT, query_id=qid, k=5).collect()}
+        hits += len(exact & got)
+        total += 5
+    assert hits / total >= 0.6, f"recall@5 {hits}/{total}"

@@ -301,3 +301,31 @@ def knn_graph_beam(
         )
         frontier = visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(beam)
     return visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+
+
+def graph_ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 3),
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of beam search vs exact brute force, per query — the
+    graph index's row in the ANN-quality harness (the
+    ``ivf.ann_method_comparison`` posture). Each side is k rows, the
+    comparison itself costs nothing; the adjacency state is shared
+    across the per-query searches (memoized), so the incremental cost
+    per query is one bounded beam walk.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    out = None
+    for qid in query_ids:
+        exact = knn_bruteforce(spark, sf_dir, query_id=qid, k=k).select("vec_id")
+        got = knn_graph_beam(spark, sf_dir, query_id=qid, k=k).select("vec_id")
+        row = got.join(exact, "vec_id", "left_semi").agg(
+            F.lit(qid).alias("query_id"),
+            F.count("*").alias("n_hits"),
+            F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("query_id")

@@ -100,41 +100,80 @@ FROM {g}
 GROUP BY rk ORDER BY rk"""
 
 
+def _beam_ctes(
+    query_id: int,
+    g: str,
+    suffix: str = "",
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+) -> tuple[list[str], str]:
+    """CTE parts for one beam search over final graph ``g``; names
+    carry ``suffix`` so several searches (the recall harness) coexist
+    in one statement. Returns (parts, final_visited_name)."""
+    s = suffix
+    qscore = f"round(list_dot_product(en.v, q{s}.qv) / (en.nrm * q{s}.qn + 1e-8), 6)"
+    parts = [
+        f"q{s} AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {query_id})",
+        f"""v{s}_0 AS (
+  SELECT en.vec_id, {qscore} AS score
+  FROM en CROSS JOIN q{s} WHERE en.vec_id IN (SELECT vec_id FROM ent))""",
+        f"f{s}_0 AS (SELECT vec_id FROM v{s}_0 ORDER BY score DESC, vec_id DESC LIMIT {beam})",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(f"""x{s}_{i} AS (
+  SELECT DISTINCT gr.nbr AS vec_id FROM {g} gr JOIN f{s}_{i - 1} f ON gr.node = f.vec_id)""")
+        parts.append(f"""s{s}_{i} AS (
+  SELECT en.vec_id, {qscore} AS score
+  FROM x{s}_{i} JOIN en USING (vec_id) CROSS JOIN q{s})""")
+        parts.append(f"""v{s}_{i} AS (
+  SELECT vec_id, max(score) AS score FROM (
+    SELECT * FROM v{s}_{i - 1} UNION ALL SELECT * FROM s{s}_{i}
+  ) GROUP BY vec_id)""")
+        parts.append(
+            f"f{s}_{i} AS (SELECT vec_id FROM v{s}_{i} ORDER BY score DESC, vec_id DESC LIMIT {beam})"
+        )
+    return parts, f"v{s}_{hops}"
+
+_ENT = "ent AS (SELECT min(vec_id) AS vec_id FROM e GROUP BY label)"
+
+
 def beam_search_sql(
     query_id: int = 0,
     k: int = 5,
     beam: int = BEAM_WIDTH,
     hops: int = BEAM_HOPS,
 ) -> str:
-    qscore = "round(list_dot_product(en.v, q.qv) / (en.nrm * q.qn + 1e-8), 6)"
     ctes, g = graph_build_ctes()
-    parts = [
-        ctes,
-        (
-            "q AS (SELECT v AS qv, nrm AS qn FROM en"
-            f" WHERE vec_id = {query_id})"
-        ),
-        "ent AS (SELECT min(vec_id) AS vec_id FROM e GROUP BY label)",
-        f"""v0 AS (
-  SELECT en.vec_id, {qscore} AS score
-  FROM en CROSS JOIN q WHERE en.vec_id IN (SELECT vec_id FROM ent))""",
-        f"f0 AS (SELECT vec_id FROM v0 ORDER BY score DESC, vec_id DESC LIMIT {beam})",
-    ]
-    for i in range(1, hops + 1):
-        parts.append(f"""x{i} AS (
-  SELECT DISTINCT gr.nbr AS vec_id FROM {g} gr JOIN f{i - 1} f ON gr.node = f.vec_id)""")
-        parts.append(f"""s{i} AS (
-  SELECT en.vec_id, {qscore} AS score
-  FROM x{i} JOIN en USING (vec_id) CROSS JOIN q)""")
-        parts.append(f"""v{i} AS (
-  SELECT vec_id, max(score) AS score FROM (
-    SELECT * FROM v{i - 1} UNION ALL SELECT * FROM s{i}
-  ) GROUP BY vec_id)""")
-        parts.append(
-            f"f{i} AS (SELECT vec_id FROM v{i} ORDER BY score DESC, vec_id DESC LIMIT {beam})"
-        )
-    joined = ",\n".join(parts)
+    bparts, v = _beam_ctes(query_id, g, beam=beam, hops=hops)
+    joined = ",\n".join([ctes, _ENT, *bparts])
     return (
         f"WITH {joined}\n"
-        f"SELECT vec_id, score FROM v{hops} ORDER BY score DESC, vec_id DESC LIMIT {k}"
+        f"SELECT vec_id, score FROM {v} ORDER BY score DESC, vec_id DESC LIMIT {k}"
     )
+
+
+def recall_sql(query_ids: tuple[int, ...], k: int = 5) -> str:
+    """Per-query recall@k of beam search vs the exact top-k, both
+    replayed in SQL — the ANN-quality harness row for the graph index
+    (the ``ann_method_comparison`` posture applied per query)."""
+    ctes, g = graph_build_ctes()
+    parts = [ctes, _ENT]
+    selects = []
+    for qid in query_ids:
+        s = f"q{qid}"
+        bparts, v = _beam_ctes(qid, g, suffix=s)
+        parts.extend(bparts)
+        parts.append(f"""got{s} AS (
+  SELECT vec_id FROM {v} ORDER BY score DESC, vec_id DESC LIMIT {k})""")
+        parts.append(f"""ex{s} AS (
+  SELECT en.vec_id FROM en CROSS JOIN q{s}
+  ORDER BY round(list_dot_product(en.v, q{s}.qv) / (en.nrm * q{s}.qn + 1e-8), 6) DESC,
+           en.vec_id DESC LIMIT {k})""")
+        selects.append(
+            f"SELECT {qid} AS query_id, CAST(count(*) AS BIGINT) AS n_hits,"
+            f" round(count(*) / {float(k)}, 6) AS recall"
+            f" FROM got{s} WHERE vec_id IN (SELECT vec_id FROM ex{s})"
+        )
+    joined = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {joined}\n{union}\nORDER BY query_id"

@@ -12,10 +12,12 @@ from gpu_accelerated_vector_indexing_spark.operators import graph_ann
 from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (
     beam_search_sql,
     build_digest_sql,
+    recall_sql,
 )
 
 QUERY_ID = 0
 K = 5
+RECALL_IDS = (0, 3)
 
 
 def _build_digest(spark, sf_dir):
@@ -26,12 +28,18 @@ def _beam(spark, sf_dir):
     return graph_ann.knn_graph_beam(spark, sf_dir, query_id=QUERY_ID, k=K)
 
 
+def _recall(spark, sf_dir):
+    return graph_ann.graph_ann_recall(spark, sf_dir, query_ids=RECALL_IDS, k=K)
+
+
 QUERIES = {
     "graph_ann_build": _build_digest,
     "knn_graph_beam": _beam,
+    "graph_ann_recall": _recall,
 }
 
 ORACLES = {
     "graph_ann_build": build_digest_sql(),
     "knn_graph_beam": beam_search_sql(query_id=QUERY_ID, k=K),
+    "graph_ann_recall": recall_sql(RECALL_IDS, k=K),
 }

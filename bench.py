@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     ("dedup_corpus_overlap", _collect),
     ("sample_weighted_pps", _noop),
     ("copurchase_triangles", _collect),
+    ("copurchase_kcore", _collect),
     ("quantiles_histogram", _collect),
     ("text_token_count", _noop),
     ("text_bpe_merges", _collect),

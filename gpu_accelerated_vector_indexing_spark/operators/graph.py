@@ -248,3 +248,60 @@ def triangle_counts(
         .orderBy(F.desc("n_tri"), F.asc("node"))
         .limit(top_n)
     )
+
+
+# k-core peeling: k near the graph's degree median so several rounds do
+# real corrosion at every fixture scale before the (sharp, random-graph)
+# core transition empties the core — the TRAJECTORY is the result.
+KCORE_K = 100
+KCORE_ROUNDS = 4
+
+
+def kcore_trajectory(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core peeling profile: (iter, n_alive, node_id_sum) per round.
+
+    Distributed peeling (Montresor et al. style, synchronized): each
+    round keeps nodes whose degree WITHIN the surviving subgraph is
+    ≥ k — two semi-joins of the cached edge state against the alive
+    set plus one count aggregate; the alive set (node ids only) is
+    localCheckpoint-ed per round so round r+1's two references never
+    re-execute the prefix. Rounds are FIXED (the staged-CTE oracle
+    replays them exactly); on this co-purchase graph the core
+    transition is sharp — the trajectory documents the corrosion,
+    including the empty fixpoint. Nothing driver-side ever holds nodes:
+    per-round state lives in executors, the digest is one row per
+    round. At 100 TB this is the standard iterative-peeling shape:
+    edge state scanned per round, alive set shrinking monotonically.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+
+    def digest(df: DataFrame, it: int) -> DataFrame:
+        return df.agg(
+            F.lit(it).alias("iter"),
+            F.count("*").alias("n_alive"),
+            F.coalesce(F.sum("node"), F.lit(0)).cast("long").alias("node_id_sum"),
+        )
+
+    out = digest(alive, 0)
+    for i in range(1, rounds + 1):
+        a_src = alive.select(F.col("node").alias("src"))
+        a_dst = alive.select(F.col("node").alias("dst"))
+        deg = (
+            edges.join(a_src, "src", "left_semi")
+            .join(a_dst, "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(digest(alive, i))
+    return out.orderBy("iter")

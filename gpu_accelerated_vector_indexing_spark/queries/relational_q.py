@@ -888,3 +888,42 @@ SELECT l_returnflag,
        min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) / 100.0 AS p99_price
 FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def _copurchase_kcore(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.operators.graph import kcore_trajectory
+
+    return kcore_trajectory(spark, sf_dir)
+
+
+QUERIES["copurchase_kcore"] = _copurchase_kcore
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds as staged CTEs (the fixed-rounds pattern
+    of the PageRank/NN-descent oracles): a_{i} = nodes of a_{i-1} whose
+    within-a_{i-1} degree is >= k; one digest row per round."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph import KCORE_K, KCORE_ROUNDS
+
+    parts = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""",
+        "a0 AS (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT src AS node FROM edges
+  WHERE src IN (SELECT node FROM a{i - 1}) AND dst IN (SELECT node FROM a{i - 1})
+  GROUP BY src HAVING count(*) >= {KCORE_K})""")
+    digests = "\nUNION ALL\n".join(
+        f"SELECT {i} AS iter, CAST(count(*) AS BIGINT) AS n_alive,"
+        f" CAST(coalesce(sum(node), 0) AS BIGINT) AS node_id_sum FROM a{i}"
+        for i in range(KCORE_ROUNDS + 1)
+    )
+    joined = ",\n".join(parts)
+    return f"WITH {joined}\n{digests}\nORDER BY iter"
+
+
+ORACLES["copurchase_kcore"] = _kcore_oracle()

@@ -165,3 +165,20 @@ def test_triangle_counts_scale_path_no_closure_broadcast(spark):
     assert [(r.node, r.n_tri) for r in scale.collect()] == [
         (r.node, r.n_tri) for r in default.collect()
     ]
+
+
+def test_kcore_trajectory_monotone(spark):
+    """Peeling only removes nodes: n_alive non-increasing, iter 0 is
+    the full node set, digests internally consistent (empty core sums
+    to zero)."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph import (
+        copurchase_edges,
+        kcore_trajectory,
+    )
+
+    rows = kcore_trajectory(spark, SF_CORRECT).collect()
+    n_nodes = copurchase_edges(spark, SF_CORRECT).select("src").distinct().count()
+    assert rows[0].n_alive == n_nodes
+    alive = [r.n_alive for r in rows]
+    assert all(a >= b for a, b in zip(alive, alive[1:]))
+    assert all(r.node_id_sum == 0 for r in rows if r.n_alive == 0)

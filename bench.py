@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     ("text_token_count", _noop),
     ("text_bpe_merges", _collect),
     ("corpus_pack_sequences", _collect),
+    ("corpus_compaction_plan", _collect),
     ("dedup_minhash_lsh", _noop),
     ("dedup_simhash_pairs", _noop),
     ("dedup_ngram_jaccard", _noop),

@@ -415,6 +415,40 @@ def _pack_counts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PACK_COUNTS_STATE[key]
 
 
+def range_prefix_sum(
+    spark: SparkSession, df: DataFrame, val_col: str, n_ranges: int | None = None
+) -> DataFrame:
+    """Two-pass distributed prefix sum in ``doc_id`` order: returns the
+    input plus ``pid`` (fixed-width id range) and ``s`` (exact running
+    total of ``val_col`` BEFORE this row).
+
+    A naive global window (``Window.orderBy(doc_id)``) serializes the
+    corpus through ONE task. Instead: bucket doc_ids into FIXED-width
+    ranges (an explicit, recomputation-stable partitioner —
+    ``repartitionByRange`` was tried first and its SAMPLED boundaries
+    can differ between the subtotal pass and the main pass, silently
+    shifting every offset after the first divergent boundary), collect
+    the per-range subtotals (ONE tiny row per range), cumulate on the
+    driver, broadcast the bases back as a literal map — the classic
+    two-pass distributed prefix sum; the only window is per-range.
+    Shared by ``pack_sequences`` and ``compaction_plan``.
+    """
+    n_ranges = n_ranges or spark.sparkContext.defaultParallelism
+    lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = max((int(hi) - int(lo)) // n_ranges + 1, 1)
+    parted = df.withColumn("pid", F.expr(f"(doc_id - {int(lo)}) div {span}"))
+    psums = parted.groupBy("pid").agg(F.sum(val_col).alias("pv")).collect()
+    base, bases = 0, {}
+    for r in sorted(psums, key=lambda r: r.pid):
+        bases[int(r.pid)] = base
+        base += int(r.pv)
+    base_map = F.create_map(*[F.lit(x) for pid_base in bases.items() for x in pid_base])
+    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return parted.withColumn(
+        "s", base_map[F.col("pid")] + F.sum(val_col).over(w) - F.col(val_col)
+    )
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     n_ranges: int | None = None,
@@ -429,35 +463,13 @@ def pack_sequences(
     the final chunk) and the doc-id span — the manifest a training
     loader needs to materialize packed sequences.
 
-    Scale shape — the prefix sum: a naive global window
-    (``Window.orderBy(doc_id)``) serializes the corpus through ONE
-    task. Instead: bucket doc_ids into FIXED-width ranges (an explicit,
-    recomputation-stable partitioner — ``repartitionByRange`` was tried
-    first and its SAMPLED boundaries can differ between the subtotal
-    pass and the main pass, silently shifting every offset after the
-    first divergent boundary), collect the per-range token subtotals
-    (ONE tiny row per range), cumulate on the driver, broadcast the
-    bases back as a literal map — the classic two-pass distributed
-    prefix sum; the only window is per-range. The chunk fan-out is
-    ``⌈tokens/seq_len⌉`` rows, never quadratic.
+    Scale shape — the prefix sum is the shared two-pass
+    ``range_prefix_sum`` (see its docstring for why not a global window
+    or repartitionByRange). The chunk fan-out is ``⌈tokens/seq_len⌉``
+    rows, never quadratic.
     """
     docs = _pack_counts_state(spark, sf_dir)
-    n_ranges = n_ranges or spark.sparkContext.defaultParallelism
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    span = max((int(hi) - int(lo)) // n_ranges + 1, 1)
-    parted = docs.withColumn("pid", F.expr(f"(doc_id - {int(lo)}) div {span}"))
-    psums = parted.groupBy("pid").agg(F.sum("n_toks").alias("ptoks")).collect()
-    base, bases = 0, {}
-    for r in sorted(psums, key=lambda r: r.pid):
-        bases[int(r.pid)] = base
-        base += int(r.ptoks)
-    base_map = F.create_map(
-        *[F.lit(x) for pid_base in bases.items() for x in pid_base]
-    )
-    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    with_s = parted.withColumn(
-        "s", base_map[F.col("pid")] + F.sum("n_toks").over(w) - F.col("n_toks")
-    )
+    with_s = range_prefix_sum(spark, docs, "n_toks", n_ranges)
     segs = (
         with_s.filter(F.col("n_toks") > 0)
         .select(
@@ -713,4 +725,43 @@ def zipf_profile(spark: SparkSession, sf_dir: str, top: int = ZIPF_TOP) -> DataF
         ratio(F.col("vocab_size"), F.col("n_tokens")).alias("type_token_ratio"),
         ratio(F.col("n_hapax"), F.col("vocab_size")).alias("hapax_frac"),
         ratio(F.col("head_occ"), F.col("n_tokens")).alias("head_share"),
+    )
+
+
+COMPACT_TARGET = 25_000  # target output-shard size (text units)
+
+
+def compaction_plan(
+    spark: SparkSession, sf_dir: str, target: int = COMPACT_TARGET
+) -> DataFrame:
+    """Small-file compaction plan: assign documents to target-size
+    output shards by next-fit over the exact corpus prefix sum.
+
+    The lakehouse maintenance op a 100 TB document store runs
+    continuously: many small inputs → ~``target``-sized outputs. A doc
+    lands in the bin where its start offset falls (``s div target``),
+    so bins fill to the target and overflow only by the one straddling
+    document — the standard next-fit compaction contract. Output: one
+    manifest row per planned shard (doc count, exact size, id span —
+    contiguous in doc_id order by construction, so every planned shard
+    is also a clustered id range).
+
+    Shape: the shared two-pass ``range_prefix_sum`` (no global-window
+    sort, no collect beyond one row per id range), then one group-by
+    over ``⌈corpus/target⌉`` bins.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("sz")
+    )
+    with_s = range_prefix_sum(spark, docs, "sz")
+    return (
+        with_s.withColumn("bin_id", F.expr(f"s div {target}"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("sz").alias("total_units"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
     )

@@ -378,3 +378,32 @@ SELECT source, n_tokens, vocab_size,
        floor(head_occ / n_tokens * 1000000) / 1000000 AS head_share
 FROM per_src
 """
+
+
+def _compaction_plan(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import compaction_plan
+
+    return compaction_plan(spark, sf_dir)
+
+
+QUERIES["corpus_compaction_plan"] = _compaction_plan
+
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (  # noqa: E402
+    COMPACT_TARGET as _CT,
+)
+
+# exact prefix-sum replay: the oracle may use the single-task global
+# window (oracle-side only; the ENGINE uses the two-pass range sum)
+ORACLES["corpus_compaction_plan"] = f"""
+WITH docsz AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS sz FROM documents),
+pre AS (
+  SELECT doc_id, sz,
+         CAST(sum(sz) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz AS BIGINT) AS soff
+  FROM docsz)
+SELECT soff // {_CT} AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sz) AS BIGINT) AS total_units,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM pre GROUP BY 1 ORDER BY 1
+"""

@@ -474,3 +474,31 @@ def test_streaming_hll_equals_batch_sketch(spark):
     assert r.stream_equals_batch
     assert r.est_stream == r.est_batch
     assert r.hll_ok and r.rel_err <= 0.15
+
+
+def test_compaction_plan_invariants(spark):
+    """Bins are contiguous doc_id ranges, every doc lands in exactly one
+    bin, and every bin except possibly the last reaches the target
+    (next-fit can only overflow by one straddling document)."""
+    from tests.conftest import SF_CORRECT
+
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        COMPACT_TARGET,
+        compaction_plan,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    from pyspark.sql import functions as F
+
+    rows = compaction_plan(spark, SF_CORRECT).collect()
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n_docs, max_sz = docs.agg(F.count("*"), F.max(F.length("text"))).first()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.last_doc < nxt.first_doc  # contiguous, disjoint spans
+    # next-fit bound: a bin's fill is the gap between consecutive bin
+    # start offsets, each within one straddling document of the target
+    assert all(
+        COMPACT_TARGET - max_sz <= r.total_units <= COMPACT_TARGET + max_sz
+        for r in rows[:-1]
+    )

@@ -1004,3 +1004,39 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac_exact"),
         )
     )
+
+
+def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents can
+    NEVER straddle a split boundary.
+
+    The classic eval-contamination failure is a test document whose
+    near-duplicate sits in train. Fix: assign splits by hashing the
+    near-dup COMPONENT representative (min reachable doc_id through
+    Jaccard ≥ 0.6 edges, ``duplicate_components``) instead of the
+    document id — every member of a component shares the group key, so
+    the whole cluster lands in one split; singletons (the overwhelming
+    majority at any scale) hash their own id. Same bucket thresholds
+    and portable hash as ``approx.sample_train_split``, so the two
+    splits are directly comparable. The component relation is the tiny
+    non-singleton set — the left join adds one broadcast-sized probe to
+    the corpus-linear split scan.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.approx import (
+        TRAIN_FRAC,
+        VAL_FRAC,
+        portable_hash_unit,
+    )
+
+    comp = duplicate_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    group_key = F.coalesce(F.col("component"), F.col("doc_id"))
+    u = portable_hash_unit(group_key)
+    split = (
+        F.when(u < TRAIN_FRAC, "train")
+        .when(u < TRAIN_FRAC + VAL_FRAC, "val")
+        .otherwise("test")
+    )
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id", "lang", group_key.alias("group_key"), split.alias("split")
+    )

@@ -367,3 +367,28 @@ SELECT t.doc_id, t.n_windows, d.n_dup_windows,
        floor(d.n_dup_windows / t.n_windows * 1000000) / 1000000 AS dup_ratio
 FROM tot t JOIN dups d USING (doc_id)
 """
+
+
+QUERIES["sample_split_leakage_safe"] = D.train_split_leakage_safe
+
+from gpu_accelerated_vector_indexing_spark.operators.approx import (  # noqa: E402
+    HASH_A as _SA,
+    HASH_B as _SB,
+    HASH_M as _SM,
+    TRAIN_FRAC as _STR,
+    VAL_FRAC as _SVA,
+)
+
+_GK_HASH = f"(((group_key % {_SM}) * {_SA} + {_SB}) % {_SM}) / {float(_SM)}"
+
+ORACLES["sample_split_leakage_safe"] = _COMPONENTS_SQL + f"""
+, keyed AS (
+  SELECT doc.doc_id, doc.lang, coalesce(c.component, doc.doc_id) AS group_key
+  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id
+)
+SELECT doc_id, lang, group_key,
+  CASE WHEN {_GK_HASH} < {_STR} THEN 'train'
+       WHEN {_GK_HASH} < {_STR + _SVA} THEN 'val'
+       ELSE 'test' END AS split
+FROM keyed
+"""

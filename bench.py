@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     # refshape_search_cli)
     ("graph_ann_build", _collect),
     ("knn_graph_beam", _collect),
+    ("graph_ann_insert", _collect),
     ("knn_prenorm", _collect),
     ("knn_ivf_prenorm", _collect),
     ("multi_query_knn", _collect),

@@ -122,6 +122,39 @@ def _topk_per_node(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _grouped(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, cg, blk): the two constant-width seed groupings
+    — within-cell rank window ``cg`` and label-independent id block
+    ``blk`` — shared by the full build and the incremental attach so
+    both derive IDENTICAL group ids."""
+    cell_rank = F.row_number().over(Window.partitionBy("label").orderBy("vec_id"))
+    return emb.select(
+        "vec_id",
+        "label",
+        ((cell_rank - F.lit(1)) / F.lit(SEED_WINDOW)).cast("long").alias("cg"),
+        F.expr(f"vec_id DIV {SEED_WINDOW}").alias("blk"),
+    )
+
+
+def _seed_pairs(emb: DataFrame) -> DataFrame:
+    """Union of the two grouping self-joins (see build_knn_graph's seed
+    comment), deduplicated — Θ(n·SEED_WINDOW) pairs."""
+    g = _grouped(emb)
+    cells = (
+        g.alias("a")
+        .join(g.alias("b"), (F.col("a.label") == F.col("b.label")) & (F.col("a.cg") == F.col("b.cg")))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
+    )
+    blocks = (
+        g.alias("a")
+        .join(g.alias("b"), "blk")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
+    )
+    return cells.union(blocks).distinct()
+
+
 def build_knn_graph(
     spark: SparkSession,
     sf_dir: str,
@@ -157,27 +190,7 @@ def build_knn_graph(
     # paths alternate between them, and the proposal graph becomes
     # expansive (measured: 65% true-top-8 edge recall after 4 rounds
     # at sf0.01 — within 2 points of the quadratic-seed build).
-    cell_rank = F.row_number().over(Window.partitionBy("label").orderBy("vec_id"))
-    ranked = emb.select(
-        "vec_id", "label", ((cell_rank - F.lit(1)) / F.lit(SEED_WINDOW)).cast("long").alias("cg")
-    )
-    cells = (
-        ranked.alias("a")
-        .join(
-            ranked.alias("b"),
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.cg") == F.col("b.cg")),
-        )
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
-    )
-    blk = F.expr(f"vec_id DIV {SEED_WINDOW}")
-    blocks = (
-        emb.select("vec_id", blk.alias("blk")).alias("a")
-        .join(emb.select("vec_id", blk.alias("blk")).alias("b"), "blk")
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
-    )
-    seed = cells.union(blocks).distinct()
+    seed = _seed_pairs(emb)
     # Each round's graph is materialized (lineage truncated): round r+1
     # references round r's edges four times (undirected ×2 via the
     # self-join, plus the incumbent union), so an unmaterialized lineage
@@ -329,3 +342,57 @@ def graph_ann_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("query_id")
+
+
+GRAPH_INSERT_MODULUS = 7  # the simulated "new batch": vec_id % 7 == 0
+
+
+def graph_ann_insert(
+    spark: SparkSession,
+    sf_dir: str,
+    modulus: int = GRAPH_INSERT_MODULUS,
+    k: int = K_GRAPH,
+) -> DataFrame:
+    """Incremental graph maintenance: attach a new vector batch to the
+    LIVE adjacency state without rebuilding — the graph-index analog of
+    ``ivf.assign_incremental`` (new rows vs existing centroids) and
+    ``dedup.incremental_dedup`` (new docs vs archive signatures).
+
+    The batch is the ``vec_id % modulus == 0`` slice; the serving state
+    is the memoized graph with the batch's rows masked out (the
+    ``knn_with_deletes`` masking posture — exactly what the index holds
+    after those rows' delete-compaction). Attach = the build's own seed
+    groupings restricted to batch→archive pairs, plus ONE refinement
+    hop through the archive adjacency (neighbors of seed candidates),
+    then the standard per-node top-k. Candidate volume is
+    Θ(batch·SEED_WINDOW·(1+K)) — it scales with the BATCH, never with
+    the archive, the incremental contract all three families share.
+    Output: the build-digest shape (per neighbor rank: count, exact
+    score sum, nbr id sum) over the newly attached edges.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_n = _normed(emb).localCheckpoint(eager=True)
+    adj = fixture_graph(spark, sf_dir)
+    arch_adj = adj.filter(
+        (F.col("node") % modulus != 0) & (F.col("nbr") % modulus != 0)
+    ).select("node", "nbr")
+    seed = _seed_pairs(emb).filter(
+        (F.col("node") % modulus == 0) & (F.col("nbr") % modulus != 0)
+    )
+    refine = (
+        seed.alias("s")
+        .join(arch_adj.alias("g"), F.col("s.nbr") == F.col("g.node"))
+        .filter(F.col("s.node") != F.col("g.nbr"))
+        .select(F.col("s.node").alias("node"), F.col("g.nbr").alias("nbr"))
+    )
+    cand = seed.union(refine).distinct()
+    attached = _topk_per_node(_score_pairs(cand, emb_n), k)
+    return (
+        attached.groupBy("rk")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum(F.round(F.col("score") * 1e6).cast("long")).alias("score_sum_micro"),
+            F.sum("nbr").alias("nbr_id_sum"),
+        )
+        .orderBy("rk")
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 # names follow in merged()'s natural order. Rotate again next round.
 _GATE_FIRST = [
     "graph_ann_build", "knn_graph_beam", "graph_ann_recall", "copurchase_kcore",
-    "corpus_compaction_plan", "sample_split_leakage_safe",
+    "corpus_compaction_plan", "sample_split_leakage_safe", "graph_ann_insert",
     "dedup_corpus_overlap", "curation_temperature_mix", "sketch_hll_merge",
     "events_sequence_dataset", "text_zipf_profile", "streaming_hll_merge",
     "join_asof_forward", "knn_ivf_matryoshka", "pq_state_roundtrip",

@@ -177,3 +177,45 @@ def recall_sql(query_ids: tuple[int, ...], k: int = 5) -> str:
     joined = ",\n".join(parts)
     union = "\nUNION ALL\n".join(selects)
     return f"WITH {joined}\n{union}\nORDER BY query_id"
+
+
+def insert_digest_sql() -> str:
+    """Replay the incremental attach: batch→archive seed pairs from the
+    SAME groupings as the build, one refinement hop through the masked
+    archive adjacency, per-node top-k, build-digest shape."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        GRAPH_INSERT_MODULUS as M,
+    )
+
+    ctes, g = graph_build_ctes()
+    parts = [
+        ctes,
+        f"""arch AS (
+  SELECT node, nbr FROM {g} WHERE node % {M} <> 0 AND nbr % {M} <> 0)""",
+        f"""bseed AS (
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM ranked a JOIN ranked b
+    ON a.label = b.label AND a.cg = b.cg AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {M} = 0 AND b.vec_id % {M} <> 0
+  UNION
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM e a JOIN e b
+    ON (a.vec_id // {SEED_WINDOW}) = (b.vec_id // {SEED_WINDOW})
+   AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {M} = 0 AND b.vec_id % {M} <> 0)""",
+        """brefine AS (
+  SELECT DISTINCT s.node, gg.nbr
+  FROM bseed s JOIN arch gg ON s.nbr = gg.node WHERE s.node <> gg.nbr)""",
+        """bcand AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT node, nbr FROM bseed UNION ALL SELECT node, nbr FROM brefine))""",
+        _scored_topk("bcand", "battached", K_GRAPH),
+    ]
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+SELECT rk,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS score_sum_micro,
+       CAST(sum(nbr) AS BIGINT) AS nbr_id_sum
+FROM battached
+GROUP BY rk ORDER BY rk"""

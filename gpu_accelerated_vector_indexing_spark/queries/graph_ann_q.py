@@ -12,6 +12,7 @@ from gpu_accelerated_vector_indexing_spark.operators import graph_ann
 from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (
     beam_search_sql,
     build_digest_sql,
+    insert_digest_sql,
     recall_sql,
 )
 
@@ -28,6 +29,10 @@ def _beam(spark, sf_dir):
     return graph_ann.knn_graph_beam(spark, sf_dir, query_id=QUERY_ID, k=K)
 
 
+def _insert(spark, sf_dir):
+    return graph_ann.graph_ann_insert(spark, sf_dir)
+
+
 def _recall(spark, sf_dir):
     return graph_ann.graph_ann_recall(spark, sf_dir, query_ids=RECALL_IDS, k=K)
 
@@ -36,10 +41,12 @@ QUERIES = {
     "graph_ann_build": _build_digest,
     "knn_graph_beam": _beam,
     "graph_ann_recall": _recall,
+    "graph_ann_insert": _insert,
 }
 
 ORACLES = {
     "graph_ann_build": build_digest_sql(),
     "knn_graph_beam": beam_search_sql(query_id=QUERY_ID, k=K),
     "graph_ann_recall": recall_sql(RECALL_IDS, k=K),
+    "graph_ann_insert": insert_digest_sql(),
 }

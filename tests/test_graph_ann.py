@@ -5,7 +5,7 @@ import pytest
 from tests.conftest import SF_CORRECT, SF_SMOKE
 from tests.parity import assert_parity
 
-NAMES = ["graph_ann_build", "knn_graph_beam", "graph_ann_recall"]
+NAMES = ["graph_ann_build", "knn_graph_beam", "graph_ann_recall", "graph_ann_insert"]
 
 
 @pytest.mark.parametrize("name", NAMES)

@@ -435,6 +435,10 @@ def range_prefix_sum(
     """
     n_ranges = n_ranges or spark.sparkContext.defaultParallelism
     lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if hi is None:  # empty input: no ranges to cumulate — stay total
+        return df.withColumn("pid", F.lit(0).cast("long")).withColumn(
+            "s", F.lit(0).cast("long")
+        )
     span = max((int(hi) - int(lo)) // n_ranges + 1, 1)
     parted = df.withColumn("pid", F.expr(f"(doc_id - {int(lo)}) div {span}"))
     psums = parted.groupBy("pid").agg(F.sum(val_col).alias("pv")).collect()

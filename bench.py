@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     # refshape_search_cli)
     ("graph_ann_build", _collect),
     ("knn_graph_beam", _collect),
+    ("knn_graph_beam_bq", _collect),
+    ("knn_graph_beam_filtered", _collect),
+    ("graph_state_roundtrip", _collect),
     ("graph_ann_insert", _collect),
     ("knn_prenorm", _collect),
     ("knn_ivf_prenorm", _collect),

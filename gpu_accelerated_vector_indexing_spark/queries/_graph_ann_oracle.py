@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
     BEAM_HOPS,
+    BEAM_RESCORE,
     BEAM_WIDTH,
     K_GRAPH,
     NN_DESCENT_ROUNDS,
@@ -142,14 +143,99 @@ def beam_search_sql(
     k: int = 5,
     beam: int = BEAM_WIDTH,
     hops: int = BEAM_HOPS,
+    lang: str | None = None,
 ) -> str:
+    """``lang`` (the filtered variant): the walk is IDENTICAL — the
+    predicate applies only at emission over the visited set, mirroring
+    graph_ann.knn_graph_beam_filtered's semi join."""
     ctes, g = graph_build_ctes()
     bparts, v = _beam_ctes(query_id, g, beam=beam, hops=hops)
     joined = ",\n".join([ctes, _ENT, *bparts])
+    where = (
+        f"\nWHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
+        if lang is not None
+        else ""
+    )
     return (
         f"WITH {joined}\n"
-        f"SELECT vec_id, score FROM {v} ORDER BY score DESC, vec_id DESC LIMIT {k}"
+        f"SELECT vec_id, score FROM {v}{where}"
+        f" ORDER BY score DESC, vec_id DESC LIMIT {k}"
     )
+
+
+def state_roundtrip_sql() -> str:
+    """Replay the build and fingerprint the FULL edge list — the value
+    twin of graph_ann.graph_state_roundtrip's read-back of the
+    persisted parquet state."""
+    ctes, g = graph_build_ctes()
+    return f"""WITH {ctes}
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+       CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS score_sum_micro,
+       CAST(sum(node) AS BIGINT) AS node_id_sum,
+       CAST(sum(nbr) AS BIGINT) AS nbr_id_sum
+FROM {g}"""
+
+
+def beam_bq_sql(
+    query_id: int = 0,
+    k: int = 5,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+    rescore_n: int | None = BEAM_RESCORE,
+) -> str:
+    """Replay the compressed (1-bit) beam walk + exact rescore
+    (graph_ann.knn_graph_beam_bq). The sign codes become 0/1 DOUBLE
+    lists and Hamming distance folds as
+    ``Σs + Σq − 2·s·q`` — every term a small integer held exactly in
+    doubles, so the integer Spark computes via ``bit_count(XOR)`` is
+    reproduced bit-for-bit. Beam cuts order (hamming ASC, vec_id DESC);
+    the final rescore is the engine cosine recipe over the visited set
+    (all of it when ``rescore_n`` is None, the Spark default)."""
+    ctes, g = graph_build_ctes()
+    hamm = (
+        "CAST(list_sum(sb.s) + list_sum(qb.qs)"
+        " - 2 * list_dot_product(sb.s, qb.qs) AS BIGINT)"
+    )
+    parts = [
+        ctes,
+        _ENT,
+        """sb AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS s
+  FROM en)""",
+        f"qb AS (SELECT s AS qs FROM sb WHERE vec_id = {query_id})",
+        f"""hv_0 AS (
+  SELECT sb.vec_id, {hamm} AS hamming
+  FROM sb CROSS JOIN qb WHERE sb.vec_id IN (SELECT vec_id FROM ent))""",
+        f"hf_0 AS (SELECT vec_id FROM hv_0 ORDER BY hamming ASC, vec_id DESC LIMIT {beam})",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(f"""hx_{i} AS (
+  SELECT DISTINCT gr.nbr AS vec_id FROM {g} gr JOIN hf_{i - 1} f ON gr.node = f.vec_id)""")
+        parts.append(f"""hs_{i} AS (
+  SELECT sb.vec_id, {hamm} AS hamming
+  FROM hx_{i} JOIN sb USING (vec_id) CROSS JOIN qb)""")
+        parts.append(f"""hv_{i} AS (
+  SELECT vec_id, min(hamming) AS hamming FROM (
+    SELECT * FROM hv_{i - 1} UNION ALL SELECT * FROM hs_{i}
+  ) GROUP BY vec_id)""")
+        parts.append(
+            f"hf_{i} AS (SELECT vec_id FROM hv_{i} ORDER BY hamming ASC, vec_id DESC LIMIT {beam})"
+        )
+    if rescore_n is None:
+        parts.append(f"hcand AS (SELECT vec_id FROM hv_{hops})")
+    else:
+        parts.append(
+            f"hcand AS (SELECT vec_id FROM hv_{hops}"
+            f" ORDER BY hamming ASC, vec_id DESC LIMIT {rescore_n})"
+        )
+    parts.append(f"qe AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {query_id})")
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+SELECT en.vec_id,
+       round(list_dot_product(en.v, qe.qv) / (en.nrm * qe.qn + 1e-8), 6) AS score
+FROM hcand JOIN en USING (vec_id) CROSS JOIN qe
+ORDER BY score DESC, vec_id DESC LIMIT {k}"""
 
 
 def recall_sql(query_ids: tuple[int, ...], k: int = 5) -> str:

@@ -10,10 +10,12 @@ from __future__ import annotations
 
 from gpu_accelerated_vector_indexing_spark.operators import graph_ann
 from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (
+    beam_bq_sql,
     beam_search_sql,
     build_digest_sql,
     insert_digest_sql,
     recall_sql,
+    state_roundtrip_sql,
 )
 
 QUERY_ID = 0
@@ -29,6 +31,18 @@ def _beam(spark, sf_dir):
     return graph_ann.knn_graph_beam(spark, sf_dir, query_id=QUERY_ID, k=K)
 
 
+def _beam_bq(spark, sf_dir):
+    return graph_ann.knn_graph_beam_bq(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+def _beam_filtered(spark, sf_dir):
+    return graph_ann.knn_graph_beam_filtered(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+def _state_roundtrip(spark, sf_dir):
+    return graph_ann.graph_state_roundtrip(spark, sf_dir)
+
+
 def _insert(spark, sf_dir):
     return graph_ann.graph_ann_insert(spark, sf_dir)
 
@@ -40,6 +54,9 @@ def _recall(spark, sf_dir):
 QUERIES = {
     "graph_ann_build": _build_digest,
     "knn_graph_beam": _beam,
+    "knn_graph_beam_bq": _beam_bq,
+    "knn_graph_beam_filtered": _beam_filtered,
+    "graph_state_roundtrip": _state_roundtrip,
     "graph_ann_recall": _recall,
     "graph_ann_insert": _insert,
 }
@@ -47,6 +64,9 @@ QUERIES = {
 ORACLES = {
     "graph_ann_build": build_digest_sql(),
     "knn_graph_beam": beam_search_sql(query_id=QUERY_ID, k=K),
+    "knn_graph_beam_bq": beam_bq_sql(query_id=QUERY_ID, k=K),
+    "knn_graph_beam_filtered": beam_search_sql(query_id=QUERY_ID, k=K, lang="en"),
+    "graph_state_roundtrip": state_roundtrip_sql(),
     "graph_ann_recall": recall_sql(RECALL_IDS, k=K),
     "graph_ann_insert": insert_digest_sql(),
 }

@@ -5,7 +5,15 @@ import pytest
 from tests.conftest import SF_CORRECT, SF_SMOKE
 from tests.parity import assert_parity
 
-NAMES = ["graph_ann_build", "knn_graph_beam", "graph_ann_recall", "graph_ann_insert"]
+NAMES = [
+    "graph_ann_build",
+    "knn_graph_beam",
+    "knn_graph_beam_bq",
+    "knn_graph_beam_filtered",
+    "graph_state_roundtrip",
+    "graph_ann_recall",
+    "graph_ann_insert",
+]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -71,6 +79,22 @@ def test_beam_recall_floor(spark):
     for qid in (0, 1):
         exact = {r.vec_id for r in knn_bruteforce(spark, SF_CORRECT, query_id=qid, k=5).collect()}
         got = {r.vec_id for r in knn_graph_beam(spark, SF_CORRECT, query_id=qid, k=5).collect()}
+        hits += len(exact & got)
+        total += 5
+    assert hits / total >= 0.6, f"recall@5 {hits}/{total}"
+
+
+def test_beam_bq_recall_floor(spark):
+    """The compressed (1-bit navigation + exact rescore-all) walk must
+    stay near the float beam's quality — measured 0.87 at the fixture;
+    floor at 0.6 so noise can't flake it."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import knn_graph_beam_bq
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    hits = total = 0
+    for qid in (0, 1):
+        exact = {r.vec_id for r in knn_bruteforce(spark, SF_CORRECT, query_id=qid, k=5).collect()}
+        got = {r.vec_id for r in knn_graph_beam_bq(spark, SF_CORRECT, query_id=qid, k=5).collect()}
         hits += len(exact & got)
         total += 5
     assert hits / total >= 0.6, f"recall@5 {hits}/{total}"

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     ("knn_graph_beam_filtered", _collect),
     ("graph_state_roundtrip", _collect),
     ("graph_ann_insert", _collect),
+    ("streaming_graph_attach", _collect),
     ("knn_prenorm", _collect),
     ("knn_ivf_prenorm", _collect),
     ("multi_query_knn", _collect),

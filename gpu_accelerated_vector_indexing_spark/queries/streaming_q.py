@@ -521,3 +521,26 @@ SELECT x.n_exact, f.est_batch AS est_stream, f.est_batch,
        abs(f.est_batch - x.n_exact) / x.n_exact <= {_AP.HLL_REL_ERR} AS hll_ok
 FROM exact x, fin f
 """
+
+
+def _streaming_graph_attach(spark, sf_dir):
+    """Streaming twin of graph_ann_insert: new vectors attach to the
+    masked live adjacency per micro-batch; every candidate for a node
+    is generated in that node's own batch, so the drained digest is
+    value-identical to the one-shot batch attach (same oracle)."""
+    from gpu_accelerated_vector_indexing_spark.streaming.graph_stream import (
+        streaming_graph_attach,
+    )
+
+    return streaming_graph_attach(spark, sf_dir)
+
+
+QUERIES["streaming_graph_attach"] = _streaming_graph_attach
+
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    insert_digest_sql as _insert_digest_sql,
+)
+
+# stream ≡ batch by construction (see streaming/graph_stream.py) — the
+# oracle IS the batch twin's staged-CTE replay
+ORACLES["streaming_graph_attach"] = _insert_digest_sql()

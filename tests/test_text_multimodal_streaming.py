@@ -502,3 +502,37 @@ def test_compaction_plan_invariants(spark):
         COMPACT_TARGET - max_sz <= r.total_units <= COMPACT_TARGET + max_sz
         for r in rows[:-1]
     )
+
+
+def test_streaming_graph_attach_batching_invariance(spark, tmp_path):
+    """Attach digest must be identical whether the new vectors arrive
+    in ONE micro-batch or one file at a time — every node's candidates
+    are generated in its own batch, so batching cannot change the
+    per-node top-k (the claim streaming/graph_stream.py makes by
+    construction; this pins it empirically across 4 file-batches)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from gpu_accelerated_vector_indexing_spark.streaming.graph_stream import (
+        streaming_graph_attach,
+    )
+
+    sfdir = tmp_path / "corpus"
+    sfdir.mkdir()
+    (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .repartition(4, F.col("vec_id"))
+        .write.parquet(str(sfdir / "embeddings.parquet"))
+    )
+
+    throttled = streaming_graph_attach(
+        spark, str(sfdir), max_files_per_trigger=1
+    ).toPandas()
+    single = streaming_graph_attach(spark, str(sfdir)).toPandas()
+    cols = sorted(throttled.columns)
+
+    def canon(df):
+        return df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+
+    assert canon(throttled).equals(canon(single))
+    assert (throttled.n_edges > 0).all()

@@ -271,6 +271,59 @@ def graph_build_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_digest(fixture_graph(spark, sf_dir))
 
 
+def _entry_points(emb: DataFrame) -> DataFrame:
+    """One entry node per IVF cell: the cell's minimum vec_id."""
+    return emb.groupBy("label").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
+
+
+def _walk(
+    adj: DataFrame,
+    entries: DataFrame,
+    scorer,
+    sort_cols,
+    agg_expr,
+    beam: int,
+    hops: int,
+) -> DataFrame:
+    """The ONE bounded beam-walk loop shared by every search variant
+    (float-scored and Hamming-scored): ``scorer(ids)`` maps an id set to
+    scored rows, ``sort_cols()`` gives the better-first ordering,
+    ``agg_expr()`` the visited-dedup aggregate (MAX score / MIN hamming
+    — a no-op either way since a node's score is unique, chosen for
+    engine portability). Returns the deduplicated visited set."""
+    visited = scorer(entries).localCheckpoint(eager=True)
+    # the initial frontier honors the beam bound too (n_cells can
+    # exceed BEAM_WIDTH at reference shape: 128 clusters vs beam 24)
+    frontier = visited.orderBy(*sort_cols()).limit(beam)
+    for _ in range(hops):
+        expand = (
+            adj.join(
+                F.broadcast(frontier.select(F.col("vec_id").alias("node"))), "node"
+            )
+            .select(F.col("nbr").alias("vec_id"))
+            .distinct()
+            # never rescore an already-visited node: its score is already
+            # in `visited`, and union + the dedup aggregate would only
+            # collapse the identical value — the anti-join is
+            # value-neutral (the oracle keeps the plain union for the
+            # same reason) but drops up to beam·k wasted kernel
+            # evaluations per hop once the frontier stabilizes.
+            .join(visited.select("vec_id"), "vec_id", "left_anti")
+        )
+        # visited is referenced twice per hop (fold + next frontier) and
+        # is ≤ |entry| + hops·beam·k rows — materialize it so the hop
+        # chain stays a flat sequence of short stages instead of a
+        # 2^hops re-execution tree.
+        visited = (
+            visited.union(scorer(expand))
+            .groupBy("vec_id")
+            .agg(agg_expr())
+            .localCheckpoint(eager=True)
+        )
+        frontier = visited.orderBy(*sort_cols()).limit(beam)
+    return visited
+
+
 def _beam_visited(
     spark: SparkSession,
     sf_dir: str,
@@ -314,38 +367,15 @@ def _beam_visited(
             ).alias("score"),
         )
 
-    entries = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
-    visited = scored(entries).localCheckpoint(eager=True)
-    # the initial frontier honors the beam bound too (n_cells can
-    # exceed BEAM_WIDTH at reference shape: 128 clusters vs beam 24)
-    frontier = visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(beam)
-    for _ in range(hops):
-        expand = (
-            adj.join(
-                F.broadcast(frontier.select(F.col("vec_id").alias("node"))), "node"
-            )
-            .select(F.col("nbr").alias("vec_id"))
-            .distinct()
-            # never rescore an already-visited node: its score is already
-            # in `visited`, and union + MAX would only dedup the identical
-            # value — the anti-join is value-neutral (the oracle keeps the
-            # plain union for the same reason) but drops up to beam·k
-            # wasted kernel evaluations per hop once the frontier
-            # stabilizes.
-            .join(visited.select("vec_id"), "vec_id", "left_anti")
-        )
-        # visited is referenced twice per hop (fold + next frontier) and
-        # is ≤ |entry| + hops·beam·k rows — materialize it so the hop
-        # chain stays a flat sequence of short stages instead of a
-        # 2^hops re-execution tree.
-        visited = (
-            visited.union(scored(expand))
-            .groupBy("vec_id")
-            .agg(F.max("score").alias("score"))
-            .localCheckpoint(eager=True)
-        )
-        frontier = visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(beam)
-    return visited
+    return _walk(
+        adj,
+        _entry_points(emb),
+        scored,
+        lambda: [F.desc("score"), F.desc("vec_id")],
+        lambda: F.max("score").alias("score"),
+        beam,
+        hops,
+    )
 
 
 def knn_graph_beam(
@@ -495,6 +525,14 @@ def knn_graph_beam_bq(
     emb_n = fixture_normed(spark, sf_dir)
     codes = fixture_bq_codes(spark, sf_dir)
     qvec = fixture_qvec(spark, sf_dir, query_id)
+    if len(qvec) > 64:
+        # the one-word packing below and fixture_bq_codes' quantize.bq_code
+        # are both 64-dim forms; past one word the stored codes go NULL and
+        # the hand-packed qcode wraps — fail loudly (the multi-word path is
+        # quantize.bq_codes, used by the refshape family).
+        raise ValueError(
+            f"knn_graph_beam_bq packs one 64-bit word; embedding dim is {len(qvec)}"
+        )
     qcode = 0
     for j, x in enumerate(qvec):  # same packing as quantize.bq_code
         if float(x) > 0.0:
@@ -513,26 +551,15 @@ def knn_graph_beam_bq(
             .alias("hamming"),
         )
 
-    entries = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
-    visited = hscored(entries).localCheckpoint(eager=True)
-    frontier = visited.orderBy(F.asc("hamming"), F.desc("vec_id")).limit(beam)
-    for _ in range(hops):
-        expand = (
-            adj.join(
-                F.broadcast(frontier.select(F.col("vec_id").alias("node"))), "node"
-            )
-            .select(F.col("nbr").alias("vec_id"))
-            .distinct()
-            .join(visited.select("vec_id"), "vec_id", "left_anti")
-        )
-        visited = (
-            visited.union(hscored(expand))
-            .groupBy("vec_id")
-            .agg(F.min("hamming").alias("hamming"))
-            .localCheckpoint(eager=True)
-        )
-        frontier = visited.orderBy(F.asc("hamming"), F.desc("vec_id")).limit(beam)
-    cand = visited
+    cand = _walk(
+        adj,
+        _entry_points(emb),
+        hscored,
+        lambda: [F.asc("hamming"), F.desc("vec_id")],
+        lambda: F.min("hamming").alias("hamming"),
+        beam,
+        hops,
+    )
     if rescore_n is not None:
         cand = cand.orderBy(F.asc("hamming"), F.desc("vec_id")).limit(rescore_n)
     return (
@@ -571,10 +598,13 @@ def graph_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one row — pinning that what lands on disk is EXACTLY the
     in-session graph (the oracle replays the whole NN-descent build
     from raw embeddings and computes the same sums). All checksums are
-    order-free exact integers: edge scores floor through the ×1e6 →
-    LONG recipe, id sums are plain bigint folds — one flipped edge,
-    dropped rank, or perturbed score anywhere in the persisted state
-    changes the row."""
+    order-free exact integers: edge scores go through the digest recipe
+    ``round(score·1e6) → LONG`` — round(), NOT floor(): the score is
+    already rounded to 6 d.p., so ×1e6 is an integer up to float
+    representation error and round() recovers it exactly, where floor()
+    would drop 1 whenever the error lands negative. Id sums are plain
+    bigint folds. One flipped edge, dropped rank, or perturbed score
+    anywhere in the persisted state changes the row."""
     import tempfile
 
     key = (spark, sf_dir)
@@ -593,6 +623,44 @@ def graph_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_INSERT_MODULUS = 7  # the simulated "new batch": vec_id % 7 == 0
+
+
+def attach_candidates(
+    new_g: DataFrame, arch_g: DataFrame, arch_adj: DataFrame
+) -> DataFrame:
+    """Candidate edges for attaching NEW nodes to a live graph: the
+    build's own seed groupings restricted to new→archive pairs
+    (``new_g``/``arch_g`` are ``_grouped()`` rows for each side), plus
+    ONE refinement hop through the archive adjacency, deduplicated.
+
+    Shared by the batch attach (``graph_ann_insert``) and its streaming
+    twin (``streaming/graph_stream.py``) so their stream ≡ batch
+    equivalence — and the shared oracle (insert_digest_sql) — is
+    STRUCTURAL rather than maintained by keeping two copies of these
+    joins in sync."""
+    cells = (
+        new_g.alias("a")
+        .join(
+            arch_g.alias("b"),
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.cg") == F.col("b.cg")),
+        )
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
+    )
+    blocks = (
+        new_g.alias("a")
+        .join(arch_g.alias("b"), "blk")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
+    )
+    seed = cells.union(blocks).distinct()
+    refine = (
+        seed.alias("s")
+        .join(arch_adj.alias("g"), F.col("s.nbr") == F.col("g.node"))
+        .filter(F.col("s.node") != F.col("g.nbr"))
+        .select(F.col("s.node").alias("node"), F.col("g.nbr").alias("nbr"))
+    )
+    return seed.union(refine).distinct()
 
 
 def graph_ann_insert(
@@ -624,14 +692,10 @@ def graph_ann_insert(
     arch_adj = adj.filter(
         (F.col("node") % modulus != 0) & (F.col("nbr") % modulus != 0)
     ).select("node", "nbr")
-    seed = _seed_pairs(emb).filter(
-        (F.col("node") % modulus == 0) & (F.col("nbr") % modulus != 0)
+    grouped = _grouped(emb)
+    cand = attach_candidates(
+        grouped.filter(F.col("vec_id") % modulus == 0),
+        grouped.filter(F.col("vec_id") % modulus != 0),
+        arch_adj,
     )
-    refine = (
-        seed.alias("s")
-        .join(arch_adj.alias("g"), F.col("s.nbr") == F.col("g.node"))
-        .filter(F.col("s.node") != F.col("g.nbr"))
-        .select(F.col("s.node").alias("node"), F.col("g.nbr").alias("nbr"))
-    )
-    cand = seed.union(refine).distinct()
     return _rank_digest(_topk_per_node(_score_pairs(cand, emb_n), k))

@@ -10,8 +10,9 @@ available):
     new-vector ids → static grouping metadata join (the build's own
         seed groupings, precomputed once from the corpus — index
         metadata, never recomputed per batch)
-        → batch→archive seed pairs (grouping-partner joins)
-        → ONE refinement hop through the masked archive adjacency
+        → batch→archive candidates (graph_ann.attach_candidates — the
+          SAME function the batch twin calls, so the two stay
+          structurally identical)
         → score (memoized normed state) → per-node top-k
         → accumulate attached edges (localCheckpoint lineage cut)
 
@@ -34,9 +35,6 @@ new node), localCheckpoint-ed so lineage stays O(1) in batch count.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,10 +45,15 @@ from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
     _rank_digest,
     _score_pairs,
     _topk_per_node,
+    attach_candidates,
     fixture_graph,
     fixture_normed,
 )
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+from gpu_accelerated_vector_indexing_spark.streaming._drain import (
+    drain_accumulate,
+    embeddings_stream,
+)
 
 
 def streaming_graph_attach(
@@ -71,59 +74,20 @@ def streaming_graph_attach(
         (F.col("node") % modulus != 0) & (F.col("nbr") % modulus != 0)
     ).select("node", "nbr")
     # grouping ASSIGNMENTS are build-time index metadata: computed once
-    # from the static corpus (identical to the batch twin's _seed_pairs
-    # input), the batch side just looks its rows up by id
+    # from the static corpus (identical to the batch twin's input), the
+    # batch side just looks its rows up by id
     grouped = _grouped(emb)
     arch_g = grouped.filter(F.col("vec_id") % modulus != 0)
 
-    reader = spark.readStream.schema("vec_id long, embedding array<float>, label int")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(os.path.join(sf_dir, "embeddings.parque*"))
+    raw = embeddings_stream(spark, sf_dir, max_files_per_trigger)
     new_ids = raw.filter(F.col("vec_id") % modulus == 0).select("vec_id")
 
-    state: dict[str, DataFrame] = {}
+    def attach(batch_df: DataFrame) -> DataFrame:
+        new_g = grouped.join(batch_df.select("vec_id"), "vec_id")
+        cand = attach_candidates(new_g, arch_g, arch_adj)
+        return _topk_per_node(_score_pairs(cand, emb_n), k)
 
-    def attach_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bg = grouped.join(batch_df.select("vec_id"), "vec_id")
-        cells = (
-            bg.alias("a")
-            .join(
-                arch_g.alias("b"),
-                (F.col("a.label") == F.col("b.label")) & (F.col("a.cg") == F.col("b.cg")),
-            )
-            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
-        )
-        blocks = (
-            bg.alias("a")
-            .join(arch_g.alias("b"), "blk")
-            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
-        )
-        seed = cells.union(blocks).distinct()
-        refine = (
-            seed.alias("s")
-            .join(arch_adj.alias("g"), F.col("s.nbr") == F.col("g.node"))
-            .filter(F.col("s.node") != F.col("g.nbr"))
-            .select(F.col("s.node").alias("node"), F.col("g.nbr").alias("nbr"))
-        )
-        cand = seed.union(refine).distinct()
-        attached = _topk_per_node(_score_pairs(cand, emb_n), k)
-        merged = state["df"].unionByName(attached) if "df" in state else attached
-        state["df"] = merged.localCheckpoint(eager=True)
-
-    q = (
-        new_ids.writeStream.outputMode("append")
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_sgraph_"),
-        )
-        .foreachBatch(attach_batch)
-        .start()
+    attached = drain_accumulate(
+        new_ids, attach, "gpu_accelerated_vector_indexing_sgraph_"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return _rank_digest(state["df"])
+    return _rank_digest(attached)

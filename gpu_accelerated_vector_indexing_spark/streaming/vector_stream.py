@@ -19,8 +19,6 @@ search regardless of how arrivals are batched — a full DuckDB oracle.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +28,10 @@ from pyspark.sql import functions as F
 from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array, l2_norm
 from gpu_accelerated_vector_indexing_spark.operators.knn import scored_embeddings
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+from gpu_accelerated_vector_indexing_spark.streaming._drain import (
+    drain_accumulate,
+    embeddings_stream,
+)
 
 
 def streaming_knn(
@@ -45,40 +47,22 @@ def streaming_knn(
     queries through MULTIPLE micro-batches and pin batching-invariance.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    reader = spark.readStream.schema("vec_id long, embedding array<float>, label int")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(os.path.join(sf_dir, "embeddings.parque*"))
+    raw = embeddings_stream(spark, sf_dir, max_files_per_trigger)
     qstream = raw.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
         as_double_array("embedding").alias("qvec"),
     )
 
-    state: dict[str, DataFrame] = {}
-
-    def search_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def search_batch(batch_df: DataFrame) -> DataFrame:
         qs = batch_df.withColumn("qnorm", l2_norm(F.col("qvec")))
         scored = scored_embeddings(emb, qs)
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.desc("vec_id"))
-        topk = (
+        return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("query_id", "vec_id", "score", "rn")
         )
-        merged = state["df"].unionByName(topk) if "df" in state else topk
-        state["df"] = merged.localCheckpoint(eager=True)
 
-    q = (
-        qstream.writeStream.outputMode("append")
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_sknn_"),
-        )
-        .foreachBatch(search_batch)
-        .start()
+    return drain_accumulate(
+        qstream, search_batch, "gpu_accelerated_vector_indexing_sknn_"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return state["df"]

@@ -535,4 +535,5 @@ def test_streaming_graph_attach_batching_invariance(spark, tmp_path):
         return df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
 
     assert canon(throttled).equals(canon(single))
+    assert len(throttled) > 0  # an empty digest would pass equals() vacuously
     assert (throttled.n_edges > 0).all()

@@ -630,6 +630,15 @@ def ann_method_comparison(
         "mrl": knn_matryoshka(spark, sf_dir, query_id=query_id, k=k),
         "ivf_mrl": knn_ivf_matryoshka(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
     }
+    # the graph index's rungs (r4) — imported late: graph_ann imports
+    # this module for fixture_qvec
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        knn_graph_beam,
+        knn_graph_beam_bq,
+    )
+
+    methods["graph_beam"] = knn_graph_beam(spark, sf_dir, query_id=query_id, k=k)
+    methods["graph_beam_bq"] = knn_graph_beam_bq(spark, sf_dir, query_id=query_id, k=k)
     out = None
     for name, df in methods.items():
         hits = df.select("vec_id").join(exact, "vec_id", "left_semi").agg(

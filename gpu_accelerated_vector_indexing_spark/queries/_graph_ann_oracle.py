@@ -177,6 +177,71 @@ SELECT CAST(count(*) AS BIGINT) AS n_edges,
 FROM {g}"""
 
 
+def _beam_bq_ctes(
+    query_id: int,
+    g: str,
+    suffix: str = "",
+    k: int = 5,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+    rescore_n: int | None = BEAM_RESCORE,
+) -> tuple[list[str], str]:
+    """CTE parts for one compressed (1-bit) beam walk + exact rescore
+    over final graph ``g`` (graph_ann.knn_graph_beam_bq). The sign
+    codes become 0/1 DOUBLE lists and Hamming distance folds as
+    ``Σs + Σq − 2·s·q`` — every term a small integer held exactly in
+    doubles, so the integer Spark computes via ``bit_count(XOR)`` is
+    reproduced bit-for-bit. Beam cuts order (hamming ASC, vec_id DESC);
+    the final rescore is the engine cosine recipe over the visited set
+    (all of it when ``rescore_n`` is None, the Spark default). Returns
+    (parts, top-k CTE name); names carry ``suffix`` so a walk can
+    coexist with others in one statement."""
+    s = suffix
+    hamm = (
+        f"CAST(list_sum(sb.s) + list_sum(qb{s}.qs)"
+        f" - 2 * list_dot_product(sb.s, qb{s}.qs) AS BIGINT)"
+    )
+    parts = [
+        """sb AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS s
+  FROM en)""",
+        f"qb{s} AS (SELECT s AS qs FROM sb WHERE vec_id = {query_id})",
+        f"""hv{s}_0 AS (
+  SELECT sb.vec_id, {hamm} AS hamming
+  FROM sb CROSS JOIN qb{s} WHERE sb.vec_id IN (SELECT vec_id FROM ent))""",
+        f"hf{s}_0 AS (SELECT vec_id FROM hv{s}_0 ORDER BY hamming ASC, vec_id DESC LIMIT {beam})",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(f"""hx{s}_{i} AS (
+  SELECT DISTINCT gr.nbr AS vec_id FROM {g} gr JOIN hf{s}_{i - 1} f ON gr.node = f.vec_id)""")
+        parts.append(f"""hs{s}_{i} AS (
+  SELECT sb.vec_id, {hamm} AS hamming
+  FROM hx{s}_{i} JOIN sb USING (vec_id) CROSS JOIN qb{s})""")
+        parts.append(f"""hv{s}_{i} AS (
+  SELECT vec_id, min(hamming) AS hamming FROM (
+    SELECT * FROM hv{s}_{i - 1} UNION ALL SELECT * FROM hs{s}_{i}
+  ) GROUP BY vec_id)""")
+        parts.append(
+            f"hf{s}_{i} AS (SELECT vec_id FROM hv{s}_{i} ORDER BY hamming ASC, vec_id DESC LIMIT {beam})"
+        )
+    if rescore_n is None:
+        parts.append(f"hcand{s} AS (SELECT vec_id FROM hv{s}_{hops})")
+    else:
+        parts.append(
+            f"hcand{s} AS (SELECT vec_id FROM hv{s}_{hops}"
+            f" ORDER BY hamming ASC, vec_id DESC LIMIT {rescore_n})"
+        )
+    parts.append(
+        f"qe{s} AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {query_id})"
+    )
+    parts.append(f"""bqtop{s} AS (
+  SELECT en.vec_id,
+         round(list_dot_product(en.v, qe{s}.qv) / (en.nrm * qe{s}.qn + 1e-8), 6) AS score
+  FROM hcand{s} JOIN en USING (vec_id) CROSS JOIN qe{s}
+  ORDER BY score DESC, vec_id DESC LIMIT {k})""")
+    return parts, f"bqtop{s}"
+
+
 def beam_bq_sql(
     query_id: int = 0,
     k: int = 5,
@@ -184,58 +249,47 @@ def beam_bq_sql(
     hops: int = BEAM_HOPS,
     rescore_n: int | None = BEAM_RESCORE,
 ) -> str:
-    """Replay the compressed (1-bit) beam walk + exact rescore
-    (graph_ann.knn_graph_beam_bq). The sign codes become 0/1 DOUBLE
-    lists and Hamming distance folds as
-    ``Σs + Σq − 2·s·q`` — every term a small integer held exactly in
-    doubles, so the integer Spark computes via ``bit_count(XOR)`` is
-    reproduced bit-for-bit. Beam cuts order (hamming ASC, vec_id DESC);
-    the final rescore is the engine cosine recipe over the visited set
-    (all of it when ``rescore_n`` is None, the Spark default)."""
     ctes, g = graph_build_ctes()
-    hamm = (
-        "CAST(list_sum(sb.s) + list_sum(qb.qs)"
-        " - 2 * list_dot_product(sb.s, qb.qs) AS BIGINT)"
+    bparts, top = _beam_bq_ctes(
+        query_id, g, k=k, beam=beam, hops=hops, rescore_n=rescore_n
     )
+    joined = ",\n".join([ctes, _ENT, *bparts])
+    return (
+        f"WITH {joined}\n"
+        f"SELECT vec_id, score FROM {top} ORDER BY score DESC, vec_id DESC"
+    )
+
+
+def method_rows_sql(query_id: int = 0, k: int = 5) -> str:
+    """The graph index's two rows for the ANN method-comparison grid
+    (``ivf.ann_method_comparison``): recall@k of the float beam and the
+    compressed beam vs the exact top-k, with ONE shared build replay —
+    returned as a standalone SELECT the harness oracle UNION ALLs onto
+    its per-method rows (same column names/types as its template)."""
+    ctes, g = graph_build_ctes()
+    fparts, v = _beam_ctes(query_id, g, suffix="am")
+    bparts, top = _beam_bq_ctes(query_id, g, suffix="am", k=k)
     parts = [
         ctes,
         _ENT,
-        """sb AS MATERIALIZED (
-  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS s
-  FROM en)""",
-        f"qb AS (SELECT s AS qs FROM sb WHERE vec_id = {query_id})",
-        f"""hv_0 AS (
-  SELECT sb.vec_id, {hamm} AS hamming
-  FROM sb CROSS JOIN qb WHERE sb.vec_id IN (SELECT vec_id FROM ent))""",
-        f"hf_0 AS (SELECT vec_id FROM hv_0 ORDER BY hamming ASC, vec_id DESC LIMIT {beam})",
+        *fparts,
+        f"""gotam AS (
+  SELECT vec_id FROM {v} ORDER BY score DESC, vec_id DESC LIMIT {k})""",
+        *bparts,
+        f"""exam AS (
+  SELECT en.vec_id FROM en CROSS JOIN qam
+  ORDER BY round(list_dot_product(en.v, qam.qv) / (en.nrm * qam.qn + 1e-8), 6) DESC,
+           en.vec_id DESC LIMIT {k})""",
     ]
-    for i in range(1, hops + 1):
-        parts.append(f"""hx_{i} AS (
-  SELECT DISTINCT gr.nbr AS vec_id FROM {g} gr JOIN hf_{i - 1} f ON gr.node = f.vec_id)""")
-        parts.append(f"""hs_{i} AS (
-  SELECT sb.vec_id, {hamm} AS hamming
-  FROM hx_{i} JOIN sb USING (vec_id) CROSS JOIN qb)""")
-        parts.append(f"""hv_{i} AS (
-  SELECT vec_id, min(hamming) AS hamming FROM (
-    SELECT * FROM hv_{i - 1} UNION ALL SELECT * FROM hs_{i}
-  ) GROUP BY vec_id)""")
-        parts.append(
-            f"hf_{i} AS (SELECT vec_id FROM hv_{i} ORDER BY hamming ASC, vec_id DESC LIMIT {beam})"
-        )
-    if rescore_n is None:
-        parts.append(f"hcand AS (SELECT vec_id FROM hv_{hops})")
-    else:
-        parts.append(
-            f"hcand AS (SELECT vec_id FROM hv_{hops}"
-            f" ORDER BY hamming ASC, vec_id DESC LIMIT {rescore_n})"
-        )
-    parts.append(f"qe AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {query_id})")
     joined = ",\n".join(parts)
     return f"""WITH {joined}
-SELECT en.vec_id,
-       round(list_dot_product(en.v, qe.qv) / (en.nrm * qe.qn + 1e-8), 6) AS score
-FROM hcand JOIN en USING (vec_id) CROSS JOIN qe
-ORDER BY score DESC, vec_id DESC LIMIT {k}"""
+SELECT 'graph_beam' AS method, count(*) AS n_hits,
+       round(count(*) / {k}.0, 6) AS recall
+FROM gotam WHERE vec_id IN (SELECT vec_id FROM exam)
+UNION ALL
+SELECT 'graph_beam_bq' AS method, count(*) AS n_hits,
+       round(count(*) / {k}.0, 6) AS recall
+FROM {top} WHERE vec_id IN (SELECT vec_id FROM exam)"""
 
 
 def recall_sql(query_ids: tuple[int, ...], k: int = 5) -> str:

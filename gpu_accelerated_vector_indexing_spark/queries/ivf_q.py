@@ -677,6 +677,16 @@ from gpu_accelerated_vector_indexing_spark.queries import knn_q as _knn_q  # noq
 
 _AM_METHODS["mrl"] = _knn_q.ORACLES["knn_matryoshka"]
 _AM_METHODS["ivf_mrl"] = ORACLES["knn_ivf_matryoshka"]
+
+# r4: the harness also gains the graph index's two rungs. Their rows
+# come from ONE shared build replay (method_rows_sql replays the
+# NN-descent build once and runs both beams over it) rather than two
+# isolated per-method subqueries, so the oracle pays the expensive
+# build CTE chain a single time.
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    method_rows_sql as _graph_method_rows_sql,
+)
+
 ORACLES["ann_method_comparison"] = (
     f"WITH am_exact AS MATERIALIZED (SELECT vec_id FROM ({_AM_BRUTE}))\n"
     + "\nUNION ALL\n".join(
@@ -685,6 +695,9 @@ ORACLES["ann_method_comparison"] = (
         f" FROM ({sql}) m WHERE m.vec_id IN (SELECT vec_id FROM am_exact)"
         for name, sql in _AM_METHODS.items()
     )
+    + "\nUNION ALL\nSELECT * FROM ("
+    + _graph_method_rows_sql(QUERY_ID, k=K)
+    + ")"
 )
 
 # --- PQ index-state persistence roundtrip (r4) -------------------------------

@@ -36,6 +36,7 @@ from gpu_accelerated_vector_indexing_spark.functions.vector import (
     EPSILON,
     as_double_array,
     cosine_similarity_hoisted,
+    dot_product,
     l2_norm,
 )
 from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
@@ -802,6 +803,75 @@ def knn_ivf_bq(
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(k)
     )
+
+
+def _recon_err_micro(a: Column, b: Column) -> Column:
+    """‖a−b‖² as an exact LONG in micro-units, via the three-dot
+    decomposition ``dot(a,a) − 2·dot(a,b) + dot(b,b)`` — each dot the
+    engine-portable sequential fold, the combination left-to-right, so
+    the DuckDB mirror (same expression over ``list_dot_product``) is
+    value-identical; rounded to 6 d.p. THEN scaled so the per-vector
+    error is an order-free integer."""
+    term = F.round(
+        dot_product(a, a) - F.lit(2.0) * dot_product(a, b) + dot_product(b, b), 6
+    )
+    return F.round(term * 1e6).cast("long")
+
+
+def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide reconstruction-error audit of the lossy compression
+    tiers — the observability row a tier choice at 100 TB starts from
+    (the quality-side complement of ``ivf.ann_method_comparison``'s
+    recall rows: recall@k samples one query, this measures the CODES
+    themselves over every vector).
+
+    One row per method: (method, n_vectors, err_micro_sum,
+    err_micro_max) where err is the squared reconstruction distance
+    ‖v − v̂‖², per-vector exact LONG micro-units (order-free sums —
+    ``_recon_err_micro``). SQ8 dequantizes its per-dimension affine
+    codes; PQ reconstructs per subspace from the assigned codeword
+    (the per-subspace terms are each floor-rounded to micro-units and
+    summed exactly, so the whole audit replays in SQL via the staged
+    Lloyd-fit CTEs — full value oracle).
+
+    Scale shape: two corpus scans (one per method), all arithmetic
+    in-plan HOF folds over broadcast codebook/quantizer literals; the
+    aggregates are 4 scalars per method. No shuffle beyond the final
+    single-row aggregations.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    v = as_double_array("embedding")
+
+    mins, maxs = corpus_quantizer(spark, sf_dir)
+    vhat = sq8_dequantize(sq8_codes(v, mins, maxs), mins, maxs)
+    sq8_agg = emb.select(_recon_err_micro(v, vhat).alias("err")).agg(
+        F.lit("sq8").alias("method"),
+        F.count("*").alias("n_vectors"),
+        F.sum("err").alias("err_micro_sum"),
+        F.max("err").alias("err_micro_max"),
+    )
+
+    books = pq_codebooks(spark, sf_dir)
+    sub = dim // PQ_SUBSPACES
+    joined = pq_codes_table(spark, sf_dir).join(
+        emb.select("vec_id", v.alias("v")), "vec_id"
+    )
+    err = None
+    for s in range(PQ_SUBSPACES):
+        xs = F.slice(F.col("v"), s * sub + 1, sub)
+        cs = F.element_at(
+            F.array(*[_lit_array(cw) for cw in books[s]]), F.col("codes")[s]
+        )
+        t = _recon_err_micro(xs, cs)
+        err = t if err is None else err + t
+    pq_agg = joined.select(err.alias("err")).agg(
+        F.lit("pq").alias("method"),
+        F.count("*").alias("n_vectors"),
+        F.sum("err").alias("err_micro_sum"),
+        F.max("err").alias("err_micro_max"),
+    )
+    return sq8_agg.unionByName(pq_agg)
 
 
 # --- PQ index-state persistence (the ANN side of dedup's state roundtrip) ----

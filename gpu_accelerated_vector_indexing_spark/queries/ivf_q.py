@@ -720,3 +720,56 @@ SELECT
   (SELECT count(DISTINCT vec_id) FROM pq_codes) AS n_code_rows,
   (SELECT {_PQ_MICROSUM} FROM pq_codes) AS recon_checksum
 """
+
+# --- compression-error audit (r4) --------------------------------------------
+from gpu_accelerated_vector_indexing_spark.operators.quantize import (  # noqa: E402
+    SPAN_GUARD,
+    SQ_LEVELS,
+    compression_error_audit,
+)
+
+QUERIES["ann_compression_error"] = compression_error_audit
+
+# The oracle replays BOTH quantizers from the raw embeddings: the SQ8
+# per-dimension min/max affine codes, and the staged Lloyd-fit PQ
+# encode (shared pq_replay_ctes). Errors use the same three-dot
+# decomposition dot(a,a) - 2*dot(a,b) + dot(b,b), rounded to 6 d.p.
+# THEN scaled to exact LONG micro-units, so sums are order-free.
+_SQERR = (
+    "CAST(round(round("
+    "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, r.rv)"
+    " + list_dot_product(r.rv, r.rv), 6) * 1e6) AS BIGINT)"
+)
+_PQERR = (
+    "CAST(round(round("
+    "list_dot_product(a.x, a.x) - 2 * list_dot_product(a.x, k.c)"
+    " + list_dot_product(k.c, k.c), 6) * 1e6) AS BIGINT)"
+)
+ORACLES["ann_compression_error"] = f"""
+WITH {_pq.pq_replay_ctes(QUERY_ID, DIM)},
+ce_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ce_stats AS (
+  SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+  FROM ce_e CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i) d
+  GROUP BY i),
+ce_l AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM ce_stats),
+ce_rv AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, {DIM}),
+           i -> round((e.v[i] - l.lo[i]) / (l.hi[i] - l.lo[i] + {SPAN_GUARD}) * {SQ_LEVELS})
+                * (l.hi[i] - l.lo[i] + {SPAN_GUARD}) / {SQ_LEVELS} + l.lo[i]) AS rv
+  FROM ce_e e CROSS JOIN ce_l l),
+ce_sq_err AS (
+  SELECT {_SQERR} AS err FROM ce_e e JOIN ce_rv r USING (vec_id)),
+ce_pq_err AS (
+  SELECT a.vec_id, CAST(sum({_PQERR}) AS BIGINT) AS err
+  FROM pq_allsub a JOIN pq_codes k ON a.s = k.s AND a.vec_id = k.vec_id
+  GROUP BY a.vec_id)
+SELECT 'sq8' AS method, count(*) AS n_vectors,
+       CAST(sum(err) AS BIGINT) AS err_micro_sum, max(err) AS err_micro_max
+FROM ce_sq_err
+UNION ALL
+SELECT 'pq' AS method, count(*) AS n_vectors,
+       CAST(sum(err) AS BIGINT) AS err_micro_sum, max(err) AS err_micro_max
+FROM ce_pq_err
+"""

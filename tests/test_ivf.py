@@ -6,6 +6,7 @@ from tests.conftest import SF_CORRECT, SF_SMOKE
 from tests.parity import assert_parity
 
 IVF_NAMES = [
+    "ann_compression_error",
     "ivf_centroids",
     "knn_ivf_combined",
     "knn_ivf_sequential",

@@ -852,26 +852,46 @@ def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("err").alias("err_micro_max"),
     )
 
-    books = pq_codebooks(spark, sf_dir)
-    sub = dim // PQ_SUBSPACES
-    joined = pq_codes_table(spark, sf_dir).join(
-        emb.select("vec_id", v.alias("v")), "vec_id"
-    )
-    err = None
-    for s in range(PQ_SUBSPACES):
-        xs = F.slice(F.col("v"), s * sub + 1, sub)
-        cs = F.element_at(
-            F.array(*[_lit_array(cw) for cw in books[s]]), F.col("codes")[s]
+    def pq_tier(joined: DataFrame, books: list[list[list[float]]], name: str) -> DataFrame:
+        # per-subspace three-dot terms, each an exact micro-LONG, summed
+        # exactly — for the residual tier `v` is the residual vector, so
+        # the measured error IS the full IVFADC reconstruction error
+        # ‖v_raw − (centroid + r̂)‖²
+        sub = dim // PQ_SUBSPACES
+        err = None
+        for s in range(PQ_SUBSPACES):
+            xs = F.slice(F.col("v"), s * sub + 1, sub)
+            cs = F.element_at(
+                F.array(*[_lit_array(cw) for cw in books[s]]), F.col("codes")[s]
+            )
+            t = _recon_err_micro(xs, cs)
+            err = t if err is None else err + t
+        return joined.select(err.alias("err")).agg(
+            F.lit(name).alias("method"),
+            F.count("*").alias("n_vectors"),
+            F.sum("err").alias("err_micro_sum"),
+            F.max("err").alias("err_micro_max"),
         )
-        t = _recon_err_micro(xs, cs)
-        err = t if err is None else err + t
-    pq_agg = joined.select(err.alias("err")).agg(
-        F.lit("pq").alias("method"),
-        F.count("*").alias("n_vectors"),
-        F.sum("err").alias("err_micro_sum"),
-        F.max("err").alias("err_micro_max"),
+
+    pq_agg = pq_tier(
+        pq_codes_table(spark, sf_dir).join(emb.select("vec_id", v.alias("v")), "vec_id"),
+        pq_codebooks(spark, sf_dir),
+        "pq",
     )
-    return sq8_agg.unionByName(pq_agg)
+
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import fixture_centroids
+
+    residuals = emb.join(F.broadcast(fixture_centroids(spark, sf_dir)), "label").select(
+        "vec_id", _residual_col().alias("v")
+    )
+    pqr_agg = pq_tier(
+        pq_residual_codes_table(spark, sf_dir).select("vec_id", "codes").join(
+            residuals, "vec_id"
+        ),
+        pq_residual_codebooks(spark, sf_dir),
+        "pq_residual",
+    )
+    return sq8_agg.unionByName(pq_agg).unionByName(pqr_agg)
 
 
 # --- PQ index-state persistence (the ANN side of dedup's state roundtrip) ----

@@ -745,8 +745,11 @@ _PQERR = (
     "list_dot_product(a.x, a.x) - 2 * list_dot_product(a.x, k.c)"
     " + list_dot_product(k.c, k.c), 6) * 1e6) AS BIGINT)"
 )
-ORACLES["ann_compression_error"] = f"""
-WITH {_pq.pq_replay_ctes(QUERY_ID, DIM)},
+# pqr_allsub/pqr_codes (the residual replay) need the shared `cent`/`q`
+# CTEs in scope, so the statement leads with the IVF CTE prefix.
+ORACLES["ann_compression_error"] = _IVF_CTES + "," + f"""
+{_pq.pq_replay_ctes(QUERY_ID, DIM)},
+{_pq.pq_replay_ctes(QUERY_ID, DIM, residual=True)},
 ce_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ce_stats AS (
   SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
@@ -764,6 +767,10 @@ ce_sq_err AS (
 ce_pq_err AS (
   SELECT a.vec_id, CAST(sum({_PQERR}) AS BIGINT) AS err
   FROM pq_allsub a JOIN pq_codes k ON a.s = k.s AND a.vec_id = k.vec_id
+  GROUP BY a.vec_id),
+ce_pqr_err AS (
+  SELECT a.vec_id, CAST(sum({_PQERR}) AS BIGINT) AS err
+  FROM pqr_allsub a JOIN pqr_codes k ON a.s = k.s AND a.vec_id = k.vec_id
   GROUP BY a.vec_id)
 SELECT 'sq8' AS method, count(*) AS n_vectors,
        CAST(sum(err) AS BIGINT) AS err_micro_sum, max(err) AS err_micro_max
@@ -772,4 +779,8 @@ UNION ALL
 SELECT 'pq' AS method, count(*) AS n_vectors,
        CAST(sum(err) AS BIGINT) AS err_micro_sum, max(err) AS err_micro_max
 FROM ce_pq_err
+UNION ALL
+SELECT 'pq_residual' AS method, count(*) AS n_vectors,
+       CAST(sum(err) AS BIGINT) AS err_micro_sum, max(err) AS err_micro_max
+FROM ce_pqr_err
 """

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     ("graph_ann_insert", _collect),
     ("streaming_graph_attach", _collect),
     ("ann_compression_error", _collect),
+    ("filtered_method_recall", _collect),
     ("knn_prenorm", _collect),
     ("knn_ivf_prenorm", _collect),
     ("multi_query_knn", _collect),

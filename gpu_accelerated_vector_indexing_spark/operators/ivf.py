@@ -639,6 +639,13 @@ def ann_method_comparison(
 
     methods["graph_beam"] = knn_graph_beam(spark, sf_dir, query_id=query_id, k=k)
     methods["graph_beam_bq"] = knn_graph_beam_bq(spark, sf_dir, query_id=query_id, k=k)
+    return _recall_rows(methods, exact, k)
+
+
+def _recall_rows(methods: dict[str, DataFrame], exact: DataFrame, k: int) -> DataFrame:
+    """(method, n_hits, recall) rows: each method's k-row result
+    semi-joined against the k-row exact set — shared by the unfiltered
+    and filtered comparison harnesses."""
     out = None
     for name, df in methods.items():
         hits = df.select("vec_id").join(exact, "vec_id", "left_semi").agg(
@@ -648,6 +655,41 @@ def ann_method_comparison(
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+def filtered_method_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    lang: str = "en",
+) -> DataFrame:
+    """Recall@k of every FILTERED search path against the exact filtered
+    brute force (``knn.knn_filtered``) — metadata-filtered retrieval is
+    its own quality regime (the predicate interacts with pruning: IVF
+    may probe cells the filter empties; the graph walk spends beam
+    budget on filtered-out regions), so the harness measures it
+    separately from the unfiltered ladder. Same bounded shape as
+    ``ann_method_comparison``: every input is ≤k rows.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        knn_graph_beam_filtered,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_filtered
+
+    exact = knn_filtered(spark, sf_dir, query_id=query_id, k=k, lang=lang).select(
+        "vec_id"
+    )
+    methods = {
+        "ivf_filtered": knn_ivf_filtered(
+            spark, sf_dir, query_id=query_id, k=k, n_probe=n_probe, lang=lang
+        ),
+        "graph_beam_filtered": knn_graph_beam_filtered(
+            spark, sf_dir, query_id=query_id, k=k, lang=lang
+        ),
+    }
+    return _recall_rows(methods, exact, k)
 
 
 # rebalance thresholds: population ratio vs the uniform target.

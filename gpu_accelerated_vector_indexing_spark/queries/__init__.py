@@ -28,7 +28,7 @@ _GATE_FIRST = [
     "graph_ann_build", "knn_graph_beam", "knn_graph_beam_bq",
     "knn_graph_beam_filtered", "graph_state_roundtrip",
     "streaming_graph_attach", "graph_ann_recall", "ann_compression_error",
-    "copurchase_kcore",
+    "filtered_method_recall", "copurchase_kcore",
     "corpus_compaction_plan", "sample_split_leakage_safe", "graph_ann_insert",
     "dedup_corpus_overlap", "curation_temperature_mix", "sketch_hll_merge",
     "events_sequence_dataset", "text_zipf_profile", "streaming_hll_merge",

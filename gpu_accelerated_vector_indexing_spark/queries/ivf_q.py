@@ -784,3 +784,31 @@ SELECT 'pq_residual' AS method, count(*) AS n_vectors,
        CAST(sum(err) AS BIGINT) AS err_micro_sum, max(err) AS err_micro_max
 FROM ce_pqr_err
 """
+
+# --- filtered-search recall harness (r4) --------------------------------------
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    beam_search_sql as _beam_search_sql,
+)
+
+QUERIES["filtered_method_recall"] = partial(
+    ivf.filtered_method_recall, query_id=QUERY_ID, k=K, n_probe=N_PROBE, lang="en"
+)
+
+# each member reuses its OWN registered oracle as a nested subquery;
+# the exact side is knn_filtered's (filter BEFORE scoring, same as the
+# Spark operator)
+_FM_METHODS = {
+    "ivf_filtered": ORACLES["knn_ivf_filtered"],
+    "graph_beam_filtered": _beam_search_sql(query_id=QUERY_ID, k=K, lang="en"),
+}
+ORACLES["filtered_method_recall"] = (
+    "WITH fm_exact AS MATERIALIZED (SELECT vec_id FROM ("
+    + _knn_q.ORACLES["knn_filtered"]
+    + "))\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, count(*) AS n_hits,"
+        f" round(count(*) / {K}.0, 6) AS recall"
+        f" FROM ({sql}) m WHERE m.vec_id IN (SELECT vec_id FROM fm_exact)"
+        for name, sql in _FM_METHODS.items()
+    )
+)

@@ -7,6 +7,7 @@ from tests.parity import assert_parity
 
 IVF_NAMES = [
     "ann_compression_error",
+    "filtered_method_recall",
     "ivf_centroids",
     "knn_ivf_combined",
     "knn_ivf_sequential",

@@ -830,9 +830,11 @@ def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ‖v − v̂‖², per-vector exact LONG micro-units (order-free sums —
     ``_recon_err_micro``). SQ8 dequantizes its per-dimension affine
     codes; PQ reconstructs per subspace from the assigned codeword
-    (the per-subspace terms are each floor-rounded to micro-units and
-    summed exactly, so the whole audit replays in SQL via the staged
-    Lloyd-fit CTEs — full value oracle).
+    (the per-subspace terms are each rounded HALF-UP to micro-units —
+    ``F.round`` ↔ DuckDB ``round``, identical on these non-negative
+    values; NOT floor, which would drop 1 on negative representation
+    error — and summed exactly, so the whole audit replays in SQL via
+    the staged Lloyd-fit CTEs — full value oracle).
 
     Scale shape: two corpus scans (one per method), all arithmetic
     in-plan HOF folds over broadcast codebook/quantizer literals; the

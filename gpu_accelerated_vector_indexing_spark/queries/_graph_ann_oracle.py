@@ -137,6 +137,13 @@ def _beam_ctes(
 
 _ENT = "ent AS (SELECT min(vec_id) AS vec_id FROM e GROUP BY label)"
 
+# query-independent 1-bit sign codes (graph_ann.fixture_bq_codes'
+# memoized state) — hoisted so several compressed walks in one
+# statement share one materialization
+_SB = """sb AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS s
+  FROM en)"""
+
 
 def beam_search_sql(
     query_id: int = 0,
@@ -195,16 +202,15 @@ def _beam_bq_ctes(
     the final rescore is the engine cosine recipe over the visited set
     (all of it when ``rescore_n`` is None, the Spark default). Returns
     (parts, top-k CTE name); names carry ``suffix`` so a walk can
-    coexist with others in one statement."""
+    coexist with others in one statement. REQUIRES the caller to
+    include the query-independent ``_SB`` sign-code CTE (hoisted like
+    ``_ENT`` so several walks share one materialization)."""
     s = suffix
     hamm = (
         f"CAST(list_sum(sb.s) + list_sum(qb{s}.qs)"
         f" - 2 * list_dot_product(sb.s, qb{s}.qs) AS BIGINT)"
     )
     parts = [
-        """sb AS MATERIALIZED (
-  SELECT vec_id, list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS s
-  FROM en)""",
         f"qb{s} AS (SELECT s AS qs FROM sb WHERE vec_id = {query_id})",
         f"""hv{s}_0 AS (
   SELECT sb.vec_id, {hamm} AS hamming
@@ -253,43 +259,37 @@ def beam_bq_sql(
     bparts, top = _beam_bq_ctes(
         query_id, g, k=k, beam=beam, hops=hops, rescore_n=rescore_n
     )
-    joined = ",\n".join([ctes, _ENT, *bparts])
+    joined = ",\n".join([ctes, _ENT, _SB, *bparts])
     return (
         f"WITH {joined}\n"
         f"SELECT vec_id, score FROM {top} ORDER BY score DESC, vec_id DESC"
     )
 
 
-def method_rows_sql(query_id: int = 0, k: int = 5) -> str:
-    """The graph index's two rows for the ANN method-comparison grid
-    (``ivf.ann_method_comparison``): recall@k of the float beam and the
-    compressed beam vs the exact top-k, with ONE shared build replay —
-    returned as a standalone SELECT the harness oracle UNION ALLs onto
-    its per-method rows (same column names/types as its template)."""
+def method_topk_sql(query_id: int = 0, k: int = 5) -> str:
+    """The graph index's members for the ANN method-comparison grid
+    (``ivf.ann_method_comparison``): the float beam's and compressed
+    beam's top-k as ``(method, vec_id)`` pairs from ONE shared build
+    replay. The harness wrapper joins these against ITS materialized
+    exact set (``am_exact``) — so all 12 rows compare against one exact
+    definition, and the oracle never re-derives brute force here."""
     ctes, g = graph_build_ctes()
     fparts, v = _beam_ctes(query_id, g, suffix="am")
     bparts, top = _beam_bq_ctes(query_id, g, suffix="am", k=k)
     parts = [
         ctes,
         _ENT,
+        _SB,
         *fparts,
         f"""gotam AS (
   SELECT vec_id FROM {v} ORDER BY score DESC, vec_id DESC LIMIT {k})""",
         *bparts,
-        f"""exam AS (
-  SELECT en.vec_id FROM en CROSS JOIN qam
-  ORDER BY round(list_dot_product(en.v, qam.qv) / (en.nrm * qam.qn + 1e-8), 6) DESC,
-           en.vec_id DESC LIMIT {k})""",
     ]
     joined = ",\n".join(parts)
     return f"""WITH {joined}
-SELECT 'graph_beam' AS method, count(*) AS n_hits,
-       round(count(*) / {k}.0, 6) AS recall
-FROM gotam WHERE vec_id IN (SELECT vec_id FROM exam)
+SELECT 'graph_beam' AS method, vec_id FROM gotam
 UNION ALL
-SELECT 'graph_beam_bq' AS method, count(*) AS n_hits,
-       round(count(*) / {k}.0, 6) AS recall
-FROM {top} WHERE vec_id IN (SELECT vec_id FROM exam)"""
+SELECT 'graph_beam_bq' AS method, vec_id FROM {top}"""
 
 
 def recall_sql(query_ids: tuple[int, ...], k: int = 5) -> str:

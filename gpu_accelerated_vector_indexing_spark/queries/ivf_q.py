@@ -678,13 +678,15 @@ from gpu_accelerated_vector_indexing_spark.queries import knn_q as _knn_q  # noq
 _AM_METHODS["mrl"] = _knn_q.ORACLES["knn_matryoshka"]
 _AM_METHODS["ivf_mrl"] = ORACLES["knn_ivf_matryoshka"]
 
-# r4: the harness also gains the graph index's two rungs. Their rows
-# come from ONE shared build replay (method_rows_sql replays the
-# NN-descent build once and runs both beams over it) rather than two
-# isolated per-method subqueries, so the oracle pays the expensive
-# build CTE chain a single time.
+# r4: the harness also gains the graph index's two rungs. Their top-ks
+# come from ONE shared build replay (method_topk_sql replays the
+# NN-descent build once and runs both beams over it) and are compared
+# against the SAME materialized am_exact as every other row — one exact
+# definition for all 12 methods, no second brute-force derivation. The
+# VALUES spine keeps a zero-hit method as an explicit 0-recall row
+# (a bare GROUP BY would drop it and break the row-count match).
 from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
-    method_rows_sql as _graph_method_rows_sql,
+    method_topk_sql as _graph_method_topk_sql,
 )
 
 ORACLES["ann_method_comparison"] = (
@@ -695,9 +697,16 @@ ORACLES["ann_method_comparison"] = (
         f" FROM ({sql}) m WHERE m.vec_id IN (SELECT vec_id FROM am_exact)"
         for name, sql in _AM_METHODS.items()
     )
-    + "\nUNION ALL\nSELECT * FROM ("
-    + _graph_method_rows_sql(QUERY_ID, k=K)
-    + ")"
+    + f"""
+UNION ALL
+SELECT spine.method, count(g.vec_id) AS n_hits,
+       round(count(g.vec_id) / {K}.0, 6) AS recall
+FROM (VALUES ('graph_beam'), ('graph_beam_bq')) spine(method)
+LEFT JOIN (
+  SELECT method, vec_id FROM ({_graph_method_topk_sql(QUERY_ID, k=K)}) t
+  WHERE t.vec_id IN (SELECT vec_id FROM am_exact)
+) g ON g.method = spine.method
+GROUP BY spine.method"""
 )
 
 # --- PQ index-state persistence roundtrip (r4) -------------------------------

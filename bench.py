@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     ("knn_graph_beam", _collect),
     ("knn_graph_beam_bq", _collect),
     ("knn_graph_beam_filtered", _collect),
+    ("knn_graph_beam_with_deletes", _collect),
     ("graph_state_roundtrip", _collect),
     ("graph_ann_insert", _collect),
     ("streaming_graph_attach", _collect),

@@ -330,6 +330,7 @@ def _beam_visited(
     query_id: int,
     beam: int,
     hops: int,
+    delete_mod: int | None = None,
 ) -> DataFrame:
     """The float-scored beam walk shared by ``knn_graph_beam`` and its
     filtered variant: returns the deduplicated visited set
@@ -348,6 +349,15 @@ def _beam_visited(
     """
     adj = fixture_graph(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    if delete_mod is not None:
+        # read path under deletion: the masked adjacency is exactly what
+        # the index holds after the tombstoned rows' delete-compaction
+        # (the graph_ann_insert arch posture); entries come from the
+        # LIVE corpus, so the walk can never visit a tombstone.
+        adj = adj.filter(
+            (F.col("node") % delete_mod != 0) & (F.col("nbr") % delete_mod != 0)
+        )
+        emb = emb.filter(F.col("vec_id") % delete_mod != 0)
     emb_n = fixture_normed(spark, sf_dir)
     qvec = fixture_qvec(spark, sf_dir, query_id)
     q = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
@@ -389,6 +399,35 @@ def knn_graph_beam(
     """Beam search over the kNN graph: top-k (vec_id, score) — the
     bounded walk of :func:`_beam_visited` cut to the k best."""
     visited = _beam_visited(spark, sf_dir, query_id, beam, hops)
+    return visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+
+
+def knn_graph_beam_with_deletes(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 1,
+    k: int = 5,
+    delete_mod: int | None = None,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+) -> DataFrame:
+    """Graph read path under deletion — the graph twin of
+    ``ivf.knn_with_deletes`` (same ``vec_id % DELETE_MOD == 0``
+    tombstone convention, same query): the beam walks the MASKED
+    adjacency (edges touching a tombstone removed — what the index
+    holds after delete-compaction) from live entry points, so no
+    tombstone is ever visited or returned; correctness holds before
+    any rebuild re-links the neighborhoods.
+
+    Scale shape: identical to the plain beam — the mask composes with
+    the adjacency scan (a pushed predicate here; an anti-join against a
+    broadcast tombstone table at scale) and everything downstream is
+    unchanged."""
+    if delete_mod is None:
+        from gpu_accelerated_vector_indexing_spark.operators.ivf import DELETE_MOD
+
+        delete_mod = DELETE_MOD
+    visited = _beam_visited(spark, sf_dir, query_id, beam, hops, delete_mod=delete_mod)
     return visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
 
 

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 # names follow in merged()'s natural order. Rotate again next round.
 _GATE_FIRST = [
     "graph_ann_build", "knn_graph_beam", "knn_graph_beam_bq",
-    "knn_graph_beam_filtered", "graph_state_roundtrip",
+    "knn_graph_beam_filtered", "knn_graph_beam_with_deletes",
+    "graph_state_roundtrip",
     "streaming_graph_attach", "graph_ann_recall", "ann_compression_error",
     "filtered_method_recall", "copurchase_kcore",
     "corpus_compaction_plan", "sample_split_leakage_safe", "graph_ann_insert",

@@ -107,17 +107,19 @@ def _beam_ctes(
     suffix: str = "",
     beam: int = BEAM_WIDTH,
     hops: int = BEAM_HOPS,
+    ent: str = "ent",
 ) -> tuple[list[str], str]:
-    """CTE parts for one beam search over final graph ``g``; names
-    carry ``suffix`` so several searches (the recall harness) coexist
-    in one statement. Returns (parts, final_visited_name)."""
+    """CTE parts for one beam search over final graph ``g`` starting
+    from entry CTE ``ent``; names carry ``suffix`` so several searches
+    (the recall harness) coexist in one statement. Returns
+    (parts, final_visited_name)."""
     s = suffix
     qscore = f"round(list_dot_product(en.v, q{s}.qv) / (en.nrm * q{s}.qn + 1e-8), 6)"
     parts = [
         f"q{s} AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {query_id})",
         f"""v{s}_0 AS (
   SELECT en.vec_id, {qscore} AS score
-  FROM en CROSS JOIN q{s} WHERE en.vec_id IN (SELECT vec_id FROM ent))""",
+  FROM en CROSS JOIN q{s} WHERE en.vec_id IN (SELECT vec_id FROM {ent}))""",
         f"f{s}_0 AS (SELECT vec_id FROM v{s}_0 ORDER BY score DESC, vec_id DESC LIMIT {beam})",
     ]
     for i in range(1, hops + 1):
@@ -151,13 +153,29 @@ def beam_search_sql(
     beam: int = BEAM_WIDTH,
     hops: int = BEAM_HOPS,
     lang: str | None = None,
+    delete_mod: int | None = None,
 ) -> str:
     """``lang`` (the filtered variant): the walk is IDENTICAL — the
     predicate applies only at emission over the visited set, mirroring
-    graph_ann.knn_graph_beam_filtered's semi join."""
+    graph_ann.knn_graph_beam_filtered's semi join. ``delete_mod`` (the
+    with-deletes variant): the walk itself changes — edges touching a
+    tombstone are masked and entries come from the live corpus,
+    mirroring knn_graph_beam_with_deletes."""
     ctes, g = graph_build_ctes()
-    bparts, v = _beam_ctes(query_id, g, beam=beam, hops=hops)
-    joined = ",\n".join([ctes, _ENT, *bparts])
+    pre = [ctes, _ENT]
+    ent = "ent"
+    if delete_mod is not None:
+        pre.append(
+            f"gdel AS (SELECT node, nbr FROM {g}"
+            f" WHERE node % {delete_mod} <> 0 AND nbr % {delete_mod} <> 0)"
+        )
+        pre.append(
+            f"entd AS (SELECT min(vec_id) AS vec_id FROM e"
+            f" WHERE vec_id % {delete_mod} <> 0 GROUP BY label)"
+        )
+        g, ent = "gdel", "entd"
+    bparts, v = _beam_ctes(query_id, g, beam=beam, hops=hops, ent=ent)
+    joined = ",\n".join([*pre, *bparts])
     where = (
         f"\nWHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
         if lang is not None

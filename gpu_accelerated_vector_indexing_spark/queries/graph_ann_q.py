@@ -39,6 +39,12 @@ def _beam_filtered(spark, sf_dir):
     return graph_ann.knn_graph_beam_filtered(spark, sf_dir, query_id=QUERY_ID, k=K)
 
 
+def _beam_with_deletes(spark, sf_dir):
+    # query_id=1 and vec_id % DELETE_MOD == 0 tombstones — the
+    # ivf.knn_with_deletes convention
+    return graph_ann.knn_graph_beam_with_deletes(spark, sf_dir, query_id=1, k=K)
+
+
 def _state_roundtrip(spark, sf_dir):
     return graph_ann.graph_state_roundtrip(spark, sf_dir)
 
@@ -56,6 +62,7 @@ QUERIES = {
     "knn_graph_beam": _beam,
     "knn_graph_beam_bq": _beam_bq,
     "knn_graph_beam_filtered": _beam_filtered,
+    "knn_graph_beam_with_deletes": _beam_with_deletes,
     "graph_state_roundtrip": _state_roundtrip,
     "graph_ann_recall": _recall,
     "graph_ann_insert": _insert,
@@ -70,3 +77,9 @@ ORACLES = {
     "graph_ann_recall": recall_sql(RECALL_IDS, k=K),
     "graph_ann_insert": insert_digest_sql(),
 }
+
+from gpu_accelerated_vector_indexing_spark.operators.ivf import DELETE_MOD as _DELETE_MOD  # noqa: E402
+
+ORACLES["knn_graph_beam_with_deletes"] = beam_search_sql(
+    query_id=1, k=K, delete_mod=_DELETE_MOD
+)

@@ -10,6 +10,7 @@ NAMES = [
     "knn_graph_beam",
     "knn_graph_beam_bq",
     "knn_graph_beam_filtered",
+    "knn_graph_beam_with_deletes",
     "graph_state_roundtrip",
     "graph_ann_recall",
     "graph_ann_insert",

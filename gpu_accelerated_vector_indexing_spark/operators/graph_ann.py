@@ -56,7 +56,7 @@ from gpu_accelerated_vector_indexing_spark.functions.vector import (
     dot_product_seq_pandas,
     l2_norm,
 )
-from gpu_accelerated_vector_indexing_spark.operators.ivf import fixture_qvec
+from gpu_accelerated_vector_indexing_spark.operators.ivf import DELETE_MOD, fixture_qvec
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
 K_GRAPH = 8  # neighbors kept per node
@@ -276,6 +276,17 @@ def _entry_points(emb: DataFrame) -> DataFrame:
     return emb.groupBy("label").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
 
 
+def _masked_adj(adj: DataFrame, modulus: int) -> DataFrame:
+    """Adjacency with every edge touching a ``vec_id % modulus == 0``
+    node removed — the ONE definition of the tombstone/new-batch mask
+    shared by the with-deletes read path, the batch attach, and the
+    streaming attach (what the index holds after those rows'
+    delete-compaction)."""
+    return adj.filter(
+        (F.col("node") % modulus != 0) & (F.col("nbr") % modulus != 0)
+    ).select("node", "nbr")
+
+
 def _walk(
     adj: DataFrame,
     entries: DataFrame,
@@ -354,9 +365,7 @@ def _beam_visited(
         # the index holds after the tombstoned rows' delete-compaction
         # (the graph_ann_insert arch posture); entries come from the
         # LIVE corpus, so the walk can never visit a tombstone.
-        adj = adj.filter(
-            (F.col("node") % delete_mod != 0) & (F.col("nbr") % delete_mod != 0)
-        )
+        adj = _masked_adj(adj, delete_mod)
         emb = emb.filter(F.col("vec_id") % delete_mod != 0)
     emb_n = fixture_normed(spark, sf_dir)
     qvec = fixture_qvec(spark, sf_dir, query_id)
@@ -407,7 +416,7 @@ def knn_graph_beam_with_deletes(
     sf_dir: str,
     query_id: int = 1,
     k: int = 5,
-    delete_mod: int | None = None,
+    delete_mod: int = DELETE_MOD,
     beam: int = BEAM_WIDTH,
     hops: int = BEAM_HOPS,
 ) -> DataFrame:
@@ -423,10 +432,6 @@ def knn_graph_beam_with_deletes(
     the adjacency scan (a pushed predicate here; an anti-join against a
     broadcast tombstone table at scale) and everything downstream is
     unchanged."""
-    if delete_mod is None:
-        from gpu_accelerated_vector_indexing_spark.operators.ivf import DELETE_MOD
-
-        delete_mod = DELETE_MOD
     visited = _beam_visited(spark, sf_dir, query_id, beam, hops, delete_mod=delete_mod)
     return visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
 
@@ -727,10 +732,7 @@ def graph_ann_insert(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     emb_n = fixture_normed(spark, sf_dir)
-    adj = fixture_graph(spark, sf_dir)
-    arch_adj = adj.filter(
-        (F.col("node") % modulus != 0) & (F.col("nbr") % modulus != 0)
-    ).select("node", "nbr")
+    arch_adj = _masked_adj(fixture_graph(spark, sf_dir), modulus)
     grouped = _grouped(emb)
     cand = attach_candidates(
         grouped.filter(F.col("vec_id") % modulus == 0),

@@ -162,7 +162,7 @@ def beam_search_sql(
     tombstone are masked and entries come from the live corpus,
     mirroring knn_graph_beam_with_deletes."""
     ctes, g = graph_build_ctes()
-    pre = [ctes, _ENT]
+    pre = [ctes]
     ent = "ent"
     if delete_mod is not None:
         pre.append(
@@ -174,6 +174,8 @@ def beam_search_sql(
             f" WHERE vec_id % {delete_mod} <> 0 GROUP BY label)"
         )
         g, ent = "gdel", "entd"
+    else:
+        pre.append(_ENT)
     bparts, v = _beam_ctes(query_id, g, beam=beam, hops=hops, ent=ent)
     joined = ",\n".join([*pre, *bparts])
     where = (

@@ -9,6 +9,7 @@ of the search is value-checked against DuckDB.
 from __future__ import annotations
 
 from gpu_accelerated_vector_indexing_spark.operators import graph_ann
+from gpu_accelerated_vector_indexing_spark.operators.ivf import DELETE_MOD
 from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (
     beam_bq_sql,
     beam_search_sql,
@@ -73,13 +74,10 @@ ORACLES = {
     "knn_graph_beam": beam_search_sql(query_id=QUERY_ID, k=K),
     "knn_graph_beam_bq": beam_bq_sql(query_id=QUERY_ID, k=K),
     "knn_graph_beam_filtered": beam_search_sql(query_id=QUERY_ID, k=K, lang="en"),
+    "knn_graph_beam_with_deletes": beam_search_sql(
+        query_id=1, k=K, delete_mod=DELETE_MOD
+    ),
     "graph_state_roundtrip": state_roundtrip_sql(),
     "graph_ann_recall": recall_sql(RECALL_IDS, k=K),
     "graph_ann_insert": insert_digest_sql(),
 }
-
-from gpu_accelerated_vector_indexing_spark.operators.ivf import DELETE_MOD as _DELETE_MOD  # noqa: E402
-
-ORACLES["knn_graph_beam_with_deletes"] = beam_search_sql(
-    query_id=1, k=K, delete_mod=_DELETE_MOD
-)

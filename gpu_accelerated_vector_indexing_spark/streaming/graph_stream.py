@@ -42,6 +42,7 @@ from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
     GRAPH_INSERT_MODULUS,
     K_GRAPH,
     _grouped,
+    _masked_adj,
     _rank_digest,
     _score_pairs,
     _topk_per_node,
@@ -69,10 +70,7 @@ def streaming_graph_attach(
     value-identical to ``graph_ann_insert`` regardless of batching."""
     emb = load_table(spark, sf_dir, "embeddings")
     emb_n = fixture_normed(spark, sf_dir)
-    adj = fixture_graph(spark, sf_dir)
-    arch_adj = adj.filter(
-        (F.col("node") % modulus != 0) & (F.col("nbr") % modulus != 0)
-    ).select("node", "nbr")
+    arch_adj = _masked_adj(fixture_graph(spark, sf_dir), modulus)
     # grouping ASSIGNMENTS are build-time index metadata: computed once
     # from the static corpus (identical to the batch twin's input), the
     # batch side just looks its rows up by id

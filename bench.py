@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     ("knn_graph_beam_filtered", _collect),
     ("knn_graph_beam_with_deletes", _collect),
     ("graph_state_roundtrip", _collect),
+    ("graph_search_with_docs", _collect),
+    ("graph_recall_sweep", _collect),
     ("graph_ann_insert", _collect),
     ("streaming_graph_attach", _collect),
     ("ann_compression_error", _collect),

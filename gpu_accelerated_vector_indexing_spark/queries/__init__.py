@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 _GATE_FIRST = [
     "graph_ann_build", "knn_graph_beam", "knn_graph_beam_bq",
     "knn_graph_beam_filtered", "knn_graph_beam_with_deletes",
-    "graph_state_roundtrip",
+    "graph_state_roundtrip", "graph_search_with_docs", "graph_recall_sweep",
     "streaming_graph_attach", "graph_ann_recall", "ann_compression_error",
     "filtered_method_recall", "copurchase_kcore",
     "corpus_compaction_plan", "sample_split_leakage_safe", "graph_ann_insert",

@@ -312,6 +312,45 @@ UNION ALL
 SELECT 'graph_beam_bq' AS method, vec_id FROM {top}"""
 
 
+def search_with_docs_sql(query_id: int = 0, k: int = 5) -> str:
+    """The beam top-k joined back to 200-char article snippets —
+    graph_ann.knn_graph_search_with_docs (reference IVF.cpp:688-710's
+    mapback through the graph index)."""
+    return f"""WITH gt AS (SELECT * FROM ({beam_search_sql(query_id=query_id, k=k)}))
+SELECT t.vec_id, t.score, substr(d.text, 1, 200) AS snippet
+FROM documents d JOIN gt t ON d.doc_id = t.vec_id"""
+
+
+def recall_beam_sweep_sql(
+    query_id: int = 0, k: int = 5, beams: tuple[int, ...] = (8, 24, 48)
+) -> str:
+    """One build replay, one walk per beam width, one exact top-k —
+    graph_ann.graph_recall_sweep. Aggregates without GROUP BY, so a
+    zero-hit width still emits its row (matching Spark's .agg)."""
+    ctes, g = graph_build_ctes()
+    parts = [ctes, _ENT]
+    selects = []
+    for b in beams:
+        s = f"w{b}"
+        bparts, v = _beam_ctes(query_id, g, suffix=s, beam=b)
+        parts.extend(bparts)
+        parts.append(f"""got{s} AS (
+  SELECT vec_id FROM {v} ORDER BY score DESC, vec_id DESC LIMIT {k})""")
+        selects.append(
+            f"SELECT {b} AS beam, count(*) AS n_hits,"
+            f" round(count(*) / {k}.0, 6) AS recall"
+            f" FROM got{s} WHERE vec_id IN (SELECT vec_id FROM gsx)"
+        )
+    parts.append(f"""gsx AS (
+  SELECT en.vec_id FROM en CROSS JOIN qw{beams[0]}
+  ORDER BY round(list_dot_product(en.v, qw{beams[0]}.qv) /
+                 (en.nrm * qw{beams[0]}.qn + 1e-8), 6) DESC,
+           en.vec_id DESC LIMIT {k})""")
+    joined = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {joined}\n{union}\nORDER BY beam"
+
+
 def recall_sql(query_ids: tuple[int, ...], k: int = 5) -> str:
     """Per-query recall@k of beam search vs the exact top-k, both
     replayed in SQL — the ANN-quality harness row for the graph index

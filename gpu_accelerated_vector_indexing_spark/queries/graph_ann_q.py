@@ -15,7 +15,9 @@ from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (
     beam_search_sql,
     build_digest_sql,
     insert_digest_sql,
+    recall_beam_sweep_sql,
     recall_sql,
+    search_with_docs_sql,
     state_roundtrip_sql,
 )
 
@@ -50,6 +52,14 @@ def _state_roundtrip(spark, sf_dir):
     return graph_ann.graph_state_roundtrip(spark, sf_dir)
 
 
+def _search_with_docs(spark, sf_dir):
+    return graph_ann.knn_graph_search_with_docs(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+def _recall_sweep(spark, sf_dir):
+    return graph_ann.graph_recall_sweep(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
 def _insert(spark, sf_dir):
     return graph_ann.graph_ann_insert(spark, sf_dir)
 
@@ -65,6 +75,8 @@ QUERIES = {
     "knn_graph_beam_filtered": _beam_filtered,
     "knn_graph_beam_with_deletes": _beam_with_deletes,
     "graph_state_roundtrip": _state_roundtrip,
+    "graph_search_with_docs": _search_with_docs,
+    "graph_recall_sweep": _recall_sweep,
     "graph_ann_recall": _recall,
     "graph_ann_insert": _insert,
 }
@@ -78,6 +90,8 @@ ORACLES = {
         query_id=1, k=K, delete_mod=DELETE_MOD
     ),
     "graph_state_roundtrip": state_roundtrip_sql(),
+    "graph_search_with_docs": search_with_docs_sql(query_id=QUERY_ID, k=K),
+    "graph_recall_sweep": recall_beam_sweep_sql(query_id=QUERY_ID, k=K),
     "graph_ann_recall": recall_sql(RECALL_IDS, k=K),
     "graph_ann_insert": insert_digest_sql(),
 }

@@ -12,6 +12,8 @@ NAMES = [
     "knn_graph_beam_filtered",
     "knn_graph_beam_with_deletes",
     "graph_state_roundtrip",
+    "graph_search_with_docs",
+    "graph_recall_sweep",
     "graph_ann_recall",
     "graph_ann_insert",
 ]

@@ -119,11 +119,11 @@ class IVFEngine:
         )
 
     def search_with_docs(self, qvec: list[float], documents: DataFrame, k: int = 5) -> DataFrame:
-        """Top-k + article snippet (≙ print_results path, IVF.cpp:688-710)."""
-        topk = self.search(qvec, k)
-        return documents.join(F.broadcast(topk), documents.doc_id == topk.vec_id).select(
-            "score", "vec_id", F.substring("text", 1, 200).alias("snippet")
-        )
+        """Top-k + article snippet (≙ print_results path, IVF.cpp:688-710)
+        — the shared ``knn.map_to_docs`` recipe over this engine's search."""
+        from gpu_accelerated_vector_indexing_spark.operators.knn import map_to_docs
+
+        return map_to_docs(self.search(qvec, k), documents)
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -477,17 +477,14 @@ def knn_graph_search_with_docs(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
 ) -> DataFrame:
     """Graph-index top-k joined back to article text, truncated to 200
-    chars — the reference's result sink (``mapBack.get`` + print loop,
-    IVF.cpp:688-710) composed with the graph index instead of IVF (the
-    ``knn.knn_with_docs`` twin): the mapback is index-agnostic, so a
-    reference user switching index classes keeps the same end-to-end
-    result shape. The k-row side broadcasts; ``documents`` never
-    shuffles."""
+    chars — the shared ``knn.map_to_docs`` result sink (reference
+    IVF.cpp:688-710) composed with the graph index instead of IVF: the
+    mapback is index-agnostic, so a reference user switching index
+    classes keeps the same end-to-end result shape."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import map_to_docs
+
     topk = knn_graph_beam(spark, sf_dir, query_id=query_id, k=k)
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.join(F.broadcast(topk), docs.doc_id == topk.vec_id).select(
-        "vec_id", "score", F.substring("text", 1, 200).alias("snippet")
-    )
+    return map_to_docs(topk, load_table(spark, sf_dir, "documents"))
 
 
 def graph_recall_sweep(
@@ -497,31 +494,25 @@ def graph_recall_sweep(
     k: int = 5,
     beams: tuple[int, ...] = (8, 24, 48),
 ) -> DataFrame:
-    """recall@k per beam width in ONE relation — the graph index's
-    quality/cost knob swept like ``ivf.ivf_recall_sweep`` sweeps
-    n_probe (≙ the reference's experiment grid,
-    experiment*_config.txt). Unlike the IVF sweep, each width is a
-    genuinely different WALK (the frontier bound changes which regions
-    are explored), so the sweep runs one bounded walk per width over
-    the shared memoized build; every compared side is ≤k rows.
-    Output: (beam, n_hits, recall) ascending."""
-    from functools import reduce
+    """recall@k per beam width in ONE relation — the shared
+    ``ivf.recall_sweep_rows`` recipe over the graph search (≙ the
+    reference's experiment grid, experiment*_config.txt, the knob here
+    being beam width instead of n_probe). Unlike the IVF sweep, each
+    width is a genuinely different WALK (the frontier bound changes
+    which regions are explored), so the sweep runs one bounded walk per
+    width over the shared memoized build; every compared side is ≤k
+    rows. Output: (beam, n_hits, recall) ascending."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import recall_sweep_rows
 
-    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
-
-    exact = knn_bruteforce(spark, sf_dir, query_id=query_id, k=k).select("vec_id")
-    rows = []
-    for b in beams:
-        got = knn_graph_beam(spark, sf_dir, query_id=query_id, k=k, beam=b)
-        hits = got.select("vec_id").join(exact, "vec_id", "left_semi")
-        rows.append(
-            hits.agg(
-                F.lit(b).alias("beam"),
-                F.count("*").alias("n_hits"),
-                F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
-            )
-        )
-    return reduce(lambda a, c: a.unionAll(c), rows).orderBy("beam")
+    return recall_sweep_rows(
+        spark,
+        sf_dir,
+        "beam",
+        beams,
+        lambda b: knn_graph_beam(spark, sf_dir, query_id=query_id, k=k, beam=b),
+        query_id=query_id,
+        k=k,
+    )
 
 
 def graph_ann_recall(

@@ -383,6 +383,47 @@ def multi_query_knn_ivf(
     )
 
 
+def recall_sweep_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    knob: str,
+    values: Sequence[int],
+    search_fn,
+    query_id: int = 0,
+    k: int = 5,
+) -> DataFrame:
+    """One ``(knob, n_hits, recall)`` row per swept value against ONE
+    exact top-k — the recall-sweep recipe shared by the IVF (n_probe)
+    and graph (beam width) knobs, ≙ the reference's experiment grid
+    (experiment*_config.txt).
+
+    The exact ids are collected once (k rows — the bounded-collect
+    posture of the coarse materialization) into a literal ``isin``
+    filter, so the brute-force scan runs ONCE rather than once per
+    swept value in the unioned plan."""
+    from functools import reduce
+
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    if not values or len(set(values)) != len(values):
+        raise ValueError(f"sweep values must be non-empty and unique: {values!r}")
+    exact_ids = [
+        int(r.vec_id)
+        for r in knn_bruteforce(spark, sf_dir, query_id=query_id, k=k).collect()
+    ]
+    rows = []
+    for val in values:
+        hits = search_fn(val).select("vec_id").filter(F.col("vec_id").isin(exact_ids))
+        rows.append(
+            hits.agg(
+                F.lit(val).alias(knob),
+                F.count("*").alias("n_hits"),
+                F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), rows).orderBy(knob)
+
+
 def ivf_recall_sweep(
     spark: SparkSession,
     sf_dir: str,
@@ -390,29 +431,17 @@ def ivf_recall_sweep(
     k: int = 5,
     n_probes: Sequence[int] = (1, 3, 5, 10),
 ) -> DataFrame:
-    """recall@k per n_probe in ONE result — the reference's experiment
-    grid (experiment*_config.txt sweeps n_probe) as a single relation.
-
-    The probe ORDER is fixed by one coarse pass; recall at n_probe = p
-    uses its first p clusters, so the sweep reuses one coarse search and
-    one exact top-k. Output: (n_probe, n_hits, recall) ascending."""
-    from functools import reduce
-
-    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
-
-    exact = knn_bruteforce(spark, sf_dir, query_id=query_id, k=k).select("vec_id")
-    per_probe = []
-    for p in n_probes:
-        approx = knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=p)
-        hits = approx.select("vec_id").join(exact, "vec_id", "left_semi")
-        per_probe.append(
-            hits.agg(
-                F.lit(p).alias("n_probe"),
-                F.count("*").alias("n_hits"),
-                F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
-            )
-        )
-    return reduce(lambda a, b: a.unionAll(b), per_probe).orderBy("n_probe")
+    """recall@k per n_probe in ONE result — ``recall_sweep_rows`` over
+    the IVF search. Output: (n_probe, n_hits, recall) ascending."""
+    return recall_sweep_rows(
+        spark,
+        sf_dir,
+        "n_probe",
+        n_probes,
+        lambda p: knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=p),
+        query_id=query_id,
+        k=k,
+    )
 
 
 def ivf_recall(

@@ -173,21 +173,25 @@ def similarity_range_search(
     return scored.select("vec_id", "score").filter(F.col("score") >= threshold)
 
 
+def map_to_docs(topk: DataFrame, docs: DataFrame) -> DataFrame:
+    """The ONE doc-mapback recipe (≙ reference ``mapBack.get`` + print
+    loop, IVF.cpp:688-710): a ``(vec_id, score)`` top-k joined back to
+    article text truncated to 200 chars. The positional file lookup
+    becomes an equi-join on ``doc_id``; the k-row side is broadcast so
+    ``documents`` never shuffles. Index-agnostic — shared by the
+    brute-force, IVF-engine, and graph-index result sinks."""
+    return docs.join(F.broadcast(topk), docs.doc_id == topk.vec_id).select(
+        "vec_id", "score", F.substring("text", 1, 200).alias("snippet")
+    )
+
+
 def knn_with_docs(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
 ) -> DataFrame:
-    """Top-k joined back to article text, truncated to 200 chars.
-
-    ≙ reference ``mapBack.get`` + print loop (IVF.cpp:688-710); the
-    positional file lookup becomes an equi-join on ``doc_id``, and the
-    k-row side is broadcast so no shuffle of ``documents`` occurs.
-    """
+    """Top-k joined back to article text — ``map_to_docs`` over the
+    brute-force search."""
     topk = knn_bruteforce(spark, sf_dir, query_id=query_id, k=k)
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.join(F.broadcast(topk), docs.doc_id == topk.vec_id)
-        .select("vec_id", "score", F.substring("text", 1, 200).alias("snippet"))
-    )
+    return map_to_docs(topk, load_table(spark, sf_dir, "documents"))
 
 
 def multi_query_knn(

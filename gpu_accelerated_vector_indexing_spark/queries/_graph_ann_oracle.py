@@ -327,6 +327,8 @@ def recall_beam_sweep_sql(
     """One build replay, one walk per beam width, one exact top-k —
     graph_ann.graph_recall_sweep. Aggregates without GROUP BY, so a
     zero-hit width still emits its row (matching Spark's .agg)."""
+    if not beams or len(set(beams)) != len(beams):
+        raise ValueError(f"sweep widths must be non-empty and unique: {beams!r}")
     ctes, g = graph_build_ctes()
     parts = [ctes, _ENT]
     selects = []

@@ -16,58 +16,44 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-gate rotation, round 4 (VERDICT r3 "Next round" #1): the
+# Driver-gate rotation, round 5 (VERDICT r4 "Next round" #1): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# After r1-r3 the gated union is 105/199; the names below lead with
-# the round-4 novelties, then ALL 94 never-gated queries (flagships
-# VERDICT names first), so this round's sample comes entirely from the
-# never-gated set and the union crosses 150. Already-green legacy
-# names follow in merged()'s natural order. Rotate again next round.
+# After r1-r4 the gated union is 155/226; the names below lead with the
+# round-5 novelties, then the never-gated names (VERDICT-named
+# flagships first) so the round-5 sample comes entirely from names
+# with no driver-written row yet. The tail never-gated relational
+# rows (positions 51+) rotate forward in round 6, closing the union.
 _GATE_FIRST = [
-    "graph_ann_build", "knn_graph_beam", "knn_graph_beam_bq",
-    "knn_graph_beam_filtered", "knn_graph_beam_with_deletes",
-    "graph_state_roundtrip", "graph_search_with_docs", "graph_recall_sweep",
-    "streaming_graph_attach", "graph_ann_recall", "ann_compression_error",
-    "filtered_method_recall", "copurchase_kcore",
-    "corpus_compaction_plan", "sample_split_leakage_safe", "graph_ann_insert",
-    "dedup_corpus_overlap", "curation_temperature_mix", "sketch_hll_merge",
-    "events_sequence_dataset", "text_zipf_profile", "streaming_hll_merge",
-    "join_asof_forward", "knn_ivf_matryoshka", "pq_state_roundtrip",
-    "dedup_substring_spans_hashed", "refshape_kmeans_invariants",
-    "events_mad_outliers", "stats_exact_moments", "join_range_bucketed",
-    "events_funnel", "scd2_user_state", "streaming_sessions",
-    "streaming_interval_join", "text_tfidf_top", "text_winnow",
-    "multimodal_features", "sketch_cms_heavy_hitters", "dedup_simhash_pairs",
-    "curation_pii_redact", "merge_upsert_latest", "copurchase_lift",
-    "events_cohort_retention", "events_tumbling", "streaming_sliding",
-    "streaming_dedup", "udtf_sentences", "curation_mix_rebalance",
-    "dedup_exact_keep", "dedup_keep_canonical", "dedup_ngram_jaccard",
+    # --- round-5 novelties (added this round; never gated by definition)
+    # (new names are prepended here as they land)
+    # --- never-gated after r1-r4, flagships first
     "curation_decontaminate_hashed", "events_rollup_hierarchy",
-    "events_trailing_window", "join_interval", "events_zscore_outliers",
-    "events_transition_matrix", "join_asof_cogroup", "incremental_agg_merge",
-    "skew_salted_agg", "grouping_sets", "events_sliding",
-    "events_sessionize", "streaming_stream_static",
-    "streaming_foreach_upsert", "window_topk_per_group", "window_lag_frames",
-    "window_distribution", "percentile_summary", "set_operations",
+    "streaming_stream_static", "streaming_foreach_upsert",
+    "grouping_sets", "window_topk_per_group", "window_lag_frames",
+    "window_distribution", "window_topk_with_ties", "set_operations",
     "string_functions", "date_functions", "math_functions",
-    "array_functions", "json_functions", "map_functions", "case_bucketing",
-    "pivot_status", "join_bloom_pruned", "shipping_priority",
-    "exists_late_shipment", "large_volume_orders", "disjunctive_revenue",
-    "bilateral_trade_volume", "local_supplier_volume", "revenue_forecast",
-    "returned_item_revenue", "promo_revenue", "small_quantity_revenue",
-    "dormant_rich_customers", "customer_order_distribution",
-    "top_revenue_suppliers", "cheapest_supplier_per_part",
-    "null_safe_semantics", "fuzzy_customer_pairs", "window_topk_with_ties",
-    "events_value_histogram", "market_share", "copurchase_part_pairs",
-    "supplier_ship_delay", "profit_by_nation_year", "important_part_value",
-    "ship_delay_priority", "parts_supplier_count",
-    "excess_inventory_suppliers", "unpivot_flag_measures", "listagg_nations",
-    "try_arithmetic_summary", "sketch_functions", "sample_train_split",
-    "sample_stratified", "text_stats", "text_lang_id", "text_vocab_top",
-    "text_fingerprints", "text_token_count", "corpus_pipeline",
-    "text_bigram_logprob", "corpus_chunks", "multimodal_frames",
-    "multimodal_meta",
+    "array_functions", "json_functions", "map_functions",
+    "sketch_functions", "multimodal_meta", "multimodal_frames",
+    "corpus_chunks", "text_lang_id", "text_stats", "text_vocab_top",
+    "text_fingerprints", "text_token_count", "text_bigram_logprob",
+    "corpus_pipeline", "dedup_ngram_jaccard", "events_trailing_window",
+    "join_interval", "events_zscore_outliers", "events_transition_matrix",
+    "join_asof_cogroup", "incremental_agg_merge", "skew_salted_agg",
+    "events_sliding", "events_sessionize", "percentile_summary",
+    "case_bucketing", "pivot_status", "join_bloom_pruned",
+    "null_safe_semantics", "fuzzy_customer_pairs", "events_value_histogram",
+    "sample_train_split", "sample_stratified", "unpivot_flag_measures",
+    "listagg_nations", "try_arithmetic_summary", "copurchase_part_pairs",
+    # --- never-gated tail (round-6 rotation fodder)
+    "shipping_priority", "exists_late_shipment", "large_volume_orders",
+    "disjunctive_revenue", "bilateral_trade_volume",
+    "local_supplier_volume", "revenue_forecast", "returned_item_revenue",
+    "promo_revenue", "small_quantity_revenue", "dormant_rich_customers",
+    "customer_order_distribution", "top_revenue_suppliers",
+    "cheapest_supplier_per_part", "market_share", "supplier_ship_delay",
+    "profit_by_nation_year", "important_part_value", "ship_delay_priority",
+    "parts_supplier_count", "excess_inventory_suppliers",
 ]
 
 

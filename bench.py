@@ -84,6 +84,13 @@ BENCH_QUERIES = [
     ("refshape_search_cli", _collect),
     ("refshape_search_bq", _collect),
     ("refshape_kmeans_invariants", _collect),  # learned 128×384 layout; run 1 pays the fit
+    # graph index at reference shape: _beam's run 1 pays the memoized
+    # 384-dim NN-descent build (the cold number); _cli then measures the
+    # WARM persisted-index facade walk — the cold/warm split keeps walk
+    # regressions visible outside build noise
+    ("refshape_graph_beam", _collect),
+    ("refshape_graph_cli", _collect),
+    ("refshape_graph_bq", _collect),
     # relational core over the big fact tables
     ("pricing_summary", _collect),
     ("shipping_priority", _collect),
@@ -117,7 +124,9 @@ BENCH_QUERIES = [
     ("ivf_centroid_refresh", _collect),
     ("sketch_hll_distinct", _collect),
     ("sketch_hll_merge", _collect),
+    ("sketch_cms_merge", _collect),
     ("streaming_hll_merge", _collect),
+    ("streaming_cms_merge", _collect),
     ("curation_temperature_mix", _collect),
     ("dedup_corpus_overlap", _collect),
     ("sample_weighted_pps", _noop),
@@ -132,6 +141,7 @@ BENCH_QUERIES = [
     ("dedup_simhash_pairs", _noop),
     ("dedup_ngram_jaccard", _noop),
     ("dedup_jaccard_verified_lsh", _noop),
+    ("dedup_embedding_lsh", _collect),
     ("dedup_substring_spans", _noop),
     ("dedup_substring_spans_hashed", _noop),
     ("text_stats", _noop),
@@ -150,6 +160,7 @@ BENCH_QUERIES = [
     ("text_zipf_profile", _collect),
     ("events_sequence_dataset", _noop),
     ("multimodal_features", _noop),
+    ("multimodal_decode", _noop),
     # event-time windowing
     ("events_mad_outliers", _collect),
     ("events_tumbling", _noop),
@@ -204,7 +215,14 @@ def main() -> None:
     # smoke-scale run (SPARK_GRAFT_SF_DIR override) must not overwrite
     # the committed full-scale per-query record
     suffix = "" if sf == "0.1" else f"_sf{sf}"
-    with open(os.path.join(here, f"BENCH_full_r{n:02d}{suffix}.json"), "w") as f:
+    out_path = os.path.join(here, f"BENCH_full_r{n:02d}{suffix}.json")
+    if os.path.exists(out_path):
+        # intra-round re-runs overwrite by design (latest record wins),
+        # but loudly, so the two series can't desynchronize unnoticed
+        # (ADVICE r4): the driver's BENCH_r{N}.json is the round marker
+        print(f"note: overwriting existing {os.path.basename(out_path)} "
+              f"(intra-round bench re-run)", file=sys.stderr)
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
 
 

@@ -126,14 +126,82 @@ class IVFEngine:
         return map_to_docs(self.search(qvec, k), documents)
 
 
+class GraphEngine:
+    """Online query engine over a prebuilt kNN-graph index — the second
+    index class behind the SAME facade posture as :class:`IVFEngine`
+    (the reference's mode-switch control flow, IVF.cpp:558-635, extended
+    to the index family the reference doesn't ship).
+
+    Index layout = ``operators.graph_ann.write_graph_index`` output:
+    ``{index_dir}/edges`` (node, nbr, score, rk) +
+    ``{index_dir}/corpus_normed`` (vec_id, label, v, nrm — norms
+    persisted at build time, never recomputed at query time).
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str, beam: int, hops: int):
+        if beam <= 0 or hops <= 0:
+            raise ValueError("--beam_width and --hops must be positive")
+        self.spark = spark
+        self.beam = beam
+        self.hops = hops
+        # lazy relations, like IVFEngine: nothing reads until a search
+        self.edges = spark.read.parquet(f"{index_dir}/edges")
+        self.corpus = spark.read.parquet(f"{index_dir}/corpus_normed")
+
+    @classmethod
+    def from_pretrained(
+        cls, spark: SparkSession, index_dir: str, beam: int | None = None,
+        hops: int | None = None,
+    ) -> "GraphEngine":
+        from gpu_accelerated_vector_indexing_spark.operators.graph_ann import BEAM_HOPS, BEAM_WIDTH
+
+        return cls(
+            spark,
+            index_dir,
+            beam if beam is not None else BEAM_WIDTH,
+            hops if hops is not None else BEAM_HOPS,
+        )
+
+    def search(self, qvec: list[float], k: int = 5) -> DataFrame:
+        """Bounded beam walk → top-k ``(score, vec_id)`` desc — the ONE
+        walk definition (``graph_ann.beam_visited_over``) over the
+        persisted adjacency + normed corpus."""
+        from gpu_accelerated_vector_indexing_spark.operators.graph_ann import beam_visited_over
+
+        visited = beam_visited_over(
+            self.edges.select("node", "nbr"),
+            self.corpus.select("vec_id", "label"),
+            self.corpus.select("vec_id", "v", "nrm"),
+            [float(x) for x in qvec],
+            self.beam,
+            self.hops,
+        )
+        return (
+            visited.orderBy(F.desc("score"), F.desc("vec_id"))
+            .limit(k)
+            .select("score", "vec_id")
+        )
+
+    def search_with_docs(self, qvec: list[float], documents: DataFrame, k: int = 5) -> DataFrame:
+        """Top-k + article snippet through the index-agnostic sink."""
+        from gpu_accelerated_vector_indexing_spark.operators.knn import map_to_docs
+
+        return map_to_docs(self.search(qvec, k), documents)
+
+
 def main(argv: list[str] | None = None) -> None:
-    """CLI mirroring the reference binary's flags (IVF.cpp:558-635).
+    """CLI mirroring the reference binary's flags (IVF.cpp:558-635),
+    extended with ``--index {ivf,graph}`` so the mode-switch posture
+    covers both index classes.
 
     Reads the query from a raw float32 ``.bin`` (≙ IVF.cpp:650-672) and
     prints timed (score, id) rows like IVF.cpp:679-710.
     """
-    p = argparse.ArgumentParser(description="IVF cosine top-k search (Spark)")
+    p = argparse.ArgumentParser(description="ANN cosine top-k search (Spark)")
     p.add_argument("--index_dir", required=True)
+    p.add_argument("--index", choices=("ivf", "graph"), default="ivf")
+    p.add_argument("--beam_width", type=int, default=None, help="graph index: beam width")
+    p.add_argument("--hops", type=int, default=None, help="graph index: walk hops")
     p.add_argument("--query_bin", required=True, help="raw float32 query vector file")
     p.add_argument("--dim", type=int, default=384)
     p.add_argument("--k", type=int, default=5)  # IVF.cpp:679
@@ -154,17 +222,22 @@ def main(argv: list[str] | None = None) -> None:
     from gpu_accelerated_vector_indexing_spark.sources.binary import read_float32_bin
 
     spark = get_spark("gpu_accelerated_vector_indexing_spark-cli")
-    engine = IVFEngine.from_pretrained(
-        spark,
-        args.index_dir,
-        n_probe=args.n_probe,
-        mode=args.mode,
-        sequential_fine_search=boolean(args.sequential_fine_search),
-        use_cuda_coarse=boolean(args.use_cuda_coarse),
-        use_cuda_fine=boolean(args.use_cuda_fine),
-        threadsperBlock=args.threadsperBlock,
-        print_results=boolean(args.print_results),
-    )
+    if args.index == "graph":
+        engine = GraphEngine.from_pretrained(
+            spark, args.index_dir, beam=args.beam_width, hops=args.hops
+        )
+    else:
+        engine = IVFEngine.from_pretrained(
+            spark,
+            args.index_dir,
+            n_probe=args.n_probe,
+            mode=args.mode,
+            sequential_fine_search=boolean(args.sequential_fine_search),
+            use_cuda_coarse=boolean(args.use_cuda_coarse),
+            use_cuda_fine=boolean(args.use_cuda_fine),
+            threadsperBlock=args.threadsperBlock,
+            print_results=boolean(args.print_results),
+        )
     qvec = [
         float(x)
         for x in read_float32_bin(spark, args.query_bin, args.dim).orderBy("vec_id").first().embedding

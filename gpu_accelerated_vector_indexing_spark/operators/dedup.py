@@ -560,6 +560,98 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
     return pairs.orderBy(F.desc("cos_sim"), F.desc("vec_a"), F.desc("vec_b")).limit(k)
 
 
+# Banded hyperplane signatures are INDEX STATE (computed at write time
+# in production) — memoized per (session, corpus) like lsh_ann._SIGNED_CACHE.
+_BAND_SIG_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+EMB_LSH_BANDS = 4
+EMB_LSH_ROWS = 8  # planes per band
+
+
+def _banded_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, bucket): one row per (vector, band) — band b's
+    bucket is the ``lsh_ann.signature`` over planes [b·r, (b+1)·r)."""
+    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array
+    from gpu_accelerated_vector_indexing_spark.operators.lsh_ann import (
+        hyperplanes,
+        signature,
+    )
+
+    key = (spark, sf_dir)
+    if key not in _BAND_SIG_CACHE:
+        planes = hyperplanes(EMB_LSH_BANDS * EMB_LSH_ROWS)
+        emb = load_table(spark, sf_dir, "embeddings")
+        v = as_double_array("embedding")
+        df = (
+            emb.select(
+                "vec_id",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            signature(
+                                v, planes[b * EMB_LSH_ROWS : (b + 1) * EMB_LSH_ROWS]
+                            ).alias("bucket"),
+                        )
+                        for b in range(EMB_LSH_BANDS)
+                    ])
+                ).alias("s"),
+            )
+            .select("vec_id", "s.band", "s.bucket")
+            .cache()
+        )
+        df.count()
+        _BAND_SIG_CACHE[key] = df
+    return _BAND_SIG_CACHE[key]
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH — the
+    SCALE twin of :func:`embedding_neardup_topk`: candidates come from
+    same-(band, bucket) collisions (4 bands × 8-bit signatures, OR-ed
+    across bands), then ONE exact cosine verification per candidate
+    pair and the top-k pairs return.
+
+    This is the embedding-side MinHash-LSH shape: cluster blocking
+    (the _topk form) needs a trained coarse quantizer and pays
+    per-cell all-pairs; banding needs only the memoized signature
+    state, collision volume concentrates on genuinely-similar pairs
+    (P[band collision] = (1 − θ/π)^r per band), and the verify stage
+    is linear in candidates. Signatures use the engine-portable
+    quantized-integer recipe, so the WHOLE pipeline — buckets,
+    candidates, scores — replays in SQL under the value gate.
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    sigs = _banded_signatures(spark, sf_dir)
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.desc("vec_a"), F.desc("vec_b"))
+        .limit(k)
+    )
+
+
 def duplicate_components(
     spark: SparkSession, sf_dir: str, threshold: float = 0.6, max_iters: int = 25
 ) -> DataFrame:

@@ -191,8 +191,24 @@ def build_knn_graph(
     against the Θ(n·(2k)²) proposal volume, and it keeps the staged
     SQL mirror exact.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb_n = fixture_normed(spark, sf_dir)
+    return build_knn_graph_over(
+        load_table(spark, sf_dir, "embeddings"),
+        fixture_normed(spark, sf_dir),
+        k=k,
+        rounds=rounds,
+    )
+
+
+def build_knn_graph_over(
+    emb: DataFrame,
+    emb_n: DataFrame,
+    k: int = K_GRAPH,
+    rounds: int = NN_DESCENT_ROUNDS,
+) -> DataFrame:
+    """Corpus-parameterized NN-descent core: ``emb`` needs (vec_id,
+    label), ``emb_n`` the matching normed state. The fixture build above
+    and the reference-shape build (operators/refshape.refshape_graph)
+    share THIS function, so the two index builds can never drift."""
     # Seed with the UNION of TWO groupings, both of CONSTANT width
     # SEED_WINDOW so the seed stays Θ(n·SEED_WINDOW) at any corpus
     # size: (1) within-cell rank windows — consecutive SEED_WINDOW-node
@@ -367,8 +383,28 @@ def _beam_visited(
         # LIVE corpus, so the walk can never visit a tombstone.
         adj = _masked_adj(adj, delete_mod)
         emb = emb.filter(F.col("vec_id") % delete_mod != 0)
-    emb_n = fixture_normed(spark, sf_dir)
-    qvec = fixture_qvec(spark, sf_dir, query_id)
+    return beam_visited_over(
+        adj,
+        emb,
+        fixture_normed(spark, sf_dir),
+        fixture_qvec(spark, sf_dir, query_id),
+        beam,
+        hops,
+    )
+
+
+def beam_visited_over(
+    adj: DataFrame,
+    emb: DataFrame,
+    emb_n: DataFrame,
+    qvec: list[float],
+    beam: int,
+    hops: int,
+) -> DataFrame:
+    """Corpus-parameterized float-scored beam walk: adjacency + entry
+    corpus (vec_id, label) + normed state + a raw query vector. Shared
+    by the fixture search above and the reference-shape search
+    (operators/refshape.refshape_graph_beam) — one walk definition."""
     q = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
     # ‖q‖ hoisted once, in Python floats — bit-identical to the JVM
     # fold + sqrt (same IEEE-754 doubles, same left-to-right order),
@@ -677,6 +713,17 @@ def write_graph_state(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     keeps the test hermetic. Mirrors ``quantize.write_pq_state`` /
     ``dedup.write_dedup_state``."""
     fixture_graph(spark, sf_dir).write.mode("overwrite").parquet(f"{out_dir}/edges")
+
+
+def write_graph_index(edges: DataFrame, corpus_normed: DataFrame, out_dir: str) -> None:
+    """Materialize a COMPLETE pretrained graph index: the edge list plus
+    the normed corpus ``(vec_id, label, v, nrm)`` — everything a query
+    session needs, so ``engine.GraphEngine.from_pretrained`` never
+    recomputes norms or labels (at 100 TB the norms are persisted at
+    ingest; recomputing ‖v‖ per query session is a corpus scan). The
+    graph analog of ``index_build.build_partitioned_index``'s layout."""
+    edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+    corpus_normed.write.mode("overwrite").parquet(f"{out_dir}/corpus_normed")
 
 
 def graph_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

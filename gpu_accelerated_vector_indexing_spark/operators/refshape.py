@@ -199,6 +199,220 @@ def refshape_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignment_invariants(assigned, centroids)
 
 
+# --- graph index at reference shape (r4 verdict #5) --------------------------
+# The graph-ANN family proved its build/walk on the 64-dim fixture; the
+# refshape family proved IVF + BQ at 128×384. This closes the square:
+# the SAME NN-descent core and beam-walk core (operators/graph_ann —
+# corpus-parameterized, so nothing is copied) run over the derived
+# 384-dim corpus, and the doc mapback goes through the same sink.
+_REF_NORMED_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_REF_GRAPH_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def refshape_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized normed 384-dim corpus — the graph family's
+    ``fixture_normed`` posture at reference shape."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import _normed
+
+    key = (spark, sf_dir)
+    if key not in _REF_NORMED_CACHE:
+        df = _normed(ref_corpus(spark, sf_dir)).cache()
+        df.count()
+        _REF_NORMED_CACHE[key] = df
+    return _REF_NORMED_CACHE[key]
+
+
+def refshape_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized NN-descent kNN graph over the 384-dim corpus at 128
+    cells — index state, built once per (session, corpus) like
+    ``graph_ann.fixture_graph``."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        build_knn_graph_over,
+    )
+
+    key = (spark, sf_dir)
+    if key not in _REF_GRAPH_CACHE:
+        df = build_knn_graph_over(
+            ref_corpus(spark, sf_dir), refshape_normed(spark, sf_dir)
+        ).cache()
+        df.count()
+        _REF_GRAPH_CACHE[key] = df
+    return _REF_GRAPH_CACHE[key]
+
+
+def refshape_graph_beam(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
+) -> DataFrame:
+    """Beam search over the reference-shape graph index, mapped back to
+    200-char article snippets through the index-agnostic result sink
+    (``knn.map_to_docs`` ≙ reference IVF.cpp:688-710) — the second
+    index class at the reference's true 128×384 shape, end to end.
+
+    The initial frontier matters here in a way the fixture hides: 128
+    entry points (one per cell) exceed BEAM_WIDTH, so the walk's entry
+    cut genuinely selects — exactly the regime the reference's cluster
+    count exercises. Full value oracle: the build, the walk, and the
+    mapback all replay as staged CTEs over the derived corpus."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        BEAM_HOPS,
+        BEAM_WIDTH,
+        beam_visited_over,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import map_to_docs
+
+    visited = beam_visited_over(
+        refshape_graph(spark, sf_dir),
+        ref_corpus(spark, sf_dir),
+        refshape_normed(spark, sf_dir),
+        ref_qvec(spark, sf_dir, query_id),
+        beam=BEAM_WIDTH,
+        hops=BEAM_HOPS,
+    )
+    topk = visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+    return map_to_docs(topk, load_table(spark, sf_dir, "documents"))
+
+
+_REF_BQ_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def refshape_bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized multi-word sign codes over the 384-dim corpus:
+    ``(vec_id, codes ARRAY<BIGINT>[6])`` — 48 bytes/vector vs 3072
+    float64 bytes; index state like ``graph_ann.fixture_bq_codes``."""
+    key = (spark, sf_dir)
+    if key not in _REF_BQ_STATE:
+        df = (
+            ref_corpus(spark, sf_dir)
+            .select("vec_id", bq_codes(F.col("embedding"), REF_DIM).alias("codes"))
+            .cache()
+        )
+        df.count()
+        _REF_BQ_STATE[key] = df
+    return _REF_BQ_STATE[key]
+
+
+def refshape_graph_bq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+) -> DataFrame:
+    """Compressed graph traversal at reference shape — the DiskANN
+    decomposition (walk on codes, exact-rescore the visited set) with
+    MULTI-WORD sign codes: 384 dims → six BIGINT words, so the Hamming
+    navigation exercises the cross-word fold (``quantize.bq_hamming``)
+    that the fixture's one-word walk (``graph_ann.knn_graph_beam_bq``,
+    which refuses >64 dims by design) cannot. Completes the matrix:
+    graph × BQ at the reference's true shape, rescore-all posture.
+
+    The walk loop is the ONE shared ``graph_ann._walk``; only the
+    scoring expressions differ (integer multi-word Hamming, engine-
+    exact). Full oracle: the staged-CTE compressed walk over the
+    derived corpus (sign agreements folded in exact small-integer
+    doubles)."""
+    import math
+
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        EPSILON,
+        dot_product,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        BEAM_HOPS,
+        BEAM_WIDTH,
+        _entry_points,
+        _walk,
+    )
+
+    adj = refshape_graph(spark, sf_dir)
+    emb = ref_corpus(spark, sf_dir)
+    emb_n = refshape_normed(spark, sf_dir)
+    codes = refshape_bq_codes(spark, sf_dir)
+    qvec = ref_qvec(spark, sf_dir, query_id)
+    # query codewords packed in Python ints — the same bit convention as
+    # quantize.bq_codes (bit 63 via two's complement)
+    qwords = []
+    for w in range((REF_DIM + 63) // 64):
+        word = 0
+        for j in range(64):
+            idx = w * 64 + j
+            if idx < len(qvec) and float(qvec[idx]) > 0.0:
+                word += 2**j if j < 63 else -(2**63)
+        qwords.append(word)
+    qcode = F.array(*[F.lit(w).cast("long") for w in qwords])
+
+    def hscored(ids: DataFrame) -> DataFrame:
+        return ids.join(codes, "vec_id").select(
+            "vec_id",
+            bq_hamming(F.col("codes"), qcode).cast("long").alias("hamming"),
+        )
+
+    cand = _walk(
+        adj,
+        _entry_points(emb),
+        hscored,
+        lambda: [F.asc("hamming"), F.desc("vec_id")],
+        lambda: F.min("hamming").alias("hamming"),
+        BEAM_WIDTH,
+        BEAM_HOPS,
+    )
+    q = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
+    acc = 0.0
+    for x in qvec:
+        acc += float(x) * float(x)
+    qn = F.lit(math.sqrt(acc))
+    return (
+        cand.select("vec_id")
+        .join(emb_n, "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                dot_product(F.col("v"), q) / (F.col("nrm") * qn + F.lit(EPSILON)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+_REF_GRAPH_INDEX_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def refshape_graph_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the PRETRAINED reference-shape graph index once per
+    (session, corpus): edges + normed corpus, the layout
+    ``engine.GraphEngine.from_pretrained`` consumes — the graph twin of
+    :func:`refshape_index`."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        write_graph_index,
+    )
+
+    key = (spark, sf_dir)
+    if key not in _REF_GRAPH_INDEX_DIR:
+        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_refshape_graphindex_")
+        corpus_normed = ref_corpus(spark, sf_dir).select("vec_id", "label").join(
+            refshape_normed(spark, sf_dir), "vec_id"
+        )
+        write_graph_index(refshape_graph(spark, sf_dir), corpus_normed, out)
+        _REF_GRAPH_INDEX_DIR[key] = out
+    return _REF_GRAPH_INDEX_DIR[key]
+
+
+def refshape_graph_cli(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
+) -> DataFrame:
+    """Reference-shape graph search through the CLI's engine facade —
+    the ``--index graph`` twin of :func:`refshape_search_cli`: a
+    PERSISTED graph index (edges + normed corpus parquet) is loaded by
+    ``GraphEngine.from_pretrained`` and searched end to end, so the
+    facade path the CLI drives is value-gated at 128×384 for BOTH index
+    classes. Same full oracle as the in-session walk: persisting the
+    state must not change a single score."""
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+
+    eng = GraphEngine.from_pretrained(spark, refshape_graph_index(spark, sf_dir))
+    return eng.search(ref_qvec(spark, sf_dir, query_id), k=k)
+
+
 def refshape_search_cli(
     spark: SparkSession,
     sf_dir: str,

@@ -530,9 +530,10 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # recycling: a dead writer whose pid now names an unrelated
         # long-lived process would otherwise orphan its pair forever.
         # The threshold is a week — far past any plausible LIVE engine
-        # session on one host — because past it the prune fires with
-        # NO liveness check at all (dropping a truly-live >7-day
-        # session's tables would strand its _BUCKETED memo).
+        # session on one host. Past it the liveness probe STILL runs
+        # (dropping a truly-live >7-day session's tables would strand
+        # its _BUCKETED memo); an old-but-live pid is only pruned when
+        # its process image shows it cannot be an engine session.
         # The middle segment is restricted to identifier characters so
         # every matched name interpolates safely into DROP TABLE
         # (base_tag is sanitized to [alnum_], so ours always match).
@@ -555,17 +556,40 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 age = time.time() - os.path.getmtime(f"{warehouse}/{entry}")
             except OSError:
                 age = 0.0
-            if age <= max_age_s:
-                try:
-                    os.kill(pid, 0)
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False  # ESRCH: positively dead — safe to prune
+            except OSError:
+                # EPERM et al.: the pid EXISTS but we can't signal it
+                # (another user's live process) — treat as alive
+                alive = True
+            if alive:
+                if age <= max_age_s:
                     continue  # young + live sibling process — leave it
-                except ProcessLookupError:
-                    pass  # ESRCH: positively dead — safe to prune
-                except OSError:
-                    # EPERM et al.: the pid EXISTS but we can't signal
-                    # it (another user's live process) — never prune
-                    # young tables on an ambiguous signal
-                    continue
+                # Past the backstop AND the pid is live: either a
+                # genuinely week-long engine session (must NOT be
+                # pruned — ADVICE r4: dropping its tables strands its
+                # _BUCKETED memo mid-session) or pid recycling by an
+                # unrelated process. Disambiguate via the process
+                # image: an engine session is a python/java process;
+                # anything else is a recycled pid whose writer is dead.
+                # The image check is coarse (any long-lived python
+                # process — common on a host that runs this engine —
+                # would keep an orphan alive forever), so a HARD outer
+                # ceiling bounds the leak: past a month the writer is
+                # dead by any reasonable assumption and the pair is
+                # pruned regardless.
+                if age <= 4 * max_age_s:  # (7d, 28d]: image-gated keep
+                    try:
+                        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                            cmd = fh.read().lower()
+                        if b"python" in cmd or b"java" in cmd:
+                            continue  # plausibly a live engine session
+                    except OSError:
+                        continue  # can't inspect — never prune on ambiguity
+                # > 28 days: prune unconditionally (bounded-leak backstop)
             spark.sql(f"DROP TABLE IF EXISTS {entry}")
             shutil.rmtree(f"{warehouse}/{entry}", ignore_errors=True)
         # our own names + this corpus's legacy un-suffixed pair (whose

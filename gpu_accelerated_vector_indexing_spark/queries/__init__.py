@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 # rows (positions 51+) rotate forward in round 6, closing the union.
 _GATE_FIRST = [
     # --- round-5 novelties (added this round; never gated by definition)
-    # (new names are prepended here as they land)
+    "sketch_cms_merge", "multimodal_decode", "refshape_graph_beam",
+    "refshape_graph_cli", "streaming_cms_merge", "refshape_graph_bq",
+    "dedup_embedding_lsh",
     # --- never-gated after r1-r4, flagships first
     "curation_decontaminate_hashed", "events_rollup_hierarchy",
     "streaming_stream_static", "streaming_foreach_upsert",

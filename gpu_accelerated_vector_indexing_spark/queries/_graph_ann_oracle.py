@@ -53,10 +53,19 @@ def _scored_topk(src: str, out: str, k: int) -> str:
   ) WHERE rk <= {k})"""
 
 
-def graph_build_ctes(k: int = K_GRAPH, rounds: int = NN_DESCENT_ROUNDS) -> tuple[str, str]:
+# the default corpus CTE; the reference-shape family substitutes its
+# derived 384-dim corpus here (refshape_q._REF_E) — the build/walk CTEs
+# downstream are corpus-agnostic, mirroring the Spark side's
+# build_knn_graph_over / beam_visited_over parameterization
+E_DEFAULT = "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+def graph_build_ctes(
+    k: int = K_GRAPH, rounds: int = NN_DESCENT_ROUNDS, e_sql: str = E_DEFAULT
+) -> tuple[str, str]:
     """Return (cte_text, final_graph_name) for the NN-descent build."""
     parts = [
-        "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
+        e_sql,
         _EN,
         f"""ranked AS (
   SELECT vec_id, label,
@@ -154,6 +163,7 @@ def beam_search_sql(
     hops: int = BEAM_HOPS,
     lang: str | None = None,
     delete_mod: int | None = None,
+    e_sql: str = E_DEFAULT,
 ) -> str:
     """``lang`` (the filtered variant): the walk is IDENTICAL — the
     predicate applies only at emission over the visited set, mirroring
@@ -161,7 +171,7 @@ def beam_search_sql(
     with-deletes variant): the walk itself changes — edges touching a
     tombstone are masked and entries come from the live corpus,
     mirroring knn_graph_beam_with_deletes."""
-    ctes, g = graph_build_ctes()
+    ctes, g = graph_build_ctes(e_sql=e_sql)
     pre = [ctes]
     ent = "ent"
     if delete_mod is not None:
@@ -274,8 +284,9 @@ def beam_bq_sql(
     beam: int = BEAM_WIDTH,
     hops: int = BEAM_HOPS,
     rescore_n: int | None = BEAM_RESCORE,
+    e_sql: str = E_DEFAULT,
 ) -> str:
-    ctes, g = graph_build_ctes()
+    ctes, g = graph_build_ctes(e_sql=e_sql)
     bparts, top = _beam_bq_ctes(
         query_id, g, k=k, beam=beam, hops=hops, rescore_n=rescore_n
     )
@@ -312,11 +323,13 @@ UNION ALL
 SELECT 'graph_beam_bq' AS method, vec_id FROM {top}"""
 
 
-def search_with_docs_sql(query_id: int = 0, k: int = 5) -> str:
+def search_with_docs_sql(query_id: int = 0, k: int = 5, e_sql: str = E_DEFAULT) -> str:
     """The beam top-k joined back to 200-char article snippets —
     graph_ann.knn_graph_search_with_docs (reference IVF.cpp:688-710's
-    mapback through the graph index)."""
-    return f"""WITH gt AS (SELECT * FROM ({beam_search_sql(query_id=query_id, k=k)}))
+    mapback through the graph index). ``e_sql`` swaps in the
+    reference-shape derived corpus (refshape_graph_beam)."""
+    inner = beam_search_sql(query_id=query_id, k=k, e_sql=e_sql)
+    return f"""WITH gt AS (SELECT * FROM ({inner}))
 SELECT t.vec_id, t.score, substr(d.text, 1, 200) AS snippet
 FROM documents d JOIN gt t ON d.doc_id = t.vec_id"""
 

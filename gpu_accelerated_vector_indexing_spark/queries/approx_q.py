@@ -84,6 +84,42 @@ SELECT user_id, exact, CAST(est AS BIGINT) AS est
 FROM est ORDER BY exact DESC, user_id DESC LIMIT 20
 """
 
+QUERIES["sketch_cms_merge"] = AP.cms_merge
+
+# same portable hash family as the heavy-hitters replay: both the
+# per-slice→SUM route and the direct sketch reproduce exactly, so the
+# per-cell mismatch count and checksums carry a full value oracle
+ORACLES["sketch_cms_merge"] = f"""
+WITH hashes(row, a, b) AS (VALUES {_CMS_D}),
+coords AS (
+  SELECT e.event_type, h.row,
+         ((e.user_id % {AP.CMS_P}) * h.a + h.b) % {AP.CMS_P} % {AP.CMS_WIDTH} AS bucket
+  FROM events e CROSS JOIN hashes h
+),
+per_slice AS (
+  SELECT event_type, row, bucket, count(*) AS cnt
+  FROM coords GROUP BY event_type, row, bucket
+),
+merged AS (SELECT row, bucket, sum(cnt) AS cnt_m FROM per_slice GROUP BY row, bucket),
+direct AS (SELECT row, bucket, count(*) AS cnt_d FROM coords GROUP BY row, bucket),
+direct_agg AS (
+  SELECT count(*) AS n_cells,
+         CAST(sum(cnt_d) AS BIGINT) AS total_count,
+         CAST(sum((row * {AP.CMS_WIDTH} + bucket + 1) * cnt_d) AS BIGINT)
+           AS cell_checksum
+  FROM direct
+),
+mism AS (
+  SELECT CAST(sum(CASE WHEN coalesce(d.cnt_d, -1) <> coalesce(m.cnt_m, -1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch_cells
+  FROM direct d FULL OUTER JOIN merged m USING (row, bucket)
+)
+SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_slices,
+       n_cells, total_count, cell_checksum, n_mismatch_cells,
+       n_mismatch_cells = 0 AS merge_exact
+FROM direct_agg CROSS JOIN mism
+"""
+
 QUERIES["sketch_hll_distinct"] = AP.hll_distinct
 
 # full HLL replay (r3): bucket/rank/register/estimator arithmetic is

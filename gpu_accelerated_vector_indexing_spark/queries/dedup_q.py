@@ -392,3 +392,54 @@ SELECT doc_id, lang, group_key,
        ELSE 'test' END AS split
 FROM keyed
 """
+
+
+# --- embedding near-dup via banded hyperplane LSH (r5) ------------------------
+# The oracle recomputes the SAME deterministic banded signatures: the
+# integer hyperplanes come from the shared hyperplanes() constants and
+# both engines quantize to integer-valued doubles first (the lsh_q
+# recipe), so buckets, candidate pairs, and scores match bit-for-bit.
+from gpu_accelerated_vector_indexing_spark.operators.lsh_ann import (  # noqa: E402
+    hyperplanes as _emb_hyperplanes,
+)
+
+QUERIES["dedup_embedding_lsh"] = D.embedding_neardup_lsh
+
+_EPLANES = _emb_hyperplanes(D.EMB_LSH_BANDS * D.EMB_LSH_ROWS)
+_EQV = "list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0))"
+
+
+def _eplane_sql(row: list[int]) -> str:
+    return "[" + ",".join(str(float(w)) for w in row) + "]::DOUBLE[]"
+
+
+def _eband_sig_sql(band: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({_EQV},"
+        f" {_eplane_sql(_EPLANES[band * D.EMB_LSH_ROWS + j])}) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(D.EMB_LSH_ROWS)
+    )
+    return f"({bits})::BIGINT"
+
+
+_EBAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band, {_eband_sig_sql(b)} AS bucket FROM embeddings"
+    for b in range(D.EMB_LSH_BANDS)
+)
+
+ORACLES["dedup_embedding_lsh"] = f"""
+WITH sigs AS ({_EBAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM sigs x JOIN sigs y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + 1e-8),
+             6) AS cos_sim
+FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
+ORDER BY cos_sim DESC, vec_a DESC, vec_b DESC LIMIT 20
+"""

@@ -39,6 +39,33 @@ FROM documents GROUP BY lang
 }
 
 
+QUERIES["multimodal_decode"] = M.multimodal_decode
+
+# the encoders are canonical single-fmt/single-data containers, so every
+# decoded header field is pure arithmetic over the payload length — the
+# oracle recomputes all of them from the same bytes with no codec, and
+# roundtrip_ok must come back uniformly true from the Spark side
+ORACLES["multimodal_decode"] = f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+  WHERE octet_length(encode(text)) > 0
+)
+SELECT doc_id,
+       {M.WAV_SAMPLE_RATE} AS sample_rate,
+       1 AS n_channels,
+       8 AS bits_per_sample,
+       nb::BIGINT AS n_samples,
+       (nb * 1000 // {M.WAV_SAMPLE_RATE})::BIGINT AS duration_ms,
+       {M.BMP_WIDTH} AS bmp_width,
+       greatest(1, (nb + {M.BMP_WIDTH} - 1) // {M.BMP_WIDTH})::INT AS bmp_height,
+       (14 + 40 + 1024
+        + greatest(1, (nb + {M.BMP_WIDTH} - 1) // {M.BMP_WIDTH})
+          * {M.BMP_WIDTH})::BIGINT AS bmp_file_size,
+       true AS roundtrip_ok
+FROM d
+"""
+
+
 from gpu_accelerated_vector_indexing_spark.operators.multimodal import corpus_integrity  # noqa: E402
 
 QUERIES["corpus_integrity"] = corpus_integrity

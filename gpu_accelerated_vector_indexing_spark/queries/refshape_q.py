@@ -72,7 +72,23 @@ QUERIES = {
     "refshape_search_cli": partial(refshape.refshape_search_cli, query_id=QUERY_ID, k=K),
     "refshape_search_bq": partial(refshape.refshape_search_bq, query_id=QUERY_ID, k=K),
     "refshape_kmeans_invariants": refshape.refshape_kmeans_invariants,
+    "refshape_graph_beam": partial(refshape.refshape_graph_beam, query_id=QUERY_ID, k=K),
+    "refshape_graph_cli": partial(refshape.refshape_graph_cli, query_id=QUERY_ID, k=K),
+    "refshape_graph_bq": partial(refshape.refshape_graph_bq, query_id=QUERY_ID, k=K),
 }
+
+# the graph family's staged-CTE oracle with the derived 384-dim corpus
+# substituted for `e` — build, walk, and doc mapback all replay in SQL
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    beam_bq_sql,
+    beam_search_sql,
+    search_with_docs_sql,
+)
+
+_REF_E = (
+    f"e AS (SELECT vec_id, vec_id % {refshape.REF_CLUSTERS} AS label,"
+    f" {_EMB384} AS v FROM embeddings)"
+)
 
 ORACLES = {
     "refshape_search_cli": _REF_IVF_SQL,
@@ -90,4 +106,12 @@ SELECT CAST({refshape.REF_CLUSTERS} AS BIGINT) AS n_clusters,
        count(*) AS n_nearest_ok
 FROM embeddings
 """,
+    "refshape_graph_beam": search_with_docs_sql(query_id=QUERY_ID, k=K, e_sql=_REF_E),
+    # the persisted-index facade path must equal the in-session walk
+    "refshape_graph_cli": beam_search_sql(query_id=QUERY_ID, k=K, e_sql=_REF_E),
+    # multi-word compressed walk + rescore-all, replayed over the
+    # derived corpus (sign agreements as exact small-integer doubles)
+    "refshape_graph_bq": beam_bq_sql(
+        query_id=QUERY_ID, k=K, rescore_n=None, e_sql=_REF_E
+    ),
 }

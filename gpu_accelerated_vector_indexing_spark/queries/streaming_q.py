@@ -544,3 +544,28 @@ from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  #
 # stream ≡ batch by construction (see streaming/graph_stream.py) — the
 # oracle IS the batch twin's staged-CTE replay
 ORACLES["streaming_graph_attach"] = _insert_digest_sql()
+
+
+# cell-wise SUM is associative/commutative, so the drained counter
+# table ≡ the one-shot batch sketch under any batching — the oracle
+# replays the batch sketch with the portable 2-universal family and
+# expects zero mismatching cells
+QUERIES["streaming_cms_merge"] = SW.streaming_cms_merge
+
+from gpu_accelerated_vector_indexing_spark.queries.approx_q import _CMS_D  # noqa: E402
+
+ORACLES["streaming_cms_merge"] = f"""
+WITH hashes(row, a, b) AS (VALUES {_CMS_D}),
+coords AS (
+  SELECT h.row,
+         ((e.user_id % {_AP.CMS_P}) * h.a + h.b) % {_AP.CMS_P} % {_AP.CMS_WIDTH} AS bucket
+  FROM events e CROSS JOIN hashes h
+),
+direct AS (SELECT row, bucket, count(*) AS cnt FROM coords GROUP BY row, bucket)
+SELECT count(*) AS n_cells,
+       CAST(sum(cnt) AS BIGINT) AS total_count,
+       CAST(sum((row * {_AP.CMS_WIDTH} + bucket + 1) * cnt) AS BIGINT) AS cell_checksum,
+       CAST(0 AS BIGINT) AS n_mismatch_cells,
+       true AS stream_equals_batch
+FROM direct
+"""

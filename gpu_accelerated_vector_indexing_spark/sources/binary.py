@@ -159,16 +159,17 @@ def write_float32_bin(df: DataFrame, vec_col: str, out_path: str) -> int:
     """
     import numpy as np
 
-    # bounded probe, not a full count: limit(MAX+1) stops scanning the
-    # moment the ceiling is provably exceeded, so the guard never
-    # re-executes an expensive upstream plan in full
-    if df.limit(BIN_EXPORT_MAX_ROWS + 1).count() > BIN_EXPORT_MAX_ROWS:
+    # one execution, bounded collect: limit(MAX+1) caps what can ever
+    # reach the driver, and the guard checks the collected length — the
+    # upstream plan runs ONCE (ADVICE r4: probe-then-collect ran it
+    # twice, doubling the export cost of an expensive derived relation)
+    rows = df.orderBy("vec_id").select(vec_col).limit(BIN_EXPORT_MAX_ROWS + 1).collect()
+    if len(rows) > BIN_EXPORT_MAX_ROWS:
         raise ValueError(
             f"write_float32_bin is a driver-side export for small relations "
             f"(queries/centroids): more than {BIN_EXPORT_MAX_ROWS} rows. "
             f"Use write_float32_bin_clustered for corpus-sized exports."
         )
-    rows = df.orderBy("vec_id").select(vec_col).collect()
     mat = np.asarray([r[0] for r in rows], dtype=np.float32)
     mat.tofile(out_path)
     return mat.shape[0]

@@ -467,6 +467,12 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    if "df" not in state:
+        # same contract as _drain.drain_accumulate: a no-file source glob
+        # must fail loudly, not as a bare KeyError below
+        raise ValueError(
+            "stream drained zero micro-batches — the source glob matched no files"
+        )
 
     ev = load_table(spark, sf_dir, "events")
     batch_regs = _hll_hashed(ev).groupBy("bucket").agg(F.max("rho").alias("reg"))
@@ -483,5 +489,78 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_stream = est_batch AS stream_equals_batch",
             "floor(abs(est_stream - n_exact) / n_exact * 1000000) / 1000000 AS rel_err",
             f"abs(est_stream - n_exact) / n_exact <= {HLL_REL_ERR} AS hll_ok",
+        )
+    )
+
+
+def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time frequency sketch: each micro-batch of the event stream
+    folds into a running d×w count-min counter table by cell-wise SUM
+    inside ``foreachBatch`` — the heavy-hitters dashboard shape (state
+    is ≤ d·w rows FOREVER; no per-key shuffle at any stream volume).
+
+    Cell-wise SUM is associative and commutative, so the drained
+    counter table must equal the one-shot batch sketch over the same
+    rows under ANY batching — pinned per cell by the shared
+    ``cms_cell_mismatch`` compare (the CMS analog of
+    ``streaming_hll_merge``'s register contract; ``cms_merge`` pins the
+    same algebra batch-side by slice). Full oracle: DuckDB replays the
+    batch sketch with the portable 2-universal hash family.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.approx import (
+        _cms_coords,
+        cms_cell_mismatch,
+        cms_cell_summary,
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        part = _cms_coords(batch_df).groupBy("row", "bucket").agg(
+            F.count("*").alias("cnt")
+        )
+        merged = (
+            state["df"].unionByName(part).groupBy("row", "bucket").agg(
+                F.sum("cnt").alias("cnt")
+            )
+            if "df" in state
+            else part
+        )
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_cmsstream_"))
+        .foreachBatch(fold)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if "df" not in state:
+        raise ValueError(
+            "stream drained zero micro-batches — the source glob matched no files"
+        )
+
+    stream_sketch = state["df"]
+    direct = (
+        _cms_coords(load_table(spark, sf_dir, "events"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt_d"))
+        .localCheckpoint(eager=True)
+    )
+    return (
+        cms_cell_summary(stream_sketch, "cnt")
+        .crossJoin(
+            F.broadcast(cms_cell_mismatch(direct, "cnt_d", stream_sketch, "cnt"))
+        )
+        .selectExpr(
+            "n_cells",
+            "total_count",
+            "cell_checksum",
+            "n_mismatch_cells",
+            "n_mismatch_cells = 0 AS stream_equals_batch",
         )
     )

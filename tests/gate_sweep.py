@@ -3,7 +3,7 @@ DuckDB oracle at sf0.01 with the driver's compare semantics
 (row count + schema + order-insensitive value equality).
 
 Not collected by pytest (no test_ prefix); run manually:
-    python tests/gate_sweep.py [sf_dir]
+    python tests/gate_sweep.py [sf_dir] [--only name1,name2,...]
 Prints one line per query and a final summary; exit 1 on any failure.
 """
 
@@ -15,7 +15,15 @@ import traceback
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: gate_sweep.py [sf_dir] --only name1,name2,...")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -33,6 +41,11 @@ def main() -> int:
     duck = duckdb.connect()
     _register_views(duck, sf_dir)
     queries, oracles = merged()
+    if only is not None:
+        unknown = only - queries.keys()
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {unknown}")
+        queries = {n: f for n, f in queries.items() if n in only}
     failures: list[str] = []
     for i, (name, fn) in enumerate(queries.items()):
         t0 = time.monotonic()

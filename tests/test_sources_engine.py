@@ -369,6 +369,77 @@ def test_cli_main_smoke(spark, built_index, tmp_path, capsys):
     assert len([l for l in out.splitlines() if l.startswith("(")]) == 5
 
 
+@pytest.fixture(scope="module")
+def built_graph_index(spark, tmp_path_factory):
+    """A pretrained graph index on disk: edges + normed corpus — the
+    layout GraphEngine.from_pretrained consumes."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        fixture_graph,
+        fixture_normed,
+        write_graph_index,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    out = str(tmp_path_factory.mktemp("graph_index"))
+    corpus_normed = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .join(fixture_normed(spark, SF_SMOKE), "vec_id")
+    )
+    write_graph_index(fixture_graph(spark, SF_SMOKE), corpus_normed, out)
+    return out
+
+
+def test_graph_engine_matches_in_session(spark, built_graph_index):
+    """The persisted-index facade search must equal the in-session beam
+    walk value-for-value — persistence changes nothing."""
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import knn_graph_beam
+
+    qvec = _query_vec(spark, SF_SMOKE)
+    eng = GraphEngine.from_pretrained(spark, built_graph_index)
+    got = [(r.vec_id, r.score) for r in eng.search(qvec, k=5).collect()]
+    want = [
+        (r.vec_id, r.score)
+        for r in knn_graph_beam(spark, SF_SMOKE, query_id=0, k=5).collect()
+    ]
+    assert got == want
+
+
+def test_graph_engine_validates_knobs(spark, built_graph_index):
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+
+    with pytest.raises(ValueError, match="beam_width"):
+        GraphEngine.from_pretrained(spark, built_graph_index, beam=0)
+
+
+def test_cli_main_smoke_graph(spark, built_graph_index, tmp_path, capsys):
+    """--index graph drives the second index class through the same CLI
+    (the reference's mode-switch posture, IVF.cpp:558-635, extended)."""
+    import numpy as np
+
+    from gpu_accelerated_vector_indexing_spark.engine import main
+
+    np.asarray(_query_vec(spark, SF_SMOKE), dtype=np.float32).tofile(
+        tmp_path / "queryg.bin"
+    )
+    main(
+        [
+            "--index_dir", built_graph_index,
+            "--index", "graph",
+            "--query_bin", str(tmp_path / "queryg.bin"),
+            "--dim", "64",
+            "--k", "5",
+            "--beam_width", "8",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "Search Time:" in out
+    assert len([l for l in out.splitlines() if l.startswith("(")]) == 5
+
+
 def test_float32bin_datasource_matches_composed_reader(spark, tmp_path):
     """The custom Python DataSource (format('float32bin')) must return
     exactly what the composed binaryFile+mapInPandas reader returns —

@@ -415,7 +415,11 @@ def beam_visited_over(
     qn = F.lit(math.sqrt(acc))  # math.sqrt: correctly rounded, ≡ JVM/DuckDB sqrt
 
     def scored(ids: DataFrame) -> DataFrame:
-        return ids.join(emb_n, "vec_id").select(
+        # ids is walk-bounded (≤ |entries| or ≤ beam·K rows) — broadcast
+        # it so the corpus-side relation is probed, never shuffled (the
+        # persisted-index engine reads emb_n from parquet, where a
+        # stats-less ids side would otherwise pick a sort-merge join)
+        return emb_n.join(F.broadcast(ids), "vec_id").select(
             "vec_id",
             F.round(
                 dot_product(F.col("v"), q) / (F.col("nrm") * qn + F.lit(EPSILON)), 6
@@ -666,7 +670,9 @@ def knn_graph_beam_bq(
     qn = F.lit(math.sqrt(acc))
 
     def hscored(ids: DataFrame) -> DataFrame:
-        return ids.join(codes, "vec_id").select(
+        # walk-bounded ids broadcast against the codes state (see
+        # beam_visited_over's scorer)
+        return codes.join(F.broadcast(ids), "vec_id").select(
             "vec_id",
             F.bit_count(F.col("code").bitwiseXOR(F.lit(qcode).cast("long")))
             .cast("long")
@@ -685,8 +691,7 @@ def knn_graph_beam_bq(
     if rescore_n is not None:
         cand = cand.orderBy(F.asc("hamming"), F.desc("vec_id")).limit(rescore_n)
     return (
-        cand.select("vec_id")
-        .join(emb_n, "vec_id")
+        emb_n.join(F.broadcast(cand.select("vec_id")), "vec_id")
         .select(
             "vec_id",
             F.round(

@@ -341,7 +341,8 @@ def refshape_graph_bq(
     qcode = F.array(*[F.lit(w).cast("long") for w in qwords])
 
     def hscored(ids: DataFrame) -> DataFrame:
-        return ids.join(codes, "vec_id").select(
+        # walk-bounded ids broadcast against the codes state
+        return codes.join(F.broadcast(ids), "vec_id").select(
             "vec_id",
             bq_hamming(F.col("codes"), qcode).cast("long").alias("hamming"),
         )
@@ -361,8 +362,7 @@ def refshape_graph_bq(
         acc += float(x) * float(x)
     qn = F.lit(math.sqrt(acc))
     return (
-        cand.select("vec_id")
-        .join(emb_n, "vec_id")
+        emb_n.join(F.broadcast(cand.select("vec_id")), "vec_id")
         .select(
             "vec_id",
             F.round(

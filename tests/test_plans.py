@@ -388,3 +388,93 @@ def test_corpus_overlap_signatures_read_cached_state(spark):
     plan = physical_plan(_q(spark, "dedup_corpus_overlap"))
     assert "InMemoryTableScan" in plan  # sigs/grams index state, not a re-derive
     assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_multimodal_decode_is_shuffle_free(spark):
+    """The real-codec decode lane is embarrassingly parallel: one
+    documents scan through ArrowEvalPython/mapInPandas, ZERO exchanges
+    — a shuffle here would mean the decode path stopped being a narrow
+    map."""
+    plan = physical_plan(_q(spark, "multimodal_decode"))
+    assert "Exchange" not in plan, plan
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_compression_audit_single_corpus_scan(spark):
+    """The one-pass audit (r5): ONE aggregation over ONE joined corpus
+    pass — the r4 form paid three scans and three aggregates. (Raw
+    FileScan counting is misleading here: InMemoryTableScan nodes print
+    their ORIGINAL build plan beneath them, but execute from the cache.)
+    Exactly one data-moving exchange (the final SinglePartition agg);
+    all joins broadcast; codes come from the memoized index state."""
+    plan = physical_plan(_q(spark, "ann_compression_error"))
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate stack" in plan  # 3 rows pivot AFTER the single agg
+    assert "InMemoryTableScan" in plan
+
+
+def test_embedding_lsh_reads_cached_signature_state(spark):
+    """The banded-signature state is memoized (write-time index state):
+    the pair query must read InMemoryTableScan, never recompute the
+    32-plane signature fold over the corpus."""
+    plan = physical_plan(_q(spark, "dedup_embedding_lsh"))
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k pairs, not a full sort
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_engine_scorer_broadcasts_walk_ids(spark, built_graph_index_plans):
+    """The persisted-index scorer probes the parquet corpus with the
+    walk-bounded id set BROADCAST (emb_n ⋈ broadcast(ids)) — on a
+    stats-less parquet relation a plain join would fall back to a
+    sort-merge of the whole corpus per hop, the 100 TB regression. The
+    hops themselves materialize via localCheckpoint (the final search
+    plan is TakeOrdered over the visited RDD — pinned too: no Sort, no
+    residual join)."""
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet(f"{built_graph_index_plans}/corpus_normed")
+    ids = spark.range(3).withColumnRenamed("id", "vec_id")
+    probe = corpus.select("vec_id", "v", "nrm").join(F.broadcast(ids), "vec_id")
+    plan = physical_plan(probe)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+    qvec = [
+        float(x)
+        for x in load_table(spark, SF_CORRECT, "embeddings")
+        .filter("vec_id = 0")
+        .first()
+        .embedding
+    ]
+    eng = GraphEngine.from_pretrained(spark, built_graph_index_plans, beam=8, hops=2)
+    final = physical_plan(eng.search(qvec, k=5))
+    assert "TakeOrderedAndProject" in final
+    assert "Sort " not in final and "Join" not in final, final
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def built_graph_index_plans(spark, tmp_path_factory):
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        fixture_graph,
+        fixture_normed,
+        write_graph_index,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out = str(tmp_path_factory.mktemp("graph_index_plans"))
+    corpus_normed = (
+        load_table(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", "label")
+        .join(fixture_normed(spark, SF_CORRECT), "vec_id")
+    )
+    write_graph_index(fixture_graph(spark, SF_CORRECT), corpus_normed, out)
+    return out

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     ("quantiles_histogram", _collect),
     ("text_token_count", _noop),
     ("text_bpe_merges", _collect),
+    ("corpus_bpe_encode", _noop),  # run 1 trains the memoized rule state
     ("corpus_pack_sequences", _collect),
     ("corpus_compaction_plan", _collect),
     ("dedup_minhash_lsh", _noop),

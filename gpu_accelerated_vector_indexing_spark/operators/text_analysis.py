@@ -677,6 +677,56 @@ def bpe_compression_curve(
     return spark.createDataFrame(rows, "step int, total_symbols bigint")
 
 
+# Learned merge rules are TOKENIZER STATE: trained once per (session,
+# corpus) — the production posture (a tokenizer trains once and every
+# encode job loads the rule list), and what keeps the encode query from
+# paying 4 training rounds of driver round-trips per run.
+_BPE_RULES_STATE: dict[tuple[SparkSession, str], list[tuple[str, str]]] = {}
+
+
+def bpe_rules(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    key = (spark, sf_dir)
+    if key not in _BPE_RULES_STATE:
+        rows = bpe_train_merges(spark, sf_dir).orderBy("step").collect()
+        _BPE_RULES_STATE[key] = [(r.left_sym, r.right_sym) for r in rows]
+    return _BPE_RULES_STATE[key]
+
+
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained BPE merges — the tokenizer
+    APPLICATION path (the half a training pipeline runs on every
+    ingest batch, vs ``bpe_train_merges``' train-once half): per doc,
+    words segment to delimiter-wrapped characters and each learned rule
+    applies as the same greedy literal replace the trainer used, then
+    (n_words, n_char_symbols, n_bpe_tokens) aggregate per doc.
+
+    Scale shape: tokenizer state is |rules| driver-side strings; the
+    encode itself is ONE narrow projection chain (a codegen'd literal
+    replace per rule — no UDF, no shuffle) + one doc_id aggregate.
+    Full oracle: the training replay CTEs (queries/text_q) derive the
+    same rules and the same replaces re-apply doc-keyed in SQL.
+    """
+    rules = bpe_rules(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    seg0 = F.regexp_replace(F.col("tok"), "(.)", "|$1|")
+    df = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.length("tok").alias("n_chars"), seg0.alias("seg"))
+    for left, right in rules:
+        df = df.select(
+            "doc_id",
+            "n_chars",
+            F.replace(
+                F.col("seg"), F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
+            ).alias("seg"),
+        )
+    return df.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_chars").alias("n_char_symbols"),
+        F.sum(F.size(_bpe_syms())).alias("n_bpe_tokens"),
+    )
+
+
 ZIPF_TOP = 10  # head tokens per source for the concentration share
 
 

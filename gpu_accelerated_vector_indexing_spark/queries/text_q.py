@@ -407,3 +407,43 @@ SELECT soff // {_CT} AS bin_id,
        max(doc_id) AS last_doc
 FROM pre GROUP BY 1 ORDER BY 1
 """
+
+
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (  # noqa: E402
+    corpus_bpe_encode,
+)
+
+QUERIES["corpus_bpe_encode"] = corpus_bpe_encode
+
+
+def _bpe_encode_sql(n_rounds: int) -> str:
+    """The tokenizer APPLICATION replay: derive the merge rules from the
+    training CTE chain (verbatim reuse), then re-apply each rule's
+    greedy replace over a doc-keyed segmentation and aggregate per doc."""
+    body = _bpe_train_sql(n_rounds)
+    ctes = body.split("\nSELECT 1 AS step,")[0]  # rules m1..mN + words CTEs
+    extra = [
+        "d0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok FROM documents)",
+        "e0 AS (SELECT doc_id, length(tok) AS n_chars, regexp_replace(tok, '(.)', '|\\1|', 'g') AS seg FROM d0)",
+    ]
+    for i in range(1, n_rounds + 1):
+        extra.append(
+            f"e{i} AS (SELECT doc_id, n_chars, replace(seg, "
+            f"(SELECT '|' || replace(p, ' ', '||') || '|' FROM m{i}), "
+            f"(SELECT '|' || replace(p, ' ', '') || '|' FROM m{i})) AS seg FROM e{i - 1})"
+        )
+    return (
+        ctes
+        + ",\n"
+        + ",\n".join(extra)
+        + f"""
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS n_char_symbols,
+       CAST(sum(len(list_filter(string_split(seg, '|'), x -> x <> ''))) AS BIGINT)
+         AS n_bpe_tokens
+FROM e{n_rounds} GROUP BY doc_id"""
+    )
+
+
+ORACLES["corpus_bpe_encode"] = _bpe_encode_sql(BPE_TRAIN_ROUNDS)

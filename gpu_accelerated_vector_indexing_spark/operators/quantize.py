@@ -838,12 +838,21 @@ def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus scan — embeddings joins the two memoized
     codes tables on vec_id once, all three per-row errors compute in a
-    single projection (in-plan HOF folds over broadcast codebook /
-    quantizer literals), then ONE 7-scalar aggregation; ``stack`` pivots
+    single projection, then ONE 7-scalar aggregation; ``stack`` pivots
     the scalars into the 3 output rows over the 1-row aggregate. At
     100 TB the audit pays exactly one pass of I/O instead of three
-    (r4 judge finding #1).
+    (r4 judge finding #1). The 17 raw three-dot terms per row (1 SQ8 +
+    8 PQ + 8 residual subspaces) compute in a fold-exact Arrow kernel —
+    the ``_dot_seq_batch`` association recipe, so every dot and every
+    ``aa − 2·ab + bb`` combination rounds exactly like the JVM/DuckDB
+    folds — because 17 interpreted HOF folds per row dominated the r4
+    runtime; every ROUNDING step (6-d.p. HALF-UP, ×1e6, LONG cast)
+    stays a native Spark expression, exactly as before.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from gpu_accelerated_vector_indexing_spark.operators.ivf import fixture_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -853,19 +862,47 @@ def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins, maxs = corpus_quantizer(spark, sf_dir)
     vhat = sq8_dequantize(sq8_codes(v, mins, maxs), mins, maxs)
 
-    def pq_err(vcol: Column, codes: Column, books: list[list[list[float]]]) -> Column:
-        # per-subspace three-dot terms, each an exact micro-LONG, summed
-        # exactly — for the residual tier `vcol` is the residual vector,
-        # so the measured error IS the full IVFADC reconstruction error
-        # ‖v_raw − (centroid + r̂)‖²
-        sub = dim // PQ_SUBSPACES
-        err = None
+    sub = dim // PQ_SUBSPACES
+    bp = [np.asarray(b, dtype=np.float64) for b in pq_codebooks(spark, sf_dir)]
+    bpr = [
+        np.asarray(b, dtype=np.float64)
+        for b in pq_residual_codebooks(spark, sf_dir)
+    ]
+
+    # no pd.Series type hints: this module uses `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf's hint
+    # inference — the explicit returnType makes this a scalar Arrow UDF
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def raw_terms(v_s, vhat_s, resid_s, pq_s, pqr_s):
+        if len(v_s) == 0:
+            return pd.Series([], dtype="object")
+        x = np.asarray([np.asarray(a, dtype=np.float64) for a in v_s])
+        vh = np.asarray([np.asarray(a, dtype=np.float64) for a in vhat_s])
+        r = np.asarray([np.asarray(a, dtype=np.float64) for a in resid_s])
+        pqc = np.asarray([np.asarray(c, dtype=np.int64) for c in pq_s])
+        pqrc = np.asarray([np.asarray(c, dtype=np.int64) for c in pqr_s])
+
+        def dotseq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            # column-by-column accumulation: the JVM/DuckDB sequential
+            # fold's float association (see vector._dot_seq_batch)
+            prod = a * b
+            acc = np.zeros(a.shape[0], dtype=np.float64)
+            for j in range(prod.shape[1]):
+                acc += prod[:, j]
+            return acc
+
+        def term(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            # ((aa − 2·ab) + bb), each binary op rounding separately —
+            # the exact left-to-right order of _recon_err_micro's form
+            t = dotseq(a, a) - 2.0 * dotseq(a, b)
+            return t + dotseq(b, b)
+
+        out = [term(x, vh)]
         for s in range(PQ_SUBSPACES):
-            xs = F.slice(vcol, s * sub + 1, sub)
-            cs = F.element_at(F.array(*[_lit_array(cw) for cw in books[s]]), codes[s])
-            t = _recon_err_micro(xs, cs)
-            err = t if err is None else err + t
-        return err
+            out.append(term(x[:, s * sub : (s + 1) * sub], bp[s][pqc[:, s] - 1]))
+        for s in range(PQ_SUBSPACES):
+            out.append(term(r[:, s * sub : (s + 1) * sub], bpr[s][pqrc[:, s] - 1]))
+        return pd.Series(list(np.stack(out, axis=1)))
 
     base = (
         emb.join(F.broadcast(fixture_centroids(spark, sf_dir)), "label")
@@ -882,20 +919,39 @@ def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
         )
     )
-    agg = base.select(
-        _recon_err_micro(v, vhat).alias("err_sq8"),
-        pq_err(v, F.col("pq_codes"), pq_codebooks(spark, sf_dir)).alias("err_pq"),
-        pq_err(
-            _residual_col(), F.col("pqr_codes"), pq_residual_codebooks(spark, sf_dir)
-        ).alias("err_pqr"),
-    ).agg(
+
+    def micro(c: Column) -> Column:
+        # identical to _recon_err_micro's rounding tail: 6-d.p. HALF-UP,
+        # scale to micro-units, HALF-UP to LONG — all native expressions
+        return F.round(F.round(c, 6) * 1e6).cast("long")
+
+    t17 = F.col("t17")
+    err_pq = None
+    err_pqr = None
+    for s in range(PQ_SUBSPACES):
+        tp, tr = micro(t17[1 + s]), micro(t17[1 + PQ_SUBSPACES + s])
+        err_pq = tp if err_pq is None else err_pq + tp
+        err_pqr = tr if err_pqr is None else err_pqr + tr
+    agg = (
+        base.select(
+            raw_terms(
+                v, vhat, _residual_col(), F.col("pq_codes"), F.col("pqr_codes")
+            ).alias("t17")
+        )
+        .select(
+            micro(t17[0]).alias("err_sq8"),
+            err_pq.alias("err_pq"),
+            err_pqr.alias("err_pqr"),
+        )
+        .agg(
         F.count("*").alias("n_vectors"),
         F.sum("err_sq8").alias("sum_sq8"),
         F.max("err_sq8").alias("max_sq8"),
         F.sum("err_pq").alias("sum_pq"),
         F.max("err_pq").alias("max_pq"),
         F.sum("err_pqr").alias("sum_pqr"),
-        F.max("err_pqr").alias("max_pqr"),
+            F.max("err_pqr").alias("max_pqr"),
+        )
     )
     return agg.select(
         F.expr(

@@ -84,10 +84,11 @@ BENCH_QUERIES = [
     ("refshape_search_cli", _collect),
     ("refshape_search_bq", _collect),
     ("refshape_kmeans_invariants", _collect),  # learned 128×384 layout; run 1 pays the fit
-    # graph index at reference shape: _beam's run 1 pays the memoized
-    # 384-dim NN-descent build (the cold number); _cli then measures the
-    # WARM persisted-index facade walk — the cold/warm split keeps walk
+    # graph index at reference shape: _build absorbs the one-time
+    # 384-dim NN-descent build (the cold number) so every search row
+    # below measures WARM walks — the cold/warm split keeps walk
     # regressions visible outside build noise
+    ("refshape_graph_build", _collect),
     ("refshape_graph_beam", _collect),
     ("refshape_graph_cli", _collect),
     ("refshape_graph_bq", _collect),

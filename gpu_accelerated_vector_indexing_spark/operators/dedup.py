@@ -652,6 +652,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     )
 
 
+# Finished component labels — the dedup DECISION — memoized like every
+# other index-state table (see duplicate_components' docstring).
+_COMPONENTS_STATE: dict[tuple[SparkSession, str, float], DataFrame] = {}
+
+
 def duplicate_components(
     spark: SparkSession, sf_dir: str, threshold: float = 0.6, max_iters: int = 25
 ) -> DataFrame:
@@ -669,7 +674,17 @@ def duplicate_components(
     Each round shuffles only the (node, label) pairs of NON-singleton
     docs (the edge list is tiny relative to the corpus at any scale);
     the fixpoint check is a scalar count, not a data collect.
+
+    The finished labels are DEDUP-DECISION STATE, memoized per
+    (session, corpus, threshold): a pipeline materializes the component
+    map once and every consumer (keep-list, leakage-safe split, audits)
+    reads it — three queries re-running the pair join + propagation
+    loop (~150 s each at sf0.1) was exactly the recompute-what-an-index-
+    persists anti-pattern the memoization rule exists for.
     """
+    key = (spark, sf_dir, threshold)
+    if key in _COMPONENTS_STATE:
+        return _COMPONENTS_STATE[key]
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select("doc_a", "doc_b")
     # undirected: propagate in both directions
     edges = pairs.union(
@@ -708,8 +723,13 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
+    # materialize the final labels BEFORE releasing the loop caches —
+    # the memo must not hold a plan whose inputs were just unpersisted
+    result = labels.select("doc_id", "component").localCheckpoint(eager=True)
+    labels.unpersist()
     edges.unpersist()
-    return labels.select("doc_id", "component")
+    _COMPONENTS_STATE[key] = result
+    return result
 
 
 def dedup_keep_canonical(

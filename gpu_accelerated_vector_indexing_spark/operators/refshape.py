@@ -240,6 +240,18 @@ def refshape_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _REF_GRAPH_CACHE[key]
 
 
+def refshape_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph digest of the reference-shape NN-descent build — the
+    ``graph_ann.graph_build_digest`` twin at 128×384. Registered (and
+    benched) BEFORE the beam queries so the one-time build cost is
+    measured on its own row and the search rows measure WARM walks (the
+    cold/warm split that keeps walk regressions visible outside build
+    noise — r4 verdict #9)."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import _rank_digest
+
+    return _rank_digest(refshape_graph(spark, sf_dir))
+
+
 def refshape_graph_beam(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
 ) -> DataFrame:

@@ -99,8 +99,8 @@ def graph_build_ctes(
     return ",\n".join(parts), g
 
 
-def build_digest_sql() -> str:
-    ctes, g = graph_build_ctes()
+def build_digest_sql(e_sql: str = E_DEFAULT) -> str:
+    ctes, g = graph_build_ctes(e_sql=e_sql)
     return f"""WITH {ctes}
 SELECT rk,
        CAST(count(*) AS BIGINT) AS n_edges,

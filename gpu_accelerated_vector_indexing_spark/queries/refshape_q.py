@@ -72,6 +72,7 @@ QUERIES = {
     "refshape_search_cli": partial(refshape.refshape_search_cli, query_id=QUERY_ID, k=K),
     "refshape_search_bq": partial(refshape.refshape_search_bq, query_id=QUERY_ID, k=K),
     "refshape_kmeans_invariants": refshape.refshape_kmeans_invariants,
+    "refshape_graph_build": refshape.refshape_graph_build,
     "refshape_graph_beam": partial(refshape.refshape_graph_beam, query_id=QUERY_ID, k=K),
     "refshape_graph_cli": partial(refshape.refshape_graph_cli, query_id=QUERY_ID, k=K),
     "refshape_graph_bq": partial(refshape.refshape_graph_bq, query_id=QUERY_ID, k=K),
@@ -82,6 +83,7 @@ QUERIES = {
 from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
     beam_bq_sql,
     beam_search_sql,
+    build_digest_sql,
     search_with_docs_sql,
 )
 
@@ -106,6 +108,9 @@ SELECT CAST({refshape.REF_CLUSTERS} AS BIGINT) AS n_clusters,
        count(*) AS n_nearest_ok
 FROM embeddings
 """,
+    # the build digest certifies every edge of the 128×384 NN-descent
+    # build (the graph_build_digest contract at reference shape)
+    "refshape_graph_build": build_digest_sql(e_sql=_REF_E),
     "refshape_graph_beam": search_with_docs_sql(query_id=QUERY_ID, k=K, e_sql=_REF_E),
     # the persisted-index facade path must equal the in-session walk
     "refshape_graph_cli": beam_search_sql(query_id=QUERY_ID, k=K, e_sql=_REF_E),

@@ -200,3 +200,33 @@ def test_repetition_fold_matches_python_model(spark, docs):
         ts = re.findall("[A-Za-z0-9]+", t.lower())
         bg = [f"{a} {b}" for a, b in zip(ts, ts[1:])]
         assert got[i] == (max(Counter(bg).values()) if bg else 0)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=1, max_size=2048))
+def test_wav_bmp_codecs_roundtrip_any_bytes(payload):
+    """For ANY byte payload the real codecs must round-trip exactly and
+    emit header fields consistent with the payload length — the codec
+    analog of the reference's random-input kernel consistency check
+    (pure Python, no Spark job per example, so examples are cheap)."""
+    from gpu_accelerated_vector_indexing_spark.operators.multimodal import (
+        BMP_WIDTH,
+        WAV_SAMPLE_RATE,
+        _decode_bmp8,
+        _decode_wav_pcm,
+        _encode_bmp8,
+        _encode_wav_pcm,
+    )
+
+    wav = _decode_wav_pcm(_encode_wav_pcm(payload))
+    assert wav["samples"] == payload
+    assert wav["sample_rate"] == WAV_SAMPLE_RATE
+    assert len(_encode_wav_pcm(payload)) % 2 == 0  # RIFF word alignment
+
+    bmp = _decode_bmp8(_encode_bmp8(payload))
+    h = max(1, -(-len(payload) // BMP_WIDTH))
+    assert bmp["pixels"][: len(payload)] == payload
+    assert (bmp["width"], bmp["height"]) == (BMP_WIDTH, h)
+    assert bmp["file_size"] == 14 + 40 + 1024 + h * BMP_WIDTH
+    # padding beyond the payload is zeros (deterministic container)
+    assert set(bmp["pixels"][len(payload):]) <= {0}

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     ("sketch_hll_distinct", _collect),
     ("sketch_hll_merge", _collect),
     ("sketch_cms_merge", _collect),
+    ("sketch_quantile_merge", _collect),
     ("streaming_hll_merge", _collect),
     ("streaming_cms_merge", _collect),
     ("curation_temperature_mix", _collect),
@@ -167,6 +168,63 @@ BENCH_QUERIES = [
     ("events_mad_outliers", _collect),
     ("events_tumbling", _noop),
     ("events_sessionize", _noop),
+    # --- r5 coverage widening: every family has bench rows, so a
+    # regression can't hide in an unbenched corner (VERDICT r4 #9)
+    ("knn_filtered", _collect),
+    ("knn_ivf_filtered", _collect),
+    ("knn_with_deletes", _collect),
+    ("knn_per_cluster_topk", _collect),
+    ("multi_query_knn_ivf", _collect),
+    ("similarity_range_search", _collect),
+    ("mmr_rerank", _collect),
+    ("embed_and_search", _collect),
+    ("ivf_index_stats", _collect),
+    ("ivf_rebalance_plan", _collect),
+    ("ivf_delete_compact", _collect),
+    ("ivf_recall_sweep", _collect),
+    ("graph_ann_recall", _collect),
+    ("streaming_tumbling", _collect),
+    ("streaming_sliding", _collect),
+    ("streaming_sessions", _collect),
+    ("streaming_interval_join", _collect),
+    ("streaming_stream_static", _collect),
+    ("streaming_foreach_upsert", _collect),
+    ("streaming_dedup", _noop),
+    ("streaming_knn", _collect),
+    ("streaming_incremental_dedup", _collect),
+    ("text_tfidf_top", _noop),
+    ("text_winnow", _noop),
+    ("text_lang_id", _noop),
+    ("text_fingerprints", _noop),
+    ("text_bigram_logprob", _noop),
+    ("text_bpe_train", _collect),
+    ("text_bpe_compression", _collect),
+    ("curation_pii_redact", _noop),
+    ("curation_mix_rebalance", _collect),
+    ("curation_domain_cap", _noop),
+    ("curation_decontaminate_hashed", _collect),
+    ("dedup_exact_keep", _noop),
+    ("dedup_keep_canonical", _collect),
+    ("dedup_state_roundtrip", _collect),
+    ("dedup_embedding_topk", _collect),
+    ("sample_split_leakage_safe", _noop),
+    ("sketch_cms_heavy_hitters", _collect),
+    ("events_funnel", _collect),
+    ("events_transition_matrix", _collect),
+    ("scd2_user_state", _noop),
+    ("merge_upsert_latest", _noop),
+    ("window_distribution", _noop),
+    ("grouping_sets", _collect),
+    ("pivot_status", _collect),
+    ("skew_salted_agg", _collect),
+    ("percentile_summary", _collect),
+    ("corpus_integrity", _collect),
+    ("multimodal_meta", _collect),
+    ("multimodal_frames", _noop),
+    ("multimodal_audio_energy", _noop),
+    ("corpus_chunks", _noop),
+    ("udaf_geomean_price", _collect),
+    ("udtf_sentences", _noop),
 ]
 
 

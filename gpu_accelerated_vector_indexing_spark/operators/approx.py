@@ -460,6 +460,95 @@ def cms_cell_mismatch(a: DataFrame, ca: str, b: DataFrame, cb: str) -> DataFrame
     )
 
 
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable exact-quantile sketch — the third sketch-family merge
+    contract (HLL: register MAX; CMS: cell SUM; here: value-histogram
+    bin SUM): per-slice cents-histograms (one per event_type) folded by
+    bin-wise SUM must equal the directly-built global histogram bin for
+    bin, and the percentile_disc quantiles read off the merged
+    histogram must equal the direct ones. This is how a 1000-executor
+    cluster computes exact p50/p90/p99 over 100 TB — per-partition
+    histograms merge in one bins-bounded shuffle; raw rows are never
+    globally sorted (the ``quantiles_histogram`` recipe, made
+    distributive explicitly).
+
+    One output row: slice/bin/row counts, the merged-histogram
+    quantiles, the per-bin mismatch count (full-outer compare of two
+    bins-bounded relations) and the two equality flags. Full value
+    oracle: integer cents, integer thresholds, both routes replayed.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    per_slice = (
+        ev.groupBy("event_type", "v")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    merged = per_slice.groupBy("v").agg(F.sum("cnt").alias("cnt_m"))
+    direct = (
+        ev.groupBy("v").agg(F.count("*").alias("cnt_d")).localCheckpoint(eager=True)
+    )
+    mismatch = (
+        direct.join(merged, ["v"], "full_outer")
+        .select(
+            F.when(
+                F.coalesce("cnt_d", F.lit(-1)) != F.coalesce("cnt_m", F.lit(-1)), 1
+            )
+            .otherwise(0)
+            .alias("bad")
+        )
+        .agg(F.sum("bad").alias("n_mismatch_bins"))
+    )
+
+    def quantiles(hist: DataFrame, cnt: str, tag: str) -> DataFrame:
+        # global cumulative window over the BINS relation — bounded by
+        # the distinct cents domain, never by row count
+        from pyspark.sql import Window as W
+
+        cum = hist.select(
+            "v",
+            F.sum(cnt).over(W.orderBy("v")).alias("cum"),
+            F.sum(cnt).over(W.partitionBy()).alias("n"),
+        )
+
+        def disc(p: float) -> Column:
+            return F.min(F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("v")))
+
+        return cum.agg(
+            F.max("n").alias(f"n_rows_{tag}"),
+            disc(0.5).alias(f"p50_{tag}"),
+            disc(0.9).alias(f"p90_{tag}"),
+            disc(0.99).alias(f"p99_{tag}"),
+        )
+
+    qm = quantiles(merged, "cnt_m", "m")
+    qd = quantiles(direct, "cnt_d", "d")
+    n_slices = per_slice.select("event_type").distinct().agg(
+        F.count("*").alias("n_slices")
+    )
+    n_bins = direct.agg(F.count("*").alias("n_bins"))
+    return (
+        n_slices.crossJoin(F.broadcast(n_bins))
+        .crossJoin(F.broadcast(qm))
+        .crossJoin(F.broadcast(qd))
+        .crossJoin(F.broadcast(mismatch))
+        .selectExpr(
+            "n_slices",
+            "n_bins",
+            "n_rows_m AS n_rows",
+            # D-suffixed literals: bare 100.0 parses as DECIMAL in Spark
+            # and the division would come out DECIMAL(…,6), not DOUBLE
+            "p50_m / 100.0D AS p50",
+            "p90_m / 100.0D AS p90",
+            "p99_m / 100.0D AS p99",
+            "n_mismatch_bins",
+            "n_mismatch_bins = 0 AS merge_exact",
+            "p50_m = p50_d AND p90_m = p90_d AND p99_m = p99_d AS quantiles_equal",
+        )
+    )
+
+
 # --- weighted PPS sampling (exact integer inclusion test) ---------------------
 PPS_TARGET = 400  # expected sample size
 

@@ -282,6 +282,64 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WINDOW = 256  # samples per analysis window
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy features over REAL decoded PCM — the
+    feature-extract stage that consumes :func:`multimodal_decode`'s
+    output: each document's bytes wrap into a genuine RIFF/WAVE
+    container, the chunk-walk decoder recovers the samples, and the
+    features compute from the DECODED bytes (so a decoder bug breaks
+    this query, not just the round-trip flag).
+
+    Per doc: window count, total energy (Σ|x−128| over 8-bit unsigned
+    PCM, exact integer), the peak window's energy and index (ties →
+    lowest index — deterministic). Full oracle: the ASCII corpus makes
+    the sample values replayable as ``ascii(substr(text, i, 1))`` in
+    SQL, windowed by integer division.
+
+    Scale shape: one documents scan through mapInPandas, zero shuffle —
+    the same embarrassingly-parallel lane as the decode itself.
+    """
+    import pandas as pd
+
+    binp = attach_binary(load_table(spark, sf_dir, "documents")).filter(
+        F.col("meta.n_bytes") > 0
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                samples = _decode_wav_pcm(_encode_wav_pcm(raw))["samples"]
+                n_win = -(-len(samples) // AUDIO_WINDOW)
+                energies = [
+                    sum(abs(b - 128) for b in samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW])
+                    for w in range(n_win)
+                ]
+                peak = max(range(n_win), key=lambda w: (energies[w], -w))
+                out.append(
+                    (doc_id, n_win, sum(energies), energies[peak], peak)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_windows", "total_energy",
+                    "peak_energy", "peak_window",
+                ],
+            )
+
+    return binp.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, n_windows int, total_energy long, "
+            "peak_energy long, peak_window int"
+        ),
+    )
+
+
 def frame_sample(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFrame:
     """Frame sampling: split each payload into n evenly-spaced chunks.
 

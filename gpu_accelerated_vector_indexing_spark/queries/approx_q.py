@@ -120,6 +120,47 @@ SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_slices,
 FROM direct_agg CROSS JOIN mism
 """
 
+QUERIES["sketch_quantile_merge"] = AP.quantile_sketch_merge
+
+# the third sketch merge contract: bin-wise SUM over integer cents —
+# both routes replay exactly (integer thresholds, no interpolation)
+ORACLES["sketch_quantile_merge"] = """
+WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+per_slice AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY event_type, v),
+merged AS (SELECT v, sum(cnt) AS cnt_m FROM per_slice GROUP BY v),
+direct AS (SELECT v, count(*) AS cnt_d FROM ev GROUP BY v),
+mism AS (
+  SELECT CAST(sum(CASE WHEN coalesce(d.cnt_d, -1) <> coalesce(m.cnt_m, -1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch_bins
+  FROM direct d FULL OUTER JOIN merged m USING (v)
+),
+cum_m AS (SELECT v, sum(cnt_m) OVER (ORDER BY v) AS cum, sum(cnt_m) OVER () AS n FROM merged),
+cum_d AS (SELECT v, sum(cnt_d) OVER (ORDER BY v) AS cum, sum(cnt_d) OVER () AS n FROM direct),
+qm AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_rows,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+         min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
+         min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+  FROM cum_m
+),
+qd AS (
+  SELECT min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+         min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
+         min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+  FROM cum_d
+)
+SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_slices,
+       (SELECT count(*) FROM direct) AS n_bins,
+       qm.n_rows AS n_rows,
+       CAST(qm.p50 AS DOUBLE) / 100.0 AS p50,
+       CAST(qm.p90 AS DOUBLE) / 100.0 AS p90,
+       CAST(qm.p99 AS DOUBLE) / 100.0 AS p99,
+       mism.n_mismatch_bins,
+       mism.n_mismatch_bins = 0 AS merge_exact,
+       qm.p50 = qd.p50 AND qm.p90 = qd.p90 AND qm.p99 = qd.p99 AS quantiles_equal
+FROM qm CROSS JOIN qd CROSS JOIN mism
+"""
+
 QUERIES["sketch_hll_distinct"] = AP.hll_distinct
 
 # full HLL replay (r3): bucket/rank/register/estimator arithmetic is

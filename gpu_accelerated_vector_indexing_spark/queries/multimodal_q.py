@@ -66,6 +66,39 @@ FROM d
 """
 
 
+QUERIES["multimodal_audio_energy"] = M.multimodal_audio_energy
+
+# the ASCII corpus makes decoded 8-bit PCM samples == ascii(char) — the
+# oracle recomputes the windowed energies from the same characters
+ORACLES["multimodal_audio_energy"] = f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+s AS (
+  SELECT doc_id,
+         (i - 1) // {M.AUDIO_WINDOW} AS w,
+         abs(ascii(substr(text, i, 1)) - 128) AS e
+  FROM d CROSS JOIN LATERAL unnest(range(1, nb + 1)) t(i)
+),
+we AS (SELECT doc_id, w, CAST(sum(e) AS BIGINT) AS we FROM s GROUP BY doc_id, w),
+peak AS (
+  SELECT doc_id, we AS peak_energy, w AS peak_window,
+         row_number() OVER (PARTITION BY doc_id ORDER BY we DESC, w ASC) AS rk
+  FROM we
+)
+SELECT d2.doc_id,
+       ((d2.nb + {M.AUDIO_WINDOW} - 1) // {M.AUDIO_WINDOW})::INT AS n_windows,
+       tot.total_energy,
+       p.peak_energy,
+       p.peak_window::INT AS peak_window
+FROM d d2
+JOIN (SELECT doc_id, CAST(sum(we) AS BIGINT) AS total_energy FROM we GROUP BY doc_id) tot
+  ON tot.doc_id = d2.doc_id
+JOIN peak p ON p.doc_id = d2.doc_id AND p.rk = 1
+"""
+
+
 from gpu_accelerated_vector_indexing_spark.operators.multimodal import corpus_integrity  # noqa: E402
 
 QUERIES["corpus_integrity"] = corpus_integrity

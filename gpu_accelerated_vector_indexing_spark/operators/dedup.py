@@ -653,8 +653,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
 
 
 # Finished component labels — the dedup DECISION — memoized like every
-# other index-state table (see duplicate_components' docstring).
-_COMPONENTS_STATE: dict[tuple[SparkSession, str, float], DataFrame] = {}
+# other index-state table (see duplicate_components' docstring). The
+# key carries EVERY parameter that changes the result (threshold AND
+# max_iters), so an unconverged low-iteration call can never poison the
+# default consumers.
+_COMPONENTS_STATE: dict[tuple[SparkSession, str, float, int], DataFrame] = {}
 
 
 def duplicate_components(
@@ -682,7 +685,7 @@ def duplicate_components(
     loop (~150 s each at sf0.1) was exactly the recompute-what-an-index-
     persists anti-pattern the memoization rule exists for.
     """
-    key = (spark, sf_dir, threshold)
+    key = (spark, sf_dir, threshold, max_iters)
     if key in _COMPONENTS_STATE:
         return _COMPONENTS_STATE[key]
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select("doc_a", "doc_b")

@@ -882,14 +882,9 @@ def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pqc = np.asarray([np.asarray(c, dtype=np.int64) for c in pq_s])
         pqrc = np.asarray([np.asarray(c, dtype=np.int64) for c in pqr_s])
 
-        def dotseq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-            # column-by-column accumulation: the JVM/DuckDB sequential
-            # fold's float association (see vector._dot_seq_batch)
-            prod = a * b
-            acc = np.zeros(a.shape[0], dtype=np.float64)
-            for j in range(prod.shape[1]):
-                acc += prod[:, j]
-            return acc
+        from gpu_accelerated_vector_indexing_spark.functions.vector import (
+            np_dot_seq as dotseq,  # the ONE sequential-association kernel
+        )
 
         def term(a: np.ndarray, b: np.ndarray) -> np.ndarray:
             # ((aa − 2·ab) + bb), each binary op rounding separately —

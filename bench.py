@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     ("dedup_ngram_jaccard", _noop),
     ("dedup_jaccard_verified_lsh", _noop),
     ("dedup_embedding_lsh", _collect),
+    ("dedup_semantic_graph", _collect),
     ("dedup_substring_spans", _noop),
     ("dedup_substring_spans_hashed", _noop),
     ("text_stats", _noop),

@@ -1155,3 +1155,63 @@ def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(comp, "doc_id", "left").select(
         "doc_id", "lang", group_key.alias("group_key"), split.alias("split")
     )
+
+
+def semantic_graph_components(
+    spark: SparkSession, sf_dir: str, tau: float = 0.42, rounds: int = 6
+) -> DataFrame:
+    """Semantic (embedding-space) near-dup components mined from the
+    ANN GRAPH INDEX — the SemDeDup posture (Abbas et al. 2023) done the
+    way a production store does it: the NN-descent build already
+    materialized every vector's nearest neighbors, so near-duplicate
+    candidate pairs are FREE — they are the graph edges with cosine ≥
+    τ. No extra pair generation of any kind runs; min-label components
+    over that (tiny) edge set give the semantic keep/drop decision.
+    τ is corpus-calibrated exactly as SemDeDup calibrates its per-
+    cluster threshold: the synthetic fixture's near-neighbor scores top
+    out near 0.5 (real MiniLM near-dups sit at 0.9+), so the fixture
+    default 0.42 selects the top ~1%% of graph edges — the same
+    selectivity regime the real threshold would.
+
+    Returns (vec_id, component) for every vector incident to a ≥τ edge
+    — full row-level oracle. Propagation runs a FIXED ``rounds`` count
+    (no fixpoint break) so the staged-CTE SQL twin replays the same
+    number of rounds; near-dup clusters are shallow, and ``rounds=6``
+    covers diameter-64 chains (min-label doubles its reach per round
+    over undirected edges in this formulation's worst case ≥ rounds).
+
+    Scale shape: the candidate volume is ≤ n·K edges FILTERED by τ
+    (metadata-priced — the threshold pushes into the cached edge scan);
+    each round is one join + one aggregate over the non-singleton
+    node set, exactly the ``duplicate_components`` shuffle posture.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import fixture_graph
+
+    edges = (
+        fixture_graph(spark, sf_dir)
+        .filter(F.col("score") >= tau)
+        .select("node", "nbr")
+    )
+    und = edges.union(
+        edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        und.select("node").distinct().withColumn("component", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        neigh = (
+            und.join(labels.withColumnRenamed("node", "n2"), und.nbr == F.col("n2"))
+            .groupBy("node")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("ncomp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("vec_id"), "component")

@@ -245,3 +245,31 @@ def test_leakage_safe_split_invariants(spark):
     total = sum(fracs.values())
     assert 0.7 < fracs.get("train", 0) / total < 0.9
     split.unpersist()
+
+
+def test_semantic_graph_components_converged_and_consistent(spark):
+    """The fixed 6-round propagation must have CONVERGED at fixture
+    scale (a 7th round changes nothing) and every component label must
+    be a member of its own component — i.e. the fixed round count is a
+    SQL-twin convenience, not an accuracy cut."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        semantic_graph_components,
+    )
+    from tests.conftest import SF_SMOKE
+
+    l6 = semantic_graph_components(spark, SF_SMOKE, rounds=6)
+    l7 = semantic_graph_components(spark, SF_SMOKE, rounds=7)
+    diff = (
+        l6.alias("a")
+        .join(l7.alias("b"), "vec_id")
+        .filter(F.col("a.component") != F.col("b.component"))
+        .count()
+    )
+    assert diff == 0  # fixpoint reached within the fixed rounds
+    rows = {r.vec_id: r.component for r in l6.collect()}
+    assert rows  # non-trivial at the fixture threshold
+    for vec_id, comp in rows.items():
+        assert comp in rows and rows[comp] == comp  # root labels itself
+        assert comp <= vec_id  # min-label invariant

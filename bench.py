@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     ("knn_prenorm", _collect),
     ("knn_ivf_prenorm", _collect),
     ("multi_query_knn", _collect),
+    ("multi_query_graph_beam", _collect),
     ("knn_with_docs", _collect),
     ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search
     # reference shape (128 clusters × 384 dims); run 1 pays the memoized
@@ -199,6 +200,7 @@ BENCH_QUERIES = [
     ("text_fingerprints", _noop),
     ("text_bigram_logprob", _noop),
     ("text_bpe_train", _collect),
+    ("tokenizer_state_roundtrip", _collect),
     ("text_bpe_compression", _collect),
     ("curation_pii_redact", _noop),
     ("curation_mix_rebalance", _collect),

@@ -527,6 +527,37 @@ def knn_graph_search_with_docs(
     return map_to_docs(topk, load_table(spark, sf_dir, "documents"))
 
 
+def multi_query_graph_beam(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 3, 7),
+    k: int = 5,
+) -> DataFrame:
+    """Batch retrieval through the graph index — the graph-class twin of
+    ``knn.multi_query_knn`` (brute) / ``ivf.multi_query_knn_ivf``: one
+    bounded beam walk per query over the SHARED memoized adjacency +
+    normed state, results unioned as (query_id, vec_id, score). The
+    per-query incremental cost is walk-bounded (broadcast frontiers,
+    point-lookup adjacency probes) — the serving shape of a batched
+    retrieval endpoint backed by the second index class.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    adj = fixture_graph(spark, sf_dir)
+    emb_n = fixture_normed(spark, sf_dir)
+    out = None
+    for qid in query_ids:
+        topk = (
+            beam_visited_over(
+                adj, emb, emb_n, fixture_qvec(spark, sf_dir, qid), BEAM_WIDTH, BEAM_HOPS
+            )
+            .orderBy(F.desc("score"), F.desc("vec_id"))
+            .limit(k)
+            .select(F.lit(qid).alias("query_id"), "vec_id", "score")
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out
+
+
 def graph_recall_sweep(
     spark: SparkSession,
     sf_dir: str,

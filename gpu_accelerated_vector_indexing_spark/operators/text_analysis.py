@@ -692,6 +692,32 @@ def bpe_rules(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     return _BPE_RULES_STATE[key]
 
 
+_BPE_STATE_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def tokenizer_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the trained tokenizer (the merge-rule list) to parquet,
+    read it back, and return the rules — pinning that what lands on
+    disk is EXACTLY the trained state (the tokenizer analog of
+    ``quantize.pq_state_roundtrip`` / ``dedup.write_dedup_state``: a
+    production pipeline trains the tokenizer once, ships the rule file,
+    and every encode job loads it). The oracle replays the training
+    from raw documents, so a single flipped rule, reordered step, or
+    perturbed count anywhere in the persisted file fails the hash."""
+    import tempfile
+
+    key = (spark, sf_dir)
+    if key not in _BPE_STATE_DIR:
+        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_tokenizer_")
+        bpe_train_merges(spark, sf_dir).write.mode("overwrite").parquet(
+            f"{out}/merges"
+        )
+        _BPE_STATE_DIR[key] = out
+    return spark.read.parquet(f"{_BPE_STATE_DIR[key]}/merges").select(
+        "step", "left_sym", "right_sym", "n_occurrences"
+    )
+
+
 def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENCODE the corpus with the trained BPE merges — the tokenizer
     APPLICATION path (the half a training pipeline runs on every

@@ -30,7 +30,8 @@ _GATE_FIRST = [
     "refshape_graph_cli", "streaming_cms_merge", "refshape_graph_bq",
     "dedup_embedding_lsh", "corpus_bpe_encode", "refshape_graph_build",
     "multimodal_audio_energy", "sketch_quantile_merge",
-    "dedup_semantic_graph",
+    "dedup_semantic_graph", "tokenizer_state_roundtrip",
+    "multi_query_graph_beam",
     # --- never-gated after r1-r4, flagships first
     "curation_decontaminate_hashed", "events_rollup_hierarchy",
     "streaming_stream_static", "streaming_foreach_upsert",

@@ -366,6 +366,26 @@ def recall_beam_sweep_sql(
     return f"WITH {joined}\n{union}\nORDER BY beam"
 
 
+def multi_beam_sql(query_ids: tuple[int, ...], k: int = 5) -> str:
+    """One build replay, one beam walk per query, top-k each, unioned as
+    (query_id, vec_id, score) — graph_ann.multi_query_graph_beam."""
+    ctes, g = graph_build_ctes()
+    parts = [ctes, _ENT]
+    selects = []
+    for qid in query_ids:
+        s = f"mq{qid}"
+        bparts, v = _beam_ctes(qid, g, suffix=s)
+        parts.extend(bparts)
+        selects.append(
+            f"SELECT {qid} AS query_id, vec_id, score FROM ("
+            f"SELECT vec_id, score FROM {v}"
+            f" ORDER BY score DESC, vec_id DESC LIMIT {k})"
+        )
+    joined = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {joined}\n{union}"
+
+
 def recall_sql(query_ids: tuple[int, ...], k: int = 5) -> str:
     """Per-query recall@k of beam search vs the exact top-k, both
     replayed in SQL — the ANN-quality harness row for the graph index

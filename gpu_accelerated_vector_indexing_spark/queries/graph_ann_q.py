@@ -95,3 +95,20 @@ ORACLES = {
     "graph_ann_recall": recall_sql(RECALL_IDS, k=K),
     "graph_ann_insert": insert_digest_sql(),
 }
+
+
+# batch retrieval through the graph index (multi-query matrix complete:
+# brute / IVF / prenorm / graph all have a multi-query row)
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    multi_beam_sql,
+)
+
+MULTI_IDS = (0, 3, 7)
+
+
+def _multi_beam(spark, sf_dir):
+    return graph_ann.multi_query_graph_beam(spark, sf_dir, query_ids=MULTI_IDS, k=K)
+
+
+QUERIES["multi_query_graph_beam"] = _multi_beam
+ORACLES["multi_query_graph_beam"] = multi_beam_sql(MULTI_IDS, k=K)

@@ -447,3 +447,14 @@ FROM e{n_rounds} GROUP BY doc_id"""
 
 
 ORACLES["corpus_bpe_encode"] = _bpe_encode_sql(BPE_TRAIN_ROUNDS)
+
+
+from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (  # noqa: E402
+    tokenizer_state_roundtrip,
+)
+
+QUERIES["tokenizer_state_roundtrip"] = tokenizer_state_roundtrip
+
+# the persisted rule file must equal the in-session training exactly —
+# the oracle IS the training replay
+ORACLES["tokenizer_state_roundtrip"] = _bpe_train_sql(BPE_TRAIN_ROUNDS)

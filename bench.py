@@ -228,7 +228,89 @@ BENCH_QUERIES = [
     ("corpus_chunks", _noop),
     ("udaf_geomean_price", _collect),
     ("udtf_sentences", _noop),
+    # --- r6: the last 65 unbenched rows — every registered query now
+    # has a bench row and a baseline to hold (VERDICT r5 #2). Expensive
+    # ones a regression could hide in lead the group.
+    ("copurchase_pagerank", _noop),
+    ("ann_method_comparison", _collect),
+    ("kmeans_invariants", _collect),
+    ("ivf_recall", _collect),
+    ("lsh_recall", _collect),
+    ("sources_roundtrip", _collect),
+    ("sources_npy_roundtrip", _collect),
+    ("sources_articles_roundtrip", _collect),
+    ("sources_bin_stream", _collect),
+    ("dedup_components", _noop),
+    ("dedup_exact_summary", _collect),
+    ("ivf_assign_incremental", _noop),
+    ("ivf_centroids", _collect),
+    ("lsh_bucket_stats", _collect),
+    ("multi_query_knn_prenorm", _collect),
+    ("corpus_validation", _collect),
+    ("sql_scripting_report", _collect),
+    ("incremental_agg_merge", _collect),
+    ("events_rollup_hierarchy", _collect),
+    ("events_sliding", _noop),
+    ("events_trailing_window", _noop),
+    ("events_value_histogram", _collect),
+    ("events_zscore_outliers", _noop),
+    ("cube_counts", _collect),
+    ("rollup_counts", _collect),
+    ("distinct_agg", _collect),
+    ("having_groups", _collect),
+    ("filtered_scan", _noop),
+    ("join_anti", _noop),
+    ("join_semi", _noop),
+    ("join_outer", _noop),
+    ("join_interval", _noop),
+    ("join_asof_cogroup", _noop),
+    ("join_bloom_pruned", _noop),
+    ("window_lag_frames", _noop),
+    ("window_topk_with_ties", _collect),
+    ("sample_stratified", _noop),
+    ("unpivot_flag_measures", _noop),
+    ("set_operations", _collect),
+    ("null_safe_semantics", _collect),
+    ("case_bucketing", _collect),
+    ("fuzzy_customer_pairs", _collect),
+    ("listagg_nations", _collect),
+    ("try_arithmetic_summary", _collect),
+    ("string_functions", _collect),
+    ("date_functions", _collect),
+    ("math_functions", _collect),
+    ("array_functions", _collect),
+    ("json_functions", _collect),
+    ("map_functions", _collect),
+    ("copurchase_part_pairs", _noop),
+    ("local_supplier_volume", _collect),
+    ("revenue_forecast", _collect),
+    ("returned_item_revenue", _collect),
+    ("promo_revenue", _collect),
+    ("small_quantity_revenue", _collect),
+    ("dormant_rich_customers", _collect),
+    ("customer_order_distribution", _collect),
+    ("top_revenue_suppliers", _collect),
+    ("cheapest_supplier_per_part", _noop),
+    ("market_share", _collect),
+    ("supplier_ship_delay", _collect),
+    ("important_part_value", _collect),
+    ("parts_supplier_count", _collect),
+    ("excess_inventory_suppliers", _collect),
 ]
+
+# Walk-style rows (graph beam/sweep: many tiny driver-latency-bound
+# stages) swing 2.5-4× under host jitter while scan rows hold
+# (BASELINE.md). The acceptance statistic for these is the MEDIAN over
+# the per-run array recorded in the payload's "runs" — mechanical,
+# instead of a prose rule (VERDICT r5 #8).
+WALK_QUERIES = {
+    "knn_graph_beam", "knn_graph_beam_bq", "knn_graph_beam_filtered",
+    "knn_graph_beam_with_deletes", "graph_search_with_docs",
+    "graph_recall_sweep", "graph_ann_insert", "streaming_graph_attach",
+    "graph_state_roundtrip", "multi_query_graph_beam",
+    "refshape_graph_beam", "refshape_graph_cli", "refshape_graph_bq",
+    "graph_ann_recall",
+}
 
 
 def main() -> None:
@@ -240,6 +322,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     results: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, materialize in BENCH_QUERIES:
         fn = queries[name]
         runs = []
@@ -248,7 +331,9 @@ def main() -> None:
             materialize(fn(spark, SF_DIR))
             runs.append(time.time() - t0)
         results[name] = round(sum(runs) / len(runs), 4)
-        print(f"# {name}: {results[name]:.3f}s  {[f'{t:.3f}' for t in runs]}", file=sys.stderr)
+        all_runs[name] = [round(t, 4) for t in runs]
+        tag = "  [walk: median]" if name in WALK_QUERIES else ""
+        print(f"# {name}: {results[name]:.3f}s  {[f'{t:.3f}' for t in runs]}{tag}", file=sys.stderr)
 
     total = round(sum(results.values()), 4)
     payload = {
@@ -256,6 +341,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        # per-run arrays: the acceptance statistic for walk_queries is
+        # the MEDIAN over runs (driver-latency-bound rows jitter 2.5-4×
+        # while scan rows hold); everything else compares on the mean
+        "runs": all_runs,
+        "walk_queries": sorted(WALK_QUERIES),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_runs": N_RUNS,
     }

@@ -689,47 +689,20 @@ def duplicate_components(
     if key in _COMPONENTS_STATE:
         return _COMPONENTS_STATE[key]
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select("doc_a", "doc_b")
-    # undirected: propagate in both directions
+    # undirected: propagate in both directions; the fixpoint kernel is
+    # shared with semantic_graph_components (min_label_fixpoint — one
+    # loop to maintain, loud on non-convergence instead of silently
+    # returning split components after max_iters)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .cache()
-    )
-    labels.count()  # materialize before the loop re-reads it
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("component").alias("ncomp"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
-                ).alias("component"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    # materialize the final labels BEFORE releasing the loop caches —
-    # the memo must not hold a plan whose inputs were just unpersisted
-    result = labels.select("doc_id", "component").localCheckpoint(eager=True)
-    labels.unpersist()
+    # materialize BEFORE the kernel: its checkpoint id-diff must not
+    # capture (and later free) this cache's first-job registration
+    edges.count()
+    und = edges.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
+    labels = min_label_fixpoint(und, max_rounds=max_iters)
+    # min_label_fixpoint already localCheckpointed — safe to memoize
+    result = labels.select(F.col("node").alias("doc_id"), "component")
     edges.unpersist()
     _COMPONENTS_STATE[key] = result
     return result
@@ -1157,8 +1130,88 @@ def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_fixpoint(und: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label propagation over a symmetric (undirected, both
+    directions materialized) edge relation ``(node, nbr)`` to FIXPOINT:
+    every node ends labeled with the minimum node id of its connected
+    component. This is the engine's ONE iterative-fixpoint kernel —
+    ``duplicate_components`` and ``semantic_graph_components`` both run
+    through it (two hand-maintained copies of the loop had already
+    drifted on exhaustion behavior and cache hygiene — r6 review).
+
+    One hash-join + min-agg per round, a scalar changed count as the
+    break — each round spreads labels ONE hop (plain simultaneous
+    neighbor-min, no pointer doubling), so a diameter-d component
+    changes for d rounds and the zero-change confirmation lands on
+    round d+1; the loop therefore runs up to ``max_rounds + 1`` times,
+    covering diameters up to ``max_rounds`` exactly. Raises if the
+    graph has not converged within the budget — a loud guard against
+    silent under-merging on pathologically deep chains, instead of
+    returning split components.
+
+    Cache hygiene: each round's labels are eagerly localCheckpointed
+    (lineage truncation — a cache-only loop grows the logical plan
+    exponentially in the round count and OOMs the driver building
+    explain strings past ~20 rounds) and the SUPERSEDED round's
+    checkpoint blocks are freed via the persistent-RDD registry — peak
+    storage is two label snapshots regardless of round count. The id
+    diff around each eager checkpoint assumes no CONCURRENT checkpoint
+    in the same SparkSession (the engine's sessions execute queries
+    sequentially — driver contract), and callers must MATERIALIZE any
+    cache feeding ``und`` before calling (a lazy cache registering its
+    blocks inside the kernel's first checkpoint job would be freed as
+    part of that round's id diff). The returned labels keep their
+    checkpoint (callers may memoize the result).
+    """
+    spark = und.sparkSession
+
+    def ckpt(df: DataFrame) -> tuple[DataFrame, set]:
+        before = set(spark._jsc.getPersistentRDDs())
+        out = df.localCheckpoint(eager=True)
+        return out, set(spark._jsc.getPersistentRDDs()) - before
+
+    def free(ids: set) -> None:
+        m = dict(spark._jsc.getPersistentRDDs())
+        for i in ids:
+            if i in m:
+                m[i].unpersist(False)
+
+    labels, held = ckpt(
+        und.select("node").distinct().withColumn("component", F.col("node"))
+    )
+    for _ in range(max_rounds + 1):
+        neigh = (
+            und.join(labels.withColumnRenamed("node", "n2"), und.nbr == F.col("n2"))
+            .groupBy("node")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels, new_held = ckpt(
+            labels.join(neigh, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("ncomp", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        free(held)  # superseded snapshot — the changed count was its last read
+        labels, held = new_labels, new_held
+        if changed == 0:
+            return labels
+    free(held)
+    raise RuntimeError(
+        f"min_label_fixpoint: not converged after {max_rounds + 1} rounds — "
+        f"component diameter exceeds {max_rounds}; raise max_rounds"
+    )
+
+
 def semantic_graph_components(
-    spark: SparkSession, sf_dir: str, tau: float = 0.42, rounds: int = 6
+    spark: SparkSession, sf_dir: str, tau: float = 0.42, max_rounds: int = 50
 ) -> DataFrame:
     """Semantic (embedding-space) near-dup components mined from the
     ANN GRAPH INDEX — the SemDeDup posture (Abbas et al. 2023) done the
@@ -1174,11 +1227,13 @@ def semantic_graph_components(
     selectivity regime the real threshold would.
 
     Returns (vec_id, component) for every vector incident to a ≥τ edge
-    — full row-level oracle. Propagation runs a FIXED ``rounds`` count
-    (no fixpoint break) so the staged-CTE SQL twin replays the same
-    number of rounds; near-dup clusters are shallow, and ``rounds=6``
-    covers diameter-64 chains (min-label doubles its reach per round
-    over undirected edges in this formulation's worst case ≥ rounds).
+    — full row-level oracle. Propagation runs to FIXPOINT via
+    ``min_label_fixpoint`` (one hop of reach per round, scalar
+    changed-count break, loud failure past ``max_rounds``), matching
+    the ``duplicate_components`` posture; the SQL twin is a recursive-
+    CTE transitive closure, so both engines compute the exact
+    min-reachable-id regardless of chain depth — no fixed round count
+    to outgrow at 100× scale.
 
     Scale shape: the candidate volume is ≤ n·K edges FILTERED by τ
     (metadata-priced — the threshold pushes into the cached edge scan);
@@ -1195,23 +1250,5 @@ def semantic_graph_components(
     und = edges.union(
         edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
     ).distinct().localCheckpoint(eager=True)
-    labels = (
-        und.select("node").distinct().withColumn("component", F.col("node"))
-    ).localCheckpoint(eager=True)
-    for _ in range(rounds):
-        neigh = (
-            und.join(labels.withColumnRenamed("node", "n2"), und.nbr == F.col("n2"))
-            .groupBy("node")
-            .agg(F.min("component").alias("ncomp"))
-        )
-        labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("ncomp", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    labels = min_label_fixpoint(und, max_rounds=max_rounds)
     return labels.select(F.col("node").alias("vec_id"), "component")

@@ -119,6 +119,19 @@ def fixture_qvec(spark: SparkSession, sf_dir: str, query_id: int) -> list[float]
     return _QVEC_CACHE[key]
 
 
+def fixture_qvecs(
+    spark: SparkSession, sf_dir: str, query_ids: tuple[int, ...]
+) -> list[tuple[int, list[float]]]:
+    """Batched ``fixture_qvec``: fetch every COLD id in ONE job (a
+    batched endpoint must not pay one driver round-trip per query id)
+    and fill the memo; warm ids are free."""
+    cold = [q for q in query_ids if (spark, sf_dir, q) not in _QVEC_CACHE]
+    if cold:
+        for row in query_vectors(spark, sf_dir, cold).collect():
+            _QVEC_CACHE[(spark, sf_dir, row.query_id)] = [float(x) for x in row.qvec]
+    return [(q, fixture_qvec(spark, sf_dir, q)) for q in query_ids]
+
+
 def _round_half_up6(v: float) -> float:
     """Python twin of ``F.round(col, 6)`` on DOUBLE (HALF_UP over the
     shortest decimal repr — Spark routes doubles through

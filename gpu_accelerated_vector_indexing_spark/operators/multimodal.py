@@ -150,20 +150,37 @@ def _decode_bmp8(payload: bytes) -> dict:
 def decode_payload(payload: bytes, mime: str):
     """Decode a binary payload into a media object.
 
-    BMP and WAV-PCM decode here for real via dependency-free header
-    walks; other image formats attempt PIL and raise a clear gate error
-    when it is absent (this container has no codec libs).
+    BMP (8-bit palettized) and WAV-PCM decode here for real via
+    dependency-free header walks; other image formats — and BMP
+    variants the walk doesn't cover (24-bit, RLE, …) — attempt PIL and
+    raise a clear gate error when it is absent (this container has no
+    codec libs).
+
+    Error contract (r5 advisor): malformed ``audio/wav`` bytes raise
+    ``ValueError`` — a corrupt container must fail LOUDLY, never fall
+    through to a byte-buffer fake that downstream feature extraction
+    would silently consume as PCM.
     """
+    import struct
+
+    bmp_variant = False
     if mime == "image/bmp":
         try:
             return _decode_bmp8(bytes(payload))
-        except ValueError:
+        except (ValueError, struct.error):
             # a BMP variant the header walk doesn't cover (24-bit, RLE,
-            # …) — fall through to the PIL path rather than failing a
-            # file PIL could decode
-            pass
+            # …) or a truncated header — fall through to the PIL path
+            # rather than failing a file PIL could decode
+            bmp_variant = True
     if mime in ("audio/wav", "audio/x-wav"):
-        return _decode_wav_pcm(bytes(payload))
+        try:
+            return _decode_wav_pcm(bytes(payload))
+        except (ValueError, struct.error) as exc:
+            # struct.error (truncated chunk) is NOT a ValueError
+            # subclass — normalize so the documented contract holds
+            raise ValueError(
+                f"malformed {mime} payload ({len(payload)} bytes): {exc}"
+            ) from exc
     if mime.startswith("image/"):
         try:
             import io
@@ -172,9 +189,14 @@ def decode_payload(payload: bytes, mime: str):
 
             return Image.open(io.BytesIO(payload))
         except ImportError as exc:
+            what = (
+                "this BMP variant (only 8-bit uncompressed walks dependency-free)"
+                if bmp_variant
+                else "non-BMP image decode"
+            )
             raise NotImplementedError(
-                "non-BMP image decode requires PIL, which is not installed; "
-                "image/bmp and audio/wav decode dependency-free"
+                f"{what} requires PIL, which is not installed; "
+                "8-bit BMP and audio/wav decode dependency-free"
             ) from exc
     # deterministic fake "decode": the byte buffer itself
     return payload

@@ -915,6 +915,19 @@ def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Population guard (r5 advisor): n_vectors derives from the inner
+    # 3-way join, so a memoized codes table silently losing rows would
+    # shrink every method's population instead of surfacing the gap.
+    # Both counts are one cheap job each (parquet-footer count for emb;
+    # the codes tables are small memoized state), paid once per audit.
+    n_base, n_emb = base.count(), emb.count()
+    if n_base != n_emb:
+        raise RuntimeError(
+            f"compression_error_audit: codes tables cover {n_base} of "
+            f"{n_emb} corpus vectors — a memoized PQ codes table lost "
+            "rows; rebuild the index state before auditing"
+        )
+
     def micro(c: Column) -> Column:
         # identical to _recon_err_micro's rounding tail: 6-d.p. HALF-UP,
         # scale to micro-units, HALF-UP to LONG — all native expressions

@@ -489,6 +489,24 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # STORAGE layout decision (like the IVF partitionBy), not per-query work
 _BUCKETED: dict[tuple[SparkSession, str], tuple[str, str]] = {}
 _N_BUCKETS = 8
+_WRITER_SIDECAR = "_writer_starttime"  # underscore prefix: hidden to FileIndex
+
+
+def _proc_starttime(pid: int) -> int | None:
+    """Kernel start time (clock ticks since boot) of ``pid``, or None
+    if the process can't be inspected. (pid, starttime) identifies a
+    process UNIQUELY across pid recycling — the writer-liveness key the
+    bucketed-table prune uses instead of guessing from the process
+    image (r5 advisor: a recycled pid landing on any python process
+    kept orphans; a >28d live session was pruned unconditionally)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read()
+        # comm (field 2) may itself contain spaces/parens — split after
+        # the LAST ')'; starttime is overall field 22 → index 19 after it
+        return int(stat.rsplit(b")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -566,30 +584,43 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 # (another user's live process) — treat as alive
                 alive = True
             if alive:
-                if age <= max_age_s:
-                    continue  # young + live sibling process — leave it
-                # Past the backstop AND the pid is live: either a
-                # genuinely week-long engine session (must NOT be
-                # pruned — ADVICE r4: dropping its tables strands its
-                # _BUCKETED memo mid-session) or pid recycling by an
-                # unrelated process. Disambiguate via the process
-                # image: an engine session is a python/java process;
-                # anything else is a recycled pid whose writer is dead.
-                # The image check is coarse (any long-lived python
-                # process — common on a host that runs this engine —
-                # would keep an orphan alive forever), so a HARD outer
-                # ceiling bounds the leak: past a month the writer is
-                # dead by any reasonable assumption and the pair is
-                # pruned regardless.
-                if age <= 4 * max_age_s:  # (7d, 28d]: image-gated keep
-                    try:
-                        with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                            cmd = fh.read().lower()
-                        if b"python" in cmd or b"java" in cmd:
-                            continue  # plausibly a live engine session
-                    except OSError:
-                        continue  # can't inspect — never prune on ambiguity
-                # > 28 days: prune unconditionally (bounded-leak backstop)
+                # Writer-identity check (r5 advisor): the table dir
+                # carries a sidecar with the WRITER's (pid, starttime);
+                # if the process now at this pid has a different start
+                # time the pid was recycled — the writer is positively
+                # dead and the pair prunes at any age. A matching start
+                # time means the ACTUAL writer is still alive: never
+                # prune (dropping its tables would strand its _BUCKETED
+                # memo mid-session, the exact r4-ADVICE hazard).
+                recorded: int | None = None
+                try:
+                    with open(f"{warehouse}/{entry}/{_WRITER_SIDECAR}") as fh:
+                        recorded = int(fh.read().strip())
+                except (OSError, ValueError):
+                    recorded = None
+                if recorded is not None:
+                    current = _proc_starttime(pid)
+                    if current is not None and current == recorded:
+                        continue  # the genuine writer, still running
+                    if current is not None and current != recorded:
+                        alive = False  # recycled pid: writer is dead
+                    # current is None: can't inspect — fall through to
+                    # the age-gated legacy posture below
+                if alive:
+                    if age <= max_age_s:
+                        continue  # young + live sibling process — leave it
+                    # Sidecar-less legacy names past the backstop:
+                    # disambiguate via the process image (coarse), with
+                    # a HARD outer ceiling bounding the orphan leak.
+                    if age <= 4 * max_age_s:  # (7d, 28d]: image-gated keep
+                        try:
+                            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                                cmd = fh.read().lower()
+                            if b"python" in cmd or b"java" in cmd:
+                                continue  # plausibly a live engine session
+                        except OSError:
+                            continue  # can't inspect — never prune on ambiguity
+                    # > 28 days: prune unconditionally (bounded-leak backstop)
             spark.sql(f"DROP TABLE IF EXISTS {entry}")
             shutil.rmtree(f"{warehouse}/{entry}", ignore_errors=True)
         # our own names + this corpus's legacy un-suffixed pair (whose
@@ -611,6 +642,16 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .sortBy("o_orderkey")
             .saveAsTable(ot)
         )
+        # stamp the writer identity so a future prune checks THIS
+        # process, not whatever later recycles our pid
+        own = _proc_starttime(os.getpid())
+        if own is not None:
+            for t in (lt, ot):
+                try:
+                    with open(f"{warehouse}/{t}/{_WRITER_SIDECAR}", "w") as fh:
+                        fh.write(str(own))
+                except OSError:
+                    pass  # sidecar is best-effort; prune falls back to legacy
         _BUCKETED[key] = (lt, ot)
     return _BUCKETED[key]
 

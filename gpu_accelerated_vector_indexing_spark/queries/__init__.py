@@ -16,41 +16,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-gate rotation, round 5 (VERDICT r4 "Next round" #1): the
+# Driver-gate rotation, round 6 (VERDICT r5 "Next round" #1): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# After r1-r4 the gated union is 155/226; the names below lead with the
-# round-5 novelties, then the never-gated names (VERDICT-named
-# flagships first) so the round-5 sample comes entirely from names
-# with no driver-written row yet. The tail never-gated relational
-# rows (positions 51+) rotate forward in round 6, closing the union.
+# After r1-r5 the gated union is 205/240; the 35 names below are the
+# complete never-gated set (computed against CORRECTNESS_r01..r05),
+# so this round closes the union at 240/240. The remaining 15 slots
+# re-confirm the rows round 6 modifies (semantic components guard,
+# batched multi-query graph walk, beam-walk overhead cut) plus r5
+# flagships.
 _GATE_FIRST = [
-    # --- round-5 novelties (added this round; never gated by definition)
-    "sketch_cms_merge", "multimodal_decode", "refshape_graph_beam",
-    "refshape_graph_cli", "streaming_cms_merge", "refshape_graph_bq",
-    "dedup_embedding_lsh", "corpus_bpe_encode", "refshape_graph_build",
-    "multimodal_audio_energy", "sketch_quantile_merge",
-    "dedup_semantic_graph", "tokenizer_state_roundtrip",
-    "multi_query_graph_beam",
-    # --- never-gated after r1-r4, flagships first
-    "curation_decontaminate_hashed", "events_rollup_hierarchy",
-    "streaming_stream_static", "streaming_foreach_upsert",
-    "grouping_sets", "window_topk_per_group", "window_lag_frames",
-    "window_distribution", "window_topk_with_ties", "set_operations",
-    "string_functions", "date_functions", "math_functions",
-    "array_functions", "json_functions", "map_functions",
-    "sketch_functions", "multimodal_meta", "multimodal_frames",
-    "corpus_chunks", "text_lang_id", "text_stats", "text_vocab_top",
-    "text_fingerprints", "text_token_count", "text_bigram_logprob",
-    "corpus_pipeline", "dedup_ngram_jaccard", "events_trailing_window",
-    "join_interval", "events_zscore_outliers", "events_transition_matrix",
-    "join_asof_cogroup", "incremental_agg_merge", "skew_salted_agg",
-    "events_sliding", "events_sessionize", "percentile_summary",
-    "case_bucketing", "pivot_status", "join_bloom_pruned",
-    "null_safe_semantics", "fuzzy_customer_pairs", "events_value_histogram",
+    # --- the last 35 never-gated names (closes the union this round)
+    "events_sessionize", "percentile_summary", "case_bucketing",
+    "pivot_status", "join_bloom_pruned", "null_safe_semantics",
+    "fuzzy_customer_pairs", "events_value_histogram",
     "sample_train_split", "sample_stratified", "unpivot_flag_measures",
     "listagg_nations", "try_arithmetic_summary", "copurchase_part_pairs",
-    # --- never-gated tail (round-6 rotation fodder)
     "shipping_priority", "exists_late_shipment", "large_volume_orders",
     "disjunctive_revenue", "bilateral_trade_volume",
     "local_supplier_volume", "revenue_forecast", "returned_item_revenue",
@@ -59,6 +40,15 @@ _GATE_FIRST = [
     "cheapest_supplier_per_part", "market_share", "supplier_ship_delay",
     "profit_by_nation_year", "important_part_value", "ship_delay_priority",
     "parts_supplier_count", "excess_inventory_suppliers",
+    # --- re-confirmations: rows touched by round-6 changes first
+    "dedup_semantic_graph", "multi_query_graph_beam",
+    "refshape_graph_beam", "refshape_graph_bq", "refshape_graph_cli",
+    "graph_search_with_docs", "graph_ann_recall",
+    # --- then r5 flagships worth a second driver-written row
+    "sketch_cms_merge", "sketch_quantile_merge", "streaming_cms_merge",
+    "dedup_embedding_lsh", "corpus_bpe_encode",
+    "tokenizer_state_roundtrip", "multimodal_decode",
+    "multimodal_audio_energy",
 ]
 
 

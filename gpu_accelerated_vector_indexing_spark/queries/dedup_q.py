@@ -448,7 +448,9 @@ ORDER BY cos_sim DESC, vec_a DESC, vec_b DESC LIMIT 20
 # --- SemDeDup-style semantic components mined from the ANN graph (r5) ---------
 # Candidates are FREE: the NN-descent edge list is already materialized
 # index state, so the oracle replays the graph build (shared staged
-# CTEs) then thresholds + propagates the same fixed number of rounds.
+# CTEs), thresholds, then computes exact components via a RECURSIVE-CTE
+# transitive closure — a true fixpoint, matching the Spark side's
+# min_label_fixpoint at any chain depth (no fixed round count).
 from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
     graph_build_ctes as _graph_build_ctes,
 )
@@ -456,27 +458,28 @@ from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  #
 QUERIES["dedup_semantic_graph"] = D.semantic_graph_components
 
 
-def _semantic_graph_sql(tau: float = 0.42, rounds: int = 6) -> str:
+def _semantic_graph_sql(tau: float = 0.42) -> str:
+    # The RECURSIVE scope is the INNER subquery only: a top-level WITH
+    # RECURSIVE makes DuckDB 1.0.0 re-plan the (deterministic) build
+    # CTEs inconsistently — g0's edge set itself changes with the bare
+    # keyword present. Scoping recursion to a subquery leaves the build
+    # under plain WITH and only the closure recursive.
     ctes, g = _graph_build_ctes()
     parts = [
         ctes,
         f"sge AS (SELECT node, nbr FROM {g} WHERE score >= {tau})",
-        """sgu AS (SELECT DISTINCT node, nbr FROM (
+        """sgu AS MATERIALIZED (SELECT DISTINCT node, nbr FROM (
   SELECT node, nbr FROM sge UNION ALL SELECT nbr AS node, node AS nbr FROM sge))""",
-        "sgl0 AS (SELECT DISTINCT node, node AS component FROM sgu)",
     ]
-    for i in range(1, rounds + 1):
-        parts.append(
-            f"sgn{i} AS (SELECT e.node, min(p.component) AS ncomp"
-            f" FROM sgu e JOIN sgl{i - 1} p ON p.node = e.nbr GROUP BY e.node)"
-        )
-        parts.append(
-            f"sgl{i} AS (SELECT l.node,"
-            f" least(l.component, coalesce(n.ncomp, l.component)) AS component"
-            f" FROM sgl{i - 1} l LEFT JOIN sgn{i} n USING (node))"
-        )
     joined = ",\n".join(parts)
-    return f"WITH {joined}\nSELECT node AS vec_id, component FROM sgl{rounds}"
+    return f"""WITH {joined}
+SELECT vec_id, component FROM (
+  WITH RECURSIVE sgreach(node, r) AS (
+    SELECT node, node FROM (SELECT DISTINCT node FROM sgu)
+    UNION
+    SELECT sgreach.node, sgu.nbr FROM sgreach JOIN sgu ON sgu.node = sgreach.r)
+  SELECT node AS vec_id, min(r) AS component FROM sgreach GROUP BY node
+)"""
 
 
 ORACLES["dedup_semantic_graph"] = _semantic_graph_sql()

@@ -247,29 +247,42 @@ def test_leakage_safe_split_invariants(spark):
     split.unpersist()
 
 
-def test_semantic_graph_components_converged_and_consistent(spark):
-    """The fixed 6-round propagation must have CONVERGED at fixture
-    scale (a 7th round changes nothing) and every component label must
-    be a member of its own component — i.e. the fixed round count is a
-    SQL-twin convenience, not an accuracy cut."""
-    from pyspark.sql import functions as F
-
+def test_semantic_graph_components_fixpoint_and_consistent(spark):
+    """Fixpoint propagation: every component label must be a member of
+    its own component and be the min id reachable — i.e. the labels
+    are true connected components, not a round-budget artifact."""
     from gpu_accelerated_vector_indexing_spark.operators.dedup import (
         semantic_graph_components,
     )
     from tests.conftest import SF_SMOKE
 
-    l6 = semantic_graph_components(spark, SF_SMOKE, rounds=6)
-    l7 = semantic_graph_components(spark, SF_SMOKE, rounds=7)
-    diff = (
-        l6.alias("a")
-        .join(l7.alias("b"), "vec_id")
-        .filter(F.col("a.component") != F.col("b.component"))
-        .count()
-    )
-    assert diff == 0  # fixpoint reached within the fixed rounds
-    rows = {r.vec_id: r.component for r in l6.collect()}
+    labels = semantic_graph_components(spark, SF_SMOKE)
+    rows = {r.vec_id: r.component for r in labels.collect()}
     assert rows  # non-trivial at the fixture threshold
     for vec_id, comp in rows.items():
         assert comp in rows and rows[comp] == comp  # root labels itself
         assert comp <= vec_id  # min-label invariant
+
+
+def test_min_label_fixpoint_deep_chain_and_guard(spark):
+    """A chain deeper than any fixed small round count converges under
+    the fixpoint loop (one component, min id 0), and the max_rounds
+    guard raises LOUDLY instead of returning split components."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        min_label_fixpoint,
+    )
+
+    depth = 20  # 0-1-2-...-20: diameter 20, > the old fixed 6 rounds
+    chain = spark.range(depth).select(
+        F.col("id").alias("node"), (F.col("id") + 1).alias("nbr")
+    )
+    und = chain.union(chain.select(F.col("nbr").alias("node"), F.col("node").alias("nbr")))
+    labels = min_label_fixpoint(und, max_rounds=50)
+    comps = {r.node: r.component for r in labels.collect()}
+    assert len(comps) == depth + 1
+    assert set(comps.values()) == {0}  # one component, min-id root
+    with pytest.raises(RuntimeError, match="not converged"):
+        min_label_fixpoint(und, max_rounds=3)

@@ -101,3 +101,51 @@ def test_beam_bq_recall_floor(spark):
         hits += len(exact & got)
         total += 5
     assert hits / total >= 0.6, f"recall@5 {hits}/{total}"
+
+
+def test_multi_query_graph_beam_batched_parity_and_jobs(spark):
+    """The batched walk (query_id in the frontier) must (a) match the
+    per-query walk's top-k exactly and (b) cost a job count INDEPENDENT
+    of |Q| — the VERDICT r5 #5 acceptance (previously one full walk's
+    jobs per query)."""
+    import uuid
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        knn_graph_beam,
+        multi_query_graph_beam,
+    )
+
+    # warm the memoized adjacency/normed state so job counts below
+    # measure the walk, not the one-time build
+    multi_query_graph_beam(spark, SF_CORRECT, query_ids=(0,)).collect()
+
+    # (a) value parity vs the single-query walk
+    batched = multi_query_graph_beam(spark, SF_CORRECT, query_ids=(0, 3, 7)).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    for qid in (0, 3, 7):
+        single = [
+            (r.vec_id, r.score)
+            for r in knn_graph_beam(spark, SF_CORRECT, query_id=qid, k=5).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), f"query {qid} diverged"
+
+    # (b) jobs per batch do not grow with |Q| — pre-warm every qvec so
+    # both measurements are walk-only (a cold id costs one fetch job,
+    # which would silently consume the assertion's tolerance)
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import fixture_qvecs
+
+    fixture_qvecs(spark, SF_CORRECT, (0, 1, 3, 5, 7, 9))
+
+    def jobs(query_ids):
+        group = f"jobcount-{uuid.uuid4()}"
+        spark.sparkContext.setJobGroup(group, "multi-beam job count")
+        try:
+            multi_query_graph_beam(spark, SF_CORRECT, query_ids=query_ids).collect()
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+    j2, j6 = jobs((0, 3)), jobs((0, 1, 3, 5, 7, 9))
+    assert j6 <= j2 + 1, f"jobs grew with |Q|: {j2} -> {j6}"

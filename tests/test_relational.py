@@ -182,3 +182,25 @@ def test_kcore_trajectory_monotone(spark):
     alive = [r.n_alive for r in rows]
     assert all(a >= b for a, b in zip(alive, alive[1:]))
     assert all(r.node_id_sum == 0 for r in rows if r.n_alive == 0)
+
+
+def test_writer_starttime_identity():
+    """(pid, starttime) writer identity: our own pid yields a stable
+    int, a positively-dead pid yields None — the prune's recycled-pid
+    disambiguator (r5 advisor)."""
+    import os
+    import subprocess
+
+    from gpu_accelerated_vector_indexing_spark.operators.relational import (
+        _proc_starttime,
+    )
+
+    own = _proc_starttime(os.getpid())
+    assert isinstance(own, int) and own > 0
+    assert _proc_starttime(os.getpid()) == own  # stable across reads
+    # a child that has exited: its pid (after reaping) is inspectable
+    # as None or, if recycled, yields a DIFFERENT starttime than ours
+    p = subprocess.Popen(["true"])
+    p.wait()
+    got = _proc_starttime(p.pid)
+    assert got is None or got != own

@@ -622,3 +622,29 @@ def test_decode_payload_codec_routing():
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_payload(b"\x89PNG....", "image/png")
+
+
+def test_decode_payload_error_contract():
+    """Malformed WAV bytes raise ValueError (loud, never a byte-buffer
+    fake), and an unsupported BMP VARIANT names the variant in its gate
+    message, not 'non-BMP' (r5 advisor)."""
+    import struct
+
+    from gpu_accelerated_vector_indexing_spark.operators.multimodal import (
+        decode_payload,
+    )
+
+    with pytest.raises(ValueError, match="audio/wav"):
+        decode_payload(b"not a riff container at all", "audio/wav")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed — gate not exercised")
+    except ImportError:
+        pass
+    # a syntactically-valid BMP header but 24-bit: the 8-bit walk
+    # declines, the PIL gate must say it's a BMP variant
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + 3, 0, 0, 14 + 40)
+    hdr += struct.pack("<IiiHH", 40, 1, 1, 1, 24) + b"\x00" * 22 + b"\x00\x00\xff"
+    with pytest.raises(NotImplementedError, match="BMP variant"):
+        decode_payload(hdr, "image/bmp")

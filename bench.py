@@ -296,6 +296,9 @@ BENCH_QUERIES = [
     ("important_part_value", _collect),
     ("parts_supplier_count", _collect),
     ("excess_inventory_suppliers", _collect),
+    # --- r6 novelties
+    ("curation_dsir_sample", _noop),  # run 1 fits the memoized bucket model
+    ("graph_relink_after_deletes", _collect),
 ]
 
 # Walk-style rows (graph beam/sweep: many tiny driver-latency-bound

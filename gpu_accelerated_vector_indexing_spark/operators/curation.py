@@ -800,3 +800,125 @@ def nb_language_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("p") + F.col("sw")) > 0).alias("pred_tgt"),
         )
     )
+
+
+# --- DSIR-style hashed n-gram importance sampling (r6) -----------------------
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score raw documents by how much their hashed
+# n-gram feature distribution looks like a TARGET corpus's, then keep
+# the high-affinity tail. The target here is the English slice (the
+# fixture's "wiki-like" subset); features are the engine's portable
+# 5-char shingle hashes folded into DSIR_BUCKETS buckets.
+DSIR_BUCKETS = 256
+
+_DSIR_AFFINITY_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def dsir_bucket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, r_b, t_b, aff_micro) — per-bucket raw/target gram
+    occurrence counts and the floor-scaled target-affinity weight
+    ``floor(1e6·(t_b+1)/(r_b+2))`` (+1/+2 Laplace smoothing so empty
+    buckets score the uninformative midpoint instead of dividing by
+    zero). This is DSIR's learned importance model: a ≤DSIR_BUCKETS-row
+    relation computed ONCE per corpus snapshot and broadcast to every
+    scoring pass — memoized per (session, corpus) like the quantizer
+    stats and centroid state (a pipeline fits the model on a sample
+    once; per-document scoring must never re-aggregate the corpus).
+
+    Determinism: counts are exact integers; the weight is one double
+    multiply + divide on exact-integer operands (identical in any
+    engine) floored to LONG micro-units — no libm anywhere.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        _doc_shingle_hashes,
+    )
+
+    key = (spark, sf_dir)
+    if key not in _DSIR_AFFINITY_STATE:
+        docs = load_table(spark, sf_dir, "documents")
+        grams = _doc_shingle_hashes(docs, keep=("lang",)).select(
+            "lang", (F.col("h") % DSIR_BUCKETS).alias("bucket")
+        )
+        counts = grams.groupBy("bucket").agg(
+            F.count("*").alias("r_b"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+        )
+        df = counts.select(
+            "bucket",
+            "r_b",
+            "t_b",
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("t_b") + F.lit(1)).cast("double")
+                / (F.col("r_b") + F.lit(2)).cast("double")
+            )
+            .cast("long")
+            .alias("aff_micro"),
+        ).cache()
+        df.count()
+        _DSIR_AFFINITY_STATE[key] = df
+    return _DSIR_AFFINITY_STATE[key]
+
+
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score + keep decision: every gram
+    occurrence looks up its bucket's target affinity (broadcast join
+    against the memoized ≤DSIR_BUCKETS-row model), the per-doc exact
+    LONG micro-unit sum divides by the gram count (integer DIV — exact
+    in any engine), and ``selected`` keeps documents whose per-gram
+    affinity is ABOVE THE CORPUS-WEIGHTED MEAN — a relative cut
+    (``mean_pg = Σ r_b·aff_micro DIV Σ r_b`` over the model rows), so
+    the decision survives corpus-composition shifts where any absolute
+    micro-unit threshold goes stale (measured: the sf0.01-calibrated
+    absolute cut keeps 0 rows at sf0.1; the mean cut keeps the
+    target-enriched half at both scales). The LONG product r_b·aff is
+    safe to ~9e12 gram occurrences; past that, promote the two sums to
+    DECIMAL(38,0) (the weighted-PPS overflow recipe).
+
+    Output: (doc_id, lang, n_grams, affinity_micro_sum,
+    affinity_micro_per_gram, selected) for every document long enough
+    to carry one shingle — the full per-document relation, so the
+    oracle checks the score of every row, not just the kept set.
+
+    Scale shape: ONE corpus gram pass (the same explode the dedup
+    family prices), a broadcast lookup, one doc_id aggregate — no
+    global sort and no top-N window; the threshold is ONE scalar off
+    the ≤DSIR_BUCKETS-row model (no extra corpus pass), so 1000
+    executors keep/drop their own partitions independently (the DSIR
+    paper's own motivation for importance weights over pairwise
+    comparisons).
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        _doc_shingle_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _doc_shingle_hashes(docs).select(
+        "doc_id", (F.col("h") % DSIR_BUCKETS).alias("bucket")
+    )
+    model = dsir_bucket_affinity(spark, sf_dir)
+    baseline = model.agg(
+        F.expr("sum(r_b * aff_micro) DIV sum(r_b)").alias("mean_pg")
+    )
+    aff = model.select("bucket", "aff_micro")
+    scored = (
+        grams.join(F.broadcast(aff), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("aff_micro").alias("affinity_micro_sum"),
+        )
+    )
+    per_gram = F.expr("affinity_micro_sum DIV n_grams")
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(baseline))
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            "affinity_micro_sum",
+            per_gram.alias("affinity_micro_per_gram"),
+            (per_gram >= F.col("mean_pg")).alias("selected"),
+        )
+    )

@@ -90,14 +90,16 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(sc.defaultParallelism)
 
 
-def _doc_shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h) — one row per shingle occurrence, hashed.
+def _doc_shingle_hashes(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, h) — one row per shingle occurrence, hashed.
 
     Hashes straight from character positions (same polynomial as
     ``shingle_hash``) WITHOUT materializing shingle strings: exploding
     1M+ five-char strings just to re-substring them is ~30% slower than
     folding ``ascii(substr(text, pos+j, 1))`` directly. Values are
-    bit-identical to the string route (tests pin this).
+    bit-identical to the string route (tests pin this). ``keep``
+    carries payload columns through (the DSIR bucket-stats pass needs
+    ``lang`` alongside each gram occurrence).
 
     Documents shorter than one shingle are excluded (their hash would
     depend on engine-specific ascii('') behavior).
@@ -116,6 +118,7 @@ def _doc_shingle_hashes(docs: DataFrame) -> DataFrame:
         _spread(docs.filter(F.length("text") >= SHINGLE_LEN))
         .select(
             "doc_id",
+            *keep,
             F.explode(
                 F.transform(F.sequence(F.lit(1), F.length(text) - (SHINGLE_LEN - 1)), poly)
             ).alias("h"),
@@ -658,6 +661,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
 # max_iters), so an unconverged low-iteration call can never poison the
 # default consumers.
 _COMPONENTS_STATE: dict[tuple[SparkSession, str, float, int], DataFrame] = {}
+_SEMANTIC_COMPONENTS_STATE: dict[tuple[SparkSession, str, float, int], DataFrame] = {}
 
 
 def duplicate_components(
@@ -700,10 +704,13 @@ def duplicate_components(
     # capture (and later free) this cache's first-job registration
     edges.count()
     und = edges.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
-    labels = min_label_fixpoint(und, max_rounds=max_iters)
+    try:
+        labels = min_label_fixpoint(und, max_rounds=max_iters)
+    finally:
+        # release even on the kernel's loud non-convergence raise
+        edges.unpersist()
     # min_label_fixpoint already localCheckpointed — safe to memoize
     result = labels.select(F.col("node").alias("doc_id"), "component")
-    edges.unpersist()
     _COMPONENTS_STATE[key] = result
     return result
 
@@ -1239,9 +1246,15 @@ def semantic_graph_components(
     (metadata-priced — the threshold pushes into the cached edge scan);
     each round is one join + one aggregate over the non-singleton
     node set, exactly the ``duplicate_components`` shuffle posture.
+    Labels are memoized dedup-decision state per (session, corpus,
+    τ) — the ``duplicate_components`` posture — and the symmetric edge
+    relation is cached only for the kernel's lifetime.
     """
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import fixture_graph
 
+    key = (spark, sf_dir, tau, max_rounds)
+    if key in _SEMANTIC_COMPONENTS_STATE:
+        return _SEMANTIC_COMPONENTS_STATE[key]
     edges = (
         fixture_graph(spark, sf_dir)
         .filter(F.col("score") >= tau)
@@ -1249,6 +1262,12 @@ def semantic_graph_components(
     )
     und = edges.union(
         edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = min_label_fixpoint(und, max_rounds=max_rounds)
-    return labels.select(F.col("node").alias("vec_id"), "component")
+    ).distinct().cache()
+    und.count()  # materialize before the kernel (see min_label_fixpoint)
+    try:
+        labels = min_label_fixpoint(und, max_rounds=max_rounds)
+    finally:
+        und.unpersist()
+    result = labels.select(F.col("node").alias("vec_id"), "component")
+    _SEMANTIC_COMPONENTS_STATE[key] = result
+    return result

@@ -974,3 +974,53 @@ def graph_ann_insert(
         arch_adj,
     )
     return _rank_digest(_topk_per_node(_score_pairs(cand, emb_n), k))
+
+
+def graph_relink_after_deletes(
+    spark: SparkSession,
+    sf_dir: str,
+    delete_mod: int = DELETE_MOD,
+    k: int = K_GRAPH,
+) -> DataFrame:
+    """Neighborhood REPAIR after delete-compaction — the rebuild step
+    the masked read path defers (``knn_graph_beam_with_deletes``
+    guarantees correctness on the masked graph but trades reachability:
+    a tombstone can no longer bridge two regions; SCALE.md names this
+    repair as the restoring pass — this operator makes it real).
+
+    Affected nodes = live nodes that LOST at least one out-edge to a
+    ``vec_id % delete_mod == 0`` tombstone. Each re-ranks a candidate
+    set = its SURVIVING out-edges ∪ its live 2-hop neighborhood through
+    the masked undirected adjacency (the NN-descent proposal step run
+    once, restricted to the damaged nodes) and keeps the top-k — the
+    DiskANN/HNSW repair posture: local re-link, never a global rebuild.
+
+    Scale shape: affected and candidate volumes scale with the DAMAGE
+    (≤ |tombstone in-neighborhoods|·(2K)²), never the archive — the
+    incremental contract the insert path already carries. Output: the
+    build-digest shape (per neighbor rank: count, exact score sum,
+    nbr id sum) over the repaired edge set, so a value match certifies
+    every repaired edge.
+    """
+    emb_n = fixture_normed(spark, sf_dir)
+    g = fixture_graph(spark, sf_dir)
+    live = F.col("node") % delete_mod != 0
+    masked = _masked_adj(g, delete_mod)
+    affected = (
+        g.filter(live & (F.col("nbr") % delete_mod == 0))
+        .select("node")
+        .distinct()
+    )
+    surv = masked.join(F.broadcast(affected), "node")
+    und = masked.union(
+        masked.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    )
+    twohop = (
+        und.join(F.broadcast(affected), "node")
+        .select("node", F.col("nbr").alias("mid"))
+        .join(und.select(F.col("node").alias("mid"), "nbr"), "mid")
+        .filter(F.col("nbr") != F.col("node"))
+        .select("node", "nbr")
+    )
+    cand = surv.select("node", "nbr").union(twohop).distinct()
+    return _rank_digest(_topk_per_node(_score_pairs(cand, emb_n), k))

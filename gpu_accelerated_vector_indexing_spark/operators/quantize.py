@@ -918,14 +918,18 @@ def compression_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Population guard (r5 advisor): n_vectors derives from the inner
     # 3-way join, so a memoized codes table silently losing rows would
     # shrink every method's population instead of surfacing the gap.
-    # Both counts are one cheap job each (parquet-footer count for emb;
-    # the codes tables are small memoized state), paid once per audit.
-    n_base, n_emb = base.count(), emb.count()
-    if n_base != n_emb:
+    # Guard on the three INPUT counts (each one cheap job: parquet
+    # footers for emb, cached memoized state for the codes tables)
+    # rather than counting the joined base, which would pay an extra
+    # whole-corpus join per audit call.
+    n_emb = emb.count()
+    n_pq = pq_codes_table(spark, sf_dir).count()
+    n_pqr = pq_residual_codes_table(spark, sf_dir).count()
+    if n_pq != n_emb or n_pqr != n_emb:
         raise RuntimeError(
-            f"compression_error_audit: codes tables cover {n_base} of "
-            f"{n_emb} corpus vectors — a memoized PQ codes table lost "
-            "rows; rebuild the index state before auditing"
+            f"compression_error_audit: codes tables cover {n_pq} (PQ) / "
+            f"{n_pqr} (residual) of {n_emb} corpus vectors — a memoized "
+            "codes table lost rows; rebuild the index state before auditing"
         )
 
     def micro(c: Column) -> Column:

@@ -40,6 +40,8 @@ _GATE_FIRST = [
     "cheapest_supplier_per_part", "market_share", "supplier_ship_delay",
     "profit_by_nation_year", "important_part_value", "ship_delay_priority",
     "parts_supplier_count", "excess_inventory_suppliers",
+    # --- round-6 novelties (never gated by definition)
+    "curation_dsir_sample", "graph_relink_after_deletes",
     # --- re-confirmations: rows touched by round-6 changes first
     "dedup_semantic_graph", "multi_query_graph_beam",
     "refshape_graph_beam", "refshape_graph_bq", "refshape_graph_cli",
@@ -47,8 +49,7 @@ _GATE_FIRST = [
     # --- then r5 flagships worth a second driver-written row
     "sketch_cms_merge", "sketch_quantile_merge", "streaming_cms_merge",
     "dedup_embedding_lsh", "corpus_bpe_encode",
-    "tokenizer_state_roundtrip", "multimodal_decode",
-    "multimodal_audio_energy",
+    "tokenizer_state_roundtrip",
 ]
 
 

@@ -453,3 +453,41 @@ SELECT rk,
        CAST(sum(nbr) AS BIGINT) AS nbr_id_sum
 FROM battached
 GROUP BY rk ORDER BY rk"""
+
+
+def relink_digest_sql() -> str:
+    """Replay the post-delete neighborhood repair: affected = live
+    nodes that lost an out-edge to a tombstone; candidates = surviving
+    out-edges ∪ the live 2-hop neighborhood through the masked
+    undirected adjacency; per-node top-k, build-digest shape."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        DELETE_MOD as M,
+    )
+
+    ctes, g = graph_build_ctes()
+    parts = [
+        ctes,
+        f"""rlmask AS (
+  SELECT node, nbr FROM {g} WHERE node % {M} <> 0 AND nbr % {M} <> 0)""",
+        f"""rlaff AS (
+  SELECT DISTINCT node FROM {g} WHERE node % {M} <> 0 AND nbr % {M} = 0)""",
+        """rlund AS (
+  SELECT node, nbr FROM rlmask UNION ALL SELECT nbr AS node, node AS nbr FROM rlmask)""",
+        """rltwo AS (
+  SELECT a.node, b.nbr
+  FROM rlund a JOIN rlaff USING (node) JOIN rlund b ON a.nbr = b.node
+  WHERE b.nbr <> a.node)""",
+        """rlcand AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT m.node, m.nbr FROM rlmask m JOIN rlaff USING (node)
+    UNION ALL SELECT node, nbr FROM rltwo))""",
+        _scored_topk("rlcand", "rlrepaired", K_GRAPH),
+    ]
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+SELECT rk,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS score_sum_micro,
+       CAST(sum(nbr) AS BIGINT) AS nbr_id_sum
+FROM rlrepaired
+GROUP BY rk ORDER BY rk"""

@@ -397,3 +397,50 @@ SELECT s.doc_id, d.lang, s.n_tokens,
        (p + sw) > 0 AS pred_tgt
 FROM scored s JOIN documents d USING (doc_id) CROSS JOIN prior
 """
+
+
+# --- DSIR-style hashed n-gram importance sampling (r6) -----------------------
+# Full staged replay: the portable per-position shingle polynomial (the
+# dedup family's recipe), bucket fold, Laplace-smoothed floor-scaled
+# affinity, exact LONG per-doc sums, integer DIV, and the corpus-mean
+# relative cut — every stage integer-or-single-division, no libm.
+QUERIES["curation_dsir_sample"] = C.dsir_importance_sample
+
+
+def _dsir_sql() -> str:
+    from gpu_accelerated_vector_indexing_spark.operators.curation import DSIR_BUCKETS
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        HASH_MOD,
+        SHINGLE_LEN,
+    )
+
+    poly = " + ".join(
+        f"ascii(substr(text, i + {j - 1}, 1))::BIGINT * {31 ** (SHINGLE_LEN - j)}"
+        for j in range(1, SHINGLE_LEN + 1)
+    )
+    return f"""
+WITH dsg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(text) - {SHINGLE_LEN - 1} + 1),
+                               i -> ({poly}) % {HASH_MOD})) AS h
+  FROM documents WHERE length(text) >= {SHINGLE_LEN}
+),
+dsb AS (SELECT doc_id, lang, h % {DSIR_BUCKETS} AS bucket FROM dsg),
+dsc AS (SELECT bucket, count(*) AS r_b,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+        FROM dsb GROUP BY bucket),
+dsa AS (SELECT bucket, r_b,
+               CAST(floor(1000000.0 * (t_b + 1) / (r_b + 2)) AS BIGINT) AS aff_micro
+        FROM dsc),
+dsbase AS (SELECT sum(r_b * aff_micro) // sum(r_b) AS mean_pg FROM dsa),
+dss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(aff_micro) AS BIGINT) AS affinity_micro_sum
+        FROM dsb JOIN dsa USING (bucket) GROUP BY doc_id)
+SELECT s.doc_id, d.lang, n_grams, affinity_micro_sum,
+       affinity_micro_sum // n_grams AS affinity_micro_per_gram,
+       (affinity_micro_sum // n_grams) >= (SELECT mean_pg FROM dsbase) AS selected
+FROM dss s JOIN documents d USING (doc_id)
+"""
+
+
+ORACLES["curation_dsir_sample"] = _dsir_sql()

@@ -112,3 +112,17 @@ def _multi_beam(spark, sf_dir):
 
 QUERIES["multi_query_graph_beam"] = _multi_beam
 ORACLES["multi_query_graph_beam"] = multi_beam_sql(MULTI_IDS, k=K)
+
+
+# --- r6: neighborhood repair after delete-compaction --------------------------
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    relink_digest_sql,
+)
+
+
+def _relink(spark, sf_dir):
+    return graph_ann.graph_relink_after_deletes(spark, sf_dir)
+
+
+QUERIES["graph_relink_after_deletes"] = _relink
+ORACLES["graph_relink_after_deletes"] = relink_digest_sql()

@@ -208,3 +208,33 @@ def test_temperature_mix_flattens_toward_uniform(spark):
     for lo, hi in zip(by_share, by_share[1:]):
         if lo.n_docs < hi.n_docs:
             assert lo.temp_weight <= hi.temp_weight  # order preserved
+
+
+def test_dsir_model_and_selection_enrichment(spark):
+    """DSIR bucket model invariants (t_b ≤ r_b, affinity in (0, 1e6]),
+    memoized state identity, and the point of the operator: the
+    selected set is ENRICHED toward the target language vs the corpus
+    base rate."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        DSIR_BUCKETS,
+        dsir_bucket_affinity,
+        dsir_importance_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    model = dsir_bucket_affinity(spark, SF_SMOKE)
+    assert model is dsir_bucket_affinity(spark, SF_SMOKE)  # memoized state
+    mrows = model.collect()
+    assert 0 < len(mrows) <= DSIR_BUCKETS
+    for r in mrows:
+        assert 0 <= r.t_b <= r.r_b
+        assert 0 < r.aff_micro <= 1_000_000
+    out = dsir_importance_sample(spark, SF_SMOKE).collect()
+    assert out and all(
+        r.affinity_micro_per_gram * r.n_grams <= r.affinity_micro_sum for r in out
+    )
+    base = sum(1 for r in out if r.lang == "en") / len(out)
+    sel = [r for r in out if r.selected]
+    assert sel, "selection kept nothing"
+    en_share = sum(1 for r in sel if r.lang == "en") / len(sel)
+    assert en_share > base, f"no target enrichment: {en_share} <= {base}"

@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     # --- r6 novelties
     ("curation_dsir_sample", _noop),  # run 1 fits the memoized bucket model
     ("graph_relink_after_deletes", _collect),
+    ("graph_engine_batch_search", _collect),  # run 1 persists the index
+    ("streaming_dsir_score", _noop),
 ]
 
 # Walk-style rows (graph beam/sweep: many tiny driver-latency-bound

@@ -188,6 +188,29 @@ class GraphEngine:
 
         return map_to_docs(self.search(qvec, k), documents)
 
+    def search_batch(
+        self, queries: list[tuple[int, list[float]]], k: int = 5
+    ) -> DataFrame:
+        """Batched retrieval: ONE walk serves every query per hop
+        (``graph_ann.multi_beam_visited_over`` — query_id travels in the
+        frontier, jobs per batch independent of |Q|), cut to top-k per
+        query as (query_id, vec_id, score). The serving endpoint shape
+        a batched retrieval API runs over the persisted index."""
+        from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+            multi_beam_visited_over,
+            topk_per_query,
+        )
+
+        visited = multi_beam_visited_over(
+            self.edges.select("node", "nbr"),
+            self.corpus.select("vec_id", "label"),
+            self.corpus.select("vec_id", "v", "nrm"),
+            queries,
+            self.beam,
+            self.hops,
+        )
+        return topk_per_query(visited, k)
+
 
 def main(argv: list[str] | None = None) -> None:
     """CLI mirroring the reference binary's flags (IVF.cpp:558-635),

@@ -659,6 +659,14 @@ def multi_query_graph_beam(
         BEAM_WIDTH,
         BEAM_HOPS,
     )
+    return topk_per_query(visited, k)
+
+
+def topk_per_query(visited: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k cut over a batched visited set — the ONE
+    definition of the batch tie-break (score DESC, vec_id DESC), shared
+    by ``multi_query_graph_beam`` and ``engine.GraphEngine.search_batch``
+    so the two consumers of the shared oracle can never drift."""
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("vec_id"))
     return (
         visited.withColumn("rk", F.row_number().over(w))
@@ -1024,3 +1032,63 @@ def graph_relink_after_deletes(
     )
     cand = surv.select("node", "nbr").union(twohop).distinct()
     return _rank_digest(_topk_per_node(_score_pairs(cand, emb_n), k))
+
+
+_GRAPH_INDEX_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def ensure_graph_index(
+    cache: dict[tuple[SparkSession, str], str],
+    key: tuple[SparkSession, str],
+    prefix: str,
+    edges: DataFrame,
+    corpus_normed: DataFrame,
+) -> str:
+    """ONE memoized persisted-index build (edges + normed corpus — the
+    layout ``engine.GraphEngine.from_pretrained`` consumes), shared by
+    the fixture and reference-shape families so an index-layout change
+    can never land in one and not the other."""
+    import tempfile
+
+    if key not in cache:
+        out = tempfile.mkdtemp(prefix=prefix)
+        write_graph_index(edges, corpus_normed, out)
+        cache[key] = out
+    return cache[key]
+
+
+def fixture_graph_index(spark: SparkSession, sf_dir: str) -> str:
+    """The PRETRAINED fixture graph index, once per (session, corpus)
+    (the fixture twin of ``refshape.refshape_graph_index``)."""
+    key = (spark, sf_dir)
+    if key not in _GRAPH_INDEX_DIR:
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus_normed = emb.select("vec_id", "label").join(
+            fixture_normed(spark, sf_dir), "vec_id"
+        )
+        ensure_graph_index(
+            _GRAPH_INDEX_DIR,
+            key,
+            "gpu_accelerated_vector_indexing_graphidx_",
+            fixture_graph(spark, sf_dir),
+            corpus_normed,
+        )
+    return _GRAPH_INDEX_DIR[key]
+
+
+def graph_engine_batch_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 3, 7),
+    k: int = 5,
+) -> DataFrame:
+    """Batched retrieval END TO END through the persisted-index facade:
+    ``GraphEngine.from_pretrained`` over the on-disk fixture index +
+    ``search_batch`` (one walk for the whole batch). Shares
+    ``multi_query_graph_beam``'s full oracle — the persisted state and
+    the batched plan must both be value-neutral vs the in-session
+    per-query walks, or the hash breaks."""
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+
+    eng = GraphEngine.from_pretrained(spark, fixture_graph_index(spark, sf_dir))
+    return eng.search_batch(fixture_qvecs(spark, sf_dir, query_ids), k=k)

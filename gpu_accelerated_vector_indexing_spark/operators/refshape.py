@@ -395,17 +395,21 @@ def refshape_graph_index(spark: SparkSession, sf_dir: str) -> str:
     ``engine.GraphEngine.from_pretrained`` consumes — the graph twin of
     :func:`refshape_index`."""
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
-        write_graph_index,
+        ensure_graph_index,
     )
 
     key = (spark, sf_dir)
     if key not in _REF_GRAPH_INDEX_DIR:
-        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_refshape_graphindex_")
         corpus_normed = ref_corpus(spark, sf_dir).select("vec_id", "label").join(
             refshape_normed(spark, sf_dir), "vec_id"
         )
-        write_graph_index(refshape_graph(spark, sf_dir), corpus_normed, out)
-        _REF_GRAPH_INDEX_DIR[key] = out
+        ensure_graph_index(
+            _REF_GRAPH_INDEX_DIR,
+            key,
+            "gpu_accelerated_vector_indexing_refshape_graphindex_",
+            refshape_graph(spark, sf_dir),
+            corpus_normed,
+        )
     return _REF_GRAPH_INDEX_DIR[key]
 
 

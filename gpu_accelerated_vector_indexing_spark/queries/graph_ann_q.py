@@ -126,3 +126,14 @@ def _relink(spark, sf_dir):
 
 QUERIES["graph_relink_after_deletes"] = _relink
 ORACLES["graph_relink_after_deletes"] = relink_digest_sql()
+
+
+# --- r6: batched retrieval through the persisted-index facade ------------------
+def _engine_batch(spark, sf_dir):
+    return graph_ann.graph_engine_batch_search(spark, sf_dir, query_ids=MULTI_IDS, k=K)
+
+
+QUERIES["graph_engine_batch_search"] = _engine_batch
+# same full oracle as the in-session per-query walks: persistence AND
+# batching must both be value-neutral
+ORACLES["graph_engine_batch_search"] = multi_beam_sql(MULTI_IDS, k=K)

@@ -569,3 +569,16 @@ SELECT count(*) AS n_cells,
        true AS stream_equals_batch
 FROM direct
 """
+
+
+# --- r6: streaming DSIR scoring against the static importance model -----------
+from gpu_accelerated_vector_indexing_spark.streaming.curation_stream import (  # noqa: E402
+    streaming_dsir_score as _sdsir,
+)
+
+QUERIES["streaming_dsir_score"] = _sdsir
+# stream ≡ batch by construction (per-doc projection is batch-local,
+# model sides static) — shares the batch operator's full oracle
+from gpu_accelerated_vector_indexing_spark.queries import curation_q as _cq  # noqa: E402
+
+ORACLES["streaming_dsir_score"] = _cq.ORACLES["curation_dsir_sample"]

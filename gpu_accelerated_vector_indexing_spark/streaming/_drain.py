@@ -60,3 +60,16 @@ def drain_accumulate(
             "stream drained zero micro-batches — the source glob matched no files"
         )
     return state["df"]
+
+DOCS_STREAM_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The documents fixture as a file stream — one definition of the
+    schema/glob shared by the dedup and curation streams."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(os.path.join(sf_dir, "documents.parque*"))

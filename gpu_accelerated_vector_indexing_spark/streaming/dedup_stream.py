@@ -24,12 +24,12 @@ the query carries a full DuckDB value oracle (queries/dedup_q.py).
 
 from __future__ import annotations
 
-import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gpu_accelerated_vector_indexing_spark.streaming._drain import documents_stream
 from gpu_accelerated_vector_indexing_spark.operators.dedup import (
     HASH_MOD,
     band_keys,
@@ -46,7 +46,6 @@ from gpu_accelerated_vector_indexing_spark.operators.dedup import (
 _sink_lock = threading.Lock()
 _sink_n = [0]
 
-_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,9 +67,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # the new-batch document stream: stateless shingle/signature projection
-    raw = spark.readStream.schema(_DOCS_SCHEMA).parquet(
-        os.path.join(sf_dir, "documents.parque*")
-    )
+    raw = documents_stream(spark, sf_dir)
     batch_docs = raw.filter(is_batch & (F.length("text") >= SHINGLE_LEN)).select(
         "doc_id",
         raw_shingle_hashes(F.col("text")).alias("gha"),

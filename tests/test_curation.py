@@ -238,3 +238,22 @@ def test_dsir_model_and_selection_enrichment(spark):
     assert sel, "selection kept nothing"
     en_share = sum(1 for r in sel if r.lang == "en") / len(sel)
     assert en_share > base, f"no target enrichment: {en_share} <= {base}"
+
+
+def test_streaming_dsir_matches_batch(spark):
+    """The drained stream scoring ≡ the batch operator row for row —
+    the stream-static contract (static model sides, batch-local
+    per-doc work)."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        dsir_importance_sample,
+    )
+    from gpu_accelerated_vector_indexing_spark.streaming.curation_stream import (
+        streaming_dsir_score,
+    )
+    from tests.conftest import SF_SMOKE
+
+    cols = ("doc_id", "lang", "n_grams", "affinity_micro_sum",
+            "affinity_micro_per_gram", "selected")
+    s = sorted(tuple(r[c] for c in cols) for r in streaming_dsir_score(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r[c] for c in cols) for r in dsir_importance_sample(spark, SF_SMOKE).collect())
+    assert s == b

@@ -179,3 +179,22 @@ def test_graph_relink_after_deletes_shape(spark):
         .count()
     )
     assert counts[0] == n_affected  # every damaged node got a rank-1 edge
+
+
+def test_graph_engine_batch_search_matches_in_session(spark):
+    """Persisted-index facade batch search ≡ the in-session batched
+    walk: persistence and the facade path must both be value-neutral."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        graph_engine_batch_search,
+        multi_query_graph_beam,
+    )
+
+    a = sorted(
+        (r.query_id, r.vec_id, r.score)
+        for r in graph_engine_batch_search(spark, SF_CORRECT, query_ids=(0, 3, 7)).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.score)
+        for r in multi_query_graph_beam(spark, SF_CORRECT, query_ids=(0, 3, 7)).collect()
+    )
+    assert a == b

@@ -23,13 +23,14 @@ this module adds one re-expressed Spark-first:
   twice; a production deployment would persist it as a bucketed table
   keyed by ``node`` so each search hop is a point-lookup batch.
 - **Search** (``knn_graph_beam``): bounded-hop beam search from one
-  entry node per IVF cell. Each hop joins the ≤BEAM_WIDTH frontier (broadcast)
-  against the adjacency state, scores the new candidates against the
-  query vector, folds them into the visited set, and keeps the best
-  BEAM_WIDTH as the next frontier. The plan is a short chain of
-  broadcast joins + TakeOrderedAndProject — at 100 TB the adjacency
-  side is a bucketed point-lookup per hop and nothing else grows with
-  the corpus.
+  entry node per IVF cell. Each hop pushes the ≤BEAM_WIDTH frontier
+  into the adjacency state as an InSet predicate, scores the new
+  candidates against the query vector (their ids pushed into the
+  corpus scan the same way), folds them into the driver-resident
+  visited set, and keeps the best BEAM_WIDTH as the next frontier —
+  at 100 TB both lookups are pruned point-lookup batches and nothing
+  but walk-bounded state (≤ cells + hops·beam·K rows) leaves the
+  cluster.
 
 Determinism contract (the full-value-oracle requirement): cosine is the
 engine-wide recipe (float64 fold, +1e-8 guard, round to 6 d.p. —
@@ -306,67 +307,79 @@ def _masked_adj(adj: DataFrame, modulus: int) -> DataFrame:
 def _walk(
     adj: DataFrame,
     entries: DataFrame,
-    scorer,
-    sort_cols,
-    agg_expr,
+    scorer_ids,
+    value_col: str,
+    value_type: str,
+    ascending: bool,
     beam: int,
     hops: int,
 ) -> DataFrame:
     """The ONE bounded beam-walk loop shared by every search variant
-    (float-scored and Hamming-scored): ``scorer(ids)`` maps an id set to
-    scored rows, ``sort_cols()`` gives the better-first ordering,
-    ``agg_expr()`` the visited-dedup aggregate (MAX score / MIN hamming
-    — a no-op either way since a node's score is unique, chosen for
-    engine portability). Returns the deduplicated visited set.
+    (float-scored and Hamming-scored): ``scorer_ids(ids)`` maps a
+    Python id list to a (vec_id, ``value_col``) relation; ``ascending``
+    picks the better-first ordering (False: score DESC; True: hamming
+    ASC), the vec_id DESC tie-break is shared. Returns the deduplicated
+    visited set as a local relation (vec_id, value_col).
 
-    Driver-latency shape (VERDICT r5 #3 — walk rows are documented
-    driver-latency bound, not compute bound): the visited set is ≤
-    |entry| + hops·beam·k rows (~1k) yet a bare groupBy would inherit
-    the session's 32 shuffle partitions, so every per-hop checkpoint
-    job scheduled 32 near-empty tasks and every downstream scan of
-    visited read 32 near-empty partitions. ``coalesce(1)`` pins the
-    walk state to ONE partition — one task per checkpoint job, one
-    partition per rescan — without touching values or the per-hop
-    materialization (which stays: each hop's scorer probes the corpus
-    relation, and an unmaterialized hop would re-execute that probe
-    up to 3× in the next hop's three references). The entry scoring
-    uses ``repartition(1)`` instead: there is no shuffle boundary above
-    it, so a coalesce would collapse the parallel corpus-probe scan
-    itself to one task; the explicit exchange moves ≤|entries| rows.
-    Inside the loop ``coalesce(1)`` sits above the groupBy exchange, so
-    only the ≤1k-row reduce side collapses."""
-    visited = scorer(entries).repartition(1).localCheckpoint(eager=True)
-    # the initial frontier honors the beam bound too (n_cells can
-    # exceed BEAM_WIDTH at reference shape: 128 clusters vs beam 24)
-    frontier = visited.orderBy(*sort_cols()).limit(beam)
+    Driver-resident walk state (VERDICT r5 #3 — walk rows are
+    driver-latency bound, not compute bound): every per-hop relation
+    except the adjacency and the corpus is walk-bounded (frontier ≤
+    beam, expansion ≤ beam·k, visited ≤ |entries| + hops·beam·k — the
+    SAME bounds that already justified broadcasting them every hop), so
+    they live driver-side, exactly the ``ivf.probe_labels`` posture
+    (ranking ≤128 centroid rows in-process instead of paying fixed
+    job-scheduling overhead per step). Each hop is exactly TWO tiny
+    distributed actions — (1) collect the frontier's neighbor ids from
+    the adjacency point-lookup (the ≤beam frontier enters as a pushed
+    InSet predicate: bucket/partition pruning at scale), (2) collect
+    the scored rows for the NEW ids (the id set enters as a pushed
+    InSet on the corpus relation — partition-prunable, strictly better
+    than the previous per-hop BroadcastExchange) — with dedup/anti-
+    visited/frontier-cut as driver set ops. The previous shape paid an
+    eager localCheckpoint plus shuffle + broadcast-exchange jobs per
+    hop for the same bounded relations. The CORPUS-scale relations
+    (adjacency, vectors/codes) are only ever scanned distributed with
+    pushed id predicates (pinned in tests/test_plans.py).
+
+    Value parity: scores are unique per vec_id, so dict keep-first ≡
+    the old MAX/MIN dedup aggregate; Python set difference ≡ the old
+    anti-join; Python float/int ordering equals the engine's total
+    order on finite doubles/longs; collect/createDataFrame round-trips
+    IEEE doubles exactly.
+    """
+    spark = adj.sparkSession
+
+    def fold(rows: list, into: dict) -> None:
+        for r in rows:
+            into.setdefault(r["vec_id"], r[value_col])
+
+    visited: dict[int, float] = {}
+    entry_ids = sorted(r.vec_id for r in entries.select("vec_id").collect())
+    fold(scorer_ids(entry_ids).collect(), visited)
+    sign = 1 if ascending else -1
     for _ in range(hops):
-        expand = (
-            adj.join(
-                F.broadcast(frontier.select(F.col("vec_id").alias("node"))), "node"
-            )
-            .select(F.col("nbr").alias("vec_id"))
-            .distinct()
-            # never rescore an already-visited node: its score is already
-            # in `visited`, and union + the dedup aggregate would only
-            # collapse the identical value — the anti-join is
-            # value-neutral (the oracle keeps the plain union for the
-            # same reason) but drops up to beam·k wasted kernel
-            # evaluations per hop once the frontier stabilizes.
-            .join(visited.select("vec_id"), "vec_id", "left_anti")
+        # the frontier honors the beam bound from hop 0 (n_cells can
+        # exceed BEAM_WIDTH at reference shape: 128 clusters vs beam 24)
+        frontier = [
+            int(vid)
+            for vid, _ in sorted(
+                visited.items(), key=lambda kv: (sign * kv[1], -kv[0])
+            )[:beam]
+        ]
+        nbrs = (
+            adj.filter(F.col("node").isin(frontier)).select("nbr").collect()
         )
-        # visited is referenced twice per hop (fold + next frontier) and
-        # is ≤ |entry| + hops·beam·k rows — materialize it so the hop
-        # chain stays a flat sequence of short stages instead of a
-        # 2^hops re-execution tree.
-        visited = (
-            visited.union(scorer(expand))
-            .groupBy("vec_id")
-            .agg(agg_expr())
-            .coalesce(1)
-            .localCheckpoint(eager=True)
-        )
-        frontier = visited.orderBy(*sort_cols()).limit(beam)
-    return visited
+        # dedup + never-rescore-visited as driver set ops (value-neutral
+        # — the oracle keeps the plain union; scores are unique per id)
+        new_ids = sorted({int(r.nbr) for r in nbrs} - visited.keys())
+        if new_ids:
+            fold(scorer_ids(new_ids).collect(), visited)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(int(k), v) for k, v in sorted(visited.items())], 1
+        ),
+        f"vec_id bigint, {value_col} {value_type}",
+    )
 
 
 def _beam_visited(
@@ -386,9 +399,11 @@ def _beam_visited(
     and measurably necessary: a single fixed entry navigates near-
     uniform fixture embeddings at <10% recall@5, per-cell entries at
     ~90% with the same beam budget. Fixed hop count, fixed beam width
-    — the driver builds a short lazy chain of (broadcast-frontier ⋈
-    adjacency) hops; nothing is collected and no stage's width depends
-    on corpus size. The visited set is deduplicated by grouping on
+    — each hop is two bounded point-lookups (pushed-InSet adjacency
+    expansion, pushed-InSet scoring), with the walk-bounded state
+    (frontier/visited ≤ cells + hops·beam·K rows) driver-resident; no
+    stage's width depends on corpus size and nothing corpus-sized is
+    ever collected. The visited set is deduplicated by grouping on
     vec_id (scores for a given vector are identical by construction,
     so MAX is a no-op chosen for engine portability).
     """
@@ -432,12 +447,12 @@ def beam_visited_over(
         acc += float(x) * float(x)
     qn = F.lit(math.sqrt(acc))  # math.sqrt: correctly rounded, ≡ JVM/DuckDB sqrt
 
-    def scored(ids: DataFrame) -> DataFrame:
-        # ids is walk-bounded (≤ |entries| or ≤ beam·K rows) — broadcast
-        # it so the corpus-side relation is probed, never shuffled (the
-        # persisted-index engine reads emb_n from parquet, where a
-        # stats-less ids side would otherwise pick a sort-merge join)
-        return emb_n.join(F.broadcast(ids), "vec_id").select(
+    def scored(ids: list[int]) -> DataFrame:
+        # ids is walk-bounded (≤ |entries| or ≤ beam·K) — it enters as a
+        # pushed InSet predicate on the corpus relation, so the probe is
+        # a pruned scan (PushedFilters on the persisted-index parquet
+        # path; pinned in tests/test_plans.py), never a shuffle
+        return emb_n.filter(F.col("vec_id").isin(ids)).select(
             "vec_id",
             F.round(
                 dot_product(F.col("v"), q) / (F.col("nrm") * qn + F.lit(EPSILON)), 6
@@ -448,8 +463,9 @@ def beam_visited_over(
         adj,
         _entry_points(emb),
         scored,
-        lambda: [F.desc("score"), F.desc("vec_id")],
-        lambda: F.max("score").alias("score"),
+        "score",
+        "double",
+        False,
         beam,
         hops,
     )
@@ -554,20 +570,23 @@ def multi_beam_visited_over(
     hops: int,
 ) -> DataFrame:
     """ONE walk loop serving ALL queries per hop — ``query_id`` travels
-    in the frontier relation (the ``ivf.multi_query_knn_ivf`` one-plan
-    posture, VERDICT r5 #5): each hop is one broadcast frontier ×
-    adjacency expansion, one corpus-probe scoring join, one fold, for
-    the whole batch — jobs per walk are hops+1 regardless of |Q|,
-    where the previous per-query loop paid the full per-hop job-
-    scheduling overhead |Q| times.
+    with the driver-resident frontier (the ``ivf.multi_query_knn_ivf``
+    one-plan posture, VERDICT r5 #5): each hop is TWO tiny distributed
+    actions for the whole batch (collect the union frontier's neighbor
+    lists via a pushed InSet on the adjacency; collect the scored new
+    (query_id, vec_id) pairs via a pushed InSet on the corpus), so jobs
+    per walk are 2·hops+2 regardless of |Q|, where the previous
+    per-query loop paid a full walk's job-scheduling overhead |Q|
+    times.
 
     Value parity with the per-query walk is structural: the walk's
     dataflow is independent per query (entries, frontier cut, expansion
-    and fold all key on ``query_id``), batching only changes the PLAN —
-    ‖q‖ is hoisted in the same Python-float fold, scores round the same
-    way, and the per-query beam cut is the same (score DESC, vec_id
-    DESC) ordering via a window instead of a global sort. Returns the
-    deduplicated visited set (query_id, vec_id, score).
+    and fold all key on ``query_id``) and only the orchestration
+    changes — ‖q‖ is hoisted in the same Python-float fold, scores
+    round the same way, and the per-query beam cut is the same (score
+    DESC, vec_id DESC) ordering as a driver sort (Python float order ≡
+    the engine's on finite doubles). Returns the deduplicated visited
+    set (query_id, vec_id, score).
     """
     spark = emb.sparkSession
     rows = []
@@ -576,14 +595,26 @@ def multi_beam_visited_over(
         for x in qv:
             acc += float(x) * float(x)
         rows.append((int(qid), [float(x) for x in qv], math.sqrt(acc)))
-    qdf = spark.createDataFrame(rows, "query_id bigint, qv array<double>, qn double")
+    qdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "query_id bigint, qv array<double>, qn double",
+    )
 
-    def scored(ids: DataFrame) -> DataFrame:
-        # ids (query_id, vec_id) is walk-bounded — broadcast so the
-        # corpus-side relation is probed, never shuffled; the per-query
-        # vectors are a ≤|Q|-row broadcast lookup
+    def score_pairs(pairs: list[tuple[int, int]]) -> DataFrame:
+        # the union id set enters as a pushed InSet on the corpus
+        # relation (pruned scan); query attribution rides a 1-slice
+        # local (query_id, vec_id) relation whose broadcast builds
+        # driver-side; the per-query vectors are a ≤|Q|-row lookup
+        union_ids = sorted({int(v) for _, v in pairs})
+        pdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(int(q_id), int(v)) for q_id, v in pairs], 1
+            ),
+            "query_id bigint, vec_id bigint",
+        )
         return (
-            emb_n.join(F.broadcast(ids), "vec_id")
+            emb_n.filter(F.col("vec_id").isin(union_ids))
+            .join(F.broadcast(pdf), "vec_id")
             .join(F.broadcast(qdf), "query_id")
             .select(
                 "query_id",
@@ -596,41 +627,58 @@ def multi_beam_visited_over(
             )
         )
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("vec_id"))
+    # Driver-resident walk state, exactly like the single-query _walk
+    # (frontier/expansion/visited are ≤ |Q|·(|entries| + hops·beam·k)
+    # rows — the same bounds that justified broadcasting them per hop):
+    # each hop is TWO tiny distributed actions for the WHOLE batch —
+    # collect the union frontier's neighbor lists, then collect the
+    # scored new pairs — with per-query dedup/anti/cut as driver set
+    # ops. Jobs per walk stay hops·2+2 regardless of |Q|.
+    visited: dict[tuple[int, int], float] = {}
 
-    def cut(vis: DataFrame) -> DataFrame:
-        return (
-            vis.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= beam)
-            .select("query_id", "vec_id")
-        )
+    def fold(batch_rows: list) -> None:
+        for r in batch_rows:
+            visited.setdefault((r["query_id"], r["vec_id"]), r["score"])
 
-    entries = _entry_points(emb).crossJoin(F.broadcast(qdf.select("query_id")))
-    visited = scored(entries).repartition(1).localCheckpoint(eager=True)
-    frontier = cut(visited)
+    entry_ids = sorted(
+        r.vec_id for r in _entry_points(emb).select("vec_id").collect()
+    )
+    q_ids = [int(q_id) for q_id, _ in queries]
+    fold(score_pairs([(q_id, v) for q_id in q_ids for v in entry_ids]).collect())
     for _ in range(hops):
-        expand = (
-            adj.join(
-                F.broadcast(frontier.withColumnRenamed("vec_id", "node")), "node"
-            )
-            .select("query_id", F.col("nbr").alias("vec_id"))
-            .distinct()
-            .join(
-                visited.select("query_id", "vec_id"),
-                ["query_id", "vec_id"],
-                "left_anti",
-            )
+        per_q: dict[int, list[tuple[int, float]]] = {}
+        for (q_id, vid), s in visited.items():
+            per_q.setdefault(q_id, []).append((vid, s))
+        frontier = [
+            (q_id, vid)
+            for q_id, items in per_q.items()
+            for vid, _ in sorted(items, key=lambda kv: (-kv[1], -kv[0]))[:beam]
+        ]
+        union_nodes = sorted({int(vid) for _, vid in frontier})
+        nbr_rows = (
+            adj.filter(F.col("node").isin(union_nodes))
+            .select("node", "nbr")
+            .collect()
         )
-        visited = (
-            visited.select("query_id", "vec_id", "score")
-            .union(scored(expand))
-            .groupBy("query_id", "vec_id")
-            .agg(F.max("score").alias("score"))
-            .coalesce(1)
-            .localCheckpoint(eager=True)
+        adj_map: dict[int, list[int]] = {}
+        for r in nbr_rows:
+            adj_map.setdefault(r.node, []).append(r.nbr)
+        new_pairs = sorted(
+            {
+                (q_id, int(nbr))
+                for q_id, vid in frontier
+                for nbr in adj_map.get(vid, ())
+            }
+            - visited.keys()
         )
-        frontier = cut(visited)
-    return visited
+        if new_pairs:
+            fold(score_pairs(new_pairs).collect())
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(int(q), int(v), s) for (q, v), s in sorted(visited.items())], 1
+        ),
+        "query_id bigint, vec_id bigint, score double",
+    )
 
 
 def multi_query_graph_beam(
@@ -817,10 +865,10 @@ def knn_graph_beam_bq(
         acc += float(x) * float(x)
     qn = F.lit(math.sqrt(acc))
 
-    def hscored(ids: DataFrame) -> DataFrame:
-        # walk-bounded ids broadcast against the codes state (see
+    def hscored(ids: list[int]) -> DataFrame:
+        # walk-bounded ids as a pushed InSet on the codes state (see
         # beam_visited_over's scorer)
-        return codes.join(F.broadcast(ids), "vec_id").select(
+        return codes.filter(F.col("vec_id").isin(ids)).select(
             "vec_id",
             F.bit_count(F.col("code").bitwiseXOR(F.lit(qcode).cast("long")))
             .cast("long")
@@ -831,8 +879,9 @@ def knn_graph_beam_bq(
         adj,
         _entry_points(emb),
         hscored,
-        lambda: [F.asc("hamming"), F.desc("vec_id")],
-        lambda: F.min("hamming").alias("hamming"),
+        "hamming",
+        "bigint",
+        True,
         beam,
         hops,
     )

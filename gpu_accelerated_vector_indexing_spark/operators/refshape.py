@@ -352,9 +352,9 @@ def refshape_graph_bq(
         qwords.append(word)
     qcode = F.array(*[F.lit(w).cast("long") for w in qwords])
 
-    def hscored(ids: DataFrame) -> DataFrame:
-        # walk-bounded ids broadcast against the codes state
-        return codes.join(F.broadcast(ids), "vec_id").select(
+    def hscored(ids: list[int]) -> DataFrame:
+        # walk-bounded ids as a pushed InSet on the codes state
+        return codes.filter(F.col("vec_id").isin(ids)).select(
             "vec_id",
             bq_hamming(F.col("codes"), qcode).cast("long").alias("hamming"),
         )
@@ -363,8 +363,9 @@ def refshape_graph_bq(
         adj,
         _entry_points(emb),
         hscored,
-        lambda: [F.asc("hamming"), F.desc("vec_id")],
-        lambda: F.min("hamming").alias("hamming"),
+        "hamming",
+        "bigint",
+        True,
         BEAM_WIDTH,
         BEAM_HOPS,
     )

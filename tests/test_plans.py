@@ -425,24 +425,31 @@ def test_embedding_lsh_reads_cached_signature_state(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_graph_engine_scorer_broadcasts_walk_ids(spark, built_graph_index_plans):
+def test_graph_engine_scorer_pushes_walk_id_inset(spark, built_graph_index_plans):
     """The persisted-index scorer probes the parquet corpus with the
-    walk-bounded id set BROADCAST (emb_n ⋈ broadcast(ids)) — on a
-    stats-less parquet relation a plain join would fall back to a
-    sort-merge of the whole corpus per hop, the 100 TB regression. The
-    hops themselves materialize via localCheckpoint (the final search
-    plan is TakeOrdered over the visited RDD — pinned too: no Sort, no
-    residual join)."""
+    walk-bounded id set as a PUSHED InSet predicate (PushedFilters:
+    In(vec_id, …)) — the id set reaches the scan for partition/row-group
+    pruning; no join of any kind appears in the probe, so the 100 TB
+    sort-merge regression is structurally impossible. The walk state
+    itself is driver-resident (the probe_labels posture), so the final
+    search plan is TakeOrdered over a local relation — pinned too: no
+    Sort, no residual join."""
     from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
     from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
     from pyspark.sql import functions as F
 
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import BEAM_WIDTH
+
     corpus = spark.read.parquet(f"{built_graph_index_plans}/corpus_normed")
-    ids = spark.range(3).withColumnRenamed("id", "vec_id")
-    probe = corpus.select("vec_id", "v", "nrm").join(F.broadcast(ids), "vec_id")
+    # probe at the REAL walk cardinality (≥ the In→InSet conversion
+    # threshold of 10): the pin must hold where the walk actually runs,
+    # not only in the sub-threshold regime
+    probe = corpus.select("vec_id", "v", "nrm").filter(
+        F.col("vec_id").isin(list(range(BEAM_WIDTH)))
+    )
     plan = physical_plan(probe)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "PushedFilters: [In(vec_id" in plan, plan
+    assert "Join" not in plan, plan
 
     qvec = [
         float(x)

@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     ("graph_relink_after_deletes", _collect),
     ("graph_engine_batch_search", _collect),  # run 1 persists the index
     ("streaming_dsir_score", _noop),
+    ("graph_index_stats", _collect),
 ]
 
 # Walk-style rows (graph beam/sweep: many tiny driver-latency-bound

@@ -1141,3 +1141,39 @@ def graph_engine_batch_search(
 
     eng = GraphEngine.from_pretrained(spark, fixture_graph_index(spark, sf_dir))
     return eng.search_batch(fixture_qvecs(spark, sf_dir, query_ids), k=k)
+
+
+def graph_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index health monitoring — the graph twin of
+    ``ivf.index_stats``: one observability row over the memoized edge
+    state. Reciprocity (the fraction of directed edges whose reverse
+    also survives the top-K cut) is THE graph-quality signal NN-descent
+    practitioners watch — healthy kNN graphs are highly reciprocal, and
+    a drop after heavy inserts/deletes means neighborhoods have drifted
+    and a repair pass (``graph_relink_after_deletes``) or rebuild is
+    due. Score digest in exact LONG micro-units (order-free sums).
+
+    Scale shape: one scan of the n·K edge state + one self-join on the
+    (nbr, node) key for reciprocity — both edge-sized, never
+    corpus-quadratic; output is ONE row.
+    """
+    g = fixture_graph(spark, sf_dir)
+    rev = g.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    recip = g.select("node", "nbr").intersect(rev)
+    stats = g.agg(
+        F.countDistinct("node").alias("n_nodes"),
+        F.count("*").alias("n_edges"),
+        F.sum(F.round(F.col("score") * 1e6).cast("long")).alias("score_sum_micro"),
+        F.min(F.round(F.col("score") * 1e6).cast("long")).alias("score_min_micro"),
+        F.max(F.round(F.col("score") * 1e6).cast("long")).alias("score_max_micro"),
+    )
+    n_recip = recip.agg(F.count("*").alias("n_reciprocal"))
+    return stats.crossJoin(n_recip).select(
+        "n_nodes",
+        "n_edges",
+        "n_reciprocal",
+        F.expr("n_reciprocal * 1000000 DIV n_edges").alias("reciprocity_micro"),
+        "score_sum_micro",
+        "score_min_micro",
+        "score_max_micro",
+    )

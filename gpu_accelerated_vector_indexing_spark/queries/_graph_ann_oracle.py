@@ -491,3 +491,25 @@ SELECT rk,
        CAST(sum(nbr) AS BIGINT) AS nbr_id_sum
 FROM rlrepaired
 GROUP BY rk ORDER BY rk"""
+
+
+def index_stats_sql() -> str:
+    """One observability row over the replayed build: counts, degree
+    reciprocity, exact micro-unit score digest — the graph twin of the
+    IVF index-health oracle."""
+    ctes, g = graph_build_ctes()
+    return f"""WITH {ctes},
+gis_rev AS (SELECT nbr AS node, node AS nbr FROM {g}),
+gis_recip AS (SELECT node, nbr FROM {g} INTERSECT SELECT node, nbr FROM gis_rev),
+gis_stats AS (
+  SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+         CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS score_sum_micro,
+         CAST(min(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS score_min_micro,
+         CAST(max(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS score_max_micro
+  FROM {g}),
+gis_r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM gis_recip)
+SELECT n_nodes, n_edges, n_reciprocal,
+       (n_reciprocal * 1000000) // n_edges AS reciprocity_micro,
+       score_sum_micro, score_min_micro, score_max_micro
+FROM gis_stats CROSS JOIN gis_r"""

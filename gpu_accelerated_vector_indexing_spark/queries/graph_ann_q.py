@@ -137,3 +137,17 @@ QUERIES["graph_engine_batch_search"] = _engine_batch
 # same full oracle as the in-session per-query walks: persistence AND
 # batching must both be value-neutral
 ORACLES["graph_engine_batch_search"] = multi_beam_sql(MULTI_IDS, k=K)
+
+
+# --- r6: graph-index health observability --------------------------------------
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    index_stats_sql,
+)
+
+
+def _index_stats(spark, sf_dir):
+    return graph_ann.graph_index_stats(spark, sf_dir)
+
+
+QUERIES["graph_index_stats"] = _index_stats
+ORACLES["graph_index_stats"] = index_stats_sql()

@@ -198,3 +198,18 @@ def test_graph_engine_batch_search_matches_in_session(spark):
         for r in multi_query_graph_beam(spark, SF_CORRECT, query_ids=(0, 3, 7)).collect()
     )
     assert a == b
+
+
+def test_graph_index_stats_invariants(spark):
+    """One health row: n_edges = n_nodes * K, reciprocity in (0, 1],
+    micro digest ordered min <= max, reciprocal count <= edges."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        K_GRAPH,
+        graph_index_stats,
+    )
+
+    r = graph_index_stats(spark, SF_CORRECT).collect()[0]
+    assert r.n_edges == r.n_nodes * K_GRAPH
+    assert 0 < r.n_reciprocal <= r.n_edges
+    assert 0 < r.reciprocity_micro <= 1_000_000
+    assert r.score_min_micro <= r.score_max_micro

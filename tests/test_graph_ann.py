@@ -213,3 +213,26 @@ def test_graph_index_stats_invariants(spark):
     assert 0 < r.n_reciprocal <= r.n_edges
     assert 0 < r.reciprocity_micro <= 1_000_000
     assert r.score_min_micro <= r.score_max_micro
+
+
+def test_single_walk_job_count_bounded(spark):
+    """The driver-resident walk's job budget is structural: one entry
+    collect + one entry scoring + 2 jobs per hop (expansion lookup,
+    scoring lookup) + the final top-k — a regression back to per-hop
+    checkpoints/broadcast-exchanges would blow this bound."""
+    import uuid
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        BEAM_HOPS,
+        knn_graph_beam,
+    )
+
+    knn_graph_beam(spark, SF_CORRECT).collect()  # warm memoized state
+    group = f"walkjobs-{uuid.uuid4()}"
+    spark.sparkContext.setJobGroup(group, "single walk job count")
+    try:
+        knn_graph_beam(spark, SF_CORRECT).collect()
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+    assert jobs <= 2 * BEAM_HOPS + 4, f"walk scheduled {jobs} jobs"

@@ -302,6 +302,8 @@ BENCH_QUERIES = [
     ("graph_engine_batch_search", _collect),  # run 1 persists the index
     ("streaming_dsir_score", _noop),
     ("graph_index_stats", _collect),
+    ("knn_sq4", _collect),
+    ("knn_ivf_sq4", _collect),
 ]
 
 # Walk-style rows (graph beam/sweep: many tiny driver-latency-bound

@@ -654,8 +654,10 @@ def ann_method_comparison(
         knn_bq,
         knn_ivf_bq,
         knn_ivf_pq,
+        knn_ivf_sq4,
         knn_ivf_sq8,
         knn_pq,
+        knn_sq4,
         knn_sq8,
     )
 
@@ -664,7 +666,9 @@ def ann_method_comparison(
         "ivf_np3": knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
         "lsh": knn_lsh(spark, sf_dir, query_id=query_id, k=k),
         "sq8": knn_sq8(spark, sf_dir, query_id=query_id, k=k),
+        "sq4": knn_sq4(spark, sf_dir, query_id=query_id, k=k),
         "ivf_sq8": knn_ivf_sq8(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
+        "ivf_sq4": knn_ivf_sq4(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
         "pq": knn_pq(spark, sf_dir, query_id=query_id, k=k),
         "bq": knn_bq(spark, sf_dir, query_id=query_id, k=k),
         "ivf_bq": knn_ivf_bq(spark, sf_dir, query_id=query_id, k=k, n_probe=3),

@@ -81,20 +81,25 @@ def _lit_array(vals: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vals])
 
 
-def sq8_codes(v: Column, mins: list[float], maxs: list[float]) -> Column:
-    """ARRAY<INT> of 0-255 codes (stored as 1 byte/dim in parquet)."""
+def sq8_codes(
+    v: Column, mins: list[float], maxs: list[float], levels: int = SQ_LEVELS
+) -> Column:
+    """ARRAY<INT> of 0..``levels`` codes — 0-255 for SQ8 (1 byte/dim at
+    rest); ``levels=15`` gives the SQ4 rung (two dims pack per byte)."""
     spans = [hi - lo + SPAN_GUARD for lo, hi in zip(mins, maxs)]
     shifted = F.zip_with(v, _lit_array(mins), lambda x, lo: x - lo)
     return F.zip_with(
         shifted,
         _lit_array(spans),
-        lambda d, s: F.round(d / s * SQ_LEVELS).cast("int"),
+        lambda d, s: F.round(d / s * levels).cast("int"),
     )
 
 
-def sq8_dequantize(codes: Column, mins: list[float], maxs: list[float]) -> Column:
+def sq8_dequantize(
+    codes: Column, mins: list[float], maxs: list[float], levels: int = SQ_LEVELS
+) -> Column:
     spans = [hi - lo + SPAN_GUARD for lo, hi in zip(mins, maxs)]
-    scaled = F.zip_with(codes, _lit_array(spans), lambda c, s: c * s / SQ_LEVELS)
+    scaled = F.zip_with(codes, _lit_array(spans), lambda c, s: c * s / levels)
     return F.zip_with(scaled, _lit_array(mins), lambda x, lo: x + lo)
 
 
@@ -112,26 +117,47 @@ def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_sq4(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_candidates: int = 80,
+) -> DataFrame:
+    """Top-k cosine via the SQ4 rung (16 levels/dim — two dims per byte
+    at rest, 8× fewer candidate-scan bytes than float32): the same
+    affine quantizer as SQ8 at ``levels=15``, with a wider candidate
+    margin absorbing the coarser (~3%-per-dim) error so the result
+    still equals the brute-force top-k — the ladder's missing rung
+    between SQ8 and 1-bit BQ, same approx≡exact oracle contract.
+    """
+    return knn_sq8(
+        spark, sf_dir, query_id=query_id, k=k, n_candidates=n_candidates, levels=15
+    )
+
+
 def knn_sq8(
     spark: SparkSession,
     sf_dir: str,
     query_id: int = 0,
     k: int = 5,
     n_candidates: int = 50,
+    levels: int = SQ_LEVELS,
 ) -> DataFrame:
-    """Top-k cosine via SQ8 candidate scan + exact float rescore.
+    """Top-k cosine via SQ candidate scan + exact float rescore.
 
     Returns exactly the brute-force top-k (candidate margin ≫ the rank
     perturbation a ≤0.2%-per-dim quantization error can cause), so the
     DuckDB oracle is the exact brute-force query — the same
     approx-path-must-equal-exact-path contract as IVF at full probe.
+    ``levels`` selects the rung (255 = SQ8 default, 15 = SQ4).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = corpus_quantizer(spark, sf_dir)
     q = query_vectors(spark, sf_dir, [query_id])
 
     v = as_double_array("embedding")
-    approx_v = sq8_dequantize(sq8_codes(v, mins, maxs), mins, maxs)
+    approx_v = sq8_dequantize(sq8_codes(v, mins, maxs, levels), mins, maxs, levels)
     approx_score = F.aggregate(
         F.zip_with(approx_v, F.col("qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     ) / (l2_norm(approx_v) * F.col("qnorm") + F.lit(EPSILON))
@@ -313,6 +339,29 @@ def knn_pq(
     )
 
 
+def knn_ivf_sq4(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    n_candidates: int = 80,
+) -> DataFrame:
+    """IVF pruning × the SQ4 rung × exact rescore — the composition
+    matrix row for the 4-bit scalar quantizer (read n_probe/k of the
+    corpus × 8× fewer candidate-scan bytes), wider candidate margin
+    per ``knn_sq4``; equals the exact fine search within the probes."""
+    return knn_ivf_sq8(
+        spark,
+        sf_dir,
+        query_id=query_id,
+        k=k,
+        n_probe=n_probe,
+        n_candidates=n_candidates,
+        levels=15,
+    )
+
+
 def knn_ivf_sq8(
     spark: SparkSession,
     sf_dir: str,
@@ -320,15 +369,17 @@ def knn_ivf_sq8(
     k: int = 5,
     n_probe: int = 3,
     n_candidates: int = 50,
+    levels: int = SQ_LEVELS,
 ) -> DataFrame:
-    """The full production ANN path: IVF pruning × SQ8 scan × exact rescore.
+    """The full production ANN path: IVF pruning × SQ scan × exact rescore.
 
     Composition of the two scale levers — partition pruning cuts the
     fraction of the corpus READ to n_probe/n_clusters (SURVEY.md §4 P1),
-    and scalar quantization cuts the bytes per row scanned by 4× — then
-    a broadcast-joined exact rescore of ≤ ``n_candidates`` rows restores
-    exact ranking. Within the probed set the result equals the exact
-    fine search, so the oracle is the standard IVF fine-search SQL.
+    and scalar quantization cuts the bytes per row scanned by 4× (8× at
+    ``levels=15``, the SQ4 rung) — then a broadcast-joined exact rescore
+    of ≤ ``n_candidates`` rows restores exact ranking. Within the
+    probed set the result equals the exact fine search, so the oracle
+    is the standard IVF fine-search SQL.
     """
     from gpu_accelerated_vector_indexing_spark.operators.ivf import coarse_probes
 
@@ -339,7 +390,7 @@ def knn_ivf_sq8(
     pruned = emb.filter(F.col("label").isin(probes))
 
     v = as_double_array("embedding")
-    approx_v = sq8_dequantize(sq8_codes(v, mins, maxs), mins, maxs)
+    approx_v = sq8_dequantize(sq8_codes(v, mins, maxs, levels), mins, maxs, levels)
     approx_score = F.aggregate(
         F.zip_with(approx_v, F.col("qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     ) / (l2_norm(approx_v) * F.col("qnorm") + F.lit(EPSILON))

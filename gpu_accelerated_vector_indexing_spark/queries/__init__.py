@@ -43,13 +43,13 @@ _GATE_FIRST = [
     # --- round-6 novelties (never gated by definition)
     "curation_dsir_sample", "graph_relink_after_deletes",
     "graph_engine_batch_search", "streaming_dsir_score",
-    "graph_index_stats",
+    "graph_index_stats", "knn_sq4", "knn_ivf_sq4",
     # --- re-confirmations: rows touched by round-6 changes first
     "dedup_semantic_graph", "multi_query_graph_beam",
     "refshape_graph_beam", "refshape_graph_bq", "refshape_graph_cli",
     "graph_search_with_docs", "graph_ann_recall",
-    # --- then r5 flagships worth a second driver-written row
-    "sketch_cms_merge", "sketch_quantile_merge", "streaming_cms_merge",
+    # --- then an r5 flagship worth a second driver-written row
+    "sketch_quantile_merge",
 ]
 
 

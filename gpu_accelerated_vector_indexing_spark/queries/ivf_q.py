@@ -452,7 +452,9 @@ _AM_METHODS = {
     "ivf_np3": _AM_IVF,
     "lsh": _lsh_q.ORACLES["knn_lsh"],
     "sq8": _AM_BRUTE,
+    "sq4": _AM_BRUTE,
     "ivf_sq8": _AM_IVF,
+    "ivf_sq4": _AM_IVF,
     "pq": _pq.knn_pq_sql(QUERY_ID, dim=DIM, k=K, n_candidates=150),
     "bq": _AM_BRUTE,
     "ivf_bq": _AM_IVF,
@@ -821,3 +823,16 @@ ORACLES["filtered_method_recall"] = (
         for name, sql in _FM_METHODS.items()
     )
 )
+
+
+# --- r6: IVF × SQ4 composition rung -------------------------------------------
+def _knn_ivf_sq4(spark, sf_dir):
+    """IVF pruning × SQ4 compressed scan × exact rescore — equals the
+    exact fine search within the probed set, so it shares the IVF oracle."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_ivf_sq4
+
+    return knn_ivf_sq4(spark, sf_dir, query_id=QUERY_ID, k=K, n_probe=N_PROBE)
+
+
+QUERIES["knn_ivf_sq4"] = _knn_ivf_sq4
+ORACLES["knn_ivf_sq4"] = ORACLES["knn_ivf_sq8"]

@@ -618,3 +618,16 @@ SELECT doc_id, round(s / (m * 1000000.0), 6) AS score
 FROM agg
 ORDER BY score DESC, doc_id DESC LIMIT {K}
 """
+
+
+# --- r6: the SQ4 rung (16 levels/dim, two dims per byte at rest) ---------------
+def _knn_sq4(spark, sf_dir):
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import knn_sq4
+
+    return knn_sq4(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+QUERIES["knn_sq4"] = _knn_sq4
+# approx ≡ exact contract at the widened candidate margin — same oracle
+# posture as knn_sq8
+ORACLES["knn_sq4"] = ORACLES["knn_bruteforce"]

@@ -339,10 +339,12 @@ def test_ann_method_comparison_bounds(spark):
 
     rows = {r.method: r.recall for r in ann_method_comparison(spark, SF_CORRECT).collect()}
     assert set(rows) == {
-        "ivf_np3", "lsh", "sq8", "ivf_sq8", "pq", "ivf_pq", "bq", "ivf_bq",
-        "mrl", "ivf_mrl", "graph_beam", "graph_beam_bq",
+        "ivf_np3", "lsh", "sq8", "sq4", "ivf_sq8", "ivf_sq4", "pq",
+        "ivf_pq", "bq", "ivf_bq", "mrl", "ivf_mrl", "graph_beam",
+        "graph_beam_bq",
     }
     assert rows["sq8"] == 1.0  # exact-equality contract
+    assert rows["sq4"] == 1.0  # exact-equality contract (wider margin)
     assert rows["bq"] == 1.0  # exact-equality contract (margin-backed)
     assert all(0.0 <= v <= 1.0 for v in rows.values())
 

@@ -230,3 +230,50 @@ def test_wav_bmp_codecs_roundtrip_any_bytes(payload):
     assert bmp["file_size"] == 14 + 40 + 1024 + h * BMP_WIDTH
     # padding beyond the payload is zeros (deterministic container)
     assert set(bmp["pixels"][len(payload):]) <= {0}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_min_label_fixpoint_matches_union_find(spark, edges):
+    """The shared iterative kernel (semantic + n-gram dedup components)
+    must compute EXACT connected components on arbitrary graphs — cross-
+    checked against a plain Python union-find with min-id roots."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        min_label_fixpoint,
+    )
+
+    # ground truth: union-find, component label = min member id
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "node bigint, nbr bigint"
+    )
+    und = df.union(df.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))).distinct()
+    got = {r.node: r.component for r in min_label_fixpoint(und, max_rounds=40).collect()}
+    assert got == truth

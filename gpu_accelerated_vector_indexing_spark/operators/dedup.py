@@ -1137,6 +1137,15 @@ def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# serializes the (registry-snapshot, checkpoint, registry-snapshot)
+# critical section below so concurrent kernel invocations (e.g. two
+# component queries on different threads of one session) can never
+# attribute each other's snapshot blocks and free them
+import threading as _threading
+
+_FIXPOINT_LOCK = _threading.Lock()
+
+
 def min_label_fixpoint(und: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Min-label propagation over a symmetric (undirected, both
     directions materialized) edge relation ``(node, nbr)`` to FIXPOINT:
@@ -1162,20 +1171,49 @@ def min_label_fixpoint(und: DataFrame, max_rounds: int = 50) -> DataFrame:
     explain strings past ~20 rounds) and the SUPERSEDED round's
     checkpoint blocks are freed via the persistent-RDD registry — peak
     storage is two label snapshots regardless of round count. The id
-    diff around each eager checkpoint assumes no CONCURRENT checkpoint
-    in the same SparkSession (the engine's sessions execute queries
-    sequentially — driver contract), and callers must MATERIALIZE any
-    cache feeding ``und`` before calling (a lazy cache registering its
-    blocks inside the kernel's first checkpoint job would be freed as
-    part of that round's id diff). The returned labels keep their
-    checkpoint (callers may memoize the result).
+    diff around each eager checkpoint is serialized by a module-level
+    lock (``_FIXPOINT_LOCK``) so two kernel invocations on concurrent
+    threads can never free each other's blocks; an RDD some OTHER
+    concurrent query registers during a checkpoint job is excluded by
+    filtering the diff to localCheckpoint-produced RDDs (their
+    callSite marks them) — the residual assumption is only that no
+    other code localCheckpoints concurrently in the same session (the
+    engine's sessions execute queries sequentially — driver contract).
+    Callers must MATERIALIZE any cache feeding ``und`` before calling
+    (a lazy cache registering its blocks inside the kernel's first
+    checkpoint job would otherwise block-register mid-diff; the
+    callSite filter makes this a belt-and-braces rule rather than a
+    correctness cliff). The returned labels keep their checkpoint
+    (callers may memoize the result).
     """
     spark = und.sparkSession
 
+    def _is_local_ckpt(jrdd) -> bool:
+        # a localCheckpoint RDD renders as "MapPartitionsRDD[n] at
+        # localCheckpoint at ..."; a cached query relation renders as
+        # its plan string ("*(1) Range ...") — so the callSite cleanly
+        # separates this kernel's snapshots from any cache a concurrent
+        # query registers mid-job
+        s = jrdd.toString()
+        return s.startswith("MapPartitionsRDD") and " at localCheckpoint at " in s
+
     def ckpt(df: DataFrame) -> tuple[DataFrame, set]:
-        before = set(spark._jsc.getPersistentRDDs())
-        out = df.localCheckpoint(eager=True)
-        return out, set(spark._jsc.getPersistentRDDs()) - before
+        with _FIXPOINT_LOCK:
+            before = set(spark._jsc.getPersistentRDDs())
+            out = df.localCheckpoint(eager=True)
+            after = dict(spark._jsc.getPersistentRDDs())
+        raw = set(after) - before
+        new_ids = {i for i in raw if _is_local_ckpt(after[i])}
+        if raw and not new_ids:
+            # the callSite filter matched nothing although the eager
+            # checkpoint must have registered blocks — the toString
+            # format drifted (Spark upgrade). Fall back to the raw diff
+            # (the lock already serializes kernel invocations; only a
+            # concurrent OTHER query's cache could now be misattributed
+            # — the pre-r7 exposure) rather than silently freeing
+            # nothing and leaking one snapshot per round forever.
+            new_ids = raw
+        return out, new_ids
 
     def free(ids: set) -> None:
         m = dict(spark._jsc.getPersistentRDDs())

@@ -293,15 +293,18 @@ def _entry_points(emb: DataFrame) -> DataFrame:
     return emb.groupBy("label").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
 
 
-def _masked_adj(adj: DataFrame, modulus: int) -> DataFrame:
+def _masked_adj(adj: DataFrame, modulus: int, keep_cols: bool = False) -> DataFrame:
     """Adjacency with every edge touching a ``vec_id % modulus == 0``
     node removed — the ONE definition of the tombstone/new-batch mask
-    shared by the with-deletes read path, the batch attach, and the
-    streaming attach (what the index holds after those rows'
-    delete-compaction)."""
-    return adj.filter(
+    shared by the with-deletes read path, the batch attach, the
+    streaming attach, and the repaired-index writer (what the index
+    holds after those rows' delete-compaction). ``keep_cols`` retains
+    the stored (score, rk) for consumers that persist surviving edges
+    instead of just walking them."""
+    out = adj.filter(
         (F.col("node") % modulus != 0) & (F.col("nbr") % modulus != 0)
-    ).select("node", "nbr")
+    )
+    return out if keep_cols else out.select("node", "nbr")
 
 
 def _walk(
@@ -1059,7 +1062,17 @@ def graph_relink_after_deletes(
     nbr id sum) over the repaired edge set, so a value match certifies
     every repaired edge.
     """
-    emb_n = fixture_normed(spark, sf_dir)
+    return _rank_digest(relink_edges(spark, sf_dir, delete_mod, k))
+
+
+def _relink_affected_and_candidates(
+    spark: SparkSession, sf_dir: str, delete_mod: int
+) -> tuple[DataFrame, DataFrame]:
+    """(affected, cand): the damaged-node set and its repair candidate
+    pairs — the ONE definition shared by the repair digest
+    (``graph_relink_after_deletes``) and the persisted repaired index
+    (``repaired_graph_index``), so the certified edge set and the
+    served edge set can never drift."""
     g = fixture_graph(spark, sf_dir)
     live = F.col("node") % delete_mod != 0
     masked = _masked_adj(g, delete_mod)
@@ -1080,15 +1093,27 @@ def graph_relink_after_deletes(
         .select("node", "nbr")
     )
     cand = surv.select("node", "nbr").union(twohop).distinct()
-    return _rank_digest(_topk_per_node(_score_pairs(cand, emb_n), k))
+    return affected, cand
+
+
+def relink_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    delete_mod: int = DELETE_MOD,
+    k: int = K_GRAPH,
+) -> DataFrame:
+    """The repaired out-edges (node, nbr, score, rk) for every affected
+    node — the edge set ``graph_relink_after_deletes`` digests."""
+    _, cand = _relink_affected_and_candidates(spark, sf_dir, delete_mod)
+    return _topk_per_node(_score_pairs(cand, fixture_normed(spark, sf_dir)), k)
 
 
 _GRAPH_INDEX_DIR: dict[tuple[SparkSession, str], str] = {}
 
 
 def ensure_graph_index(
-    cache: dict[tuple[SparkSession, str], str],
-    key: tuple[SparkSession, str],
+    cache: dict[tuple, str],
+    key: tuple,
     prefix: str,
     edges: DataFrame,
     corpus_normed: DataFrame,
@@ -1177,3 +1202,134 @@ def graph_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_min_micro",
         "score_max_micro",
     )
+
+
+# --- repair → persist → serve (r7: closes the delete story end to end) -------
+
+_REPAIRED_INDEX_DIR: dict[tuple, str] = {}  # (spark, sf_dir, delete_mod, k)
+
+
+def repaired_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    delete_mod: int = DELETE_MOD,
+    k: int = K_GRAPH,
+) -> str:
+    """Write the FULL post-repair live graph through the standard index
+    layout (``write_graph_index``) and return its directory — the step
+    between ``graph_relink_after_deletes`` (which certifies the
+    repaired edges by digest) and serving (``GraphEngine`` over the
+    persisted layout): repair → persist → serve, end to end.
+
+    The repaired graph = the affected nodes' re-ranked top-k out-edges
+    (``relink_edges`` — the exact set the digest certifies) ∪ the
+    surviving masked out-edges of every unaffected live node (their
+    stored scores/ranks unchanged — compaction only removes), over the
+    live-only corpus (norms persisted, never recomputed). ``affected``
+    is damage-bounded, so its anti-join side broadcasts; everything
+    else is one scan of the edge state. Memoized per (session, corpus)
+    like every index build here.
+    """
+    key = (spark, sf_dir, delete_mod, k)
+    if key not in _REPAIRED_INDEX_DIR:
+        g = fixture_graph(spark, sf_dir)
+        # ONE candidate derivation feeds both halves (affected for the
+        # anti-join, cand for the re-rank) — a second call would run
+        # the masked/2-hop join subtrees twice in the index-build job
+        affected, cand = _relink_affected_and_candidates(spark, sf_dir, delete_mod)
+        unaffected = _masked_adj(g, delete_mod, keep_cols=True).join(
+            F.broadcast(affected), "node", "left_anti"
+        )
+        repaired = _topk_per_node(_score_pairs(cand, fixture_normed(spark, sf_dir)), k)
+        full = unaffected.select("node", "nbr", "score", "rk").unionByName(
+            repaired.select("node", "nbr", "score", "rk")
+        )
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % delete_mod != 0
+        )
+        corpus_normed = emb.select("vec_id", "label").join(
+            fixture_normed(spark, sf_dir), "vec_id"
+        )
+        ensure_graph_index(
+            _REPAIRED_INDEX_DIR,
+            key,
+            "gpu_accelerated_vector_indexing_graphrepaired_",
+            full,
+            corpus_normed,
+        )
+    return _REPAIRED_INDEX_DIR[key]
+
+
+def graph_serve_after_repair(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 1,
+    k: int = 5,
+    delete_mod: int = DELETE_MOD,
+) -> DataFrame:
+    """Serve a query THROUGH the persisted repaired index — the close
+    of the delete story (masked reads → neighborhood repair → persist →
+    serve): ``GraphEngine.from_pretrained`` over
+    :func:`repaired_graph_index`, the same facade every pretrained
+    index serves through. The oracle replays build → mask → repair →
+    the beam walk over the REPAIRED graph from live entries, so a
+    value match certifies that what was persisted and served is
+    exactly the repaired index (same query as
+    ``knn_graph_beam_with_deletes``, whose walk ran on the merely
+    MASKED graph — repair restores the bridging edges compaction
+    severed)."""
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+
+    eng = GraphEngine.from_pretrained(
+        spark, repaired_graph_index(spark, sf_dir, delete_mod)
+    )
+    return eng.search(fixture_qvec(spark, sf_dir, query_id), k=k).select(
+        "vec_id", "score"
+    )
+
+
+def graph_repair_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 1,
+    k: int = 5,
+    delete_mod: int = DELETE_MOD,
+) -> DataFrame:
+    """What the repair BUYS, measured: recall@k vs the exact top-k over
+    the live corpus for (a) the merely-MASKED walk
+    (``knn_graph_beam_with_deletes`` — compaction severed its bridging
+    edges) and (b) the walk through the persisted REPAIRED index
+    (``graph_serve_after_repair``), as one two-row relation — the
+    delete story's observability close (``graph_ann_recall``'s shape,
+    applied before/after repair). Exact side =
+    ``ivf.knn_with_deletes`` (the corpus-minus-tombstones brute force).
+    All three sides are ≤k rows over shared memoized/persisted state,
+    so the comparison costs two bounded walks and one pruned scan."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import knn_with_deletes
+
+    exact = knn_with_deletes(
+        spark, sf_dir, query_id=query_id, k=k, delete_mod=delete_mod
+    ).select("vec_id")
+    sides = (
+        (
+            "masked",
+            knn_graph_beam_with_deletes(
+                spark, sf_dir, query_id=query_id, k=k, delete_mod=delete_mod
+            ).select("vec_id"),
+        ),
+        (
+            "repaired",
+            graph_serve_after_repair(
+                spark, sf_dir, query_id=query_id, k=k, delete_mod=delete_mod
+            ).select("vec_id"),
+        ),
+    )
+    out = None
+    for method, got in sides:
+        row = got.join(exact, "vec_id", "left_semi").agg(
+            F.lit(method).alias("method"),
+            F.count("*").alias("n_hits"),
+            F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method")

@@ -130,6 +130,17 @@ def knn_sq4(
     margin absorbing the coarser (~3%-per-dim) error so the result
     still equals the brute-force top-k — the ladder's missing rung
     between SQ8 and 1-bit BQ, same approx≡exact oracle contract.
+
+    Margin scale-dependence (shared caveat of every margin on this
+    ladder — SQ8's 50, BQ's rescore window): ``n_candidates=80``
+    absorbs the score perturbation OBSERVED on this corpus family, not
+    a worst-case bound (a worst case over 384 dims at ~3%-per-dim is
+    vacuous — it exceeds the score range). A different corpus must
+    re-validate the margin; ``test_sq4_margin_headroom`` pins ≥2×
+    empirical headroom (every exact top-k member must already sit in
+    the top ``n_candidates // 2`` by approx score) so margin erosion
+    fails CI loudly instead of silently breaking the approx≡exact
+    contract.
     """
     return knn_sq8(
         spark, sf_dir, query_id=query_id, k=k, n_candidates=n_candidates, levels=15

@@ -16,40 +16,42 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-gate rotation, round 6 (VERDICT r5 "Next round" #1): the
+# Driver-gate rotation, round 7 (VERDICT r6 "Next round" #8): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# After r1-r5 the gated union is 205/240; the 35 names below are the
-# complete never-gated set (computed against CORRECTNESS_r01..r05),
-# so this round closes the union at 240/240. The remaining 15 slots
-# re-confirm the rows round 6 modifies (semantic components guard,
-# batched multi-query graph walk, beam-walk overhead cut) plus r5
-# flagships.
+# The union closed at 247/247 in r6; this round's 50 = the 2 r7
+# novelties + the 10 rows r7's changes touch (the fuzzy rewrite, the
+# fixpoint-kernel diff filter, the batched-walk chunking, the shared
+# DSIR model CTE refactor) + 38 of the 55 names whose most recent
+# gate is r1/r2 vintage (computed against CORRECTNESS_r01..r06), so
+# every name's freshest green keeps rotating forward.
 _GATE_FIRST = [
-    # --- the last 35 never-gated names (closes the union this round)
-    "events_sessionize", "percentile_summary", "case_bucketing",
-    "pivot_status", "join_bloom_pruned", "null_safe_semantics",
-    "fuzzy_customer_pairs", "events_value_histogram",
-    "sample_train_split", "sample_stratified", "unpivot_flag_measures",
-    "listagg_nations", "try_arithmetic_summary", "copurchase_part_pairs",
-    "shipping_priority", "exists_late_shipment", "large_volume_orders",
-    "disjunctive_revenue", "bilateral_trade_volume",
-    "local_supplier_volume", "revenue_forecast", "returned_item_revenue",
-    "promo_revenue", "small_quantity_revenue", "dormant_rich_customers",
-    "customer_order_distribution", "top_revenue_suppliers",
-    "cheapest_supplier_per_part", "market_share", "supplier_ship_delay",
-    "profit_by_nation_year", "important_part_value", "ship_delay_priority",
-    "parts_supplier_count", "excess_inventory_suppliers",
-    # --- round-6 novelties (never gated by definition)
-    "curation_dsir_sample", "graph_relink_after_deletes",
-    "graph_engine_batch_search", "streaming_dsir_score",
-    "graph_index_stats", "knn_sq4", "knn_ivf_sq4",
-    # --- re-confirmations: rows touched by round-6 changes first
-    "dedup_semantic_graph", "multi_query_graph_beam",
-    "refshape_graph_beam", "refshape_graph_bq", "refshape_graph_cli",
-    "graph_search_with_docs", "graph_ann_recall",
-    # --- then an r5 flagship worth a second driver-written row
-    "sketch_quantile_merge",
+    # --- round-7 novelties (never gated by definition)
+    "graph_serve_after_repair", "dsir_state_roundtrip",
+    "curation_dsir_score_pretrained", "graph_repair_recall",
+    # --- re-confirmations: rows round-7 changes touch
+    "fuzzy_customer_pairs",            # deletion-neighborhood rewrite
+    "graph_relink_after_deletes",      # relink_edges refactor
+    "graph_engine_batch_search",       # chunked search_batch
+    "curation_dsir_sample",            # shared model-CTE oracle refactor
+    "streaming_dsir_score",
+    "dedup_components",                # fixpoint ckpt-diff filter + lock
+    "dedup_semantic_graph",
+    "dedup_keep_canonical",
+    "knn_sq4", "knn_ivf_sq4",          # margin-headroom contract
+    # --- freshness rotation: r1/r2-vintage names (oldest last-green)
+    "knn_bruteforce", "knn_bruteforce_pandas", "knn_ivf_combined",
+    "knn_ivf_sequential", "knn_ivf_np1", "knn_ivf_np5", "knn_ivf_np10",
+    "knn_lsh", "knn_sq8", "knn_ivf_sq8", "knn_bq", "knn_ivf_bq",
+    "knn_prenorm", "knn_ivf_prenorm", "knn_filtered", "knn_ivf_filtered",
+    "knn_per_cluster_topk", "knn_with_docs", "multi_query_knn",
+    "multi_query_knn_ivf", "multi_query_knn_prenorm",
+    "hybrid_search_rrf", "hybrid_search_rrf_topn", "mmr_rerank",
+    "similarity_range_search", "embed_and_search", "engine_full_probe",
+    "kmeans_invariants", "ivf_centroids", "ivf_index_stats",
+    "ivf_rebalance_plan", "ivf_recall", "ivf_recall_sweep",
+    "ivf_assign_incremental", "lsh_bucket_stats", "lsh_recall",
+    "pricing_summary", "join_multiway",
 ]
 
 

@@ -455,18 +455,18 @@ FROM battached
 GROUP BY rk ORDER BY rk"""
 
 
-def relink_digest_sql() -> str:
-    """Replay the post-delete neighborhood repair: affected = live
-    nodes that lost an out-edge to a tombstone; candidates = surviving
-    out-edges ∪ the live 2-hop neighborhood through the masked
-    undirected adjacency; per-node top-k, build-digest shape."""
+def _relink_parts(g: str) -> list[str]:
+    """The repair-stage CTEs over final graph ``g``: mask, affected
+    set, undirected live adjacency, 2-hop candidates, repaired top-k
+    edges (``rlrepaired``) — shared by the repair digest and the
+    serve-after-repair walk so the certified and the served edge sets
+    are ONE SQL definition (mirroring graph_ann's shared
+    ``_relink_affected_and_candidates`` / ``relink_edges``)."""
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
         DELETE_MOD as M,
     )
 
-    ctes, g = graph_build_ctes()
-    parts = [
-        ctes,
+    return [
         f"""rlmask AS (
   SELECT node, nbr FROM {g} WHERE node % {M} <> 0 AND nbr % {M} <> 0)""",
         f"""rlaff AS (
@@ -483,7 +483,15 @@ def relink_digest_sql() -> str:
     UNION ALL SELECT node, nbr FROM rltwo))""",
         _scored_topk("rlcand", "rlrepaired", K_GRAPH),
     ]
-    joined = ",\n".join(parts)
+
+
+def relink_digest_sql() -> str:
+    """Replay the post-delete neighborhood repair: affected = live
+    nodes that lost an out-edge to a tombstone; candidates = surviving
+    out-edges ∪ the live 2-hop neighborhood through the masked
+    undirected adjacency; per-node top-k, build-digest shape."""
+    ctes, g = graph_build_ctes()
+    joined = ",\n".join([ctes, *_relink_parts(g)])
     return f"""WITH {joined}
 SELECT rk,
        CAST(count(*) AS BIGINT) AS n_edges,
@@ -491,6 +499,36 @@ SELECT rk,
        CAST(sum(nbr) AS BIGINT) AS nbr_id_sum
 FROM rlrepaired
 GROUP BY rk ORDER BY rk"""
+
+
+def serve_after_repair_sql(query_id: int = 1, k: int = 5) -> str:
+    """Replay build → mask → neighborhood repair → beam walk over the
+    REPAIRED graph from live entries — graph_ann.graph_serve_after_repair
+    (the persisted repaired index served through GraphEngine). The
+    repaired graph swaps every affected node's out-edges for its
+    re-ranked top-k (``rlrepaired``) and keeps unaffected live nodes'
+    surviving masked edges."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        DELETE_MOD as M,
+    )
+
+    ctes, g = graph_build_ctes()
+    parts = [
+        ctes,
+        *_relink_parts(g),
+        """rgserve AS (
+  SELECT node, nbr FROM rlmask WHERE node NOT IN (SELECT node FROM rlaff)
+  UNION ALL SELECT node, nbr FROM rlrepaired)""",
+        f"""entd AS (SELECT min(vec_id) AS vec_id FROM e
+  WHERE vec_id % {M} <> 0 GROUP BY label)""",
+    ]
+    bparts, v = _beam_ctes(query_id, "rgserve", ent="entd")
+    joined = ",\n".join([*parts, *bparts])
+    return (
+        f"WITH {joined}\n"
+        f"SELECT vec_id, score FROM {v}"
+        f" ORDER BY score DESC, vec_id DESC LIMIT {k}"
+    )
 
 
 def index_stats_sql() -> str:
@@ -513,3 +551,55 @@ SELECT n_nodes, n_edges, n_reciprocal,
        (n_reciprocal * 1000000) // n_edges AS reciprocity_micro,
        score_sum_micro, score_min_micro, score_max_micro
 FROM gis_stats CROSS JOIN gis_r"""
+
+
+def repair_recall_sql(query_id: int = 1, k: int = 5) -> str:
+    """Recall@k vs the exact live top-k for the masked walk AND the
+    repaired-index walk, in one replay — graph_ann.graph_repair_recall
+    (the before/after observability row of the delete story). One build
+    replay feeds the masked graph, the repair stages, the repaired
+    graph, both walks, and the exact live cut."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        DELETE_MOD as M,
+    )
+
+    ctes, g = graph_build_ctes()
+    parts = [
+        ctes,
+        f"""gdel AS (SELECT node, nbr FROM {g}
+  WHERE node % {M} <> 0 AND nbr % {M} <> 0)""",
+        f"""entd AS (SELECT min(vec_id) AS vec_id FROM e
+  WHERE vec_id % {M} <> 0 GROUP BY label)""",
+    ]
+    m_parts, v_masked = _beam_ctes(query_id, "gdel", suffix="rrm", ent="entd")
+    parts += m_parts
+    parts += _relink_parts(g)
+    parts.append(
+        """rgserve AS (
+  SELECT node, nbr FROM rlmask WHERE node NOT IN (SELECT node FROM rlaff)
+  UNION ALL SELECT node, nbr FROM rlrepaired)"""
+    )
+    s_parts, v_served = _beam_ctes(query_id, "rgserve", suffix="rrs", ent="entd")
+    parts += s_parts
+    parts.append(
+        f"""rrex AS (
+  SELECT en.vec_id FROM en CROSS JOIN qrrm
+  WHERE en.vec_id % {M} <> 0
+  ORDER BY round(list_dot_product(en.v, qrrm.qv) / (en.nrm * qrrm.qn + 1e-8), 6) DESC,
+           en.vec_id DESC LIMIT {k})"""
+    )
+    for tag, v in (("rrm", v_masked), ("rrs", v_served)):
+        parts.append(
+            f"""got{tag} AS (
+  SELECT vec_id FROM {v} ORDER BY score DESC, vec_id DESC LIMIT {k})"""
+        )
+    joined = ",\n".join(parts)
+    return f"""WITH {joined}
+SELECT 'masked' AS method, CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / {float(k)}, 6) AS recall
+FROM gotrrm WHERE vec_id IN (SELECT vec_id FROM rrex)
+UNION ALL
+SELECT 'repaired' AS method, CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / {float(k)}, 6) AS recall
+FROM gotrrs WHERE vec_id IN (SELECT vec_id FROM rrex)
+ORDER BY method"""

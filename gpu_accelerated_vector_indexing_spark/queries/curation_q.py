@@ -407,7 +407,11 @@ FROM scored s JOIN documents d USING (doc_id) CROSS JOIN prior
 QUERIES["curation_dsir_sample"] = C.dsir_importance_sample
 
 
-def _dsir_sql() -> str:
+def _dsir_model_ctes() -> str:
+    """The shingle→bucket→count→affinity model CTEs (dsg/dsb/dsc/dsa)
+    — ONE SQL definition of the DSIR model shared by the scoring
+    oracle and the state-roundtrip oracle, mirroring the Spark side's
+    single ``dsir_bucket_affinity``."""
     from gpu_accelerated_vector_indexing_spark.operators.curation import DSIR_BUCKETS
     from gpu_accelerated_vector_indexing_spark.operators.dedup import (
         HASH_MOD,
@@ -418,8 +422,7 @@ def _dsir_sql() -> str:
         f"ascii(substr(text, i + {j - 1}, 1))::BIGINT * {31 ** (SHINGLE_LEN - j)}"
         for j in range(1, SHINGLE_LEN + 1)
     )
-    return f"""
-WITH dsg AS (
+    return f"""dsg AS (
   SELECT doc_id, lang,
          unnest(list_transform(range(1, length(text) - {SHINGLE_LEN - 1} + 1),
                                i -> ({poly}) % {HASH_MOD})) AS h
@@ -429,9 +432,14 @@ dsb AS (SELECT doc_id, lang, h % {DSIR_BUCKETS} AS bucket FROM dsg),
 dsc AS (SELECT bucket, count(*) AS r_b,
                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
         FROM dsb GROUP BY bucket),
-dsa AS (SELECT bucket, r_b,
+dsa AS (SELECT bucket, r_b, t_b,
                CAST(floor(1000000.0 * (t_b + 1) / (r_b + 2)) AS BIGINT) AS aff_micro
-        FROM dsc),
+        FROM dsc)"""
+
+
+def _dsir_sql() -> str:
+    return f"""
+WITH {_dsir_model_ctes()},
 dsbase AS (SELECT sum(r_b * aff_micro) // sum(r_b) AS mean_pg FROM dsa),
 dss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                CAST(sum(aff_micro) AS BIGINT) AS affinity_micro_sum
@@ -444,3 +452,28 @@ FROM dss s JOIN documents d USING (doc_id)
 
 
 ORACLES["curation_dsir_sample"] = _dsir_sql()
+
+
+# --- r7: DSIR model state persistence ------------------------------------------
+# (the tokenizer/PQ/dedup/graph roundtrip posture applied to the fourth
+# learned-state family): persist the ≤DSIR_BUCKETS-row affinity model,
+# read it back, digest it in exact integers; the oracle re-derives the
+# model from text through the SAME shared CTEs as the scoring oracle.
+QUERIES["dsir_state_roundtrip"] = C.dsir_state_roundtrip
+# the serve path: scoring through the PERSISTED model must be
+# value-neutral down to every keep decision — same full oracle as the
+# in-session query (the graph_engine_batch_search posture)
+QUERIES["curation_dsir_score_pretrained"] = C.dsir_score_pretrained
+ORACLES["curation_dsir_score_pretrained"] = _dsir_sql()
+ORACLES["dsir_state_roundtrip"] = f"""
+WITH {_dsir_model_ctes()}
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(bucket) AS BIGINT) AS bucket_id_sum,
+       CAST(sum(r_b) AS BIGINT) AS raw_gram_sum,
+       CAST(sum(t_b) AS BIGINT) AS target_gram_sum,
+       CAST(sum(aff_micro) AS BIGINT) AS aff_micro_sum,
+       CAST(min(aff_micro) AS BIGINT) AS aff_micro_min,
+       CAST(max(aff_micro) AS BIGINT) AS aff_micro_max,
+       CAST(sum(r_b * aff_micro) AS BIGINT) AS wsum_micro
+FROM dsa
+"""

@@ -151,3 +151,31 @@ def _index_stats(spark, sf_dir):
 
 QUERIES["graph_index_stats"] = _index_stats
 ORACLES["graph_index_stats"] = index_stats_sql()
+
+
+# --- r7: repair → persist → serve (the delete story closed end to end) --------
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    serve_after_repair_sql,
+)
+
+
+def _serve_after_repair(spark, sf_dir):
+    return graph_ann.graph_serve_after_repair(spark, sf_dir, query_id=1, k=K)
+
+
+QUERIES["graph_serve_after_repair"] = _serve_after_repair
+ORACLES["graph_serve_after_repair"] = serve_after_repair_sql(query_id=1, k=K)
+
+
+# --- r7: before/after-repair recall (the delete story's observability row) -----
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    repair_recall_sql,
+)
+
+
+def _repair_recall(spark, sf_dir):
+    return graph_ann.graph_repair_recall(spark, sf_dir, query_id=1, k=K)
+
+
+QUERIES["graph_repair_recall"] = _repair_recall
+ORACLES["graph_repair_recall"] = repair_recall_sql(query_id=1, k=K)

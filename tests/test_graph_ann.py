@@ -236,3 +236,54 @@ def test_single_walk_job_count_bounded(spark):
         spark.sparkContext.setJobGroup(None, None)
     jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
     assert jobs <= 2 * BEAM_HOPS + 4, f"walk scheduled {jobs} jobs"
+
+
+def test_search_batch_chunking_value_neutral(spark):
+    """VERDICT r6 #3 acceptance: at |Q| >= 50 the chunked batch walk
+    (fixed queries-per-walk, visited unions, one final cut) returns
+    EXACTLY the unchunked result — each query's walk dataflow is
+    independent, so chunk membership cannot change any visited set —
+    while driver state per walk is bounded by the chunk size."""
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        fixture_graph_index,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import fixture_qvecs
+
+    qids = tuple(range(50))
+    queries = fixture_qvecs(spark, SF_CORRECT, qids)
+    idx = fixture_graph_index(spark, SF_CORRECT)
+
+    one_walk = GraphEngine.from_pretrained(spark, idx)
+    one_walk.BATCH_CHUNK = 1000  # instance override: all 50 in one walk
+    chunked = GraphEngine.from_pretrained(spark, idx)
+    chunked.BATCH_CHUNK = 8  # 7 walks of <= 8 queries
+
+    a = sorted(
+        (r.query_id, r.vec_id, r.score)
+        for r in one_walk.search_batch(queries, k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.score)
+        for r in chunked.search_batch(queries, k=5).collect()
+    )
+    assert len(a) == 5 * len(qids)
+    assert a == b
+
+
+def test_graph_serve_after_repair_live_only_topk(spark):
+    """The served result comes from the persisted REPAIRED index: k
+    rows, every one live (the repaired layout contains no tombstone
+    node), scores sorted the engine way. Value correctness vs the full
+    build→mask→repair→walk replay is the DuckDB oracle's job
+    (serve_after_repair_sql)."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        DELETE_MOD,
+        graph_serve_after_repair,
+    )
+
+    rows = graph_serve_after_repair(spark, SF_CORRECT, query_id=1, k=5).collect()
+    assert len(rows) == 5
+    assert all(r.vec_id % DELETE_MOD != 0 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -259,3 +259,57 @@ def test_ivf_matryoshka_full_budget_equals_ivf_exact(spark):
         for r in narrow:
             if r.vec_id in exact_scores:
                 assert r.score == exact_scores[r.vec_id]
+
+
+def test_sq4_margin_headroom(spark):
+    """Margin-sufficiency guard for the SQ4 rung (ADVICE r6): the
+    empirically-chosen n_candidates=80 must carry >= 2x headroom —
+    every exact top-k member already ranks inside the top
+    n_candidates // 2 by SQ4 approximate score, at BOTH fixture
+    scales. Margin erosion on a corpus shift fails here loudly,
+    before it could silently violate the approx==exact oracle."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        EPSILON,
+        as_double_array,
+        l2_norm,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        corpus_quantizer,
+        query_vectors,
+        sq8_codes,
+        sq8_dequantize,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    n_candidates, k = 80, 5
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for qid in (0, 3):
+            exact_ids = {
+                r.vec_id for r in knn_bruteforce(spark, sf, query_id=qid, k=k).collect()
+            }
+            emb = load_table(spark, sf, "embeddings")
+            mins, maxs = corpus_quantizer(spark, sf)
+            q = query_vectors(spark, sf, [qid])
+            v = as_double_array("embedding")
+            approx_v = sq8_dequantize(sq8_codes(v, mins, maxs, 15), mins, maxs, 15)
+            approx = F.aggregate(
+                F.zip_with(approx_v, F.col("qvec"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ) / (l2_norm(approx_v) * F.col("qnorm") + F.lit(EPSILON))
+            ranked = [
+                r.vec_id
+                for r in emb.join(F.broadcast(q))
+                .select("vec_id", approx.alias("a"))
+                .orderBy(F.desc("a"), F.desc("vec_id"))
+                .limit(n_candidates // 2)
+                .collect()
+            ]
+            missing = exact_ids - set(ranked)
+            assert not missing, (
+                f"{sf} q{qid}: exact top-{k} ids {missing} fall outside the "
+                f"top {n_candidates // 2} by SQ4 approx score — margin headroom lost"
+            )

@@ -485,3 +485,20 @@ def built_graph_index_plans(spark, tmp_path_factory):
     )
     write_graph_index(fixture_graph(spark, SF_CORRECT), corpus_normed, out)
     return out
+
+
+def test_fuzzy_pairs_is_deletion_variant_shuffle_join(spark):
+    """The edit-distance pair join must be the deletion-neighborhood
+    shape (VERDICT r6 #2): candidates meet on the data-growing
+    (variant, nation) key through a SHUFFLE hash join — never a
+    broadcast of an exploded side (Catalyst's pre-explode size
+    estimate would pick one; at corpus scale that's a driver OOM) and
+    never a plan whose only join key is the fixed-cardinality
+    nation."""
+    df = _q(spark, "fuzzy_customer_pairs")
+    plan = assert_plan(
+        df,
+        contains=("ShuffledHashJoin",),
+        absent=("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct"),
+    )
+    assert "variant" in plan.split("ShuffledHashJoin", 1)[1].splitlines()[0], plan

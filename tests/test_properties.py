@@ -277,3 +277,30 @@ def test_min_label_fixpoint_matches_union_find(spark, edges):
     und = df.union(df.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))).distinct()
     got = {r.node: r.component for r in min_label_fixpoint(und, max_rounds=40).collect()}
     assert got == truth
+
+
+def test_min_label_fixpoint_frees_superseded_snapshots(spark):
+    """Cache-hygiene contract (ADVICE r6 / review r7): the kernel frees
+    each superseded round's checkpoint blocks, so the persistent-RDD
+    registry grows by AT MOST ONE entry per call (the returned labels'
+    own snapshot) — a silent no-op in the callSite-filtered id diff
+    would leak one snapshot per round and show up here immediately."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        min_label_fixpoint,
+    )
+
+    # a 12-node path graph: diameter 11 forces >= 12 rounds, so a leak
+    # would register ~12 extra snapshots, far above the allowance
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "node bigint, nbr bigint"
+    )
+    und = df.union(
+        df.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).distinct()
+    before = len(dict(spark._jsc.getPersistentRDDs()))
+    labels = min_label_fixpoint(und, max_rounds=20)
+    assert labels.count() == 13
+    after = len(dict(spark._jsc.getPersistentRDDs()))
+    assert after - before <= 1, f"registry grew {before} -> {after}: snapshots leaked"

@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     ("dsir_state_roundtrip", _collect),
     ("curation_dsir_score_pretrained", _noop),
     ("graph_repair_recall", _collect),
+    ("text_typo_pairs", _noop),
 ]
 
 # Acceptance statistic (VERDICT r6 #1: make the 2× bound mechanical for

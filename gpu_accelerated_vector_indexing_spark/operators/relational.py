@@ -1258,23 +1258,27 @@ def null_safe_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def deletion_variants(s: Column) -> Column:
-    """All distinct strings reachable from ``s`` by deleting ≤2
-    characters (the string itself, every 1-deletion, every 2-deletion)
-    — the SymSpell candidate key set for edit distance ≤ 2, built
-    entirely from codegen'd array HOFs (``transform`` over ``sequence``
-    + ``array_distinct``), no UDF.
+def deletion_variants(s: Column, max_del: int = 2) -> Column:
+    """All distinct strings reachable from ``s`` by deleting at most
+    ``max_del`` ∈ {1, 2} characters (the string itself, every
+    1-deletion, and for ``max_del=2`` every 2-deletion) — the SymSpell
+    candidate key set for edit distance ≤ ``max_del``, built entirely
+    from codegen'd array HOFs (``transform`` over ``sequence`` +
+    ``array_distinct``), no UDF.
 
     Exactness (why a shared variant is a complete candidate filter):
-    if ``levenshtein(a, b) ≤ 2``, fix an optimal alignment; deleting
+    if ``levenshtein(a, b) ≤ k``, fix an optimal alignment; deleting
     from ``a`` the characters the alignment substitutes-or-deletes and
     from ``b`` the characters it substitutes-or-inserts leaves the
     aligned matches — the SAME string — and each side deleted at most
-    2 characters. So every true pair shares ≥1 variant; false
-    candidates (shared variant but distance > 2) are pruned by the
-    levenshtein verify. Fan-out per string is 1 + L + C(L,2) before
-    dedup — quadratic in STRING LENGTH, constant in corpus size.
+    k characters. So every true pair shares ≥1 variant; false
+    candidates (shared variant but larger distance) are pruned by the
+    levenshtein verify. Fan-out per string is 1 + L (+ C(L,2) at
+    ``max_del=2``) before dedup — polynomial in STRING LENGTH,
+    constant in corpus size.
     """
+    if max_del not in (1, 2):
+        raise ValueError(f"deletion_variants: max_del must be 1 or 2, got {max_del}")
     L = F.length(s)
     d1 = F.when(
         L >= 1,
@@ -1283,6 +1287,8 @@ def deletion_variants(s: Column) -> Column:
             lambda i: F.concat(F.substring(s, F.lit(1), i - 1), s.substr(i + 1, L)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    if max_del == 1:
+        return F.array_distinct(F.concat(F.array(s), d1))
     d2 = F.flatten(
         F.transform(
             d1,

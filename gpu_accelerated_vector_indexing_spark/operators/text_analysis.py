@@ -845,3 +845,64 @@ def compaction_plan(
         )
         .orderBy("bin_id")
     )
+
+
+def text_typo_pairs(
+    spark: SparkSession, sf_dir: str, max_dist: int = 2, min_len: int = 3
+) -> DataFrame:
+    """Typo-pair mining over the corpus VOCABULARY: distinct token
+    pairs within levenshtein ≤ ``max_dist``, with each side's
+    occurrence count — the vocabulary-normalization primitive of a
+    training-data pipeline (OCR/typo noise profiling, spell-cluster
+    canonicalization; the SymSpell posture the fuzzy record-linkage
+    query applies to names, applied to tokens).
+
+    Candidates meet on the shared ≤``max_dist``-deletion variant
+    (``relational.deletion_variants`` — exact for the matching
+    distance by the alignment argument there), verified by the JVM
+    ``levenshtein``. Tokens shorter than ``min_len`` are excluded:
+    every pair of 1-2 char tokens is within distance 2 of each other,
+    which is noise, and the cut keeps the relation corpus-meaningful.
+
+    Scale shape: both join sides are VOCABULARY-sized (the one
+    token-count aggregate every text op here shares), fan-out is
+    1+L+C(L,2) variants per DISTINCT token, and the join key grows
+    with the vocabulary — corpus size only enters through the one
+    count aggregate. Tokens are ASCII by construction (TOKEN_RE), so
+    the ``token_a < token_b`` orientation collates identically in both
+    engines (the dedup_corpus_overlap ASCII-identifier contract).
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.relational import (
+        deletion_variants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.length("token") >= min_len)
+    )
+    v = vocab.select(
+        "token",
+        "n",
+        F.explode(deletion_variants(F.col("token"), max_del=max_dist)).alias("variant"),
+    )
+    a = v.select(
+        F.col("variant"),
+        F.col("token").alias("token_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = v.select(
+        F.col("variant"),
+        F.col("token").alias("token_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), "variant")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .select("token_a", "token_b", "n_a", "n_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("token_a", "token_b").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+    )

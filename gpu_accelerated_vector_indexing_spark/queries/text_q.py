@@ -458,3 +458,41 @@ QUERIES["tokenizer_state_roundtrip"] = tokenizer_state_roundtrip
 # the persisted rule file must equal the in-session training exactly —
 # the oracle IS the training replay
 ORACLES["tokenizer_state_roundtrip"] = _bpe_train_sql(BPE_TRAIN_ROUNDS)
+
+
+# --- r7: typo-pair mining over the vocabulary (SymSpell, dist <= 1) -----------
+QUERIES["text_typo_pairs"] = TA.text_typo_pairs
+
+# full replay: tokenize -> vocab counts -> length cut -> <=2-deletion
+# variants (d2 = deletions of d1, exactly the Spark HOF nesting) ->
+# shared-variant join -> levenshtein verify. Tokens are ASCII by
+# TOKEN_RE, so the < orientation collates identically. Duplicate
+# variants per token are harmless: the pair DISTINCT collapses the
+# extra matches (Spark's array_distinct is a perf nicety, not load-
+# bearing for values).
+ORACLES["text_typo_pairs"] = f"""
+WITH vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest({_TOKS}) AS token FROM documents
+  ) GROUP BY token HAVING length(token) >= 3
+),
+vd1 AS (
+  SELECT token, n,
+         list_transform(range(1, length(token) + 1),
+                        i -> substr(token, 1, i - 1) || substr(token, i + 1, length(token))) AS d1
+  FROM vocab
+),
+vars AS (
+  SELECT token, n,
+         unnest(list_concat(list_concat([token], d1),
+           flatten(list_transform(d1, v ->
+             list_transform(range(1, length(v) + 1),
+                            i -> substr(v, 1, i - 1) || substr(v, i + 1, length(v))))))) AS variant
+  FROM vd1
+)
+SELECT DISTINCT a.token AS token_a, b.token AS token_b,
+       a.n AS n_a, b.n AS n_b,
+       CAST(levenshtein(a.token, b.token) AS INT) AS dist
+FROM vars a JOIN vars b ON a.variant = b.variant AND a.token < b.token
+WHERE levenshtein(a.token, b.token) <= 2
+"""

@@ -460,7 +460,7 @@ QUERIES["tokenizer_state_roundtrip"] = tokenizer_state_roundtrip
 ORACLES["tokenizer_state_roundtrip"] = _bpe_train_sql(BPE_TRAIN_ROUNDS)
 
 
-# --- r7: typo-pair mining over the vocabulary (SymSpell, dist <= 1) -----------
+# --- r7: typo-pair mining over the vocabulary (SymSpell, dist <= 2) -----------
 QUERIES["text_typo_pairs"] = TA.text_typo_pairs
 
 # full replay: tokenize -> vocab counts -> length cut -> <=2-deletion

@@ -502,3 +502,18 @@ def test_fuzzy_pairs_is_deletion_variant_shuffle_join(spark):
         absent=("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct"),
     )
     assert "variant" in plan.split("ShuffledHashJoin", 1)[1].splitlines()[0], plan
+
+
+def test_typo_pairs_is_shuffle_join_like_fuzzy(spark):
+    """The vocabulary typo-pair join carries the same load-bearing
+    SHUFFLE_HASH hint as fuzzy_customer_pairs (both sides are exploded
+    variant relations whose pre-explode size estimate would pick a
+    broadcast) — pin the strategy so a dropped hint can't regress
+    silently while fixture-scale oracles stay green."""
+    df = _q(spark, "text_typo_pairs")
+    plan = assert_plan(
+        df,
+        contains=("ShuffledHashJoin",),
+        absent=("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct"),
+    )
+    assert "variant" in plan.split("ShuffledHashJoin", 1)[1].splitlines()[0], plan

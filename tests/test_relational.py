@@ -204,3 +204,56 @@ def test_writer_starttime_identity():
     p.wait()
     got = _proc_starttime(p.pid)
     assert got is None or got != own
+
+
+def test_deletion_variants_radius_one_complete(spark):
+    """The max_del=1 rung of deletion_variants must be a COMPLETE
+    candidate filter for levenshtein <= 1: over a small word set,
+    pairs meeting on a shared <=1-deletion variant and verified at
+    dist <= 1 equal the brute-force all-pairs answer (the same
+    exactness contract the max_del=2 rung carries via the
+    fuzzy/typo oracles)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.relational import (
+        deletion_variants,
+    )
+
+    words = [
+        "cat", "cart", "car", "care", "bare", "bore", "bone",
+        "scan", "scans", "span", "plan", "clan", "claim",
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    truth = {
+        (a, b)
+        for i, a in enumerate(words)
+        for b in words[i + 1 :]
+        if lev(a, b) <= 1
+    }
+    truth = {tuple(sorted(p)) for p in truth}
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    v = df.select("w", F.explode(deletion_variants(F.col("w"), max_del=1)).alias("variant"))
+    a = v.select("variant", F.col("w").alias("wa"))
+    b = v.select("variant", F.col("w").alias("wb"))
+    got = {
+        (r.wa, r.wb)
+        for r in a.join(b, "variant")
+        .filter(F.col("wa") < F.col("wb"))
+        .select("wa", "wb")
+        .distinct()
+        .withColumn("d", F.levenshtein("wa", "wb"))
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == truth, f"missing={truth - got} extra={got - truth}"

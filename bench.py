@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     ("curation_dsir_score_pretrained", _noop),
     ("graph_repair_recall", _collect),
     ("text_typo_pairs", _noop),
+    ("text_typo_clusters", _noop),
 ]
 
 # Acceptance statistic (VERDICT r6 #1: make the 2× bound mechanical for

@@ -906,3 +906,47 @@ def text_typo_pairs(
         .withColumn("dist", F.levenshtein("token_a", "token_b").cast("int"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def text_typo_clusters(
+    spark: SparkSession, sf_dir: str, max_dist: int = 2, min_len: int = 3
+) -> DataFrame:
+    """Spell-cluster canonicalization: connected components over the
+    typo-pair graph (``text_typo_pairs``), each token labeled with its
+    cluster's canonical spelling = the minimum member (ASCII order —
+    the same orientation contract as the pair join). The vocabulary-
+    normalization DECISION step after pair mining, exactly the
+    ``dedup.duplicate_components`` posture applied to tokens — and the
+    THIRD consumer of the ONE shared ``min_label_fixpoint`` kernel
+    (n-gram dedup components, SemDeDup semantic components, and now
+    spell clusters all run through the same loud-on-non-convergence
+    loop).
+
+    Output: (token, n, component) for every token participating in at
+    least one typo pair — row-per-member like ``dedup_components``, so
+    the oracle value-checks every membership, not just cluster counts.
+
+    Scale shape: the pair graph is VOCABULARY-bounded (never
+    corpus-sized), components converge in cluster-diameter rounds, and
+    each round is one hash-join + min-agg over the non-singleton
+    tokens only.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        min_label_fixpoint,
+    )
+
+    pairs = text_typo_pairs(spark, sf_dir, max_dist=max_dist, min_len=min_len)
+    p = pairs.select(F.col("token_a").alias("node"), F.col("token_b").alias("nbr"))
+    und = p.union(
+        p.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).distinct()
+    labels = min_label_fixpoint(und)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return labels.select(F.col("node").alias("token"), "component").join(
+        vocab, "token"
+    ).select("token", "n", "component")

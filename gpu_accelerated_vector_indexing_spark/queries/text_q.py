@@ -496,3 +496,48 @@ SELECT DISTINCT a.token AS token_a, b.token AS token_b,
 FROM vars a JOIN vars b ON a.variant = b.variant AND a.token < b.token
 WHERE levenshtein(a.token, b.token) <= 2
 """
+
+
+# --- r7: spell-cluster canonicalization (components over typo pairs) ----------
+QUERIES["text_typo_clusters"] = TA.text_typo_clusters
+
+# same vocab/variant/verify stages as text_typo_pairs, then transitive
+# closure as UNION-dedup'd reachability with min(reachable) ≙ the
+# Spark side's min-label fixpoint. The RECURSIVE block is scoped to an
+# inner subquery (top-level WITH RECURSIVE perturbs DuckDB's planning
+# of sibling non-recursive CTEs — the r6 dedup_semantic_graph lesson).
+ORACLES["text_typo_clusters"] = f"""
+WITH vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest({_TOKS}) AS token FROM documents
+  ) GROUP BY token
+),
+vc AS (SELECT token, n FROM vocab WHERE length(token) >= 3),
+vd1 AS (
+  SELECT token,
+         list_transform(range(1, length(token) + 1),
+                        i -> substr(token, 1, i - 1) || substr(token, i + 1, length(token))) AS d1
+  FROM vc
+),
+vars AS (
+  SELECT token,
+         unnest(list_concat(list_concat([token], d1),
+           flatten(list_transform(d1, v ->
+             list_transform(range(1, length(v) + 1),
+                            i -> substr(v, 1, i - 1) || substr(v, i + 1, length(v))))))) AS variant
+  FROM vd1
+),
+tp AS (
+  SELECT DISTINCT a.token AS ta, b.token AS tb
+  FROM vars a JOIN vars b ON a.variant = b.variant AND a.token < b.token
+  WHERE levenshtein(a.token, b.token) <= 2
+),
+tedges AS (SELECT ta AS a, tb AS b FROM tp UNION ALL SELECT tb, ta FROM tp)
+SELECT token, n, component FROM (
+  WITH RECURSIVE treach(src, dst) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM tedges)
+    UNION
+    SELECT r.src, e.b FROM treach r JOIN tedges e ON r.dst = e.a)
+  SELECT src AS token, min(dst) AS component FROM treach GROUP BY src
+) JOIN vocab USING (token)
+"""

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     ("knn_ivf_np1", _collect),
     ("knn_ivf_np5", _collect),
     ("knn_ivf_np10", _collect),
+    ("retrieval_ndcg", _collect),
+    ("knn_ivf_shard_merge", _collect),
     ("knn_lsh", _collect),
     ("knn_sq8", _collect),
     ("knn_ivf_sq8", _collect),

@@ -888,3 +888,197 @@ def knn_with_deletes(
         .orderBy(F.desc("score"), F.desc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-aware retrieval evaluation (r7): NDCG@k / MRR / recall@k
+# ---------------------------------------------------------------------------
+
+NDCG_ROUND = 12  # per-term DCG contributions rounded, then summed DECIMAL-exact
+
+
+def _dcg_contribution(rank: int) -> "Decimal":
+    """Python twin of the per-rank DCG term ``round(1/log2(rank+1), 12)``
+    (HALF_UP, same as Spark's F.round on DOUBLE) — used only for the
+    IDCG constant, which is the sum of the first k terms."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(1.0 / math.log2(rank + 1))).quantize(
+        Decimal(f"1e-{NDCG_ROUND}"), rounding=ROUND_HALF_UP
+    )
+
+
+def ideal_dcg(k: int) -> float:
+    """IDCG@k for binary relevance: every one of the k exact neighbors
+    retrieved in rank order. DECIMAL-exact sum of the rounded terms, so
+    the constant is bit-identical to the oracle's ``range()`` sum."""
+    from decimal import Decimal
+
+    return float(sum((_dcg_contribution(i) for i in range(1, k + 1)), Decimal(0)))
+
+
+def retrieval_ndcg(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probes: Sequence[int] = (1, 3, 5),
+) -> DataFrame:
+    """Ranking-aware ANN evaluation: per swept ``n_probe``, NDCG@k, MRR,
+    and recall@k of the IVF search against the exact brute-force top-k.
+
+    recall (``ivf_recall``) only counts set overlap; a serving-quality
+    gate also cares WHERE the true neighbors land in the approximate
+    ranking. Binary relevance (retrieved id ∈ exact top-k), DCG term
+    ``1/log2(rank+1)``:
+
+    - ``ndcg``  = DCG / IDCG, rank-discounted set agreement;
+    - ``mrr``   = 1 / rank of the first true neighbor (0 if none);
+    - ``recall`` = |hits| / k (ties out to ``ivf_recall``'s number).
+
+    Determinism: each DCG term is rounded to 12 d.p. then summed as
+    DECIMAL(38,12) (order-free — the PageRank posture), divided by the
+    same-rounded IDCG constant, final metrics rounded to 6 d.p. The
+    exact ids are collected once (k rows, the recall_sweep_rows bounded
+    posture) into a literal ``isin``; each swept search is the stock
+    ``knn_ivf`` plan (pruned scan + TakeOrdered over ≤ k rows), so the
+    sweep costs one pruned scan per knob value and the eval math runs
+    over ≤ k rows — at 100 TB the eval adds nothing to the search cost.
+
+    ≙ reference check_cos_sim.cpp:72 (GPU-vs-CPU agreement) upgraded
+    from set-overlap to rank-quality, over the experiment grid of
+    run_multiple_configs.sh.
+    """
+    from functools import reduce
+
+    from pyspark.sql.types import DecimalType
+
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    if not n_probes or len(set(n_probes)) != len(n_probes):
+        raise ValueError(f"n_probes must be non-empty and unique: {n_probes!r}")
+    exact_ids = [
+        int(r.vec_id)
+        for r in knn_bruteforce(spark, sf_dir, query_id=query_id, k=k).collect()
+    ]
+    idcg = ideal_dcg(k)
+    rows = []
+    for np_ in n_probes:
+        approx = knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=np_)
+        ranked = approx.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("score"), F.desc("vec_id"))
+            ),
+        )
+        hits = ranked.filter(F.col("vec_id").isin(exact_ids))
+        term = F.round(F.lit(1.0) / F.log2(F.col("rnk") + F.lit(1)), NDCG_ROUND).cast(
+            DecimalType(38, NDCG_ROUND)
+        )
+        rows.append(
+            hits.agg(
+                F.lit(np_).alias("n_probe"),
+                F.round(F.count("*") / F.lit(float(k)), SCORE_SCALE).alias("recall"),
+                F.round(
+                    F.coalesce(F.lit(1.0) / F.min("rnk"), F.lit(0.0)), SCORE_SCALE
+                ).alias("mrr"),
+                F.round(
+                    F.coalesce(F.sum(term).cast("double"), F.lit(0.0)) / F.lit(idcg),
+                    SCORE_SCALE,
+                ).alias("ndcg"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), rows).orderBy("n_probe")
+
+
+# ---------------------------------------------------------------------------
+# Shard-parallel index build + merge (r7): mergeable sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def shard_centroid_stats(emb: DataFrame, n_shards: int = 2) -> DataFrame:
+    """Per-shard centroid SUFFICIENT STATISTICS: one row per
+    ``(shard, label, pos)`` carrying the component SUM and the member
+    COUNT — the mergeable state a shard-parallel index build emits.
+
+    A mean is not mergeable; (sum, count) is. At 100 TB each of 1000
+    executors folds its local vectors map-side (partial aggregation —
+    the sketch-family posture of operators/approx.py), so the shuffle
+    carries shards × labels × dim tiny stat rows, never vectors.
+    """
+    return (
+        emb.select(
+            (F.col("vec_id") % n_shards).cast("int").alias("shard"),
+            F.col("label"),
+            F.posexplode(as_double_array("embedding")).alias("pos", "x"),
+        )
+        .groupBy("shard", "label", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+
+
+def merged_centroid_rows(
+    spark: SparkSession, sf_dir: str, n_shards: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Merge per-shard centroid stats into full-corpus centroids:
+    ``sum(s)/sum(n)`` per (label, pos), rounded to the shared
+    CENTROID_SCALE — the same 8-d.p. state ``label_centroids`` builds
+    in one pass, now assembled from independently-built shard states
+    (the distributed-index-build story: build partials anywhere, merge
+    a few thousand stat rows, never re-read the corpus)."""
+    stats = shard_centroid_stats(load_table(spark, sf_dir, "embeddings"), n_shards)
+    merged = (
+        stats.groupBy("label", "pos")
+        .agg(F.round(F.sum("s") / F.sum("n"), CENTROID_SCALE).alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("centroid")
+        )
+    )
+    return [(int(r.label), [float(x) for x in r.centroid]) for r in merged.collect()]
+
+
+def knn_ivf_shard_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    n_probe: int = 3,
+    n_shards: int = 2,
+) -> DataFrame:
+    """IVF search through an index MERGED from independently-built
+    shards — must equal the single-build ``knn_ivf`` exactly, because
+    the merged sufficient statistics reproduce the full-corpus
+    centroids (within the shared 8-d.p. centroid rounding) and the
+    fine scan is the union of the shard partitions, i.e. the corpus.
+
+    This is the scale path for index construction: at 100 TB no single
+    job builds the centroid state; shards emit (sum, count) partials,
+    the merge touches shards × labels × dim rows, and the search plan
+    is byte-identical to the single-build plan. Shares ``knn_ivf``'s
+    full value oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    probes = probe_labels(
+        merged_centroid_rows(spark, sf_dir, n_shards),
+        fixture_qvec(spark, sf_dir, query_id),
+        n_probe,
+    )
+    fine = (
+        emb.filter(F.col("label").isin(probes))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity_hoisted(
+                    as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+                ),
+                SCORE_SCALE,
+            ).alias("score"),
+        )
+    )
+    return fine.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Driver-gate rotation, round 7 (VERDICT r6 "Next round" #8): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# The union closed at 247/247 in r6; this round's 50 = the 6 r7
+# The union closed at 247/247 in r6; this round's 50 = the 8 r7
 # novelties + the 10 rows r7's changes touch (the fuzzy rewrite, the
 # fixpoint-kernel diff filter, the batched-walk chunking, the shared
 # DSIR model CTE refactor) + 34 of the 55 names whose most recent
@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 # every name's freshest green keeps rotating forward.
 _GATE_FIRST = [
     # --- round-7 novelties (never gated by definition)
+    "retrieval_ndcg", "knn_ivf_shard_merge",
     "graph_serve_after_repair", "dsir_state_roundtrip",
     "curation_dsir_score_pretrained", "graph_repair_recall",
     "text_typo_pairs", "text_typo_clusters",
@@ -50,8 +51,7 @@ _GATE_FIRST = [
     "hybrid_search_rrf", "hybrid_search_rrf_topn", "mmr_rerank",
     "similarity_range_search", "embed_and_search", "engine_full_probe",
     "kmeans_invariants", "ivf_centroids", "ivf_index_stats",
-    "ivf_rebalance_plan", "ivf_recall", "ivf_recall_sweep",
-    "ivf_assign_incremental",
+    "ivf_rebalance_plan", "ivf_recall",
 ]
 
 

@@ -836,3 +836,57 @@ def _knn_ivf_sq4(spark, sf_dir):
 
 QUERIES["knn_ivf_sq4"] = _knn_ivf_sq4
 ORACLES["knn_ivf_sq4"] = ORACLES["knn_ivf_sq8"]
+
+
+# --- r7: ranking-aware eval + shard-merged index build ---------------------
+
+NDCG_PROBE_GRID = (1, 3, 5)
+
+QUERIES["retrieval_ndcg"] = partial(
+    ivf.retrieval_ndcg, query_id=QUERY_ID, k=K, n_probes=NDCG_PROBE_GRID
+)
+
+
+def _ndcg_at(n_probe: int) -> str:
+    """NDCG@k / MRR / recall@k of the IVF top-k vs exact — one row.
+    Per-term DCG contributions rounded to 12 d.p. then summed as
+    DECIMAL(38,12) (order-free), divided by the same-rounded IDCG."""
+    return (
+        _ivf_ctes(n_probe)
+        + f""",
+ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id DESC) AS rnk
+  FROM ivf_topk
+),
+exact AS (
+  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+  ORDER BY {_COS_Q} DESC, e.vec_id DESC LIMIT {K}
+),
+hits AS (SELECT rnk FROM ranked WHERE vec_id IN (SELECT vec_id FROM exact)),
+idcg AS (
+  SELECT CAST(sum(CAST(round(1.0 / log2(i + 1), 12) AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM range(1, {K + 1}) t(i)
+)
+SELECT {n_probe} AS n_probe,
+       round(count(*) / {K}.0, 6) AS recall,
+       round(coalesce(1.0 / min(rnk), 0.0), 6) AS mrr,
+       round(coalesce(CAST(sum(CAST(round(1.0 / log2(rnk + 1), 12) AS DECIMAL(38,12))) AS DOUBLE), 0.0)
+             / (SELECT v FROM idcg), 6) AS ndcg
+FROM hits
+"""
+    )
+
+
+ORACLES["retrieval_ndcg"] = (
+    "SELECT n_probe, recall, mrr, ndcg FROM (\n"
+    + "\nUNION ALL\n".join(f"SELECT * FROM ({_ndcg_at(p)})" for p in NDCG_PROBE_GRID)
+    + "\n) ORDER BY n_probe"
+)
+
+# Shard-merged build must reproduce the single-build index exactly
+# (merged (sum, count) stats → the same 8-d.p. centroids → the same
+# probes → the same pruned fine scan) — shares knn_ivf's full oracle.
+QUERIES["knn_ivf_shard_merge"] = partial(
+    ivf.knn_ivf_shard_merge, query_id=QUERY_ID, k=K, n_probe=N_PROBE, n_shards=2
+)
+ORACLES["knn_ivf_shard_merge"] = _IVF_CTES + "SELECT vec_id, score FROM ivf_topk"

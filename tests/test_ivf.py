@@ -25,6 +25,8 @@ IVF_NAMES = [
     "contrastive_triplets",
     "embedding_drift",
     "ivf_centroid_refresh",
+    "retrieval_ndcg",
+    "knn_ivf_shard_merge",
 ]
 
 
@@ -499,3 +501,80 @@ def test_pq_state_roundtrip_search_parity(spark):
     assert codes.select(F.size("codes")).distinct().collect()[0][0] == 8
     # and the normal query path still works alongside the persisted state
     assert len(knn_pq(spark, SF_CORRECT).collect()) == 5
+
+
+# --- r7: ranking-aware eval + shard-merged build ---------------------------
+
+
+def test_retrieval_ndcg_full_probe_is_perfect(spark):
+    """n_probe = n_clusters prunes nothing, so the IVF ranking IS the
+    exact ranking: recall = mrr = ndcg = 1.0 — the rank-quality twin of
+    ivf_recall's full-probe invariant (reference check_cos_sim.cpp:72)."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import retrieval_ndcg
+
+    rows = retrieval_ndcg(spark, SF_SMOKE, n_probes=(10,)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["recall"], r["mrr"], r["ndcg"]) == (1.0, 1.0, 1.0)
+
+
+def test_retrieval_ndcg_bounds_and_recall_consistency(spark):
+    """Metrics land in [0, 1]; ndcg ≤ recall-implied ceiling (ndcg = 1
+    only at full recall); the recall column ties out with ivf_recall
+    at the same knob value."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import ivf_recall, retrieval_ndcg
+
+    rows = {r["n_probe"]: r for r in retrieval_ndcg(spark, SF_CORRECT).collect()}
+    assert set(rows) == {1, 3, 5}
+    for r in rows.values():
+        for m in ("recall", "mrr", "ndcg"):
+            assert 0.0 <= r[m] <= 1.0
+        if r["recall"] < 1.0:
+            assert r["ndcg"] < 1.0
+    recall3 = ivf_recall(spark, SF_CORRECT, n_probe=3).collect()[0]["recall"]
+    assert rows[3]["recall"] == recall3
+
+
+def test_dcg_term_rounding_parity_with_duckdb():
+    """The only float arithmetic the NDCG oracle and the Spark side
+    compute INDEPENDENTLY is round(1/log2(rank+1), 12). Pin all ranks
+    the fixture can produce (1..10) to the same 12-d.p. decimal in
+    Python (= the IDCG constant) and DuckDB (= the oracle terms); the
+    JVM side is pinned transitively by the gate's value hash."""
+    import duckdb
+
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import _dcg_contribution
+
+    got = duckdb.sql(
+        "SELECT i, round(1.0 / log2(i + 1), 12) AS c FROM range(1, 11) t(i) ORDER BY i"
+    ).fetchall()
+    for rank, c in got:
+        assert float(_dcg_contribution(int(rank))) == c, rank
+
+
+def test_shard_merged_centroids_match_single_build(spark):
+    """Merged (sum, count) sufficient statistics reproduce the one-pass
+    per-label means at the shared 8-d.p. rounding — for any shard
+    count, so the merge is associativity-safe."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        fixture_centroid_rows,
+        merged_centroid_rows,
+    )
+
+    single = dict(fixture_centroid_rows(spark, SF_SMOKE))
+    for n_shards in (2, 3):
+        merged = dict(merged_centroid_rows(spark, SF_SMOKE, n_shards=n_shards))
+        assert merged.keys() == single.keys()
+        for lab, cent in merged.items():
+            assert cent == pytest.approx(single[lab], abs=2e-8), (n_shards, lab)
+
+
+def test_knn_ivf_shard_merge_equals_single_build(spark):
+    """The search through the merged index is row-identical to the
+    single-build knn_ivf — the merge is invisible to the read path."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import knn_ivf, knn_ivf_shard_merge
+
+    for qid in (0, 2):
+        a = knn_ivf_shard_merge(spark, SF_CORRECT, query_id=qid).collect()
+        b = knn_ivf(spark, SF_CORRECT, query_id=qid).collect()
+        assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]

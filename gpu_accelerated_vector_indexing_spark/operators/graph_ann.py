@@ -233,18 +233,26 @@ def build_knn_graph_over(
     # pipeline has (each NN-descent round persists its edge list).
     graph = _topk_per_node(_score_pairs(seed, emb_n), k).localCheckpoint(eager=True)
     for _ in range(rounds):
-        undirected = graph.select("node", "nbr").union(
-            graph.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
-        )
-        proposals = (
-            undirected.alias("u1")
-            .join(undirected.alias("u2"), F.col("u1.nbr") == F.col("u2.node"))
-            .filter(F.col("u1.node") != F.col("u2.nbr"))
-            .select(F.col("u1.node").alias("node"), F.col("u2.nbr").alias("nbr"))
-        )
-        cand = proposals.union(graph.select("node", "nbr")).distinct()
-        graph = _topk_per_node(_score_pairs(cand, emb_n), k).localCheckpoint(eager=True)
+        graph = _descent_round(graph, emb_n, k)
     return graph
+
+
+def _descent_round(graph: DataFrame, emb_n: DataFrame, k: int) -> DataFrame:
+    """ONE NN-descent round: neighbor-of-neighbor proposals over the
+    undirected edge set ∪ the incumbent edges, rescored, per-node
+    top-k, materialized. Shared by the full build and the shard merge
+    so the round semantics can never drift between the two."""
+    undirected = graph.select("node", "nbr").union(
+        graph.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    )
+    proposals = (
+        undirected.alias("u1")
+        .join(undirected.alias("u2"), F.col("u1.nbr") == F.col("u2.node"))
+        .filter(F.col("u1.node") != F.col("u2.nbr"))
+        .select(F.col("u1.node").alias("node"), F.col("u2.nbr").alias("nbr"))
+    )
+    cand = proposals.union(graph.select("node", "nbr")).distinct()
+    return _topk_per_node(_score_pairs(cand, emb_n), k).localCheckpoint(eager=True)
 
 
 # The finished graph is index state — memoized per (session, corpus) and
@@ -1333,3 +1341,106 @@ def graph_repair_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# Shard-parallel graph build + merge (r7)
+# ---------------------------------------------------------------------------
+
+MERGE_ROUNDS = 2  # descent rounds after the shard union — fixed → SQL-replayable
+
+
+def merge_graph_shards(
+    emb: DataFrame,
+    emb_n: DataFrame,
+    shard_edges: list[DataFrame],
+    k: int = K_GRAPH,
+    merge_rounds: int = MERGE_ROUNDS,
+) -> DataFrame:
+    """Merge independently-built per-shard kNN graphs into one servable
+    graph over the union corpus — the graph twin of
+    ``ivf.merged_centroid_rows``' sufficient-statistic merge, and the
+    missing lifecycle step between the shard builds (anywhere, in
+    parallel, each touching only its shard's vectors) and one index.
+
+    A union of shard graphs has NO cross-shard edges, and NN-descent
+    over it can never create one (neighbor-of-neighbor proposals stay
+    inside a connected component). So the merge seeds the union with
+    the label-independent id-BLOCK pairs of the full corpus (the
+    cross-linking half of the build's seed — Θ(n·SEED_WINDOW), never
+    all-pairs; blocks straddle any hash/parity sharding by
+    construction), rescores, cuts per-node top-k, then runs
+    ``merge_rounds`` stock descent rounds to propagate the cross links.
+    Shard edges act as a warm start: the intra-shard neighborhoods are
+    already converged, so the merge pays only the cross-shard
+    discovery — at 100 TB that is the difference between re-running
+    the full build over the union and a bounded touch-up whose every
+    stage is Θ(n·k) ∪ Θ(n·SEED_WINDOW).
+    """
+    from functools import reduce
+
+    cross = (
+        _grouped(emb)
+        .alias("a")
+        .join(_grouped(emb).alias("b"), "blk")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("node"), F.col("b.vec_id").alias("nbr"))
+    )
+    warm = reduce(
+        lambda x, y: x.union(y), [g.select("node", "nbr") for g in shard_edges]
+    )
+    cand = warm.union(cross).distinct()
+    graph = _topk_per_node(_score_pairs(cand, emb_n), k).localCheckpoint(eager=True)
+    for _ in range(merge_rounds):
+        graph = _descent_round(graph, emb_n, k)
+    return graph
+
+
+# merged graph is index state, memoized like fixture_graph
+_MERGED_GRAPH_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def fixture_merged_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two half-corpus builds (vec_id parity — standing in for any
+    hash sharding) merged via :func:`merge_graph_shards`; memoized per
+    (session, corpus) like ``fixture_graph``."""
+    key = (spark, sf_dir)
+    if key not in _MERGED_GRAPH_STATE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        emb_n = fixture_normed(spark, sf_dir)
+        shards = [
+            build_knn_graph_over(
+                emb.filter(F.col("vec_id") % 2 == i),
+                emb_n.filter(F.col("vec_id") % 2 == i),
+            )
+            for i in (0, 1)
+        ]
+        df = merge_graph_shards(emb, emb_n, shards).cache()
+        df.count()
+        _MERGED_GRAPH_STATE[key] = df
+    return _MERGED_GRAPH_STATE[key]
+
+
+def knn_graph_beam_merged(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+) -> DataFrame:
+    """Beam search SERVED THROUGH THE MERGED GRAPH — closes the
+    build-shards → merge → serve lifecycle with the same bounded walk
+    as ``knn_graph_beam`` (two pushed-InSet point-lookups per hop).
+    Full value oracle: the half builds, the block-seeded merge, the
+    descent rounds, and the walk all replay as staged CTEs
+    (queries/_graph_ann_oracle.merged_beam_sql)."""
+    visited = beam_visited_over(
+        fixture_merged_graph(spark, sf_dir).select("node", "nbr"),
+        load_table(spark, sf_dir, "embeddings"),
+        fixture_normed(spark, sf_dir),
+        fixture_qvec(spark, sf_dir, query_id),
+        beam,
+        hops,
+    )
+    return visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)

@@ -39,16 +39,17 @@ def _pair_score(a: str = "a", b: str = "b") -> str:
     )
 
 
-def _scored_topk(src: str, out: str, k: int) -> str:
+def _scored_topk(src: str, out: str, k: int, en: str = "en") -> str:
     """Score (node, nbr) pairs from CTE ``src`` and keep the per-node
-    top-k — the SQL twin of graph_ann._score_pairs + _topk_per_node."""
+    top-k — the SQL twin of graph_ann._score_pairs + _topk_per_node.
+    ``en`` names the normed-corpus CTE (prefixed for shard builds)."""
     return f"""{out} AS MATERIALIZED (
   SELECT node, nbr, score, rk FROM (
     SELECT node, nbr, score,
            row_number() OVER (PARTITION BY node ORDER BY score DESC, nbr ASC) AS rk
     FROM (
       SELECT c.node, c.nbr, {_pair_score()} AS score
-      FROM {src} c JOIN en a ON a.vec_id = c.node JOIN en b ON b.vec_id = c.nbr
+      FROM {src} c JOIN {en} a ON a.vec_id = c.node JOIN {en} b ON b.vec_id = c.nbr
     )
   ) WHERE rk <= {k})"""
 
@@ -60,42 +61,57 @@ def _scored_topk(src: str, out: str, k: int) -> str:
 E_DEFAULT = "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
 
 
-def graph_build_ctes(
-    k: int = K_GRAPH, rounds: int = NN_DESCENT_ROUNDS, e_sql: str = E_DEFAULT
-) -> tuple[str, str]:
-    """Return (cte_text, final_graph_name) for the NN-descent build."""
-    parts = [
-        e_sql,
-        _EN,
-        f"""ranked AS (
-  SELECT vec_id, label,
-         (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // {SEED_WINDOW} AS cg
-  FROM e)""",
-        f"""seed AS (
-  SELECT a.vec_id AS node, b.vec_id AS nbr
-  FROM ranked a JOIN ranked b
-    ON a.label = b.label AND a.cg = b.cg AND a.vec_id <> b.vec_id
-  UNION
-  SELECT a.vec_id AS node, b.vec_id AS nbr
-  FROM e a JOIN e b
-    ON (a.vec_id // {SEED_WINDOW}) = (b.vec_id // {SEED_WINDOW})
-   AND a.vec_id <> b.vec_id)""",
-        _scored_topk("seed", "g0", k),
-    ]
-    g = "g0"
-    for i in range(1, rounds + 1):
-        u, p = f"u{i}", f"p{i}"
-        parts.append(
-            f"{u} AS (SELECT node, nbr FROM {g} UNION ALL SELECT nbr AS node, node AS nbr FROM {g})"
-        )
-        parts.append(f"""{p} AS (
+def _round_ctes(g: str, u: str, p: str, out: str, k: int, en: str = "en") -> list[str]:
+    """One NN-descent round as CTE parts — the SQL twin of
+    graph_ann._descent_round, shared by the full build and the merge."""
+    return [
+        f"{u} AS (SELECT node, nbr FROM {g} UNION ALL SELECT nbr AS node, node AS nbr FROM {g})",
+        f"""{p} AS (
   SELECT DISTINCT node, nbr FROM (
     SELECT x.node AS node, y.nbr AS nbr
     FROM {u} x JOIN {u} y ON x.nbr = y.node WHERE x.node <> y.nbr
     UNION ALL SELECT node, nbr FROM {g}
-  ))""")
-        parts.append(_scored_topk(p, f"g{i}", k))
-        g = f"g{i}"
+  ))""",
+        _scored_topk(p, out, k, en=en),
+    ]
+
+
+def graph_build_ctes(
+    k: int = K_GRAPH,
+    rounds: int = NN_DESCENT_ROUNDS,
+    e_sql: str = E_DEFAULT,
+    prefix: str = "",
+) -> tuple[str, str]:
+    """Return (cte_text, final_graph_name) for the NN-descent build.
+    ``prefix`` namespaces every internal CTE (and expects ``e_sql`` to
+    define ``{prefix}e``) so several builds — the shard-merge oracle's
+    two half builds — coexist in one statement; the default "" emits
+    byte-identical SQL to the pre-prefix form."""
+    x = prefix
+    parts = [
+        e_sql,
+        f"{x}en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM {x}e)"
+        if x
+        else _EN,
+        f"""{x}ranked AS (
+  SELECT vec_id, label,
+         (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // {SEED_WINDOW} AS cg
+  FROM {x}e)""",
+        f"""{x}seed AS (
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM {x}ranked a JOIN {x}ranked b
+    ON a.label = b.label AND a.cg = b.cg AND a.vec_id <> b.vec_id
+  UNION
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM {x}e a JOIN {x}e b
+    ON (a.vec_id // {SEED_WINDOW}) = (b.vec_id // {SEED_WINDOW})
+   AND a.vec_id <> b.vec_id)""",
+        _scored_topk(f"{x}seed", f"{x}g0", k, en=f"{x}en"),
+    ]
+    g = f"{x}g0"
+    for i in range(1, rounds + 1):
+        parts.extend(_round_ctes(g, f"{x}u{i}", f"{x}p{i}", f"{x}g{i}", k, en=f"{x}en"))
+        g = f"{x}g{i}"
     return ",\n".join(parts), g
 
 
@@ -603,3 +619,61 @@ SELECT 'repaired' AS method, CAST(count(*) AS BIGINT) AS n_hits,
        round(count(*) / {float(k)}, 6) AS recall
 FROM gotrrs WHERE vec_id IN (SELECT vec_id FROM rrex)
 ORDER BY method"""
+
+
+def merged_beam_sql(
+    query_id: int = 0,
+    k: int = 5,
+    k_graph: int = K_GRAPH,
+    build_rounds: int = NN_DESCENT_ROUNDS,
+    merge_rounds: int | None = None,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+) -> str:
+    """Replay the FULL shard-merge lifecycle as staged SQL: two
+    half-corpus NN-descent builds (prefixed CTE namespaces), the
+    id-block cross-seeded merge (graph_ann.merge_graph_shards), the
+    fixed descent rounds, and the beam walk through the merged graph —
+    the SQL twin of graph_ann.knn_graph_beam_merged."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import MERGE_ROUNDS
+
+    if merge_rounds is None:
+        merge_rounds = MERGE_ROUNDS
+    halves = []
+    for px, par in (("ha_", 0), ("hb_", 1)):
+        e_sql = (
+            f"{px}e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
+            f" FROM embeddings WHERE vec_id % 2 = {par})"
+        )
+        halves.append(graph_build_ctes(k_graph, build_rounds, e_sql=e_sql, prefix=px))
+    (ctes_a, g_a), (ctes_b, g_b) = halves
+    parts = [
+        ctes_a,
+        ctes_b,
+        E_DEFAULT,
+        _EN,
+        f"""cross_blk AS (
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM e a JOIN e b
+    ON (a.vec_id // {SEED_WINDOW}) = (b.vec_id // {SEED_WINDOW})
+   AND a.vec_id <> b.vec_id)""",
+        f"""m0c AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT node, nbr FROM {g_a}
+    UNION ALL SELECT node, nbr FROM {g_b}
+    UNION ALL SELECT node, nbr FROM cross_blk
+  ))""",
+        _scored_topk("m0c", "m0", k_graph),
+    ]
+    g = "m0"
+    for i in range(1, merge_rounds + 1):
+        parts.extend(_round_ctes(g, f"mu{i}", f"mp{i}", f"m{i}", k_graph))
+        g = f"m{i}"
+    parts.append(_ENT)
+    bparts, v = _beam_ctes(query_id, g, beam=beam, hops=hops, ent="ent")
+    joined = ",\n".join([*parts, *bparts])
+    return (
+        f"WITH {joined}\n"
+        f"SELECT vec_id, score FROM {v}"
+        f" ORDER BY score DESC, vec_id DESC LIMIT {k}"
+    )

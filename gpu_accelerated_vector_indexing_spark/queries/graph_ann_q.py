@@ -182,3 +182,21 @@ def _repair_recall(spark, sf_dir):
 
 QUERIES["graph_repair_recall"] = _repair_recall
 ORACLES["graph_repair_recall"] = repair_recall_sql(query_id=10, k=K)
+
+
+# --- r7: shard-parallel graph build + merge --------------------------------
+
+
+def _beam_merged(spark, sf_dir):
+    """Beam search served through the graph MERGED from two half-corpus
+    builds (graph_ann.merge_graph_shards) — the build-shards → merge →
+    serve lifecycle under one full value oracle."""
+    return graph_ann.knn_graph_beam_merged(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+QUERIES["graph_shard_merge_search"] = _beam_merged
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    merged_beam_sql,
+)
+
+ORACLES["graph_shard_merge_search"] = merged_beam_sql(query_id=QUERY_ID, k=K)

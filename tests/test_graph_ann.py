@@ -16,6 +16,7 @@ NAMES = [
     "graph_recall_sweep",
     "graph_ann_recall",
     "graph_ann_insert",
+    "graph_shard_merge_search",
 ]
 
 
@@ -287,3 +288,87 @@ def test_graph_serve_after_repair_live_only_topk(spark):
     assert all(r.vec_id % DELETE_MOD != 0 for r in rows)
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# --- r7: shard-parallel build + merge ---------------------------------------
+
+
+def test_merged_graph_contract_and_cross_links(spark):
+    """The merged graph keeps the full-build contract (k distinct
+    neighbors per node, no self loops) AND contains cross-shard edges —
+    the links a bare union of shard graphs can never have (each shard
+    build only ever sees its own half)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        K_GRAPH,
+        fixture_merged_graph,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    g = fixture_merged_graph(spark, SF_SMOKE)
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    per_node = g.groupBy("node").agg(
+        F.count("*").alias("deg"), F.countDistinct("nbr").alias("dnbr")
+    )
+    assert per_node.count() == n  # every node of BOTH shards is covered
+    assert per_node.filter((F.col("deg") != K_GRAPH) | (F.col("dnbr") != K_GRAPH)).count() == 0
+    assert g.filter(F.col("node") == F.col("nbr")).count() == 0
+    cross = g.filter((F.col("node") % 2) != (F.col("nbr") % 2)).count()
+    assert cross > 0, "merge produced no cross-shard edges"
+
+
+def test_merged_graph_beam_recall_floor(spark):
+    """Serving through the merged index must stay near the full-build
+    walk's quality — the merge is useful only if the touch-up rounds
+    recover the cross-shard neighborhoods (measured 0.8 at both fixture
+    scales; floored at 0.6 like test_beam_recall_floor)."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import knn_graph_beam_merged
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    hits = total = 0
+    for qid in (0, 1):
+        exact = {r.vec_id for r in knn_bruteforce(spark, SF_CORRECT, query_id=qid, k=5).collect()}
+        got = {r.vec_id for r in knn_graph_beam_merged(spark, SF_CORRECT, query_id=qid, k=5).collect()}
+        hits += len(exact & got)
+        total += 5
+    assert hits / total >= 0.6, f"merged recall@5 {hits}/{total}"
+
+
+def test_merge_beats_bare_union(spark):
+    """The cross-seeded merge must strictly add value over the bare
+    union of shard graphs: a walk over the union alone cannot leave the
+    entry points' shard components, so its recall is capped; the merged
+    walk must find at least as many true neighbors."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        BEAM_HOPS,
+        BEAM_WIDTH,
+        beam_visited_over,
+        build_knn_graph_over,
+        fixture_normed,
+        fixture_qvec,
+        knn_graph_beam_merged,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    emb_n = fixture_normed(spark, SF_SMOKE)
+    union = None
+    for i in (0, 1):
+        half = build_knn_graph_over(
+            emb.filter(F.col("vec_id") % 2 == i), emb_n.filter(F.col("vec_id") % 2 == i)
+        ).select("node", "nbr")
+        union = half if union is None else union.union(half)
+    exact = {r.vec_id for r in knn_bruteforce(spark, SF_SMOKE, query_id=0, k=5).collect()}
+    bare_visited = beam_visited_over(
+        union, emb, emb_n, fixture_qvec(spark, SF_SMOKE, 0), BEAM_WIDTH, BEAM_HOPS
+    )
+    bare = {
+        r.vec_id
+        for r in bare_visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(5).collect()
+    }
+    merged = {r.vec_id for r in knn_graph_beam_merged(spark, SF_SMOKE, query_id=0, k=5).collect()}
+    assert len(merged & exact) >= len(bare & exact)

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     ("disjunctive_revenue", _collect),
     ("bilateral_trade_volume", _collect),
     ("corpus_pipeline", _collect),
+    ("corpus_curriculum_plan", _collect),
     ("window_topk_per_group", _collect),
     ("window_running", _noop),
     ("scalar_subquery", _collect),

@@ -998,3 +998,74 @@ def dsir_score_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     down to every document's keep decision, or the hash breaks."""
     model = spark.read.parquet(f"{dsir_state_dir(spark, sf_dir)}/affinity")
     return dsir_importance_sample(spark, sf_dir, model=model)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum scheduling (r7)
+# ---------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 4
+CURRICULUM_BUCKETS = 1000  # stopword_ratio snapped to a fixed 1e-3 grid
+
+
+def corpus_curriculum_plan(
+    spark: SparkSession, sf_dir: str, n_phases: int = CURRICULUM_PHASES
+) -> DataFrame:
+    """Curriculum-learning schedule: order the corpus easy→hard by a
+    quality signal and split it into ``n_phases`` phases of roughly
+    equal TOKEN budget — the plan a staged pre-training run consumes
+    (clean prose first, noisier text in later phases).
+
+    Easy-first proxy: stopword_ratio DESC (the Gopher-style signal
+    ``quality_filter`` already computes — high stopword density marks
+    conventional prose). The scale-safe shape is two-pass, never a
+    corpus-wide ordered window:
+
+    1. snap each doc's ratio to a fixed 1e-3 grid and aggregate
+       (n_docs, sum_tokens) per bucket — ONE shuffle to ≤1001 rows;
+    2. cumulative token sums + phase assignment run as windows over
+       that bounded bucket relation (driver-sized at any corpus size),
+       then one tiny rollup to ``n_phases`` rows.
+
+    Docs sharing a grid bucket stay in one phase (grid granularity is
+    the documented resolution — phase budgets are equal to within one
+    bucket's tokens). All arithmetic is integer (token sums, ceil-div
+    budget, integer-DIV phase), so the plan is exact cross-engine.
+    """
+    q = quality_filter(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("stopword_ratio") * CURRICULUM_BUCKETS).cast("int").alias("bucket"),
+    )
+    per_bucket = q.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks")
+    )
+    desc = W.orderBy(F.desc("bucket"))
+    staged = per_bucket.select(
+        "bucket",
+        "n_docs",
+        "toks",
+        F.coalesce(
+            F.sum("toks").over(desc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cum_before"),
+        F.sum("toks").over(W.partitionBy()).alias("total"),
+    ).select(
+        "bucket",
+        "n_docs",
+        "toks",
+        F.least(
+            F.expr(f"cum_before DIV ((total + {n_phases - 1}) DIV {n_phases})"),
+            F.lit(n_phases - 1),
+        ).cast("int").alias("phase"),
+    )
+    return (
+        staged.groupBy("phase")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("toks").alias("tokens"),
+            F.count("*").alias("n_buckets"),
+            F.round(F.max("bucket") / F.lit(CURRICULUM_BUCKETS), 6).alias("quality_hi"),
+            F.round(F.min("bucket") / F.lit(CURRICULUM_BUCKETS), 6).alias("quality_lo"),
+        )
+        .orderBy("phase")
+    )

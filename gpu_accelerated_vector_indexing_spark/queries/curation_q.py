@@ -477,3 +477,42 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(r_b * aff_micro) AS BIGINT) AS wsum_micro
 FROM dsa
 """
+
+
+# --- r7: curriculum scheduling ----------------------------------------------
+
+QUERIES["corpus_curriculum_plan"] = C.corpus_curriculum_plan
+
+ORACLES["corpus_curriculum_plan"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         len({_TOKS})::INT AS n_tokens,
+         floor((len(list_filter({_TOKS}, t -> t IN ({_STOPS})))::INT
+                / len({_TOKS})::INT) * {C.CURRICULUM_BUCKETS})::INT AS bucket
+  FROM documents
+),
+per_bucket AS (
+  SELECT bucket, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS toks
+  FROM b GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, n_docs, toks,
+         coalesce(sum(toks) OVER (ORDER BY bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         sum(toks) OVER () AS total
+  FROM per_bucket
+),
+ph AS (
+  SELECT bucket, n_docs, toks,
+         least(cum_before // ((total + {C.CURRICULUM_PHASES - 1}) // {C.CURRICULUM_PHASES}),
+               {C.CURRICULUM_PHASES - 1})::INT AS phase
+  FROM cum
+)
+SELECT phase,
+       sum(n_docs)::BIGINT AS n_docs,
+       sum(toks)::BIGINT AS tokens,
+       count(*)::BIGINT AS n_buckets,
+       round(max(bucket) / {C.CURRICULUM_BUCKETS}, 6) AS quality_hi,
+       round(min(bucket) / {C.CURRICULUM_BUCKETS}, 6) AS quality_lo
+FROM ph GROUP BY phase ORDER BY phase
+"""

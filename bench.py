@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     ("graph_state_roundtrip", _collect),
     ("graph_search_with_docs", _collect),
     ("graph_recall_sweep", _collect),
+    ("graph_retrieval_ndcg", _collect),
     ("graph_ann_insert", _collect),
     ("streaming_graph_attach", _collect),
     ("graph_shard_merge_search", _collect),
@@ -340,7 +341,7 @@ WALK_QUERIES = {
     "knn_graph_beam_with_deletes", "graph_search_with_docs",
     "graph_recall_sweep", "graph_ann_insert", "streaming_graph_attach",
     "graph_state_roundtrip", "multi_query_graph_beam",
-    "graph_shard_merge_search",
+    "graph_shard_merge_search", "graph_retrieval_ndcg",
     "refshape_graph_beam", "refshape_graph_cli", "refshape_graph_bq",
     "graph_ann_recall",
 }

@@ -1444,3 +1444,29 @@ def knn_graph_beam_merged(
         hops,
     )
     return visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+
+
+def graph_retrieval_ndcg(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    beams: tuple[int, ...] = (8, 24, 48),
+) -> DataFrame:
+    """Rank-quality sweep for the graph walk: NDCG@k / MRR / recall@k
+    per beam width vs the exact top-k — ``ivf.retrieval_ndcg``'s metric
+    kernel (``ranking_metric_rows``) over the graph knob, the same
+    pairing as graph_recall_sweep ↔ ivf_recall_sweep. Each width is one
+    bounded walk over the shared memoized build; eval math runs over
+    ≤ k rows per width."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import ranking_metric_rows
+
+    return ranking_metric_rows(
+        spark,
+        sf_dir,
+        "beam",
+        beams,
+        lambda b: knn_graph_beam(spark, sf_dir, query_id=query_id, k=k, beam=b),
+        query_id=query_id,
+        k=k,
+    )

@@ -950,23 +950,46 @@ def retrieval_ndcg(
     from set-overlap to rank-quality, over the experiment grid of
     run_multiple_configs.sh.
     """
+    return ranking_metric_rows(
+        spark,
+        sf_dir,
+        "n_probe",
+        n_probes,
+        lambda p: knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=p),
+        query_id=query_id,
+        k=k,
+    )
+
+
+def ranking_metric_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    knob: str,
+    values: Sequence[int],
+    search_fn,
+    query_id: int = 0,
+    k: int = 5,
+) -> DataFrame:
+    """One ``(knob, recall, mrr, ndcg)`` row per swept value — the
+    rank-quality twin of ``recall_sweep_rows``, shared by the IVF
+    (n_probe) and graph (beam width) knobs. ``search_fn(value)`` must
+    return the top-k relation ``(vec_id, score)``."""
     from functools import reduce
 
     from pyspark.sql.types import DecimalType
 
     from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
 
-    if not n_probes or len(set(n_probes)) != len(n_probes):
-        raise ValueError(f"n_probes must be non-empty and unique: {n_probes!r}")
+    if not values or len(set(values)) != len(values):
+        raise ValueError(f"sweep values must be non-empty and unique: {values!r}")
     exact_ids = [
         int(r.vec_id)
         for r in knn_bruteforce(spark, sf_dir, query_id=query_id, k=k).collect()
     ]
     idcg = ideal_dcg(k)
     rows = []
-    for np_ in n_probes:
-        approx = knn_ivf(spark, sf_dir, query_id=query_id, k=k, n_probe=np_)
-        ranked = approx.withColumn(
+    for val in values:
+        ranked = search_fn(val).withColumn(
             "rnk",
             F.row_number().over(
                 W.orderBy(F.desc("score"), F.desc("vec_id"))
@@ -978,7 +1001,7 @@ def retrieval_ndcg(
         )
         rows.append(
             hits.agg(
-                F.lit(np_).alias("n_probe"),
+                F.lit(val).alias(knob),
                 F.round(F.count("*") / F.lit(float(k)), SCORE_SCALE).alias("recall"),
                 F.round(
                     F.coalesce(F.lit(1.0) / F.min("rnk"), F.lit(0.0)), SCORE_SCALE
@@ -989,7 +1012,7 @@ def retrieval_ndcg(
                 ).alias("ndcg"),
             )
         )
-    return reduce(lambda a, b: a.unionAll(b), rows).orderBy("n_probe")
+    return reduce(lambda a, b: a.unionAll(b), rows).orderBy(knob)
 
 
 # ---------------------------------------------------------------------------

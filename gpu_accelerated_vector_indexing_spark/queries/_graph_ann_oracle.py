@@ -677,3 +677,43 @@ def merged_beam_sql(
         f"SELECT vec_id, score FROM {v}"
         f" ORDER BY score DESC, vec_id DESC LIMIT {k}"
     )
+
+
+def ndcg_beam_sweep_sql(
+    query_id: int = 0, k: int = 5, beams: tuple[int, ...] = (8, 24, 48)
+) -> str:
+    """One build replay, one walk per beam width, rank-quality metrics
+    per width — graph_ann.graph_retrieval_ndcg. Same DECIMAL-exact DCG
+    recipe as the IVF oracle (queries/ivf_q._ndcg_at); aggregates
+    without GROUP BY so a zero-hit width still emits its row."""
+    if not beams or len(set(beams)) != len(beams):
+        raise ValueError(f"sweep widths must be non-empty and unique: {beams!r}")
+    ctes, g = graph_build_ctes()
+    parts = [ctes, _ENT]
+    parts.append(f"""idcgx AS (
+  SELECT CAST(sum(CAST(round(1.0 / log2(i + 1), 12) AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM range(1, {k + 1}) t(i))""")
+    selects = []
+    for b in beams:
+        s = f"w{b}"
+        bparts, v = _beam_ctes(query_id, g, suffix=s, beam=b)
+        parts.extend(bparts)
+        parts.append(f"""rnk{s} AS (
+  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id DESC) AS rnk
+  FROM (SELECT vec_id, score FROM {v} ORDER BY score DESC, vec_id DESC LIMIT {k}))""")
+        selects.append(
+            f"SELECT {b} AS beam,"
+            f" round(count(*) / {k}.0, 6) AS recall,"
+            f" round(coalesce(1.0 / min(rnk), 0.0), 6) AS mrr,"
+            f" round(coalesce(CAST(sum(CAST(round(1.0 / log2(rnk + 1), 12)"
+            f" AS DECIMAL(38,12))) AS DOUBLE), 0.0) / (SELECT v FROM idcgx), 6) AS ndcg"
+            f" FROM rnk{s} WHERE vec_id IN (SELECT vec_id FROM gsx)"
+        )
+    parts.append(f"""gsx AS (
+  SELECT en.vec_id FROM en CROSS JOIN qw{beams[0]}
+  ORDER BY round(list_dot_product(en.v, qw{beams[0]}.qv) /
+                 (en.nrm * qw{beams[0]}.qn + 1e-8), 6) DESC,
+           en.vec_id DESC LIMIT {k})""")
+    joined = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {joined}\n{union}\nORDER BY beam"

@@ -200,3 +200,17 @@ from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  #
 )
 
 ORACLES["graph_shard_merge_search"] = merged_beam_sql(query_id=QUERY_ID, k=K)
+
+
+def _graph_ndcg(spark, sf_dir):
+    """Rank-quality sweep over beam widths — the graph twin of
+    retrieval_ndcg (shared ranking_metric_rows kernel)."""
+    return graph_ann.graph_retrieval_ndcg(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+QUERIES["graph_retrieval_ndcg"] = _graph_ndcg
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    ndcg_beam_sweep_sql,
+)
+
+ORACLES["graph_retrieval_ndcg"] = ndcg_beam_sweep_sql(query_id=QUERY_ID, k=K)

@@ -17,6 +17,7 @@ NAMES = [
     "graph_ann_recall",
     "graph_ann_insert",
     "graph_shard_merge_search",
+    "graph_retrieval_ndcg",
 ]
 
 
@@ -372,3 +373,23 @@ def test_merge_beats_bare_union(spark):
     }
     merged = {r.vec_id for r in knn_graph_beam_merged(spark, SF_SMOKE, query_id=0, k=5).collect()}
     assert len(merged & exact) >= len(bare & exact)
+
+
+def test_graph_ndcg_recall_ties_out_with_recall_sweep(spark):
+    """graph_retrieval_ndcg's recall column must equal
+    graph_recall_sweep's at the same beam widths (one metric kernel,
+    two sweeps), and rank metrics must be bounded and consistent
+    (mrr, ndcg ∈ [0,1]; perfect recall ⇒ ndcg ≤ 1 with equality only
+    when the ranking is exact-ordered)."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        graph_recall_sweep,
+        graph_retrieval_ndcg,
+    )
+
+    ndcg_rows = {r["beam"]: r for r in graph_retrieval_ndcg(spark, SF_SMOKE).collect()}
+    recall_rows = {r["beam"]: r for r in graph_recall_sweep(spark, SF_SMOKE).collect()}
+    assert set(ndcg_rows) == set(recall_rows) == {8, 24, 48}
+    for b in ndcg_rows:
+        assert ndcg_rows[b]["recall"] == recall_rows[b]["recall"]
+        for m in ("recall", "mrr", "ndcg"):
+            assert 0.0 <= ndcg_rows[b][m] <= 1.0

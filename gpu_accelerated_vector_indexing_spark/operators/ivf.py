@@ -1105,3 +1105,49 @@ def knn_ivf_shard_merge(
         )
     )
     return fine.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+
+
+_SHARD_STATE_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def shard_state_dir(spark: SparkSession, sf_dir: str, n_shards: int = 2) -> str:
+    """Directory holding the persisted per-shard centroid sufficient
+    statistics, written once per (session, corpus) — the on-disk form
+    a shard-parallel build ships to the merge job (each shard writes
+    its (shard, label, pos, sum, count) partial independently; nothing
+    global exists until the merge reads them all)."""
+    import tempfile
+
+    key = (spark, sf_dir)
+    if key not in _SHARD_STATE_DIR:
+        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_shardstate_")
+        shard_centroid_stats(
+            load_table(spark, sf_dir, "embeddings"), n_shards
+        ).write.mode("overwrite").parquet(f"{out}/stats")
+        _SHARD_STATE_DIR[key] = out
+    return _SHARD_STATE_DIR[key]
+
+
+def ivf_shard_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the shard partials, read them back, MERGE FROM DISK, and
+    value-summarize the merged centroid state in one row — pinning that
+    the cross-job handoff (shard build → parquet → merge) reproduces
+    the in-session centroid state exactly (the oracle re-derives the
+    centroids straight from the corpus and computes the same digest).
+    Checksums are order-free: label/component counts are bigint folds;
+    ``centroid_sum_micro`` is the exact integer sum of the 8-d.p.
+    centroid components in 1e-8 units, so a drift in ANY component of
+    ANY label moves the row (the graph family's score_sum_micro
+    posture)."""
+    stats = spark.read.parquet(f"{shard_state_dir(spark, sf_dir)}/stats")
+    merged = stats.groupBy("label", "pos").agg(
+        F.round(F.sum("s") / F.sum("n"), CENTROID_SCALE).alias("v")
+    )
+    return merged.agg(
+        F.countDistinct("label").alias("n_labels"),
+        (F.max("pos") + F.lit(1)).alias("dim"),
+        F.count("*").alias("n_components"),
+        F.sum(F.round(F.col("v") * F.lit(10.0 ** CENTROID_SCALE)).cast("long")).alias(
+            "centroid_sum_micro"
+        ),
+    )

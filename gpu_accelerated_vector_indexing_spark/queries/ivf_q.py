@@ -890,3 +890,20 @@ QUERIES["knn_ivf_shard_merge"] = partial(
     ivf.knn_ivf_shard_merge, query_id=QUERY_ID, k=K, n_probe=N_PROBE, n_shards=2
 )
 ORACLES["knn_ivf_shard_merge"] = _IVF_CTES + "SELECT vec_id, score FROM ivf_topk"
+
+# Shard-partial persistence: build partials anywhere, ship parquet,
+# merge elsewhere — digest pinned against the corpus-derived centroids.
+QUERIES["ivf_shard_state_roundtrip"] = ivf.ivf_shard_state_roundtrip
+ORACLES["ivf_shard_state_roundtrip"] = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+)
+SELECT count(DISTINCT label)::BIGINT AS n_labels,
+       max(i)::INT AS dim,
+       count(*)::BIGINT AS n_components,
+       sum(CAST(round(v * 1e8) AS BIGINT))::BIGINT AS centroid_sum_micro
+FROM cent_flat
+"""

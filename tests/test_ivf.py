@@ -27,6 +27,7 @@ IVF_NAMES = [
     "ivf_centroid_refresh",
     "retrieval_ndcg",
     "knn_ivf_shard_merge",
+    "ivf_shard_state_roundtrip",
 ]
 
 

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     ("graph_ann_insert", _collect),
     ("streaming_graph_attach", _collect),
     ("graph_shard_merge_search", _collect),
+    ("graph_merge_serve", _collect),
     ("ann_compression_error", _collect),
     ("filtered_method_recall", _collect),
     ("knn_prenorm", _collect),
@@ -342,7 +343,7 @@ WALK_QUERIES = {
     "knn_graph_beam_with_deletes", "graph_search_with_docs",
     "graph_recall_sweep", "graph_ann_insert", "streaming_graph_attach",
     "graph_state_roundtrip", "multi_query_graph_beam",
-    "graph_shard_merge_search", "graph_retrieval_ndcg",
+    "graph_shard_merge_search", "graph_retrieval_ndcg", "graph_merge_serve",
     "refshape_graph_beam", "refshape_graph_cli", "refshape_graph_bq",
     "graph_ann_recall",
 }

@@ -1470,3 +1470,48 @@ def graph_retrieval_ndcg(
         query_id=query_id,
         k=k,
     )
+
+
+_MERGED_INDEX_DIR: dict[tuple, str] = {}  # (spark, sf_dir)
+
+
+def merged_graph_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the shard-merged graph through the standard index layout
+    (edges + normed corpus) — the step between
+    :func:`merge_graph_shards` and serving, completing the lifecycle
+    build-shards → merge → persist → serve exactly as the repair family
+    does for deletes (``repaired_graph_index``)."""
+    key = (spark, sf_dir)
+    if key not in _MERGED_INDEX_DIR:
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus_normed = emb.select("vec_id", "label").join(
+            fixture_normed(spark, sf_dir), "vec_id"
+        )
+        ensure_graph_index(
+            _MERGED_INDEX_DIR,
+            key,
+            "gpu_accelerated_vector_indexing_graphmerged_",
+            fixture_merged_graph(spark, sf_dir),
+            corpus_normed,
+        )
+    return _MERGED_INDEX_DIR[key]
+
+
+def graph_merge_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+) -> DataFrame:
+    """Serve a query THROUGH the persisted merged index —
+    ``GraphEngine.from_pretrained`` over :func:`merged_graph_index`,
+    the same facade every pretrained index serves through. Shares
+    ``graph_shard_merge_search``'s full oracle (half builds → merge →
+    walk), so a value match certifies that persisting the merged graph
+    and serving from disk is value-neutral end to end."""
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+
+    eng = GraphEngine.from_pretrained(spark, merged_graph_index(spark, sf_dir))
+    return eng.search(fixture_qvec(spark, sf_dir, query_id), k=k).select(
+        "vec_id", "score"
+    )

@@ -29,7 +29,7 @@ _GATE_FIRST = [
     # --- round-7 novelties (never gated by definition)
     "retrieval_ndcg", "knn_ivf_shard_merge", "graph_shard_merge_search",
     "corpus_curriculum_plan", "graph_retrieval_ndcg",
-    "ivf_shard_state_roundtrip",
+    "ivf_shard_state_roundtrip", "graph_merge_serve",
     "graph_serve_after_repair", "dsir_state_roundtrip",
     "curation_dsir_score_pretrained", "graph_repair_recall",
     "text_typo_pairs", "text_typo_clusters",
@@ -52,7 +52,6 @@ _GATE_FIRST = [
     "multi_query_knn_ivf", "multi_query_knn_prenorm",
     "hybrid_search_rrf", "hybrid_search_rrf_topn", "mmr_rerank",
     "similarity_range_search", "embed_and_search", "engine_full_probe",
-    "kmeans_invariants",
 ]
 
 

@@ -214,3 +214,13 @@ from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  #
 )
 
 ORACLES["graph_retrieval_ndcg"] = ndcg_beam_sweep_sql(query_id=QUERY_ID, k=K)
+
+
+def _merge_serve(spark, sf_dir):
+    """Persisted merged index served through the GraphEngine facade —
+    shares the merged-walk oracle (persistence is value-neutral)."""
+    return graph_ann.graph_merge_serve(spark, sf_dir, query_id=QUERY_ID, k=K)
+
+
+QUERIES["graph_merge_serve"] = _merge_serve
+ORACLES["graph_merge_serve"] = ORACLES["graph_shard_merge_search"]

@@ -18,6 +18,7 @@ NAMES = [
     "graph_ann_insert",
     "graph_shard_merge_search",
     "graph_retrieval_ndcg",
+    "graph_merge_serve",
 ]
 
 
@@ -393,3 +394,18 @@ def test_graph_ndcg_recall_ties_out_with_recall_sweep(spark):
         assert ndcg_rows[b]["recall"] == recall_rows[b]["recall"]
         for m in ("recall", "mrr", "ndcg"):
             assert 0.0 <= ndcg_rows[b][m] <= 1.0
+
+
+def test_graph_merge_serve_matches_in_session(spark):
+    """Persisted-merged-index facade search ≡ the in-session merged
+    walk: persistence and the facade path must both be value-neutral
+    (the merge family's twin of
+    test_graph_engine_batch_search_matches_in_session)."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        graph_merge_serve,
+        knn_graph_beam_merged,
+    )
+
+    served = [(r.vec_id, r.score) for r in graph_merge_serve(spark, SF_SMOKE).collect()]
+    walked = [(r.vec_id, r.score) for r in knn_graph_beam_merged(spark, SF_SMOKE).collect()]
+    assert served == walked

@@ -517,3 +517,35 @@ def test_typo_pairs_is_shuffle_join_like_fuzzy(spark):
         absent=("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct"),
     )
     assert "variant" in plan.split("ShuffledHashJoin", 1)[1].splitlines()[0], plan
+
+
+def test_shard_stats_merge_is_two_partial_aggregates(spark):
+    """The shard-build statistics path must stay mergeable map-side
+    state: both aggregations (per-shard partials, cross-shard merge)
+    carry partial HashAggregates, and the whole derivation costs
+    exactly TWO exchanges — at 1000 executors the shuffles move
+    (sum, count) stat rows, never vectors."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import shard_centroid_stats
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    merged = (
+        shard_centroid_stats(load_table(spark, SF_CORRECT, "embeddings"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("s") / F.sum("n"), 8).alias("v"))
+    )
+    plan = physical_plan(merged)
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("HashAggregate") == 4, plan  # partial+final × 2 stages
+
+
+def test_curriculum_single_corpus_shuffle(spark):
+    """corpus_curriculum_plan's only corpus-wide movement is the ONE
+    shuffle down to the ≤1001-row quality-bucket relation; the ordered
+    cumulative/rollup stages run over that bounded relation (a second
+    exchange to a single partition). A corpus-wide ordered window would
+    show as a Sort over the scan side — pinned absent by the exchange
+    count."""
+    plan = physical_plan(_q(spark, "corpus_curriculum_plan"))
+    assert plan.count("Exchange") == 2, plan

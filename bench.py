@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     ("multimodal_decode", _noop),
     # event-time windowing
     ("events_mad_outliers", _collect),
+    ("events_cusum_changepoint", _collect),
     ("events_tumbling", _noop),
     ("events_sessionize", _noop),
     # --- r5 coverage widening: every family has bench rows, so a

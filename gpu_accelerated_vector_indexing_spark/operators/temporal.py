@@ -657,3 +657,55 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint per user timeline: the event index
+    where the cumulative deviation from the user's mean value is
+    largest — the standard single-changepoint locator (where the
+    running sum of (x_i − mean) peaks, the level shift happened).
+
+    Exact integer arithmetic end to end (the PPS/HLL posture): values
+    snap to cents, and the deviation is cleared of the mean's fraction
+    by n-scaling — ``D_i = n·cumsum_i − i·total`` (≡ n·Σ(x−mean), all
+    BIGINT) — so cross-engine float drift is impossible; the reported
+    ``max_dev`` converts back to mean units only at the end. One
+    user_id shuffle; every window (running sum, row index, totals,
+    argmax rank) shares that single partitioning, so at any corpus
+    size the cost is one exchange + per-user linear passes.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    part = W.partitionBy("user_id")
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.row_number().over(w).alias("idx"),
+        F.count("*").over(part).alias("n"),
+        F.sum("cents").over(part).alias("total"),
+    ).select(
+        "user_id",
+        "event_id",
+        "idx",
+        "n",
+        (F.col("n") * F.col("cum") - F.col("idx") * F.col("total")).alias("dev"),
+    )
+    ranked = staged.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.abs("dev").desc(), F.asc("idx"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return ranked.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("idx").alias("cp_index"),
+        F.col("event_id").alias("cp_event_id"),
+        F.round(F.abs("dev") / (F.col("n") * F.lit(100.0)), 6).alias("max_dev"),
+    ).orderBy("user_id")

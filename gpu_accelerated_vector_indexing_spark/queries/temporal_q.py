@@ -298,3 +298,40 @@ SELECT event_id, user_id, ts, next_purchase_id, next_purchase_ts,
        CAST(epoch(next_purchase_ts) - epoch(ts) AS BIGINT) AS secs_to_purchase
 FROM filled WHERE kind = 1
 """
+
+
+# --- r7: CUSUM changepoint ---------------------------------------------------
+
+QUERIES["events_cusum_changepoint"] = TP.cusum_changepoint
+
+# same n-scaled integer deviation: D_i = n·cumsum_i − i·total (BIGINT),
+# argmax |D| with smallest-index tie-break, mean-units conversion last
+ORACLES["events_cusum_changepoint"] = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+staged AS (
+  SELECT user_id, event_id,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(cents) OVER (PARTITION BY user_id) AS total
+  FROM ev
+),
+dev AS (
+  SELECT user_id, event_id, idx, n, n * cum - idx * total AS dev FROM staged
+),
+ranked AS (
+  SELECT user_id, event_id, idx, n, dev,
+         row_number() OVER (PARTITION BY user_id ORDER BY abs(dev) DESC, idx ASC) AS rn
+  FROM dev
+)
+SELECT user_id,
+       n AS n_events,
+       CAST(idx AS INT) AS cp_index,
+       event_id AS cp_event_id,
+       round(abs(dev) / (n * 100.0), 6) AS max_dev
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""

@@ -315,3 +315,23 @@ def test_asof_forward_semantics(spark):
         assert r.secs_to_purchase >= 0
         matched += 1
     assert matched > 0  # the fixture must exercise the non-NULL path
+
+
+def test_cusum_changepoint_invariants(spark):
+    """One row per user; the changepoint index is interior-valid
+    (1 ≤ cp ≤ n); max_dev is the peak of a |deviation| curve that is 0
+    at i = n by construction (n·cum_n − n·total = 0), so any user with
+    non-constant values must report max_dev > 0 at cp_index < n."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import cusum_changepoint
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = cusum_changepoint(spark, SF_SMOKE).collect()
+    n_users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert len(rows) == n_users
+    for r in rows:
+        assert 1 <= r["cp_index"] <= r["n_events"]
+        assert r["max_dev"] >= 0.0
+        if r["max_dev"] > 0.0:
+            assert r["cp_index"] < r["n_events"]

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     ("dedup_simhash_pairs", _noop),
     ("dedup_ngram_jaccard", _noop),
     ("dedup_jaccard_verified_lsh", _noop),
+    ("dedup_containment", _noop),
     ("dedup_embedding_lsh", _collect),
     ("dedup_semantic_graph", _collect),
     ("dedup_substring_spans", _noop),

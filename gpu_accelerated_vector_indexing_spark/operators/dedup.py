@@ -1309,3 +1309,72 @@ def semantic_graph_components(
     result = labels.select(F.col("node").alias("vec_id"), "component")
     _SEMANTIC_COMPONENTS_STATE[key] = result
     return result
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (r7)
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.8  # |A∩B| / min(|A|,|B|) — containment of the smaller set
+CONTAIN_DF_CAP = 50  # shingles in more docs than this generate no candidates
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CONTAIN_TAU,
+    df_cap: int = CONTAIN_DF_CAP,
+) -> DataFrame:
+    """Asymmetric near-dup mining: pairs where the SMALLER document's
+    shingle set is mostly inside the larger's —
+    ``|A∩B| / min(|A|,|B|) ≥ τ``. Jaccard misses exactly these (a
+    quote or boilerplate block inside a much longer doc divides by the
+    big union); containment is the standard complement (Broder 1997's
+    two resemblance measures).
+
+    Candidates come from the inverted index: explode distinct shingle
+    hashes, drop shingles with document frequency > ``df_cap`` (hot
+    boilerplate shingles would pair everything with everything — the
+    df cap bounds per-shingle fan-out to ``df_cap²`` pairs, the
+    posting-list analog of the LSH band bound), equi-join postings on
+    the hash, distinct pairs. Verification is EXACT set intersection
+    over the memoized ``grams_state`` arrays — the LSH-verified
+    composition's shape with a df-capped generator. Subset semantics
+    like every candidate generator here: a pair sharing only capped
+    shingles is absent in BOTH engines (the oracle applies the same
+    cap), and the verify stage computes true containment over the FULL
+    shingle sets.
+    """
+    g = grams_state(spark, sf_dir)
+    posts = g.select("doc_id", F.explode("gh").alias("h"))
+    rare = posts.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= df_cap
+    )
+    pr = posts.join(rare.select("h"), "h")
+    cand = (
+        pr.alias("a")
+        .join(pr.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gha"), F.col("n").alias("na"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("ghb"), F.col("n").alias("nb"))
+    shared = F.size(F.array_intersect(F.col("gha"), F.col("ghb")))
+    verified = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            shared.alias("shared"),
+            F.least(F.col("na"), F.col("nb")).alias("m"),
+        )
+        .filter(F.col("shared") / F.col("m") >= threshold)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.round(F.col("shared") / F.col("m"), 6).alias("containment"),
+    )

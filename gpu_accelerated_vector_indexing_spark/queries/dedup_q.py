@@ -483,3 +483,36 @@ SELECT vec_id, component FROM (
 
 
 ORACLES["dedup_semantic_graph"] = _semantic_graph_sql()
+
+
+# --- r7: asymmetric containment dedup ---------------------------------------
+
+QUERIES["dedup_containment"] = D.containment_pairs
+
+# same df-capped posting-list candidates + exact full-set verification
+ORACLES["dedup_containment"] = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1),
+                                      i -> {_GH_POLY})) AS gh
+  FROM documents
+),
+posts AS (SELECT doc_id, unnest(gh) AS h FROM grams),
+rare AS (
+  SELECT h FROM (SELECT h, count(*) AS df FROM posts GROUP BY h)
+  WHERE df <= {D.CONTAIN_DF_CAP}
+),
+pr AS (SELECT p.doc_id, p.h FROM posts p JOIN rare USING (h)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.gh, b.gh))::INT AS shared,
+         least(len(a.gh), len(b.gh)) AS m
+  FROM cand c JOIN grams a ON a.doc_id = c.doc_a JOIN grams b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, shared, round(shared / m, 6) AS containment
+FROM v WHERE shared / m >= {D.CONTAIN_TAU}
+"""

@@ -286,3 +286,28 @@ def test_min_label_fixpoint_deep_chain_and_guard(spark):
     assert set(comps.values()) == {0}  # one component, min-id root
     with pytest.raises(RuntimeError, match="not converged"):
         min_label_fixpoint(und, max_rounds=3)
+
+
+def test_containment_catches_pairs_jaccard_misses(spark):
+    """Containment invariants (τ ≤ c ≤ 1, oriented ids, shared bounded
+    by the smaller set) AND the measure's reason to exist: the fixture
+    has pairs whose smaller shingle set sits inside a much larger doc —
+    high containment, low Jaccard (the big union drowns the overlap) —
+    so the containment relation must strictly extend the Jaccard@0.6
+    pair set (measured 22 containment-only pairs of 30 at sf0.001)."""
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        CONTAIN_TAU,
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = containment_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert CONTAIN_TAU <= r.containment <= 1.0
+        assert r.shared >= 1
+    c = {(r.doc_a, r.doc_b) for r in rows}
+    j = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()}
+    assert c - j, "no containment-only pairs — the asymmetric measure adds nothing"

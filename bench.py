@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     ("knn_ivf_pq_residual", _collect),
     ("pq_state_roundtrip", _collect),
     ("ivf_shard_state_roundtrip", _collect),
+    ("embedding_outliers", _collect),
     ("knn_bq", _collect),
     ("knn_ivf_bq", _collect),
     ("hybrid_search_rrf", _collect),

@@ -1151,3 +1151,75 @@ def ivf_shard_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_sum_micro"
         ),
     )
+
+
+OUTLIER_FACTOR = 2.0  # d² > factor × cluster mean d² ⇒ outlier
+
+
+def embedding_outliers(
+    spark: SparkSession, sf_dir: str, factor: float = OUTLIER_FACTOR
+) -> DataFrame:
+    """Per-cluster embedding quality audit: how far members sit from
+    their own centroid, and which ones are suspiciously far — the
+    corrupt/mislabeled-vector signal an embedding corpus needs before
+    anything trains on it (the vector twin of the text family's
+    quality_filter).
+
+    One row per label: member count, mean squared distance to the
+    centroid, the count over ``factor ×`` that mean, and the worst
+    member (id + distance, ties to the higher id). Distances are the
+    shared 6-d.p.-rounded d² of ``ivf_assign_incremental``'s recipe
+    over the memoized 8-d.p. centroid state; the mean is a
+    DECIMAL-exact sum of those rounded values (order-free), so the
+    audit is deterministic cross-engine. Plan shape: centroids are
+    broadcast state, the scan is one pass, the rollup is one
+    label-keyed aggregate — scan-speed at any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fixture_centroids(spark, sf_dir).select(
+        F.col("label"), F.col("centroid")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                as_double_array("embedding"),
+                F.col("centroid"),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        SCORE_SCALE,
+    )
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "label", "vec_id", d2.alias("d2")
+    )
+    from pyspark.sql.types import DecimalType
+
+    per_label = scored.groupBy("label").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum(F.col("d2").cast(DecimalType(38, SCORE_SCALE))).cast("double")
+            / F.count("*"),
+            SCORE_SCALE,
+        ).alias("mean_d2"),
+        F.max(F.struct(F.col("d2"), F.col("vec_id"))).alias("worst"),
+    )
+    outliers = (
+        scored.join(F.broadcast(per_label.select("label", "mean_d2")), "label")
+        .filter(F.col("d2") > F.col("mean_d2") * F.lit(factor))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        per_label.join(outliers, "label", "left")
+        .select(
+            "label",
+            "n_members",
+            "mean_d2",
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+            F.col("worst.vec_id").alias("worst_vec_id"),
+            F.col("worst.d2").alias("worst_d2"),
+        )
+        .orderBy("label")
+    )

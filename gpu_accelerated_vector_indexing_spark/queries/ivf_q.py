@@ -907,3 +907,46 @@ SELECT count(DISTINCT label)::BIGINT AS n_labels,
        sum(CAST(round(v * 1e8) AS BIGINT))::BIGINT AS centroid_sum_micro
 FROM cent_flat
 """
+
+# Embedding-corpus quality audit: distance-to-own-centroid outliers.
+QUERIES["embedding_outliers"] = ivf.embedding_outliers
+ORACLES["embedding_outliers"] = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (SELECT label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (e.embedding[i]::DOUBLE - c.centroid[i]) * (e.embedding[i]::DOUBLE - c.centroid[i]))), 6) AS d2
+  FROM embeddings e JOIN cent c ON e.label = c.label
+),
+per_label AS (
+  SELECT label,
+         count(*)::BIGINT AS n_members,
+         round(CAST(sum(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_d2
+  FROM scored GROUP BY label
+),
+worst AS (
+  SELECT label, vec_id AS worst_vec_id, d2 AS worst_d2
+  FROM (SELECT label, vec_id, d2,
+               row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id DESC) AS rk
+        FROM scored)
+  WHERE rk = 1
+),
+outl AS (
+  SELECT s.label, count(*)::BIGINT AS n_outliers
+  FROM scored s JOIN per_label p ON s.label = p.label
+  WHERE s.d2 > p.mean_d2 * {ivf.OUTLIER_FACTOR}
+  GROUP BY s.label
+)
+SELECT p.label, p.n_members, p.mean_d2,
+       coalesce(o.n_outliers, 0)::BIGINT AS n_outliers,
+       w.worst_vec_id, w.worst_d2
+FROM per_label p JOIN worst w ON p.label = w.label
+LEFT JOIN outl o ON p.label = o.label
+ORDER BY p.label
+"""

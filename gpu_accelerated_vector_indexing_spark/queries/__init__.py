@@ -19,12 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 # Driver-gate rotation, round 7 (VERDICT r6 "Next round" #8): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# The union closed at 247/247 in r6; this round's 50 = the 8 r7
+# The union closed at 247/247 in r6; this round's 50 = the 16 r7
 # novelties + the 10 rows r7's changes touch (the fuzzy rewrite, the
 # fixpoint-kernel diff filter, the batched-walk chunking, the shared
-# DSIR model CTE refactor) + 34 of the 55 names whose most recent
-# gate is r1/r2 vintage (computed against CORRECTNESS_r01..r06), so
-# every name's freshest green keeps rotating forward.
+# DSIR model CTE refactor, the SQ4 margin contract) + 24 of the names
+# whose most recent gate is r1/r2 vintage (computed against
+# CORRECTNESS_r01..r06), so every name's freshest green keeps
+# rotating forward.
 _GATE_FIRST = [
     # --- round-7 novelties (never gated by definition)
     "retrieval_ndcg", "knn_ivf_shard_merge", "graph_shard_merge_search",

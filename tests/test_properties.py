@@ -304,3 +304,93 @@ def test_min_label_fixpoint_frees_superseded_snapshots(spark):
     assert labels.count() == 13
     after = len(dict(spark._jsc.getPersistentRDDs()))
     assert after - before <= 1, f"registry grew {before} -> {after}: snapshots leaked"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=600), min_size=1, max_size=5, unique=True
+    )
+)
+def test_ranking_metrics_match_python_model(spark, ids):
+    """ranking_metric_rows (the shared NDCG/MRR/recall kernel) against
+    an independent pure-Python model, over ARBITRARY injected rankings
+    (the search_fn parameter exists exactly so the metric math is
+    testable apart from any index): binary relevance vs the fixture's
+    exact top-5, ranks = injected order."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        NDCG_ROUND,
+        ideal_dcg,
+        ranking_metric_rows,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        int(r.vec_id)
+        for r in knn_bruteforce(spark, SF_SMOKE, query_id=0, k=5).collect()
+    }
+    ranking = spark.createDataFrame(
+        [(int(v), float(1.0 - i * 0.01)) for i, v in enumerate(ids)],
+        "vec_id bigint, score double",
+    )
+    row = ranking_metric_rows(
+        spark, SF_SMOKE, "knob", [1], lambda _: ranking, query_id=0, k=5
+    ).collect()[0]
+
+    def r6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+    hit_ranks = [i + 1 for i, v in enumerate(ids) if v in exact]
+    recall = r6(len(hit_ranks) / 5.0)
+    mrr = r6(1.0 / min(hit_ranks)) if hit_ranks else 0.0
+    dcg = sum(
+        (
+            Decimal(repr(1.0 / math.log2(r + 1))).quantize(
+                Decimal(f"1e-{NDCG_ROUND}"), rounding=ROUND_HALF_UP
+            )
+            for r in hit_ranks
+        ),
+        Decimal(0),
+    )
+    ndcg = r6(float(dcg) / ideal_dcg(5))
+    assert (row["recall"], row["mrr"], row["ndcg"]) == (recall, mrr, ndcg), ids
+
+
+def test_cusum_changepoint_matches_python_model(spark):
+    """events_cusum_changepoint against an INDEPENDENT pure-Python
+    integer recomputation over the raw parquet (pyarrow, no Spark, no
+    SQL): per user, D_i = n·cumsum_i − i·total over cents, argmax |D|
+    with smallest-index tie-break — every field must agree exactly."""
+    import pyarrow.parquet as pq
+
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import cusum_changepoint
+    from tests.conftest import SF_SMOKE
+
+    got = {r["user_id"]: r for r in cusum_changepoint(spark, SF_SMOKE).collect()}
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pylist()
+    by_user: dict[int, list] = {}
+    for e in t:
+        by_user.setdefault(e["user_id"], []).append(e)
+    assert set(by_user) == set(got)
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        cents = [round(e["value"] * 100) for e in evs]
+        n, total = len(cents), sum(cents)
+        best = None  # (abs_dev DESC, idx ASC)
+        cum = 0
+        for i, c in enumerate(cents, start=1):
+            cum += c
+            d = n * cum - i * total
+            key = (-abs(d), i)
+            if best is None or key < best[0]:
+                best = (key, i, evs[i - 1]["event_id"], abs(d))
+        r = got[uid]
+        assert (r["n_events"], r["cp_index"], r["cp_event_id"]) == (n, best[1], best[2]), uid
+        assert r["max_dev"] == round(best[3] / (n * 100.0), 6) or abs(
+            r["max_dev"] - best[3] / (n * 100.0)
+        ) < 1e-6, uid

@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     ("graph_relink_after_deletes", _collect),
     ("graph_engine_batch_search", _collect),  # run 1 persists the index
     ("streaming_dsir_score", _noop),
+    ("streaming_outlier_alerts", _noop),
     ("graph_index_stats", _collect),
     ("knn_sq4", _collect),
     ("knn_ivf_sq4", _collect),

@@ -582,3 +582,60 @@ QUERIES["streaming_dsir_score"] = _sdsir
 from gpu_accelerated_vector_indexing_spark.queries import curation_q as _cq  # noqa: E402
 
 ORACLES["streaming_dsir_score"] = _cq.ORACLES["curation_dsir_sample"]
+
+
+# --- r7: stream-static robust alerting ---------------------------------------
+
+
+def _salerts(spark, sf_dir):
+    """Events stream flagged per micro-batch against static median/MAD
+    bounds — stream ≡ batch by construction; the oracle recomputes the
+    bounds and the integer flag inequality over the full corpus."""
+    from gpu_accelerated_vector_indexing_spark.streaming.windows import (
+        streaming_outlier_alerts,
+    )
+
+    return streaming_outlier_alerts(spark, sf_dir)
+
+
+QUERIES["streaming_outlier_alerts"] = _salerts
+
+from gpu_accelerated_vector_indexing_spark.operators.temporal import (  # noqa: E402
+    MAD_CUT_NUM,
+    MAD_Z_NUM,
+)
+
+ORACLES["streaming_outlier_alerts"] = f"""
+WITH vals AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+h1 AS (SELECT event_type, v, count(*) AS cnt FROM vals GROUP BY event_type, v),
+c1 AS (
+  SELECT event_type, v,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h1
+),
+med AS (
+  SELECT event_type, min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS med_c
+  FROM c1 GROUP BY event_type
+),
+devs AS (
+  SELECT va.event_type, abs(va.v - m.med_c) AS dev
+  FROM vals va JOIN med m USING (event_type)
+),
+h2 AS (SELECT event_type, dev, count(*) AS cnt FROM devs GROUP BY event_type, dev),
+c2 AS (
+  SELECT event_type, dev,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h2
+),
+mad AS (
+  SELECT event_type, min(CASE WHEN cum >= ceil(0.5 * n) THEN dev END) AS mad_c
+  FROM c2 GROUP BY event_type
+)
+SELECT va.event_id, va.event_type, va.v AS cents, abs(va.v - m.med_c) AS dev_c
+FROM vals va JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE {MAD_Z_NUM} * abs(va.v - m.med_c) > {MAD_CUT_NUM} * d.mad_c
+"""

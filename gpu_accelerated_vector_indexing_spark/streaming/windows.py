@@ -564,3 +564,51 @@ def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_mismatch_cells = 0 AS stream_equals_batch",
         )
     )
+
+
+def streaming_outlier_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static robust alerting: events arrive as a file stream
+    and each micro-batch is flagged against STATIC per-type robust
+    bounds (the median/MAD state ``temporal.mad_outliers`` derives —
+    trained offline, exactly like the DSIR model or the LSH signatures)
+    using the same cross-multiplied integer inequality
+    ``6745·|v − med| > 35000·MAD`` — no division, no floats, so the
+    flags are engine-exact and stream ≡ batch BY CONSTRUCTION (per-event
+    work is batch-local, the bounds side is static). Returns the
+    accumulated flagged-event relation. At scale this is the
+    monitoring-pipeline shape: bounds refresh on a maintenance cadence;
+    every arriving shard flags its own events with one broadcast join,
+    zero corpus-wide work per batch.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import (
+        MAD_CUT_NUM,
+        MAD_Z_NUM,
+        mad_outliers,
+    )
+    from gpu_accelerated_vector_indexing_spark.streaming._drain import (
+        drain_accumulate,
+        events_stream,
+    )
+
+    bounds = mad_outliers(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("median_value") * 100).cast("long").alias("med_c"),
+        F.round(F.col("mad_value") * 100).cast("long").alias("mad_c"),
+    )
+
+    def flag_batch(batch_df: DataFrame) -> DataFrame:
+        v = F.round(F.col("value") * 100).cast("long")
+        dev = F.abs(F.col("cents") - F.col("med_c"))
+        return (
+            batch_df.select("event_id", "event_type", v.alias("cents"))
+            .join(F.broadcast(bounds), "event_type")
+            .select("event_id", "event_type", "cents", dev.alias("dev_c"), "mad_c")
+            .filter(F.lit(MAD_Z_NUM) * F.col("dev_c") > F.lit(MAD_CUT_NUM) * F.col("mad_c"))
+            .select("event_id", "event_type", "cents", "dev_c")
+        )
+
+    return drain_accumulate(
+        events_stream(spark, sf_dir),
+        flag_batch,
+        "gpu_accelerated_vector_indexing_salerts_",
+    )

@@ -648,3 +648,29 @@ def test_decode_payload_error_contract():
     hdr += struct.pack("<IiiHH", 40, 1, 1, 1, 24) + b"\x00" * 22 + b"\x00\x00\xff"
     with pytest.raises(NotImplementedError, match="BMP variant"):
         decode_payload(hdr, "image/bmp")
+
+
+def test_streaming_alerts_agree_with_batch_mad_counts(spark):
+    """The accumulated alert stream must flag exactly the events the
+    batch robust-outlier audit counts: per event_type, |alerts| equals
+    mad_outliers' n_outliers (one bounds definition, two consumers)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import mad_outliers
+    from gpu_accelerated_vector_indexing_spark.streaming.windows import (
+        streaming_outlier_alerts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    alerts = (
+        streaming_outlier_alerts(spark, SF_SMOKE)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r["event_type"]: r["n"] for r in alerts.collect()}
+    expected = {
+        r["event_type"]: r["n_outliers"]
+        for r in mad_outliers(spark, SF_SMOKE).collect()
+        if r["n_outliers"] > 0
+    }
+    assert got == expected

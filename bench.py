@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     ("ship_delay_priority", _collect),
     # training-data pipeline operators
     ("join_asof", _noop),
+    ("join_asof_tolerance", _noop),
     ("join_asof_forward", _noop),
     ("join_range_bucketed", _noop),
     ("sample_train_split", _noop),
@@ -156,6 +157,7 @@ BENCH_QUERIES = [
     ("dedup_ngram_jaccard", _noop),
     ("dedup_jaccard_verified_lsh", _noop),
     ("dedup_containment", _noop),
+    ("corpus_ngram_novelty", _noop),
     ("dedup_embedding_lsh", _collect),
     ("dedup_semantic_graph", _collect),
     ("dedup_substring_spans", _noop),

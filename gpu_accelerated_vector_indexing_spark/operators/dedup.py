@@ -1378,3 +1378,34 @@ def containment_pairs(
         "shared",
         F.round(F.col("shared") / F.col("m"), 6).alias("containment"),
     )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct shingles that appear NOWHERE else in the corpus
+    (document frequency 1) — the diversity/value signal dual to the
+    dedup family (a doc whose shingles are all shared is boilerplate;
+    one whose shingles are mostly unique contributes new text).
+
+    One posting-list aggregate (shingle → df, map-side combined) joined
+    back onto the postings and rolled up per doc — two shuffles, both
+    keyed on data-growing columns (hash, doc_id), never pair-space.
+    The ratio is exact-integer-derived and rounded at 6 d.p.
+    """
+    g = grams_state(spark, sf_dir)
+    posts = g.select("doc_id", F.explode("gh").alias("h"))
+    df_ = posts.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        posts.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
+    )

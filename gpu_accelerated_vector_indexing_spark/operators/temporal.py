@@ -709,3 +709,32 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("cp_event_id"),
         F.round(F.abs("dev") / (F.col("n") * F.lit(100.0)), 6).alias("max_dev"),
     ).orderBy("user_id")
+
+
+ASOF_TOLERANCE_S = 3600  # matches farther back than this are discarded
+
+
+def asof_join_tolerance(
+    spark: SparkSession, sf_dir: str, tolerance_s: int = ASOF_TOLERANCE_S
+) -> DataFrame:
+    """Backward as-of join with a MAX-GAP tolerance (pandas
+    ``merge_asof(tolerance=...)``): the carried view is kept only when
+    it happened within ``tolerance_s`` of the purchase, else the match
+    is discarded (NULLs) — attribution windows, staleness cutoffs, and
+    sensor-alignment all need the bounded form (an hours-old "most
+    recent" reading is not a match, it is missing data).
+
+    Same one-shuffle union-window plan as ``asof_join_events`` — the
+    tolerance is a post-carry projection, so the scale shape is
+    unchanged (no extra join, no range probe).
+    """
+    base = asof_join_events(spark, sf_dir)
+    ok = F.col("gap_seconds") <= tolerance_s
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.col("asof_view_id")).alias("asof_view_id"),
+        F.when(ok, F.col("asof_view_ts")).alias("asof_view_ts"),
+        F.when(ok, F.col("gap_seconds")).alias("gap_seconds"),
+    )

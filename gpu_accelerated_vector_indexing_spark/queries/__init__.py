@@ -32,7 +32,7 @@ _GATE_FIRST = [
     "corpus_curriculum_plan", "graph_retrieval_ndcg",
     "ivf_shard_state_roundtrip", "graph_merge_serve",
     "events_cusum_changepoint", "dedup_containment", "embedding_outliers",
-    "streaming_outlier_alerts",
+    "streaming_outlier_alerts", "join_asof_tolerance", "corpus_ngram_novelty",
     "graph_serve_after_repair", "dsir_state_roundtrip",
     "curation_dsir_score_pretrained", "graph_repair_recall",
     "text_typo_pairs", "text_typo_clusters",
@@ -53,7 +53,6 @@ _GATE_FIRST = [
     "knn_prenorm", "knn_ivf_prenorm", "knn_filtered", "knn_ivf_filtered",
     "knn_per_cluster_topk", "knn_with_docs", "multi_query_knn",
     "multi_query_knn_ivf", "multi_query_knn_prenorm",
-    "hybrid_search_rrf", "hybrid_search_rrf_topn",
 ]
 
 

@@ -516,3 +516,22 @@ v AS (
 SELECT doc_a, doc_b, shared, round(shared / m, 6) AS containment
 FROM v WHERE shared / m >= {D.CONTAIN_TAU}
 """
+
+
+QUERIES["corpus_ngram_novelty"] = D.ngram_novelty
+ORACLES["corpus_ngram_novelty"] = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1),
+                                      i -> {_GH_POLY})) AS gh
+  FROM documents
+),
+posts AS (SELECT doc_id, unnest(gh) AS h FROM grams),
+dfreq AS (SELECT h, count(*) AS df FROM posts GROUP BY h)
+SELECT p.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM posts p JOIN dfreq d USING (h)
+GROUP BY p.doc_id
+"""

@@ -335,3 +335,24 @@ SELECT user_id,
        round(abs(dev) / (n * 100.0), 6) AS max_dev
 FROM ranked WHERE rn = 1 ORDER BY user_id
 """
+
+
+# --- r7: as-of with tolerance -------------------------------------------------
+
+QUERIES["join_asof_tolerance"] = TP.asof_join_tolerance
+
+# the join_asof oracle with the tolerance cutoff applied post-carry
+ORACLES["join_asof_tolerance"] = ORACLES["join_asof"].replace(
+    """SELECT event_id, user_id, ts, asof_view_id, asof_view_ts,
+       CAST(epoch(ts) - epoch(asof_view_ts) AS BIGINT) AS gap_seconds
+FROM filled WHERE kind = 1""",
+    f"""SELECT event_id, user_id, ts,
+       CASE WHEN epoch(ts) - epoch(asof_view_ts) <= {TP.ASOF_TOLERANCE_S}
+            THEN asof_view_id END AS asof_view_id,
+       CASE WHEN epoch(ts) - epoch(asof_view_ts) <= {TP.ASOF_TOLERANCE_S}
+            THEN asof_view_ts END AS asof_view_ts,
+       CASE WHEN epoch(ts) - epoch(asof_view_ts) <= {TP.ASOF_TOLERANCE_S}
+            THEN CAST(epoch(ts) - epoch(asof_view_ts) AS BIGINT) END AS gap_seconds
+FROM filled WHERE kind = 1""",
+)
+assert "CASE WHEN" in ORACLES["join_asof_tolerance"], "tolerance rewrite failed"

@@ -335,3 +335,47 @@ def test_cusum_changepoint_invariants(spark):
         assert r["max_dev"] >= 0.0
         if r["max_dev"] > 0.0:
             assert r["cp_index"] < r["n_events"]
+
+
+def test_asof_tolerance_is_a_filtered_view_of_asof(spark):
+    """Tolerance semantics (merge_asof(tolerance=...)): rows within the
+    cutoff are IDENTICAL to the unbounded as-of; rows beyond it keep
+    the probe and null the match (missing data, not a farther match).
+    The fixture must exercise both branches."""
+    from gpu_accelerated_vector_indexing_spark.operators.temporal import (
+        ASOF_TOLERANCE_S,
+        asof_join_events,
+        asof_join_tolerance,
+    )
+
+    base = {r["event_id"]: r for r in asof_join_events(spark, SF_SMOKE).collect()}
+    tol = {r["event_id"]: r for r in asof_join_tolerance(spark, SF_SMOKE).collect()}
+    assert base.keys() == tol.keys()
+    kept = dropped = 0
+    for eid, b in base.items():
+        t = tol[eid]
+        if b["gap_seconds"] is not None and b["gap_seconds"] <= ASOF_TOLERANCE_S:
+            kept += 1
+            assert (t["asof_view_id"], t["gap_seconds"]) == (b["asof_view_id"], b["gap_seconds"])
+        else:
+            dropped += 1
+            assert t["asof_view_id"] is None and t["gap_seconds"] is None
+    assert kept > 0 and dropped > 0, (kept, dropped)
+
+
+def test_ngram_novelty_bounds_and_accounting(spark):
+    """novelty ∈ [0,1]; n_unique ≤ n_shingles; Σ n_unique equals the
+    corpus-wide count of df-1 shingles (each counted in exactly one
+    doc)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import grams_state, ngram_novelty
+
+    rows = ngram_novelty(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_unique"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty"] <= 1.0
+    posts = grams_state(spark, SF_SMOKE).select("doc_id", F.explode("gh").alias("h"))
+    df1 = posts.groupBy("h").count().filter("count = 1").count()
+    assert sum(r["n_unique"] for r in rows) == df1

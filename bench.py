@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     ("knn_ivf_np5", _collect),
     ("knn_ivf_np10", _collect),
     ("retrieval_ndcg", _collect),
+    ("knn_ivf_adaptive", _collect),
     ("knn_ivf_shard_merge", _collect),
     ("knn_lsh", _collect),
     ("knn_sq8", _collect),
@@ -121,6 +122,7 @@ BENCH_QUERIES = [
     ("revenue_monthly_gapfill", _collect),
     ("zorder_layout", _collect),
     ("profit_by_nation_year", _collect),
+    ("orders_rfm_segments", _collect),
     ("ship_delay_priority", _collect),
     # training-data pipeline operators
     ("join_asof", _noop),

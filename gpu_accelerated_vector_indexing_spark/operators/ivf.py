@@ -1223,3 +1223,70 @@ def embedding_outliers(
         )
         .orderBy("label")
     )
+
+
+ADAPTIVE_DELTA = 0.1  # probe every centroid within this of the best coarse score
+
+
+def adaptive_probe_labels(
+    rows: list[tuple[int, list[float]]], qvec: list[float], delta: float
+) -> list[int]:
+    """Score-gap adaptive coarse search: probe EVERY centroid whose
+    (rounded) coarse cosine is within ``delta`` of the best — easy
+    queries (one dominant cluster) probe few partitions, ambiguous
+    queries (flat coarse profile) probe many. The per-query twin of a
+    fixed n_probe, same driver-side memoized-state posture as
+    ``probe_labels``; the best centroid is always included."""
+    import math
+
+    nq = 0.0
+    for x in qvec:
+        nq += x * x
+    qnorm = math.sqrt(nq)
+    scored = []
+    for lab, cent in rows:
+        dot = 0.0
+        nc = 0.0
+        for c, qv in zip(cent, qvec):
+            dot += c * qv
+            nc += c * c
+        scored.append((_round_half_up6(dot / (math.sqrt(nc) * qnorm + 1e-8)), lab))
+    best = max(s for s, _ in scored)
+    return sorted(lab for s, lab in scored if s >= best - delta)
+
+
+def knn_ivf_adaptive(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    delta: float = ADAPTIVE_DELTA,
+) -> DataFrame:
+    """IVF search with ADAPTIVE probing: instead of a fixed n_probe,
+    the probe set is every cluster whose coarse score sits within
+    ``delta`` of the best (``adaptive_probe_labels``) — the
+    recall/latency knob that spends scan budget only where the coarse
+    profile says the answer could hide. Fine scan and top-k are the
+    stock ``knn_ivf`` plan (pruned partitions, TakeOrdered); the probe
+    decision stays a driver-side op over the memoized centroid state,
+    and the oracle recomputes the same rounded-score gap rule in SQL.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = query_vectors(spark, sf_dir, [query_id])
+    probes = adaptive_probe_labels(
+        fixture_centroid_rows(spark, sf_dir), fixture_qvec(spark, sf_dir, query_id), delta
+    )
+    fine = (
+        emb.filter(F.col("label").isin(probes))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity_hoisted(
+                    as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+                ),
+                SCORE_SCALE,
+            ).alias("score"),
+        )
+    )
+    return fine.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)

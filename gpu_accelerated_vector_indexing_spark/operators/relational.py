@@ -1936,3 +1936,45 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("n_active_users")
     )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, Recency (last order
+    date), Frequency (order count), Monetary (lifetime spend in exact
+    cents) — each cut into quartiles, customers rolled up per
+    (r_q, f_q, m_q) cell with the cell's spend. The classic
+    marketing-analytics segmentation, and a Spark shape worth pinning:
+    the quartile cut is ``ntile(4)`` over a TOTAL order (metric +
+    custkey tie-break), which both engines compute identically because
+    ntile is a pure row-count partition of a deterministic order — no
+    percentile interpolation, no float boundaries.
+
+    Shuffles: one custkey aggregate, then three windows sharing one
+    single-partition pass over the CUSTOMER-level relation (|customers|
+    ≪ |orders|; at 100 TB cut ntile over per-range buckets like the
+    curriculum plan — the fixture registers the direct form), then one
+    tiny cell rollup. Quartile direction: 1 = best (most recent /
+    most frequent / highest spend).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c"),
+    )
+    q = lambda cols: F.ntile(4).over(W.orderBy(*cols))  # noqa: E731
+    cut = per_cust.select(
+        "o_custkey",
+        "spend_c",
+        q([F.desc("last_order"), F.asc("o_custkey")]).alias("r_q"),
+        q([F.desc("n_orders"), F.asc("o_custkey")]).alias("f_q"),
+        q([F.desc("spend_c"), F.asc("o_custkey")]).alias("m_q"),
+    )
+    return (
+        cut.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend_c").alias("segment_spend_c"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -950,3 +950,36 @@ FROM per_label p JOIN worst w ON p.label = w.label
 LEFT JOIN outl o ON p.label = o.label
 ORDER BY p.label
 """
+
+# Adaptive probing: the probe set = clusters within DELTA of the best
+# coarse score — same staged CTEs with the gap rule replacing the LIMIT.
+QUERIES["knn_ivf_adaptive"] = partial(ivf.knn_ivf_adaptive, query_id=QUERY_ID, k=K)
+ORACLES["knn_ivf_adaptive"] = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (
+  SELECT label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+coarse AS (
+  SELECT c.label,
+         round(list_dot_product(c.centroid, q.qvec) /
+               (sqrt(list_dot_product(c.centroid, c.centroid)) *
+                sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS cscore
+  FROM cent c CROSS JOIN q
+),
+probes AS (
+  SELECT label FROM coarse
+  WHERE cscore >= (SELECT max(cscore) FROM coarse) - {ivf.ADAPTIVE_DELTA}
+),
+fine AS (
+  SELECT e.vec_id, {_COS_Q} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (SELECT label FROM probes)
+)
+SELECT vec_id, score FROM fine ORDER BY score DESC, vec_id DESC LIMIT {K}
+"""

@@ -927,3 +927,30 @@ def _kcore_oracle() -> str:
 
 
 ORACLES["copurchase_kcore"] = _kcore_oracle()
+
+
+# --- r7: RFM segmentation -----------------------------------------------------
+
+QUERIES["orders_rfm_segments"] = R.rfm_segments
+
+ORACLES["orders_rfm_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY o_custkey
+),
+cut AS (
+  SELECT o_custkey, spend_c,
+         CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS INT) AS r_q,
+         CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS INT) AS f_q,
+         CAST(ntile(4) OVER (ORDER BY spend_c DESC, o_custkey ASC) AS INT) AS m_q
+  FROM per_cust
+)
+SELECT r_q, f_q, m_q,
+       count(*)::BIGINT AS n_customers,
+       sum(spend_c)::BIGINT AS segment_spend_c
+FROM cut GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""

@@ -29,6 +29,7 @@ IVF_NAMES = [
     "knn_ivf_shard_merge",
     "ivf_shard_state_roundtrip",
     "embedding_outliers",
+    "knn_ivf_adaptive",
 ]
 
 
@@ -596,3 +597,27 @@ def test_embedding_outliers_accounts_every_cluster(spark):
     for r in rows:
         assert 0 <= r["n_outliers"] <= r["n_members"]
         assert r["worst_d2"] >= r["mean_d2"]
+
+
+def test_adaptive_probe_bounds_and_fullprobe_limit(spark):
+    """The adaptive probe set always contains the best cluster
+    (nonempty), never exceeds the cluster count, and at delta = 2 (the
+    full score range) probes EVERYTHING — so the adaptive search equals
+    brute force there (the full-probe invariant's adaptive twin)."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        adaptive_probe_labels,
+        fixture_centroid_rows,
+        fixture_qvec,
+        knn_ivf_adaptive,
+        probe_labels,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    rows = fixture_centroid_rows(spark, SF_SMOKE)
+    qv = fixture_qvec(spark, SF_SMOKE, 0)
+    probes = adaptive_probe_labels(rows, qv, 0.1)
+    assert 1 <= len(probes) <= len(rows)
+    assert probe_labels(rows, qv, 1)[0] in probes  # best cluster always probed
+    full = knn_ivf_adaptive(spark, SF_SMOKE, query_id=3, delta=2.0).collect()
+    exact = knn_bruteforce(spark, SF_SMOKE, query_id=3, k=5).collect()
+    assert [(r.vec_id, r.score) for r in full] == [(r.vec_id, r.score) for r in exact]

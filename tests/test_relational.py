@@ -257,3 +257,29 @@ def test_deletion_variants_radius_one_complete(spark):
         .collect()
     }
     assert got == truth, f"missing={truth - got} extra={got - truth}"
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Quartile cells partition the customer base exactly: counts and
+    spend conserve, quartile sizes differ by ≤1 per metric (the ntile
+    contract), codes are in 1..4."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.relational import rfm_segments
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = rfm_segments(spark, SF_SMOKE).collect()
+    orders = load_table(spark, SF_SMOKE, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    total_c = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["segment_spend_c"] for r in rows) == total_c
+    for dim in ("r_q", "f_q", "m_q"):
+        per_q = {}
+        for r in rows:
+            assert 1 <= r[dim] <= 4
+            per_q[r[dim]] = per_q.get(r[dim], 0) + r["n_customers"]
+        assert max(per_q.values()) - min(per_q.values()) <= 1

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     ("knn_ivf_np10", _collect),
     ("retrieval_ndcg", _collect),
     ("knn_ivf_adaptive", _collect),
+    ("ivf_adaptive_sweep", _collect),
     ("knn_ivf_shard_merge", _collect),
     ("knn_lsh", _collect),
     ("knn_sq8", _collect),
@@ -123,6 +124,7 @@ BENCH_QUERIES = [
     ("zorder_layout", _collect),
     ("profit_by_nation_year", _collect),
     ("orders_rfm_segments", _collect),
+    ("supplier_concentration", _collect),
     ("ship_delay_priority", _collect),
     # training-data pipeline operators
     ("join_asof", _noop),

@@ -1290,3 +1290,48 @@ def knn_ivf_adaptive(
         )
     )
     return fine.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+
+
+def ivf_adaptive_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    deltas: Sequence[float] = (0.05, 0.1, 0.2),
+) -> DataFrame:
+    """Observability for the adaptive-probe knob: per swept ``delta``,
+    how many clusters the gap rule probes and what recall@k that buys —
+    the (probe-budget, recall) trade-off curve an operator reads before
+    picking the gap (the adaptive twin of ``ivf_recall_sweep``).
+    Probe counts come off the memoized centroid state driver-side; each
+    searched side is the stock pruned plan; every compared relation is
+    ≤ k rows."""
+    from functools import reduce
+
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    if not deltas or len(set(deltas)) != len(deltas):
+        raise ValueError(f"deltas must be non-empty and unique: {deltas!r}")
+    cent_rows = fixture_centroid_rows(spark, sf_dir)
+    qv = fixture_qvec(spark, sf_dir, query_id)
+    exact_ids = [
+        int(r.vec_id)
+        for r in knn_bruteforce(spark, sf_dir, query_id=query_id, k=k).collect()
+    ]
+    rows = []
+    for d in deltas:
+        n_probes = len(adaptive_probe_labels(cent_rows, qv, d))
+        hits = (
+            knn_ivf_adaptive(spark, sf_dir, query_id=query_id, k=k, delta=d)
+            .select("vec_id")
+            .filter(F.col("vec_id").isin(exact_ids))
+        )
+        rows.append(
+            hits.agg(
+                F.lit(float(d)).alias("delta"),
+                F.lit(n_probes).alias("n_probes"),
+                F.count("*").alias("n_hits"),
+                F.round(F.count("*") / F.lit(float(k)), SCORE_SCALE).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), rows).orderBy("delta")

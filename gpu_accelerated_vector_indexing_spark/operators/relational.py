@@ -1978,3 +1978,55 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: Herfindahl–Hirschman
+    index (Σ shareᵢ²), top-supplier share, and supplier count — the
+    supply-risk metric a procurement dashboard reads (HHI > 0.25 =
+    concentrated market).
+
+    Determinism: per-supplier revenue is the exact DECIMAL(18,2)
+    discounted-price sum FLOORED to whole dollars (floor on an exact
+    decimal is engine-portable — no double rounding in the ratio
+    inputs); Σr and Σr² are then integer folds and the two ratios
+    divide doubles of exact longs, rounded 6 d.p. Σr² stays under
+    int64 through sf≈10; beyond that promote to DECIMAL(38,0) (the
+    DSIR LONG-bound recipe). Shuffles: one l_suppkey aggregate over
+    lineitem, one broadcast supplier→nation attach, one ≤|nations|
+    rollup.
+    """
+    from pyspark.sql.types import DecimalType
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    d = DecimalType(18, 2)
+    disc = F.col("l_extendedprice").cast(d) * (F.lit(1).cast(d) - F.col("l_discount").cast(d))
+    rev = li.groupBy("l_suppkey").agg(
+        F.floor(F.sum(disc)).cast("long").alias("r")
+    )
+    per = (
+        rev.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "r")
+    )
+    agg = per.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("r").alias("total_r"),
+        F.sum(F.col("r") * F.col("r")).alias("sum_r2"),
+        F.max("r").alias("max_r"),
+    )
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        F.round(F.col("max_r") / F.col("total_r"), 6).alias("top_share"),
+        F.round(
+            F.col("sum_r2").cast("double")
+            / (F.col("total_r").cast("double") * F.col("total_r").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("n_name")

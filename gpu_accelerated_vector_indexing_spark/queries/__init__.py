@@ -34,6 +34,7 @@ _GATE_FIRST = [
     "events_cusum_changepoint", "dedup_containment", "embedding_outliers",
     "streaming_outlier_alerts", "join_asof_tolerance", "corpus_ngram_novelty",
     "knn_ivf_adaptive", "orders_rfm_segments",
+    "ivf_adaptive_sweep", "supplier_concentration",
     "graph_serve_after_repair", "dsir_state_roundtrip",
     "curation_dsir_score_pretrained", "graph_repair_recall",
     "text_typo_pairs", "text_typo_clusters",
@@ -52,7 +53,7 @@ _GATE_FIRST = [
     "knn_ivf_sequential", "knn_ivf_np1", "knn_ivf_np5", "knn_ivf_np10",
     "knn_lsh", "knn_sq8", "knn_ivf_sq8", "knn_bq", "knn_ivf_bq",
     "knn_prenorm", "knn_ivf_prenorm", "knn_filtered", "knn_ivf_filtered",
-    "knn_per_cluster_topk", "knn_with_docs", "multi_query_knn",
+    "knn_per_cluster_topk",
 ]
 
 

@@ -983,3 +983,55 @@ fine AS (
 )
 SELECT vec_id, score FROM fine ORDER BY score DESC, vec_id DESC LIMIT {K}
 """
+
+# Adaptive-probe trade-off curve: (delta, n_probes, recall) per gap.
+ADAPTIVE_DELTAS = (0.05, 0.1, 0.2)
+QUERIES["ivf_adaptive_sweep"] = partial(
+    ivf.ivf_adaptive_sweep, query_id=QUERY_ID, k=K, deltas=ADAPTIVE_DELTAS
+)
+
+
+def _adaptive_at(delta: float) -> str:
+    return f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (SELECT label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+coarse AS (
+  SELECT c.label,
+         round(list_dot_product(c.centroid, q.qvec) /
+               (sqrt(list_dot_product(c.centroid, c.centroid)) *
+                sqrt(list_dot_product(q.qvec, q.qvec)) + 1e-8), 6) AS cscore
+  FROM cent c CROSS JOIN q
+),
+probes AS (
+  SELECT label FROM coarse
+  WHERE cscore >= (SELECT max(cscore) FROM coarse) - {delta}
+),
+fine AS (
+  SELECT e.vec_id, {_COS_Q} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (SELECT label FROM probes)
+),
+topk AS (SELECT vec_id FROM fine ORDER BY score DESC, vec_id DESC LIMIT {K}),
+exact AS (
+  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+  ORDER BY {_COS_Q} DESC, e.vec_id DESC LIMIT {K}
+)
+SELECT {delta} AS delta,
+       CAST((SELECT count(*) FROM probes) AS INT) AS n_probes,
+       count(*) AS n_hits,
+       round(count(*) / {K}.0, 6) AS recall
+FROM topk WHERE vec_id IN (SELECT vec_id FROM exact)
+"""
+
+
+ORACLES["ivf_adaptive_sweep"] = (
+    "SELECT delta, n_probes, n_hits, recall FROM (\n"
+    + "\nUNION ALL\n".join(f"SELECT * FROM ({_adaptive_at(d)})" for d in ADAPTIVE_DELTAS)
+    + "\n) ORDER BY delta"
+)

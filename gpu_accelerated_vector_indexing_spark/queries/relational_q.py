@@ -954,3 +954,26 @@ SELECT r_q, f_q, m_q,
 FROM cut GROUP BY r_q, f_q, m_q
 ORDER BY r_q, f_q, m_q
 """
+
+
+# --- r7: supplier concentration (HHI) ----------------------------------------
+
+QUERIES["supplier_concentration"] = R.supplier_concentration
+
+ORACLES["supplier_concentration"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(floor(sum({_DISC_PRICE})) AS BIGINT) AS r
+  FROM lineitem GROUP BY l_suppkey
+),
+per AS (
+  SELECT n.n_name, rev.r
+  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT n_name,
+       count(*)::BIGINT AS n_suppliers,
+       round(max(r) / sum(r), 6) AS top_share,
+       round(CAST(sum(r * r) AS DOUBLE) /
+             (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 6) AS hhi
+FROM per GROUP BY n_name ORDER BY n_name
+"""

@@ -30,6 +30,7 @@ IVF_NAMES = [
     "ivf_shard_state_roundtrip",
     "embedding_outliers",
     "knn_ivf_adaptive",
+    "ivf_adaptive_sweep",
 ]
 
 
@@ -621,3 +622,16 @@ def test_adaptive_probe_bounds_and_fullprobe_limit(spark):
     full = knn_ivf_adaptive(spark, SF_SMOKE, query_id=3, delta=2.0).collect()
     exact = knn_bruteforce(spark, SF_SMOKE, query_id=3, k=5).collect()
     assert [(r.vec_id, r.score) for r in full] == [(r.vec_id, r.score) for r in exact]
+
+
+def test_adaptive_sweep_monotone_in_delta(spark):
+    """Wider gaps probe at least as many clusters and can only add
+    candidates, so n_probes and recall are both non-decreasing in
+    delta — the defining property of the knob's trade-off curve."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import ivf_adaptive_sweep
+
+    rows = ivf_adaptive_sweep(spark, SF_CORRECT).collect()
+    assert [r["delta"] for r in rows] == sorted(r["delta"] for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_probes"] <= b["n_probes"]
+        assert a["recall"] <= b["recall"]

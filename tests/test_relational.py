@@ -283,3 +283,21 @@ def test_rfm_segments_partition_customers(spark):
             assert 1 <= r[dim] <= 4
             per_q[r[dim]] = per_q.get(r[dim], 0) + r["n_customers"]
         assert max(per_q.values()) - min(per_q.values()) <= 1
+
+
+def test_supplier_concentration_invariants(spark):
+    """HHI bounds: 1/n ≤ hhi ≤ 1 (equality at perfect spread /
+    monopoly); top_share ≤ 1 and top_share² ≤ hhi (the max share's own
+    square is part of the sum); one row per nation with suppliers."""
+    from gpu_accelerated_vector_indexing_spark.operators.relational import (
+        supplier_concentration,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = supplier_concentration(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        n = r["n_suppliers"]
+        assert 0 < r["top_share"] <= 1.0
+        assert (1.0 / n) - 1e-6 <= r["hhi"] <= 1.0
+        assert r["top_share"] ** 2 <= r["hhi"] + 1e-6

@@ -431,13 +431,73 @@ def main() -> None:
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
     except OSError as e:
-        # the file artifact is a convenience copy — a write failure
-        # (read-only checkout, full disk) must not lose the run from
-        # the driver's stdout view below
+        # the file artifact is the canonical per-query record — a write
+        # failure (read-only checkout, full disk) must not lose the run
+        # from the driver's stdout view below
         print(f"note: could not write {out_path}: {e}", file=sys.stderr)
-    # the bare JSON line is the LAST stdout line (the driver parses the
-    # tail of stdout; r6's trailing note left its `parsed` field null)
-    print(json.dumps(payload))
+
+    # The driver keeps only a ~2000-char TAIL of stdout, so the final
+    # line must be a COMPACT summary (VERDICT r7 wrong #1: the r6 fix
+    # printed the full 270-query payload as the last line — far larger
+    # than the tail window, so the parser never saw the line start and
+    # BENCH_r07.parsed stayed null). Compact = headline metric + the
+    # top slowest rows + the acceptance verdict vs the previous round's
+    # full artifact + a pointer to the complete payload file.
+    prior = sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_full_r*.json"))
+        if (m := re.fullmatch(r"BENCH_full_r(\d+)\.json", os.path.basename(p)))
+        and p != out_path
+    )
+    accept: dict[str, object] = {
+        "statistic": "median",
+        "denominator_floor_sec": ACCEPT_FLOOR_SEC,
+        "rule": "median_new <= 2 * max(median_base, floor)",
+    }
+    if prior and suffix == "":
+        base_n, base_path = prior[-1]
+        try:
+            with open(base_path) as f:
+                base = json.load(f)["queries"]
+        except (OSError, KeyError, ValueError):
+            base = {}
+        worst, worst_q, breaches = 0.0, None, 0
+        for q, t in results.items():
+            if q not in base:
+                continue
+            ratio = t / max(base[q], ACCEPT_FLOOR_SEC)
+            if ratio > 2.0:
+                breaches += 1
+            if ratio > worst:
+                worst, worst_q = ratio, q
+        if worst_q is not None:
+            accept.update(
+                baseline=os.path.basename(base_path),
+                common=sum(1 for q in results if q in base),
+                breaches=breaches,
+                worst_ratio=round(worst, 3),
+                worst_ratio_query=worst_q,
+            )
+    top = dict(sorted(results.items(), key=lambda kv: -kv[1])[:8])
+    summary = {
+        "metric": "headline_queries_median_total",
+        "value": total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_runs": N_RUNS,
+        "n_queries": len(results),
+        # the 8 slowest rows inline; EVERY per-query median + raw
+        # per-run array lives in full_payload
+        "queries": top,
+        "acceptance": accept,
+        "full_payload": os.path.basename(out_path),
+    }
+    line = json.dumps(summary)
+    if len(line) > 1500:
+        # hard guarantee: the line must fit the driver's tail window
+        summary["queries"] = dict(list(top.items())[:3])
+        line = json.dumps(summary)
+    print(line)
     sys.stdout.flush()
 
 

@@ -873,9 +873,11 @@ def dsir_importance_sample(
     the decision survives corpus-composition shifts where any absolute
     micro-unit threshold goes stale (measured: the sf0.01-calibrated
     absolute cut keeps 0 rows at sf0.1; the mean cut keeps the
-    target-enriched half at both scales). The LONG product r_b·aff is
-    safe to ~9e12 gram occurrences; past that, promote the two sums to
-    DECIMAL(38,0) (the weighted-PPS overflow recipe).
+    target-enriched half at both scales). The Σ r_b·aff_micro fold is
+    a DECIMAL(38,0) promotion (applied in r8 — it was LONG with a
+    documented ~9e12-gram bound; DuckDB's oracle promotes to HUGEINT
+    automatically), so the mean cut cannot wrap at any corpus size;
+    the quotient itself is ≤10⁶ and travels as BIGINT.
 
     Output: (doc_id, lang, n_grams, affinity_micro_sum,
     affinity_micro_per_gram, selected) for every document long enough
@@ -906,7 +908,10 @@ def dsir_importance_sample(
     if model is None:
         model = dsir_bucket_affinity(spark, sf_dir)
     baseline = model.agg(
-        F.expr("sum(r_b * aff_micro) DIV sum(r_b)").alias("mean_pg")
+        F.expr(
+            "CAST(sum(CAST(r_b AS DECIMAL(38,0)) * aff_micro)"
+            " DIV sum(CAST(r_b AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("mean_pg")
     )
     aff = model.select("bucket", "aff_micro")
     scored = (
@@ -970,10 +975,15 @@ def dsir_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row — pinning that what lands on disk is EXACTLY the in-session
     model (the oracle re-derives the model straight from the text and
     computes the same sums). All checksums are order-free exact
-    integers: bucket/count sums are plain bigint folds;
-    ``wsum_micro = Σ r_b·aff_micro`` is the exact weighted sum the
-    relative keep-cut divides, so a drift in ANY bucket's count or
-    affinity moves the row."""
+    integers: bucket/count sums are plain bigint folds (int64 covers
+    ~9e18 grams ≈ exabytes of text); ``Σ r_b·aff_micro`` — the exact
+    weighted sum the relative keep-cut divides — is a DECIMAL(38,0)
+    fold (r8: the LONG form wrapped past ~9e12 grams) shipped as two
+    bigint-safe digits ``wsum_micro_hi/lo`` = (quotient, remainder)
+    by 10¹⁸, because DuckDB collapses HUGEINT/DECIMAL pandas output
+    to lossy float64 — so the digest stays exact AND comparable at
+    every scale. A drift in ANY bucket's count or affinity moves the
+    row."""
     m = spark.read.parquet(f"{dsir_state_dir(spark, sf_dir)}/affinity")
     return m.agg(
         F.count("*").alias("n_buckets"),
@@ -983,7 +993,14 @@ def dsir_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("aff_micro").alias("aff_micro_sum"),
         F.min("aff_micro").alias("aff_micro_min"),
         F.max("aff_micro").alias("aff_micro_max"),
-        F.expr("sum(r_b * aff_micro)").alias("wsum_micro"),
+        F.expr(
+            "CAST(sum(CAST(r_b AS DECIMAL(38,0)) * aff_micro)"
+            " DIV 1000000000000000000 AS BIGINT)"
+        ).alias("wsum_micro_hi"),
+        F.expr(
+            "CAST(sum(CAST(r_b AS DECIMAL(38,0)) * aff_micro)"
+            " % 1000000000000000000 AS BIGINT)"
+        ).alias("wsum_micro_lo"),
     )
 
 

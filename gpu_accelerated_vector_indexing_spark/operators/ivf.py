@@ -1029,7 +1029,17 @@ def shard_centroid_stats(emb: DataFrame, n_shards: int = 2) -> DataFrame:
     executors folds its local vectors map-side (partial aggregation —
     the sketch-family posture of operators/approx.py), so the shuffle
     carries shards × labels × dim tiny stat rows, never vectors.
+
+    The component sum ``s`` is a DECIMAL(38,20) fold of the components
+    snapped to a fixed 1e-20 grid (ADVICE r7: a double fold is
+    order-dependent, so two merges of the same shards could disagree
+    by an ulp). Decimal addition is associative, so the merged state
+    is IDENTICAL for any shard count, partitioning, or merge order —
+    exact by construction, pinned by
+    test_shard_merge_invariant_to_shard_count.
     """
+    from pyspark.sql.types import DecimalType
+
     return (
         emb.select(
             (F.col("vec_id") % n_shards).cast("int").alias("shard"),
@@ -1037,7 +1047,10 @@ def shard_centroid_stats(emb: DataFrame, n_shards: int = 2) -> DataFrame:
             F.posexplode(as_double_array("embedding")).alias("pos", "x"),
         )
         .groupBy("shard", "label", "pos")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("x").cast(DecimalType(38, 20))).alias("s"),
+            F.count("*").alias("n"),
+        )
     )
 
 
@@ -1049,11 +1062,24 @@ def merged_centroid_rows(
     CENTROID_SCALE — the same 8-d.p. state ``label_centroids`` builds
     in one pass, now assembled from independently-built shard states
     (the distributed-index-build story: build partials anywhere, merge
-    a few thousand stat rows, never re-read the corpus)."""
+    a few thousand stat rows, never re-read the corpus).
+
+    Exactness contract (ADVICE r7): the merge itself is exact by
+    construction — ``s`` is a DECIMAL(38,20) fold, so ``sum(s)`` is
+    the same value for ANY shard count or addition order. Agreement
+    with the one-pass double ``avg`` of ``label_centroids`` is a
+    separate, fixture-gated property: the two differ by ≤1 ulp of the
+    8-d.p. CENTROID_SCALE grid (test-asserted ±2e-8), and the value
+    gate pins that no fixture component sits on a rounding boundary.
+    """
     stats = shard_centroid_stats(load_table(spark, sf_dir, "embeddings"), n_shards)
     merged = (
         stats.groupBy("label", "pos")
-        .agg(F.round(F.sum("s") / F.sum("n"), CENTROID_SCALE).alias("v"))
+        .agg(
+            F.round(
+                F.sum("s").cast("double") / F.sum("n"), CENTROID_SCALE
+            ).alias("v")
+        )
         .groupBy("label")
         .agg(
             F.transform(
@@ -1073,10 +1099,13 @@ def knn_ivf_shard_merge(
     n_shards: int = 2,
 ) -> DataFrame:
     """IVF search through an index MERGED from independently-built
-    shards — must equal the single-build ``knn_ivf`` exactly, because
-    the merged sufficient statistics reproduce the full-corpus
-    centroids (within the shared 8-d.p. centroid rounding) and the
-    fine scan is the union of the shard partitions, i.e. the corpus.
+    shards — matches the single-build ``knn_ivf`` because the merged
+    sufficient statistics reproduce the full-corpus centroids on the
+    shared 8-d.p. CENTROID_SCALE grid (the merge itself is exact by
+    construction — DECIMAL-fold ``s`` — and its agreement with the
+    one-pass avg is fixture-gated at ±1 grid ulp, see
+    ``merged_centroid_rows``) and the fine scan is the union of the
+    shard partitions, i.e. the corpus.
 
     This is the scale path for index construction: at 100 TB no single
     job builds the centroid state; shards emit (sum, count) partials,
@@ -1107,18 +1136,21 @@ def knn_ivf_shard_merge(
     return fine.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
 
 
-_SHARD_STATE_DIR: dict[tuple[SparkSession, str], str] = {}
+_SHARD_STATE_DIR: dict[tuple[SparkSession, str, int], str] = {}
 
 
 def shard_state_dir(spark: SparkSession, sf_dir: str, n_shards: int = 2) -> str:
     """Directory holding the persisted per-shard centroid sufficient
-    statistics, written once per (session, corpus) — the on-disk form
-    a shard-parallel build ships to the merge job (each shard writes
-    its (shard, label, pos, sum, count) partial independently; nothing
-    global exists until the merge reads them all)."""
+    statistics, written once per (session, corpus, shard count) — the
+    on-disk form a shard-parallel build ships to the merge job (each
+    shard writes its (shard, label, pos, sum, count) partial
+    independently; nothing global exists until the merge reads them
+    all). ``n_shards`` is part of the memo key (ADVICE r7: without it
+    a second call with a different shard count silently got the first
+    count's partials)."""
     import tempfile
 
-    key = (spark, sf_dir)
+    key = (spark, sf_dir, n_shards)
     if key not in _SHARD_STATE_DIR:
         out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_shardstate_")
         shard_centroid_stats(
@@ -1141,7 +1173,7 @@ def ivf_shard_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture)."""
     stats = spark.read.parquet(f"{shard_state_dir(spark, sf_dir)}/stats")
     merged = stats.groupBy("label", "pos").agg(
-        F.round(F.sum("s") / F.sum("n"), CENTROID_SCALE).alias("v")
+        F.round(F.sum("s").cast("double") / F.sum("n"), CENTROID_SCALE).alias("v")
     )
     return merged.agg(
         F.countDistinct("label").alias("n_labels"),

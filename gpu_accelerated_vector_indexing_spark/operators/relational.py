@@ -1989,12 +1989,13 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-supplier revenue is the exact DECIMAL(18,2)
     discounted-price sum FLOORED to whole dollars (floor on an exact
     decimal is engine-portable — no double rounding in the ratio
-    inputs); Σr and Σr² are then integer folds and the two ratios
-    divide doubles of exact longs, rounded 6 d.p. Σr² stays under
-    int64 through sf≈10; beyond that promote to DECIMAL(38,0) (the
-    DSIR LONG-bound recipe). Shuffles: one l_suppkey aggregate over
-    lineitem, one broadcast supplier→nation attach, one ≤|nations|
-    rollup.
+    inputs); Σr and Σr² are exact DECIMAL(38,0) integer folds —
+    promoted from LONG in r8 (ADVICE r7) so the fold cannot wrap at
+    ANY scale factor (DuckDB's oracle promotes to HUGEINT; 38 digits
+    covers Σr² far past sf 10⁶) — and the two ratios divide doubles
+    of those exact integers, rounded 6 d.p. Shuffles: one l_suppkey
+    aggregate over lineitem, one broadcast supplier→nation attach,
+    one ≤|nations| rollup.
     """
     from pyspark.sql.types import DecimalType
 
@@ -2014,16 +2015,19 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("n_name", "r")
     )
+    big = DecimalType(38, 0)
     agg = per.groupBy("n_name").agg(
         F.count("*").alias("n_suppliers"),
-        F.sum("r").alias("total_r"),
-        F.sum(F.col("r") * F.col("r")).alias("sum_r2"),
+        F.sum(F.col("r").cast(big)).alias("total_r"),
+        F.sum(F.col("r").cast(big) * F.col("r").cast(big)).alias("sum_r2"),
         F.max("r").alias("max_r"),
     )
     return agg.select(
         "n_name",
         "n_suppliers",
-        F.round(F.col("max_r") / F.col("total_r"), 6).alias("top_share"),
+        F.round(F.col("max_r").cast("double") / F.col("total_r").cast("double"), 6).alias(
+            "top_share"
+        ),
         F.round(
             F.col("sum_r2").cast("double")
             / (F.col("total_r").cast("double") * F.col("total_r").cast("double")),

@@ -474,7 +474,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(aff_micro) AS BIGINT) AS aff_micro_sum,
        CAST(min(aff_micro) AS BIGINT) AS aff_micro_min,
        CAST(max(aff_micro) AS BIGINT) AS aff_micro_max,
-       CAST(sum(r_b * aff_micro) AS BIGINT) AS wsum_micro
+       CAST(sum(r_b * aff_micro) // 1000000000000000000 AS BIGINT) AS wsum_micro_hi,
+       CAST(sum(r_b * aff_micro) % 1000000000000000000 AS BIGINT) AS wsum_micro_lo
 FROM dsa
 """
 

@@ -573,6 +573,33 @@ def test_shard_merged_centroids_match_single_build(spark):
             assert cent == pytest.approx(single[lab], abs=2e-8), (n_shards, lab)
 
 
+def test_shard_merge_invariant_to_shard_count(spark):
+    """The merged centroid state is EXACTLY identical for any shard
+    count — not approximately: the component sums are DECIMAL(38,20)
+    folds (ADVICE r7), and decimal addition is associative, so
+    regrouping the same addends cannot move any component."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import merged_centroid_rows
+
+    base = dict(merged_centroid_rows(spark, SF_SMOKE, n_shards=1))
+    for n_shards in (2, 3, 5):
+        assert dict(merged_centroid_rows(spark, SF_SMOKE, n_shards=n_shards)) == base
+
+
+def test_shard_state_dir_memoizes_per_shard_count(spark):
+    """Different n_shards must get different persisted partials
+    (ADVICE r7: the memo used to ignore n_shards and silently reuse
+    the first count's state)."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import shard_state_dir
+
+    d2 = shard_state_dir(spark, SF_SMOKE, n_shards=2)
+    d3 = shard_state_dir(spark, SF_SMOKE, n_shards=3)
+    assert d2 != d3
+    assert d2 == shard_state_dir(spark, SF_SMOKE, n_shards=2)
+    n2 = spark.read.parquet(f"{d2}/stats").select("shard").distinct().count()
+    n3 = spark.read.parquet(f"{d3}/stats").select("shard").distinct().count()
+    assert (n2, n3) == (2, 3)
+
+
 def test_knn_ivf_shard_merge_equals_single_build(spark):
     """The search through the merged index is row-identical to the
     single-build knn_ivf — the merge is invisible to the read path."""

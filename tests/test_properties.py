@@ -377,9 +377,21 @@ def test_cusum_changepoint_matches_python_model(spark):
     for e in t:
         by_user.setdefault(e["user_id"], []).append(e)
     assert set(by_user) == set(got)
+    from decimal import ROUND_HALF_UP, Decimal
+
     for uid, evs in by_user.items():
         evs.sort(key=lambda e: (e["ts"], e["event_id"]))
-        cents = [round(e["value"] * 100) for e in evs]
+        # HALF_UP cents snap, matching Spark's F.round — Python's
+        # built-in round is half-to-even and would disagree on a value
+        # landing exactly on .5 cents (ADVICE r7)
+        cents = [
+            int(
+                Decimal(repr(e["value"] * 100)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            for e in evs
+        ]
         n, total = len(cents), sum(cents)
         best = None  # (abs_dev DESC, idx ASC)
         cum = 0

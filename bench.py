@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     ("knn_ivf_adaptive", _collect),
     ("ivf_adaptive_sweep", _collect),
     ("knn_ivf_shard_merge", _collect),
+    ("engine_ivf_merge_serve", _collect),  # run 1 persists the merged layout
     ("knn_lsh", _collect),
     ("knn_sq8", _collect),
     ("knn_ivf_sq8", _collect),
@@ -115,6 +116,7 @@ BENCH_QUERIES = [
     ("bilateral_trade_volume", _collect),
     ("corpus_pipeline", _collect),
     ("corpus_curriculum_plan", _collect),
+    ("corpus_curriculum_pack", _collect),
     ("window_topk_per_group", _collect),
     ("window_running", _noop),
     ("scalar_subquery", _collect),

@@ -1025,6 +1025,50 @@ CURRICULUM_PHASES = 4
 CURRICULUM_BUCKETS = 1000  # stopword_ratio snapped to a fixed 1e-3 grid
 
 
+def _curriculum_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curriculum key: ``(doc_id, n_tokens, bucket)`` —
+    the stopword-ratio quality signal snapped to the fixed 1e-3 grid.
+    ONE definition shared by the plan rollup and the packing
+    composition, so a doc can never sit in different buckets across
+    the two queries."""
+    return quality_filter(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("stopword_ratio") * CURRICULUM_BUCKETS).cast("int").alias("bucket"),
+    )
+
+
+def curriculum_bucket_phases(
+    spark: SparkSession, sf_dir: str, n_phases: int = CURRICULUM_PHASES
+) -> DataFrame:
+    """The bounded bucket→phase relation ``(bucket, n_docs, toks,
+    phase)`` — the curriculum plan's middle stage, factored out (r8)
+    so the packing composition consumes the SAME phase boundaries the
+    plan publishes. One corpus shuffle to ≤1001 bucket rows; every
+    ordered/cumulative step runs on that bounded relation."""
+    per_bucket = _curriculum_doc_buckets(spark, sf_dir).groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks")
+    )
+    desc = W.orderBy(F.desc("bucket"))
+    return per_bucket.select(
+        "bucket",
+        "n_docs",
+        "toks",
+        F.coalesce(
+            F.sum("toks").over(desc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cum_before"),
+        F.sum("toks").over(W.partitionBy()).alias("total"),
+    ).select(
+        "bucket",
+        "n_docs",
+        "toks",
+        F.least(
+            F.expr(f"cum_before DIV ((total + {n_phases - 1}) DIV {n_phases})"),
+            F.lit(n_phases - 1),
+        ).cast("int").alias("phase"),
+    )
+
+
 def corpus_curriculum_plan(
     spark: SparkSession, sf_dir: str, n_phases: int = CURRICULUM_PHASES
 ) -> DataFrame:
@@ -1049,34 +1093,9 @@ def corpus_curriculum_plan(
     bucket's tokens). All arithmetic is integer (token sums, ceil-div
     budget, integer-DIV phase), so the plan is exact cross-engine.
     """
-    q = quality_filter(spark, sf_dir).select(
-        "doc_id",
-        "n_tokens",
-        F.floor(F.col("stopword_ratio") * CURRICULUM_BUCKETS).cast("int").alias("bucket"),
-    )
-    per_bucket = q.groupBy("bucket").agg(
-        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks")
-    )
-    desc = W.orderBy(F.desc("bucket"))
-    staged = per_bucket.select(
-        "bucket",
-        "n_docs",
-        "toks",
-        F.coalesce(
-            F.sum("toks").over(desc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
-        ).alias("cum_before"),
-        F.sum("toks").over(W.partitionBy()).alias("total"),
-    ).select(
-        "bucket",
-        "n_docs",
-        "toks",
-        F.least(
-            F.expr(f"cum_before DIV ((total + {n_phases - 1}) DIV {n_phases})"),
-            F.lit(n_phases - 1),
-        ).cast("int").alias("phase"),
-    )
     return (
-        staged.groupBy("phase")
+        curriculum_bucket_phases(spark, sf_dir, n_phases)
+        .groupBy("phase")
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("toks").alias("tokens"),
@@ -1085,4 +1104,117 @@ def corpus_curriculum_plan(
             F.round(F.min("bucket") / F.lit(CURRICULUM_BUCKETS), 6).alias("quality_lo"),
         )
         .orderBy("phase")
+    )
+
+
+def curriculum_pack_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int | None = None,
+    n_phases: int = CURRICULUM_PHASES,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Phase-aware sequence packing: the curriculum × packing
+    composition (VERDICT r7 #3). Each curriculum phase's documents
+    concatenate — easy→hard WITHIN the phase (bucket DESC, doc_id ASC)
+    — into that phase's own token stream, which cuts into fixed
+    ``seq_len`` chunks exactly like ``text_analysis.pack_sequences``.
+    Output: one row per (phase, chunk_id) — the manifest a STAGED
+    pre-training loader consumes (phase 0's packed sequences first).
+
+    Phase boundaries are ``curriculum_bucket_phases``' — the same
+    relation ``corpus_curriculum_plan`` publishes, so the packed
+    phases ARE the plan's phases. Packed token counts are the pack
+    family's BPE-ish counts (``_pack_counts_state``); budget counts
+    stay the plan's whitespace tokens — each composition partner keeps
+    its own published semantics.
+
+    Scale shape — a per-phase prefix sum with NO corpus-wide ordered
+    window, generalizing ``range_prefix_sum``'s two-pass recipe to
+    (phase, bucket) streams:
+
+    1. per-doc work keys on (phase, bucket, pid) where ``pid`` is a
+       fixed-width doc_id range — corpus-partitioned, fully parallel;
+    2. subtotals aggregate to the BOUNDED (phase, bucket, pid)
+       relation (≤ buckets × ranges rows, corpus-size-independent);
+       base offsets cumulate as a window over THAT relation in phase
+       order (bucket DESC, pid ASC) — the curriculum plan's
+       bounded-relation posture, replacing range_prefix_sum's driver
+       collect so nothing scales with |corpus|;
+    3. each doc's stream start = its (phase, bucket, pid) base + a
+       running sum WITHIN its pid range (per-range window, parallel);
+    4. the chunk fan-out is ⌈tokens/seq_len⌉ segment rows, never
+       quadratic, and the final rollup keys on (phase, chunk_id).
+
+    All arithmetic is integer (token counts, DIV chunking), so the
+    manifest is exact cross-engine.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        PACK_SEQ_LEN,
+        _pack_counts_state,
+    )
+
+    if seq_len is None:
+        seq_len = PACK_SEQ_LEN
+    n_ranges = n_ranges or spark.sparkContext.defaultParallelism
+    phases = curriculum_bucket_phases(spark, sf_dir, n_phases).select("bucket", "phase")
+    counts = _pack_counts_state(spark, sf_dir)  # (doc_id, n_toks) — cached state
+    docs = (
+        _curriculum_doc_buckets(spark, sf_dir)
+        .select("doc_id", "bucket")
+        .join(F.broadcast(phases), "bucket")
+        .join(counts, "doc_id")
+    )
+    lo, hi = counts.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = max((int(hi) - int(lo)) // n_ranges + 1, 1) if hi is not None else 1
+    parted = docs.withColumn("pid", F.expr(f"(doc_id - {int(lo or 0)}) div {span}"))
+    w_base = (
+        W.partitionBy("phase")
+        .orderBy(F.desc("bucket"), F.asc("pid"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bases = (
+        parted.groupBy("phase", "bucket", "pid")
+        .agg(F.sum("n_toks").alias("pv"))
+        .select(
+            "phase",
+            "bucket",
+            "pid",
+            F.coalesce(F.sum("pv").over(w_base), F.lit(0)).alias("base"),
+        )
+    )
+    w_run = (
+        W.partitionBy("phase", "bucket", "pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    with_s = parted.join(F.broadcast(bases), ["phase", "bucket", "pid"]).withColumn(
+        "s", F.col("base") + F.sum("n_toks").over(w_run) - F.col("n_toks")
+    )
+    segs = (
+        with_s.filter(F.col("n_toks") > 0)
+        .select(
+            "phase",
+            "doc_id",
+            "n_toks",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {seq_len}"),
+                    F.expr(f"(s + n_toks - 1) div {seq_len}"),
+                )
+            ).alias("chunk_id"),
+        )
+        .withColumn(
+            "seg_len",
+            F.least(F.lit(seq_len) * (F.col("chunk_id") + 1), F.col("s") + F.col("n_toks"))
+            - F.greatest(F.lit(seq_len) * F.col("chunk_id"), F.col("s")),
+        )
+    )
+    return segs.groupBy("phase", "chunk_id").agg(
+        F.count("*").alias("n_segments"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("seg_len").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

@@ -517,3 +517,84 @@ SELECT phase,
        round(min(bucket) / {C.CURRICULUM_BUCKETS}, 6) AS quality_lo
 FROM ph GROUP BY phase ORDER BY phase
 """
+
+
+# --- r8: curriculum × packing composition ------------------------------------
+# Phase-aware sequence packing: the curriculum plan's bucket→phase
+# boundaries (same CTE chain as corpus_curriculum_plan's oracle) feed
+# per-phase concat-and-chunk packing (same segment fan-out as
+# corpus_pack_sequences' oracle). The global per-phase window restates
+# the engine's bounded-relation two-pass prefix sum exactly: stream
+# order within a phase is (bucket DESC, doc_id ASC) — easy first.
+
+QUERIES["corpus_curriculum_pack"] = C.curriculum_pack_manifest
+
+
+def _curriculum_pack_sql() -> str:
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        BPE_RE,
+        PACK_SEQ_LEN,
+    )
+
+    bpe_sql = BPE_RE.replace("'", "''")
+    L = PACK_SEQ_LEN
+    P = C.CURRICULUM_PHASES
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         len({_TOKS})::INT AS n_tokens,
+         floor((len(list_filter({_TOKS}, t -> t IN ({_STOPS})))::INT
+                / len({_TOKS})::INT) * {C.CURRICULUM_BUCKETS})::INT AS bucket
+  FROM documents
+),
+per_bucket AS (
+  SELECT bucket, sum(n_tokens)::BIGINT AS toks FROM b GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, toks,
+         coalesce(sum(toks) OVER (ORDER BY bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         sum(toks) OVER () AS total
+  FROM per_bucket
+),
+ph AS (
+  SELECT bucket,
+         least(cum_before // ((total + {P - 1}) // {P}), {P - 1})::INT AS phase
+  FROM cum
+),
+ptoks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{bpe_sql}', 0)) AS BIGINT) AS n_toks
+  FROM documents
+),
+docs AS (
+  SELECT b.doc_id, ph.phase, b.bucket, t.n_toks
+  FROM b JOIN ph USING (bucket) JOIN ptoks t ON b.doc_id = t.doc_id
+),
+pos AS (
+  SELECT doc_id, phase, n_toks,
+         CAST(coalesce(sum(n_toks) OVER (PARTITION BY phase
+                  ORDER BY bucket DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM docs
+),
+segs AS (
+  SELECT phase, doc_id, n_toks, s,
+         unnest(generate_series(s // {L}, (s + n_toks - 1) // {L})) AS chunk_id
+  FROM pos WHERE n_toks > 0
+),
+seg_len AS (
+  SELECT phase, chunk_id, doc_id,
+         least({L} * (chunk_id + 1), s + n_toks)
+         - greatest({L} * chunk_id, s) AS seg_len
+  FROM segs
+)
+SELECT phase, chunk_id, count(*) AS n_segments,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM seg_len GROUP BY phase, chunk_id
+"""
+
+
+ORACLES["corpus_curriculum_pack"] = _curriculum_pack_sql()

@@ -891,6 +891,15 @@ QUERIES["knn_ivf_shard_merge"] = partial(
 )
 ORACLES["knn_ivf_shard_merge"] = _IVF_CTES + "SELECT vec_id, score FROM ivf_topk"
 
+# r8: the lifecycle CLOSE — shard build → persisted partials → merge
+# FROM DISK → standard engine layout → facade search (the IVF twin of
+# graph_merge_serve); value-pinned by knn_ivf's full oracle, so the
+# whole persisted handoff must be value-neutral.
+QUERIES["engine_ivf_merge_serve"] = partial(
+    ivf.ivf_merge_serve, query_id=QUERY_ID, k=K, n_probe=N_PROBE, n_shards=2
+)
+ORACLES["engine_ivf_merge_serve"] = ORACLES["knn_ivf_shard_merge"]
+
 # Shard-partial persistence: build partials anywhere, ship parquet,
 # merge elsewhere — digest pinned against the corpus-derived centroids.
 QUERIES["ivf_shard_state_roundtrip"] = ivf.ivf_shard_state_roundtrip

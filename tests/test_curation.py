@@ -286,3 +286,46 @@ def test_curriculum_plan_partitions_corpus(spark):
     # one bucket's tokens, so no phase (except a degenerate last) can
     # exceed budget + the largest single-bucket token mass
     assert max(r["tokens"] for r in plan) <= 2 * budget
+
+
+def test_curriculum_pack_conserves_and_fills(spark):
+    """The phase-aware packing manifest (r8 composition): chunks
+    within a phase number contiguously from 0; every chunk except the
+    phase's last carries exactly seq_len tokens; per-phase packed
+    token totals equal the phase members' BPE-count totals (nothing
+    lost at phase boundaries); phases are the curriculum plan's."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        _curriculum_doc_buckets,
+        curriculum_bucket_phases,
+        curriculum_pack_manifest,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        PACK_SEQ_LEN,
+        _pack_counts_state,
+    )
+
+    rows = curriculum_pack_manifest(spark, SF_SMOKE).collect()
+    by_phase: dict[int, list] = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r)
+    # expected per-phase BPE token masses, independently derived
+    phases = curriculum_bucket_phases(spark, SF_SMOKE).select("bucket", "phase")
+    want = {
+        r["phase"]: r["t"]
+        for r in _curriculum_doc_buckets(spark, SF_SMOKE)
+        .join(phases, "bucket")
+        .join(_pack_counts_state(spark, SF_SMOKE), "doc_id")
+        .groupBy("phase")
+        .agg(F.sum("n_toks").alias("t"))
+        .collect()
+    }
+    assert set(by_phase) == {p for p, t in want.items() if t > 0}
+    for phase, chunks in by_phase.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["n_tokens"] == PACK_SEQ_LEN for c in chunks[:-1])
+        assert 0 < chunks[-1]["n_tokens"] <= PACK_SEQ_LEN
+        assert sum(c["n_tokens"] for c in chunks) == want[phase]
+        for c in chunks:
+            assert 1 <= c["n_docs"] <= c["n_segments"]
+            assert c["first_doc"] <= c["last_doc"]

@@ -611,6 +611,58 @@ def test_knn_ivf_shard_merge_equals_single_build(spark):
         assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]
 
 
+def test_ivf_merge_serve_equals_shard_merge(spark):
+    """Serving through the PERSISTED merged layout (shard partials →
+    parquet → merge from disk → standard engine layout → facade
+    search) is row-identical to the in-session shard-merge search —
+    the whole handoff is value-neutral (the IVF twin of
+    graph_merge_serve's contract)."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        ivf_merge_serve,
+        knn_ivf_shard_merge,
+    )
+
+    for qid in (0, 2):
+        a = ivf_merge_serve(spark, SF_CORRECT, query_id=qid).collect()
+        b = knn_ivf_shard_merge(spark, SF_CORRECT, query_id=qid).collect()
+        assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]
+
+
+def test_cli_serves_merged_ivf_index(spark, tmp_path, capsys):
+    """``--index ivf`` over the merged-shard layout: the CLI binds the
+    standard directory layout, so a merged index serves through the
+    reference-flag binary unchanged — and prints exactly the
+    shard-merge search's rows (VERDICT r7 #4)."""
+    import numpy as np
+
+    from gpu_accelerated_vector_indexing_spark.engine import main
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        fixture_qvec,
+        knn_ivf_shard_merge,
+        merged_ivf_index,
+    )
+
+    idx = merged_ivf_index(spark, SF_SMOKE)
+    qvec = fixture_qvec(spark, SF_SMOKE, 0)
+    np.asarray(qvec, dtype=np.float32).tofile(tmp_path / "qmerged.bin")
+    main(
+        [
+            "--index_dir", idx,
+            "--query_bin", str(tmp_path / "qmerged.bin"),
+            "--dim", str(len(qvec)),
+            "--k", "5",
+            "--n_probe", "3",
+        ]
+    )
+    out = capsys.readouterr().out
+    got = [line for line in out.splitlines() if line.startswith("(")]
+    want = [
+        f"({r.score:.6f}, {r.vec_id})"
+        for r in knn_ivf_shard_merge(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+
+
 def test_embedding_outliers_accounts_every_cluster(spark):
     """One row per cluster; counts conserve (outliers ≤ members, worst
     member's d2 ≥ the mean — the max of any nonempty set bounds its

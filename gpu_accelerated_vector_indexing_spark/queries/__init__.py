@@ -16,44 +16,50 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-gate rotation, round 7 (VERDICT r6 "Next round" #8): the
+# Driver-gate rotation, round 8 (VERDICT r7 "Next round" #2): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# The union closed at 247/247 in r6; this round's 50 = the 16 r7
-# novelties + the 10 rows r7's changes touch (the fuzzy rewrite, the
-# fixpoint-kernel diff filter, the batched-walk chunking, the shared
-# DSIR model CTE refactor, the SQ4 margin contract) + 24 of the names
-# whose most recent gate is r1/r2 vintage (computed against
-# CORRECTNESS_r01..r06), so every name's freshest green keeps
-# rotating forward.
+# The union closed at 270/270 through r7; this round's 50 = the 2 r8
+# novelties + the 8 rows r8's changes touch (the DECIMAL-fold
+# promotions, the exact shard merge, the pagerank rewrite, the shared
+# curriculum-stage refactor) + kmeans_invariants (the ONE name whose
+# only driver rows predate its oracle — r1/r2 recorded it
+# ``no_oracle``; it has carried a full value oracle since, so this
+# slot records its first driver hash row) + ALL 37 names whose most
+# recent gate is r1/r2 vintage + the 2 alphabetically-first r3-vintage
+# names (computed from CORRECTNESS_r01..r07), so every name's
+# freshest green keeps rotating forward.
 _GATE_FIRST = [
-    # --- round-7 novelties (never gated by definition)
-    "retrieval_ndcg", "knn_ivf_shard_merge", "graph_shard_merge_search",
-    "corpus_curriculum_plan", "graph_retrieval_ndcg",
-    "ivf_shard_state_roundtrip", "graph_merge_serve",
-    "events_cusum_changepoint", "dedup_containment", "embedding_outliers",
-    "streaming_outlier_alerts", "join_asof_tolerance", "corpus_ngram_novelty",
-    "knn_ivf_adaptive", "orders_rfm_segments",
-    "ivf_adaptive_sweep", "supplier_concentration",
-    "graph_serve_after_repair", "dsir_state_roundtrip",
-    "curation_dsir_score_pretrained", "graph_repair_recall",
-    "text_typo_pairs", "text_typo_clusters",
-    # --- re-confirmations: rows round-7 changes touch
-    "fuzzy_customer_pairs",            # deletion-neighborhood rewrite
-    "graph_relink_after_deletes",      # relink_edges refactor
-    "graph_engine_batch_search",       # chunked search_batch
-    "curation_dsir_sample",            # shared model-CTE oracle refactor
-    "streaming_dsir_score",
-    "dedup_components",                # fixpoint ckpt-diff filter + lock
-    "dedup_semantic_graph",
-    "dedup_keep_canonical",
-    "knn_sq4", "knn_ivf_sq4",          # margin-headroom contract
-    # --- freshness rotation: r1/r2-vintage names (oldest last-green)
-    "knn_bruteforce", "knn_bruteforce_pandas", "knn_ivf_combined",
-    "knn_ivf_sequential", "knn_ivf_np1", "knn_ivf_np5", "knn_ivf_np10",
-    "knn_lsh", "knn_sq8", "knn_ivf_sq8", "knn_bq", "knn_ivf_bq",
-    "knn_prenorm", "knn_ivf_prenorm", "knn_filtered", "knn_ivf_filtered",
-    "knn_per_cluster_topk",
+    # --- round-8 novelties (never gated by definition)
+    "engine_ivf_merge_serve", "corpus_curriculum_pack",
+    # --- re-confirmations: rows round-8 changes touch
+    "knn_ivf_shard_merge",             # DECIMAL-exact shard merge
+    "ivf_shard_state_roundtrip",       # decimal partials + n_shards memo key
+    "supplier_concentration",          # DECIMAL(38,0) Σr/Σr² folds
+    "curation_dsir_sample",            # DECIMAL mean-cut fold
+    "dsir_state_roundtrip",            # hi/lo split digest
+    "curation_dsir_score_pretrained",  # scores through the promoted fold
+    "copurchase_pagerank",             # one-shuffle-per-round rewrite
+    "corpus_curriculum_plan",          # curriculum_bucket_phases refactor
+    # --- first driver hash row (oracle added after its r1/r2 gates)
+    "kmeans_invariants",
+    # --- freshness rotation: the 37 r1/r2-vintage names (oldest
+    # last-green), then the 2 alphabetically-first r3-vintage names
+    "distinct_agg", "join_anti", "join_bucketed_colocate",
+    "join_multiway", "join_outer", "join_semi", "scalar_subquery",
+    "window_running",
+    "corpus_validation", "cube_counts", "embed_and_search",
+    "engine_full_probe", "filtered_scan", "having_groups",
+    "hybrid_search_rrf", "hybrid_search_rrf_topn",
+    "ivf_assign_incremental", "ivf_centroids", "ivf_index_stats",
+    "ivf_rebalance_plan", "ivf_recall", "ivf_recall_sweep",
+    "knn_with_docs", "lateral_topk", "lsh_bucket_stats", "lsh_recall",
+    "mmr_rerank", "multi_query_knn", "multi_query_knn_ivf",
+    "multi_query_knn_prenorm", "pricing_summary",
+    "revenue_monthly_gapfill", "rollup_counts",
+    "similarity_range_search", "sql_scripting_report",
+    "variant_props_stats", "zorder_layout",
+    "ann_method_comparison", "contrastive_triplets",
 ]
 
 

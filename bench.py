@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     ("text_bpe_merges", _collect),
     ("corpus_bpe_encode", _noop),  # run 1 trains the memoized rule state
     ("corpus_pack_sequences", _collect),
+    ("corpus_pack_shuffled", _collect),
+    ("corpus_dedup_pack", _collect),  # component fixpoint state pays in run 1
     ("corpus_compaction_plan", _collect),
     ("dedup_minhash_lsh", _noop),
     ("dedup_simhash_pairs", _noop),

@@ -737,6 +737,47 @@ def dedup_keep_canonical(
     )
 
 
+def dedup_pack_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int | None = None,
+    threshold: float = 0.6,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Dedup → packing: pack ONLY the surviving documents — the
+    standard preprocessing order (near-dup removal BEFORE sequence
+    packing, so duplicated text cannot occupy training tokens). The
+    keep-list is ``dedup_keep_canonical``'s decision (each component's
+    min doc_id survives; singletons untouched); the manifest is
+    ``text_analysis.chunk_manifest`` over the kept stream in doc_id
+    order (r8 composition — the dedup twin of the curriculum × packing
+    pairing).
+
+    Scale shape: the component state is the memoized fixpoint result
+    (bounded by documents WITH near-dup edges, typically ≪ corpus);
+    the drop-list anti-join keys on doc_id (data-growing); the prefix
+    sum is the shared two-pass ``range_prefix_sum``. Dropping a doc
+    shifts every later offset — exactly the recompute a real pipeline
+    pays, and why the manifest is derived state, not stored truth.
+    """
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        PACK_SEQ_LEN,
+        _pack_counts_state,
+        chunk_manifest,
+        range_prefix_sum,
+    )
+
+    if seq_len is None:
+        seq_len = PACK_SEQ_LEN
+    comp = duplicate_components(spark, sf_dir, threshold=threshold)
+    keepers = (
+        comp.groupBy("component").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    dropped = comp.select("doc_id").join(keepers, "doc_id", "left_anti")
+    kept = _pack_counts_state(spark, sf_dir).join(dropped, "doc_id", "left_anti")
+    return chunk_manifest(range_prefix_sum(spark, kept, "n_toks", n_ranges), seq_len)
+
+
 # incremental dedup parameters: deterministic ~10% "today's crawl" slice
 INCR_BATCH_MOD = 10
 INCR_BATCH_REM = 7

@@ -474,6 +474,16 @@ def pack_sequences(
     """
     docs = _pack_counts_state(spark, sf_dir)
     with_s = range_prefix_sum(spark, docs, "n_toks", n_ranges)
+    return chunk_manifest(with_s, seq_len)
+
+
+def chunk_manifest(with_s: DataFrame, seq_len: int) -> DataFrame:
+    """Chunk-and-rollup over a prefix-summed token relation
+    ``(doc_id, n_toks, s, ...)`` — the shared back half of every
+    packing manifest (doc_id-order, dedup-filtered, epoch-shuffled):
+    segment explode (⌈tokens/seq_len⌉ rows, never quadratic) + one
+    chunk_id-keyed rollup with map-side partials. Factored out in r8
+    so the three packing front-ends cannot drift in chunk semantics."""
     segs = (
         with_s.filter(F.col("n_toks") > 0)
         .select(
@@ -500,6 +510,54 @@ def pack_sequences(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+PACK_SHUFFLE_SEED = 20260816
+_SHUF_A = 1103515245  # LCG multiplier < 2^31: (2^30)·A + seed stays in int64
+_SHUF_M = 1_073_741_824  # 2^30
+
+
+def pack_sequences_shuffled(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = PACK_SEQ_LEN,
+    seed: int = PACK_SHUFFLE_SEED,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Epoch-shuffled packing manifest: documents concatenate in a
+    SEEDED PSEUDO-RANDOM order — ``h = (doc_id mod 2³⁰ · A + seed)
+    mod 2³⁰``, ties by doc_id — instead of doc_id order. This is how
+    production packing actually runs per epoch (a fresh seed gives a
+    fresh permutation, so chunk neighbors differ across epochs while
+    every engine replays the SAME permutation for the same seed — no
+    RNG state, just arithmetic both engines evaluate identically;
+    all operands stay far inside int64).
+
+    Scale shape — the point of the query: ``range_prefix_sum``'s
+    two-pass recipe generalizes to ANY total order with a computable
+    range key. Ranges are fixed-width slices OF THE HASH DOMAIN
+    (not doc_id), subtotals aggregate per range (bounded relation,
+    driver-cumulated bases exactly like the doc_id form), and the only
+    windows run per-range ordered by (h, doc_id). The chunk back half
+    is the shared :func:`chunk_manifest`.
+    """
+    n_ranges = n_ranges or spark.sparkContext.defaultParallelism
+    docs = _pack_counts_state(spark, sf_dir).withColumn(
+        "h", ((F.col("doc_id") % _SHUF_M) * _SHUF_A + F.lit(seed)) % _SHUF_M
+    )
+    span = _SHUF_M // n_ranges + 1
+    parted = docs.withColumn("pid", F.expr(f"h div {span}"))
+    psums = parted.groupBy("pid").agg(F.sum("n_toks").alias("pv")).collect()
+    base, bases = 0, {}
+    for r in sorted(psums, key=lambda r: r.pid):
+        bases[int(r.pid)] = base
+        base += int(r.pv)
+    base_map = F.create_map(*[F.lit(x) for pid_base in bases.items() for x in pid_base])
+    w = W.partitionBy("pid").orderBy("h", "doc_id").rowsBetween(W.unboundedPreceding, 0)
+    with_s = parted.withColumn(
+        "s", base_map[F.col("pid")] + F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    return chunk_manifest(with_s, seq_len)
 
 
 BPE_MERGE_TOP_N = 20

@@ -19,19 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 # Driver-gate rotation, round 8 (VERDICT r7 "Next round" #2): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# The union closed at 270/270 through r7; this round's 50 = the 2 r8
+# The union closed at 270/270 through r7; this round's 50 = the 4 r8
 # novelties + the 8 rows r8's changes touch (the DECIMAL-fold
 # promotions, the exact shard merge, the pagerank rewrite, the shared
 # curriculum-stage refactor) + kmeans_invariants (the ONE name whose
 # only driver rows predate its oracle — r1/r2 recorded it
 # ``no_oracle``; it has carried a full value oracle since, so this
 # slot records its first driver hash row) + ALL 37 names whose most
-# recent gate is r1/r2 vintage + the 2 alphabetically-first r3-vintage
-# names (computed from CORRECTNESS_r01..r07), so every name's
-# freshest green keeps rotating forward.
+# recent gate is r1/r2 vintage (computed from CORRECTNESS_r01..r07),
+# so every name's freshest green keeps rotating forward.
 _GATE_FIRST = [
     # --- round-8 novelties (never gated by definition)
     "engine_ivf_merge_serve", "corpus_curriculum_pack",
+    "corpus_dedup_pack", "corpus_pack_shuffled",
     # --- re-confirmations: rows round-8 changes touch
     "knn_ivf_shard_merge",             # DECIMAL-exact shard merge
     "ivf_shard_state_roundtrip",       # decimal partials + n_shards memo key
@@ -59,7 +59,6 @@ _GATE_FIRST = [
     "revenue_monthly_gapfill", "rollup_counts",
     "similarity_range_search", "sql_scripting_report",
     "variant_props_stats", "zorder_layout",
-    "ann_method_comparison", "contrastive_triplets",
 ]
 
 

@@ -241,6 +241,60 @@ SELECT component, count(*) AS n_docs, min(doc_id) AS keep_doc,
 FROM comp GROUP BY component
 """
 
+# r8: dedup → packing composition — pack ONLY the canonical keeps.
+# The oracle extends the SAME recursive-closure component SQL with the
+# keep-list and replays the doc_id-order packing CTEs over it.
+QUERIES["corpus_dedup_pack"] = D.dedup_pack_manifest
+
+
+def _dedup_pack_sql() -> str:
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        BPE_RE,
+        PACK_SEQ_LEN,
+    )
+
+    bpe_sql = BPE_RE.replace("'", "''")
+    L = PACK_SEQ_LEN
+    return (
+        _COMPONENTS_SQL
+        + f""",
+keepers AS (SELECT min(doc_id) AS doc_id FROM comp GROUP BY component),
+dropped AS (
+  SELECT doc_id FROM comp WHERE doc_id NOT IN (SELECT doc_id FROM keepers)
+),
+ptoks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{bpe_sql}', 0)) AS BIGINT) AS n_toks
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+pos AS (
+  SELECT doc_id, n_toks,
+         CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM ptoks
+),
+segs AS (
+  SELECT doc_id, n_toks, s,
+         unnest(generate_series(s // {L}, (s + n_toks - 1) // {L})) AS chunk_id
+  FROM pos WHERE n_toks > 0
+),
+seg_len AS (
+  SELECT chunk_id, doc_id,
+         least({L} * (chunk_id + 1), s + n_toks)
+         - greatest({L} * chunk_id, s) AS seg_len
+  FROM segs
+)
+SELECT chunk_id, count(*) AS n_segments,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM seg_len GROUP BY chunk_id
+"""
+    )
+
+
+ORACLES["corpus_dedup_pack"] = _dedup_pack_sql()
+
 
 from gpu_accelerated_vector_indexing_spark.operators.dedup import (  # noqa: E402
     INCR_BATCH_MOD,

@@ -257,6 +257,46 @@ SELECT chunk_id, count(*) AS n_segments,
 FROM seg_len GROUP BY chunk_id
 """
 
+# r8: epoch-shuffled packing — the SAME chunk semantics over a seeded
+# pseudo-random permutation; the oracle's global window restates the
+# hash-domain two-pass prefix sum (order = (h, doc_id), h replayed as
+# pure modular arithmetic).
+QUERIES["corpus_pack_shuffled"] = TA.pack_sequences_shuffled
+
+_SHUF_H = (
+    f"((doc_id % {TA._SHUF_M}) * {TA._SHUF_A} + {TA.PACK_SHUFFLE_SEED}) % {TA._SHUF_M}"
+)
+ORACLES["corpus_pack_shuffled"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}', 0)) AS BIGINT) AS n_toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_toks,
+         CAST(COALESCE(sum(n_toks) OVER (ORDER BY {_SHUF_H}, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM toks
+),
+segs AS (
+  SELECT doc_id, n_toks, s,
+         unnest(generate_series(s // {TA.PACK_SEQ_LEN},
+                                (s + n_toks - 1) // {TA.PACK_SEQ_LEN})) AS chunk_id
+  FROM pos WHERE n_toks > 0
+),
+seg_len AS (
+  SELECT chunk_id, doc_id,
+         least({TA.PACK_SEQ_LEN} * (chunk_id + 1), s + n_toks)
+         - greatest({TA.PACK_SEQ_LEN} * chunk_id, s) AS seg_len
+  FROM segs
+)
+SELECT chunk_id, count(*) AS n_segments,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM seg_len GROUP BY chunk_id
+"""
+
 
 from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (  # noqa: E402
     BPE_MERGE_TOP_N,

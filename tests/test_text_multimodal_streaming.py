@@ -366,6 +366,71 @@ def test_pack_sequences_invariants(spark):
         assert prev.first_doc <= prev.last_doc
 
 
+def test_pack_shuffled_is_a_permutation_of_the_stream(spark):
+    """Epoch-shuffled packing (r8): same total tokens and chunk count
+    as the doc_id-order manifest (a permutation moves no mass), same
+    tiling invariants, and a different seed actually permutes (some
+    chunk's doc composition moves — else the 'shuffle' is a no-op)."""
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        PACK_SEQ_LEN,
+        pack_sequences,
+        pack_sequences_shuffled,
+    )
+
+    base = sorted(pack_sequences(spark, SF_CORRECT).collect(), key=lambda r: r.chunk_id)
+    shuf = sorted(
+        pack_sequences_shuffled(spark, SF_CORRECT).collect(), key=lambda r: r.chunk_id
+    )
+    assert len(shuf) == len(base)
+    assert sum(r.n_tokens for r in shuf) == sum(r.n_tokens for r in base)
+    assert [r.chunk_id for r in shuf] == list(range(len(shuf)))
+    assert all(r.n_tokens == PACK_SEQ_LEN for r in shuf[:-1])
+    other = sorted(
+        pack_sequences_shuffled(spark, SF_CORRECT, seed=7).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.first_doc, r.last_doc) for r in other] != [
+        (r.first_doc, r.last_doc) for r in shuf
+    ]
+
+
+def test_dedup_pack_drops_exactly_the_non_canonical_tokens(spark):
+    """Dedup → packing (r8): the packed total equals the full-corpus
+    total minus the dropped (non-canonical) documents' token counts,
+    and the tiling invariants hold on the kept stream."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.dedup import (
+        dedup_pack_manifest,
+        duplicate_components,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import (
+        PACK_SEQ_LEN,
+        _pack_counts_state,
+        pack_sequences,
+    )
+
+    rows = sorted(
+        dedup_pack_manifest(spark, SF_CORRECT).collect(), key=lambda r: r.chunk_id
+    )
+    comp = duplicate_components(spark, SF_CORRECT)
+    keep = comp.groupBy("component").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    dropped_toks = (
+        comp.select("doc_id")
+        .join(keep, "doc_id", "left_anti")
+        .join(_pack_counts_state(spark, SF_CORRECT), "doc_id")
+        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)))
+        .first()[0]
+    )
+    full_total = sum(
+        r.n_tokens for r in pack_sequences(spark, SF_CORRECT).collect()
+    )
+    assert sum(r.n_tokens for r in rows) == full_total - dropped_toks
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_tokens == PACK_SEQ_LEN for r in rows[:-1])
+    assert 0 < rows[-1].n_tokens <= PACK_SEQ_LEN
+
+
 def test_streaming_incremental_dedup_equals_batch(spark):
     """Complete-mode drain of the document stream against the static
     archive state must equal the batch incremental query restricted to

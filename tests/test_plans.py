@@ -540,6 +540,62 @@ def test_shard_stats_merge_is_two_partial_aggregates(spark):
     assert plan.count("HashAggregate") == 4, plan  # partial+final × 2 stages
 
 
+def test_merged_ivf_serve_prunes_partitions(spark):
+    """Serving through the MERGED shard layout keeps the engine's
+    partition-pruning claim: the fine scan shows a cluster IN-list in
+    PartitionFilters (only probed directories are even listed) and the
+    whole serve plan carries exactly ONE exchange (the top-k's)."""
+    plan = physical_plan(_q(spark, "engine_ivf_merge_serve"))
+    assert "PartitionFilters" in plan, plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:200], plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_pagerank_round_is_single_shuffle(spark):
+    """One PageRank round's plan (r8 rewrite): the contribution sum's
+    dst exchange is the ONLY shuffle — the |E| side reads the cached
+    src-hashed state (InMemoryTableScan directly under the join, no
+    exchange above it) and the tiny rank side broadcasts. Counted on
+    the round plan proper (the text above the first InMemoryRelation,
+    whose nested build-plan printout carries its own exchanges)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph import _pagerank_edges
+
+    ce = _pagerank_edges(spark, SF_CORRECT)
+    ranks = (
+        ce.select(F.col("src").alias("part"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    one_round = (
+        ce.join(ranks, ce.src == ranks.part)
+        .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum(F.col("c").cast("decimal(28,18)")).cast("double").alias("inflow"))
+    )
+    plan = physical_plan(one_round)
+    round_plan = plan.split("InMemoryRelation", 1)[0]
+    assert round_plan.count("Exchange") == 1, round_plan
+    assert "hashpartitioning(dst" in round_plan, round_plan
+    assert "InMemoryTableScan" in round_plan, round_plan
+
+
+def test_pack_shuffled_windows_are_range_partitioned(spark):
+    """The epoch-shuffled packing manifest must contain NO
+    corpus-wide ordered window: every windowspecdefinition in the plan
+    partitions by the hash-range pid (the chunk rollup and subtotal
+    agg are hash aggregates, not windows)."""
+    import re
+
+    plan = physical_plan(_q(spark, "corpus_pack_shuffled"))
+    specs = re.findall(r"windowspecdefinition\((.{0,60})", plan)
+    assert specs, plan  # the per-range running sum must exist
+    for s in specs:
+        assert s.lstrip().startswith("pid"), (s, specs)
+
+
 def test_curriculum_single_corpus_shuffle(spark):
     """corpus_curriculum_plan's only corpus-wide movement is the ONE
     shuffle down to the ≤1001-row quality-bucket relation; the ordered

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     ("profit_by_nation_year", _collect),
     ("orders_rfm_segments", _collect),
     ("supplier_concentration", _collect),
+    ("lineitem_profile", _collect),
     ("ship_delay_priority", _collect),
     # training-data pipeline operators
     ("join_asof", _noop),
@@ -228,6 +229,7 @@ BENCH_QUERIES = [
     ("curation_mix_rebalance", _collect),
     ("curation_domain_cap", _noop),
     ("curation_decontaminate_hashed", _collect),
+    ("corpus_snapshot_diff", _noop),
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

@@ -1218,3 +1218,66 @@ def curriculum_pack_manifest(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (r8) — dataset versioning
+# ---------------------------------------------------------------------------
+
+# Deterministic snapshot derivation from the one fixture corpus: "old"
+# lacks the docs added later, "new" lacks the docs removed later, and a
+# slice of surviving docs is edited in place — the three change classes
+# a dataset-version diff must classify.
+SNAP_REMOVED_MOD, SNAP_REMOVED_REM = 17, 3  # in old only  → removed
+SNAP_ADDED_MOD, SNAP_ADDED_REM = 19, 5      # in new only  → added
+SNAP_EDIT_MOD, SNAP_EDIT_REM = 23, 1        # text changed in new
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two corpus snapshots by content hash — the CDC primitive of
+    dataset VERSIONING (which documents were added, removed, or edited
+    between two crawls/releases), the corpus-level sibling of the
+    events family's merge/SCD2 ops. One row per doc_id present in
+    either snapshot: ``status ∈ {added, removed, changed, unchanged}``
+    plus both snapshots' md5 (NULL where absent).
+
+    Snapshots derive deterministically from the fixture (modular
+    doc_id slices; the "edit" uppercases the text), so both engines
+    reconstruct identical inputs. Scale shape: two scans of the SAME
+    table feed ONE doc_id-keyed full-outer join (at 100 TB: two
+    snapshot scans co-partitioned on the join key) and the hash
+    compare is a projection — no pair-space anywhere, and content
+    equality via md5 means the diff never ships text through the
+    shuffle, only 32-byte digests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(
+        F.col("doc_id") % SNAP_REMOVED_MOD != SNAP_REMOVED_REM
+    ).select("doc_id", F.md5(F.col("text").cast("binary")).alias("old_md5"))
+    new = (
+        docs.filter(F.col("doc_id") % SNAP_ADDED_MOD != SNAP_ADDED_REM)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % SNAP_EDIT_MOD == SNAP_EDIT_REM,
+                    F.upper(F.col("text")),
+                )
+                .otherwise(F.col("text"))
+                .cast("binary")
+            ).alias("new_md5"),
+        )
+    )
+    # NOTE: a doc sliced out of OLD by the removed-mod and out of NEW
+    # by the added-mod appears in neither snapshot and (correctly)
+    # not in the diff.
+    return old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        "old_md5",
+        "new_md5",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -1980,6 +1980,42 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+)
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the biggest fact table: one row
+    per column with the table row count, the column's NULL count and
+    its EXACT distinct cardinality — the completeness/cardinality
+    audit every ingestion pipeline runs before trusting a new drop
+    (and the stats a cost-based planner wants).
+
+    Shape: ONE aggregation pass computes every column's stats
+    (map-side partials), then a ``stack`` unpivot emits the
+    row-per-column form — no per-column jobs, no self-joins. Exact
+    multi-column distincts make Spark plan an Expand (each input row
+    fans out once per distinct-aggregate) — priced in here because the
+    oracle is exact; at 100 TB swap ``countDistinct`` for
+    ``approx_count_distinct``/the HLL sketch family (same single-pass
+    plan, no Expand) and keep the exact form for audits of samples.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist__{c}"))
+    row = li.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nulls__{c}, dist__{c}" for c in PROFILE_COLS)
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
 def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier revenue concentration per nation: Herfindahl–Hirschman
     index (Σ shareᵢ²), top-supplier share, and supplier count — the

@@ -19,19 +19,22 @@ from pyspark.sql import DataFrame, SparkSession
 # Driver-gate rotation, round 8 (VERDICT r7 "Next round" #2): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# The union closed at 270/270 through r7; this round's 50 = the 4 r8
-# novelties + the 8 rows r8's changes touch (the DECIMAL-fold
+# The union closed at 270/270 through r7; this round's prefix = the 6
+# r8 novelties + the 8 rows r8's changes touch (the DECIMAL-fold
 # promotions, the exact shard merge, the pagerank rewrite, the shared
 # curriculum-stage refactor) + kmeans_invariants (the ONE name whose
 # only driver rows predate its oracle — r1/r2 recorded it
 # ``no_oracle``; it has carried a full value oracle since, so this
-# slot records its first driver hash row) + ALL 37 names whose most
-# recent gate is r1/r2 vintage (computed from CORRECTNESS_r01..r07),
-# so every name's freshest green keeps rotating forward.
+# slot records its first driver hash row) + the 37 names whose most
+# recent gate is r1/r2 vintage in oldest-first order (computed from
+# CORRECTNESS_r01..r07; at a strict 50-row cut the last two spill to
+# the next rotation), so every name's freshest green keeps rotating
+# forward.
 _GATE_FIRST = [
     # --- round-8 novelties (never gated by definition)
     "engine_ivf_merge_serve", "corpus_curriculum_pack",
     "corpus_dedup_pack", "corpus_pack_shuffled",
+    "corpus_snapshot_diff", "lineitem_profile",
     # --- re-confirmations: rows round-8 changes touch
     "knn_ivf_shard_merge",             # DECIMAL-exact shard merge
     "ivf_shard_state_roundtrip",       # decimal partials + n_shards memo key

@@ -598,3 +598,31 @@ FROM seg_len GROUP BY phase, chunk_id
 
 
 ORACLES["corpus_curriculum_pack"] = _curriculum_pack_sql()
+
+
+# --- r8: corpus snapshot diff (dataset versioning) ---------------------------
+# Deterministic old/new snapshots derived from the one fixture corpus;
+# both engines hash UTF-8 text bytes with md5 and classify per doc_id
+# through a full-outer join — the corpus-level CDC primitive.
+
+QUERIES["corpus_snapshot_diff"] = C.corpus_snapshot_diff
+
+ORACLES["corpus_snapshot_diff"] = f"""
+WITH old_snap AS (
+  SELECT doc_id, md5(text) AS old_md5 FROM documents
+  WHERE doc_id % {C.SNAP_REMOVED_MOD} <> {C.SNAP_REMOVED_REM}
+),
+new_snap AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM}
+                  THEN upper(text) ELSE text END) AS new_md5
+  FROM documents
+  WHERE doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5,
+       CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 <> new_md5 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+"""

@@ -958,6 +958,19 @@ ORDER BY r_q, f_q, m_q
 
 # --- r7: supplier concentration (HHI) ----------------------------------------
 
+# r8: ANALYZE-style column profile of the big fact table — one pass,
+# row per column; the oracle recomputes each column's exact stats.
+QUERIES["lineitem_profile"] = R.table_profile
+
+ORACLES["lineitem_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct
+FROM lineitem"""
+    for c in R.PROFILE_COLS
+)
+
 QUERIES["supplier_concentration"] = R.supplier_concentration
 
 ORACLES["supplier_concentration"] = f"""

@@ -329,3 +329,38 @@ def test_curriculum_pack_conserves_and_fills(spark):
         for c in chunks:
             assert 1 <= c["n_docs"] <= c["n_segments"]
             assert c["first_doc"] <= c["last_doc"]
+
+
+def test_snapshot_diff_classifies_every_change_class(spark):
+    """corpus_snapshot_diff (r8): statuses match an independent
+    pure-Python reconstruction of the two snapshots (membership slices
+    + the uppercase edit), every doc in either snapshot appears
+    exactly once, and the four classes partition the diff."""
+    import pyarrow.parquet as pq
+
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        SNAP_ADDED_MOD,
+        SNAP_ADDED_REM,
+        SNAP_EDIT_MOD,
+        SNAP_EDIT_REM,
+        SNAP_REMOVED_MOD,
+        SNAP_REMOVED_REM,
+        corpus_snapshot_diff,
+    )
+
+    got = {r["doc_id"]: r["status"] for r in corpus_snapshot_diff(spark, SF_SMOKE).collect()}
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pylist()
+    want = {}
+    for d in docs:
+        i, text = d["doc_id"], d["text"]
+        in_old = i % SNAP_REMOVED_MOD != SNAP_REMOVED_REM
+        in_new = i % SNAP_ADDED_MOD != SNAP_ADDED_REM
+        edited = i % SNAP_EDIT_MOD == SNAP_EDIT_REM and text.upper() != text
+        if in_old and in_new:
+            want[i] = "changed" if edited else "unchanged"
+        elif in_old:
+            want[i] = "removed"
+        elif in_new:
+            want[i] = "added"
+    assert got == want
+    assert set(got.values()) == {"added", "removed", "changed", "unchanged"}

@@ -301,3 +301,27 @@ def test_supplier_concentration_invariants(spark):
         assert 0 < r["top_share"] <= 1.0
         assert (1.0 / n) - 1e-6 <= r["hhi"] <= 1.0
         assert r["top_share"] ** 2 <= r["hhi"] + 1e-6
+
+
+def test_lineitem_profile_matches_direct_stats(spark):
+    """lineitem_profile (r8): one row per profiled column; n_rows is
+    the table count everywhere; spot-check n_nulls/n_distinct against
+    direct recomputation for a low- and a high-cardinality column."""
+    from gpu_accelerated_vector_indexing_spark.operators.relational import (
+        PROFILE_COLS,
+        table_profile,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    rows = {r["column_name"]: r for r in table_profile(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(PROFILE_COLS)
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    assert all(r["n_rows"] == n for r in rows.values())
+    for c in ("l_returnflag", "l_orderkey"):
+        direct_distinct = li.select(c).distinct().count()
+        direct_nulls = li.filter(F.col(c).isNull()).count()
+        assert rows[c]["n_distinct"] == direct_distinct, c
+        assert rows[c]["n_nulls"] == direct_nulls, c

@@ -484,56 +484,77 @@ def event_sequence_dataset(
     )
 
 
+# Cogroup granularity for the pandas as-of strategy: hashing users
+# into this many buckets hands merge_asof ONE Arrow batch per bucket
+# instead of one per user (r8 constant-factor pass: the per-user form
+# paid per-group Python/Arrow overhead ~|users| times — 11.2 s at
+# sf0.1; bucketed, ~1.3 s warm). The knob trades group count against
+# per-task state (a bucket's rows must fit one task); size it ~cores×2
+# on a real cluster.
+ASOF_COGROUP_BUCKETS = 64
+
+
 def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of join as ``asof_join_events``, via the cogrouped-
-    pandas API: ``groupBy(user_id).cogroup(...).applyInPandas`` hands
-    each user's purchases and views to one Arrow-batched
-    ``pd.merge_asof`` — the second physical strategy for the operator
-    (≙ the reference's sequential/combined pair, SURVEY.md §2 O16/O17),
+    pandas API — the second physical strategy for the operator (≙ the
+    reference's sequential/combined pair, SURVEY.md §2 O16/O17),
     sharing the window form's oracle as a plan-equivalence check.
 
-    Same scale shape as the window form: ONE shuffle on user_id, per-key
-    state bounded by that key's rows. Sorting views by (ts, event_id)
-    makes merge_asof's last-match pick the largest event_id on ts ties —
-    the identical tie-break to the union-window ordering.
+    Physical form (r8): users hash into ``ASOF_COGROUP_BUCKETS``
+    cogroups and ONE ``pd.merge_asof(..., by="user_id")`` serves every
+    user in the bucket — per-user matching semantics are merge_asof's
+    ``by`` contract, while the Python/Arrow per-group overhead is paid
+    per BUCKET. Both sides sort by (ts, event_id), so the last-match
+    pick on a ts tie is the largest event_id — the identical tie-break
+    to the union-window ordering. ONE shuffle on the bucket key;
+    per-task state is a bucket's rows (the knob above).
     """
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    bucket = (F.col("user_id") % ASOF_COGROUP_BUCKETS).alias("bucket")
+    views = ev.filter(F.col("event_type") == "view").select(
+        bucket, "user_id", "event_id", "ts"
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+        bucket, "user_id", "event_id", "ts"
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts", "asof_view_id", "asof_view_ts", "gap_seconds"]
         if left.empty:
-            return pd.DataFrame(
-                columns=["event_id", "user_id", "ts", "asof_view_id", "asof_view_ts", "gap_seconds"]
-            )
-        l = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            return pd.DataFrame(columns=cols)
+        l = left.sort_values(["ts", "event_id"]).reset_index(drop=True)[
+            ["event_id", "user_id", "ts"]
+        ]
         if right.empty:
-            out = l.rename(columns={})
+            out = l.copy()
             out["asof_view_id"] = pd.array([None] * len(out), dtype="Int64")
             out["asof_view_ts"] = pd.NaT
         else:
             r = (
                 right.sort_values(["ts", "event_id"])
                 .rename(columns={"event_id": "asof_view_id", "ts": "asof_view_ts"})
-                [["asof_view_id", "asof_view_ts"]]
+                [["user_id", "asof_view_id", "asof_view_ts"]]
             )
             out = pd.merge_asof(
-                l, r, left_on="ts", right_on="asof_view_ts", allow_exact_matches=True
+                l,
+                r,
+                left_on="ts",
+                right_on="asof_view_ts",
+                by="user_id",
+                allow_exact_matches=True,
             )
             out["asof_view_id"] = out["asof_view_id"].astype("Int64")
         gap = (out["ts"] - out["asof_view_ts"]).dt.total_seconds()
         out["gap_seconds"] = pd.array(
             [None if pd.isna(g) else int(g) for g in gap], dtype="Int64"
         )
-        return out[["event_id", "user_id", "ts", "asof_view_id", "asof_view_ts", "gap_seconds"]]
+        return out[cols]
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(views.groupBy("bucket"))
         .applyInPandas(
             merge,
             schema=(

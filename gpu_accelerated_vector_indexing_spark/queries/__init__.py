@@ -20,16 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
 # The union closed at 270/270 through r7; this round's prefix = the 6
-# r8 novelties + the 8 rows r8's changes touch (the DECIMAL-fold
-# promotions, the exact shard merge, the pagerank rewrite, the shared
-# curriculum-stage refactor) + kmeans_invariants (the ONE name whose
-# only driver rows predate its oracle — r1/r2 recorded it
-# ``no_oracle``; it has carried a full value oracle since, so this
-# slot records its first driver hash row) + the 37 names whose most
-# recent gate is r1/r2 vintage in oldest-first order (computed from
-# CORRECTNESS_r01..r07; at a strict 50-row cut the last two spill to
-# the next rotation), so every name's freshest green keeps rotating
-# forward.
+# r8 novelties + the 9 rows r8's changes touch (the DECIMAL-fold
+# promotions, the exact shard merge, the pagerank and cogroup-as-of
+# rewrites, the shared curriculum-stage refactor) + kmeans_invariants
+# (the ONE name whose only driver rows predate its oracle — r1/r2
+# recorded it ``no_oracle``; it has carried a full value oracle since,
+# so this slot records its first driver hash row) + the 37 names whose
+# most recent gate is r1/r2 vintage in oldest-first order (computed
+# from CORRECTNESS_r01..r07; at a strict 50-row cut the last three
+# spill to the next rotation), so every name's freshest green keeps
+# rotating forward.
 _GATE_FIRST = [
     # --- round-8 novelties (never gated by definition)
     "engine_ivf_merge_serve", "corpus_curriculum_pack",
@@ -43,11 +43,12 @@ _GATE_FIRST = [
     "dsir_state_roundtrip",            # hi/lo split digest
     "curation_dsir_score_pretrained",  # scores through the promoted fold
     "copurchase_pagerank",             # one-shuffle-per-round rewrite
+    "join_asof_cogroup",               # bucketed merge_asof(by=) rewrite
     "corpus_curriculum_plan",          # curriculum_bucket_phases refactor
     # --- first driver hash row (oracle added after its r1/r2 gates)
     "kmeans_invariants",
     # --- freshness rotation: the 37 r1/r2-vintage names (oldest
-    # last-green), then the 2 alphabetically-first r3-vintage names
+    # last-green)
     "distinct_agg", "join_anti", "join_bucketed_colocate",
     "join_multiway", "join_outer", "join_semi", "scalar_subquery",
     "window_running",

@@ -433,14 +433,19 @@ def main() -> None:
         # (ADVICE r4): the driver's BENCH_r{N}.json is the round marker
         print(f"note: overwriting existing {os.path.basename(out_path)} "
               f"(intra-round bench re-run)", file=sys.stderr)
+    wrote_full = True
     try:
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
     except OSError as e:
-        # the file artifact is the canonical per-query record — a write
-        # failure (read-only checkout, full disk) must not lose the run
-        # from the driver's stdout view below
+        # the file artifact is the canonical per-query record — if the
+        # write fails (read-only checkout, full disk) dump the COMPLETE
+        # payload to stderr so the run's per-query medians and per-run
+        # arrays survive in the process log (stdout must stay reserved
+        # for the compact summary line the driver's tail parses)
+        wrote_full = False
         print(f"note: could not write {out_path}: {e}", file=sys.stderr)
+        print(json.dumps(payload), file=sys.stderr)
 
     # The driver keeps only a ~2000-char TAIL of stdout, so the final
     # line must be a COMPACT summary (VERDICT r7 wrong #1: the r6 fix
@@ -496,7 +501,9 @@ def main() -> None:
         # per-run array lives in full_payload
         "queries": top,
         "acceptance": accept,
-        "full_payload": os.path.basename(out_path),
+        # None signals the artifact write failed — the complete payload
+        # then lives on stderr, not in a file
+        "full_payload": os.path.basename(out_path) if wrote_full else None,
     }
     line = json.dumps(summary)
     if len(line) > 1500:

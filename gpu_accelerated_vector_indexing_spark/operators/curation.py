@@ -1025,17 +1025,34 @@ CURRICULUM_PHASES = 4
 CURRICULUM_BUCKETS = 1000  # stopword_ratio snapped to a fixed 1e-3 grid
 
 
+# The (doc_id, n_tokens, bucket) relation is CURRICULUM STATE shared
+# by the plan rollup and the packing composition — and, within the
+# packing query, by BOTH its phase side and its doc side. Without the
+# memo each reference re-runs quality_filter's interpreted tokenize/
+# stopword pass over the whole corpus (the cost its own docstring
+# flags); cached, the scan is paid once per (session, corpus) like
+# _pack_counts_state.
+_CURRICULUM_BUCKETS_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
 def _curriculum_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curriculum key: ``(doc_id, n_tokens, bucket)`` —
     the stopword-ratio quality signal snapped to the fixed 1e-3 grid.
-    ONE definition shared by the plan rollup and the packing
-    composition, so a doc can never sit in different buckets across
-    the two queries."""
-    return quality_filter(spark, sf_dir).select(
-        "doc_id",
-        "n_tokens",
-        F.floor(F.col("stopword_ratio") * CURRICULUM_BUCKETS).cast("int").alias("bucket"),
-    )
+    ONE definition (memoized + cached) shared by the plan rollup and
+    the packing composition, so a doc can never sit in different
+    buckets across the two queries."""
+    key = (spark, sf_dir)
+    if key not in _CURRICULUM_BUCKETS_STATE:
+        df = quality_filter(spark, sf_dir).select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("stopword_ratio") * CURRICULUM_BUCKETS)
+            .cast("int")
+            .alias("bucket"),
+        ).cache()
+        df.count()
+        _CURRICULUM_BUCKETS_STATE[key] = df
+    return _CURRICULUM_BUCKETS_STATE[key]
 
 
 def curriculum_bucket_phases(
@@ -1191,33 +1208,9 @@ def curriculum_pack_manifest(
     with_s = parted.join(F.broadcast(bases), ["phase", "bucket", "pid"]).withColumn(
         "s", F.col("base") + F.sum("n_toks").over(w_run) - F.col("n_toks")
     )
-    segs = (
-        with_s.filter(F.col("n_toks") > 0)
-        .select(
-            "phase",
-            "doc_id",
-            "n_toks",
-            "s",
-            F.explode(
-                F.sequence(
-                    F.expr(f"s div {seq_len}"),
-                    F.expr(f"(s + n_toks - 1) div {seq_len}"),
-                )
-            ).alias("chunk_id"),
-        )
-        .withColumn(
-            "seg_len",
-            F.least(F.lit(seq_len) * (F.col("chunk_id") + 1), F.col("s") + F.col("n_toks"))
-            - F.greatest(F.lit(seq_len) * F.col("chunk_id"), F.col("s")),
-        )
-    )
-    return segs.groupBy("phase", "chunk_id").agg(
-        F.count("*").alias("n_segments"),
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.sum("seg_len").cast("bigint").alias("n_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    from gpu_accelerated_vector_indexing_spark.operators.text_analysis import chunk_manifest
+
+    return chunk_manifest(with_s, seq_len, group_cols=("phase",))
 
 
 # ---------------------------------------------------------------------------

@@ -1054,6 +1054,29 @@ def shard_centroid_stats(emb: DataFrame, n_shards: int = 2) -> DataFrame:
     )
 
 
+def merged_component_values(stats: DataFrame) -> DataFrame:
+    """``(label, pos, v)``: the 8-d.p. merged centroid components from
+    ``(shard, label, pos, s, n)`` sufficient statistics — THE one
+    merge expression (``round(Σs / Σn, CENTROID_SCALE)`` over the
+    DECIMAL folds), shared by the in-session merge, the
+    persisted-state digest, and the merged-layout build so the three
+    consumers cannot drift off the exactness contract."""
+    return stats.groupBy("label", "pos").agg(
+        F.round(F.sum("s").cast("double") / F.sum("n"), CENTROID_SCALE).alias("v")
+    )
+
+
+def assemble_centroids(components: DataFrame) -> DataFrame:
+    """``(label, centroid ARRAY<DOUBLE>)`` from flat (label, pos, v)
+    components — position-sorted array assembly, shared by every
+    consumer that needs the vector form."""
+    return components.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+
+
 def merged_centroid_rows(
     spark: SparkSession, sf_dir: str, n_shards: int = 2
 ) -> list[tuple[int, list[float]]]:
@@ -1073,20 +1096,7 @@ def merged_centroid_rows(
     gate pins that no fixture component sits on a rounding boundary.
     """
     stats = shard_centroid_stats(load_table(spark, sf_dir, "embeddings"), n_shards)
-    merged = (
-        stats.groupBy("label", "pos")
-        .agg(
-            F.round(
-                F.sum("s").cast("double") / F.sum("n"), CENTROID_SCALE
-            ).alias("v")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-            ).alias("centroid")
-        )
-    )
+    merged = assemble_centroids(merged_component_values(stats))
     return [(int(r.label), [float(x) for x in r.centroid]) for r in merged.collect()]
 
 
@@ -1172,9 +1182,7 @@ def ivf_shard_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANY label moves the row (the graph family's score_sum_micro
     posture)."""
     stats = spark.read.parquet(f"{shard_state_dir(spark, sf_dir)}/stats")
-    merged = stats.groupBy("label", "pos").agg(
-        F.round(F.sum("s").cast("double") / F.sum("n"), CENTROID_SCALE).alias("v")
-    )
+    merged = merged_component_values(stats)
     return merged.agg(
         F.countDistinct("label").alias("n_labels"),
         (F.max("pos") + F.lit(1)).alias("dim"),
@@ -1211,21 +1219,8 @@ def merged_ivf_index(spark: SparkSession, sf_dir: str, n_shards: int = 2) -> str
         stats = spark.read.parquet(
             f"{shard_state_dir(spark, sf_dir, n_shards)}/stats"
         )
-        cents = (
-            stats.groupBy("label", "pos")
-            .agg(
-                F.round(
-                    F.sum("s").cast("double") / F.sum("n"), CENTROID_SCALE
-                ).alias("v")
-            )
-            .groupBy("label")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: s["v"],
-                ).alias("centroid")
-            )
-            .select(F.col("label").cast("int").alias("cluster"), "centroid")
+        cents = assemble_centroids(merged_component_values(stats)).select(
+            F.col("label").cast("int").alias("cluster"), "centroid"
         )
         cents.coalesce(1).write.mode("overwrite").parquet(f"{out}/centroids")
         emb = load_table(spark, sf_dir, "embeddings")

@@ -416,38 +416,54 @@ def _pack_counts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def range_prefix_sum(
-    spark: SparkSession, df: DataFrame, val_col: str, n_ranges: int | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    val_col: str,
+    n_ranges: int | None = None,
+    order_col: str = "doc_id",
+    domain: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Two-pass distributed prefix sum in ``doc_id`` order: returns the
-    input plus ``pid`` (fixed-width id range) and ``s`` (exact running
-    total of ``val_col`` BEFORE this row).
+    """Two-pass distributed prefix sum in ``order_col`` order (doc_id
+    breaks ties when ``order_col`` is not unique): returns the input
+    plus ``pid`` (fixed-width range of the order domain) and ``s``
+    (exact running total of ``val_col`` BEFORE this row).
 
-    A naive global window (``Window.orderBy(doc_id)``) serializes the
-    corpus through ONE task. Instead: bucket doc_ids into FIXED-width
-    ranges (an explicit, recomputation-stable partitioner —
+    A naive global window (``Window.orderBy(...)``) serializes the
+    corpus through ONE task. Instead: bucket the order key into
+    FIXED-width ranges (an explicit, recomputation-stable partitioner —
     ``repartitionByRange`` was tried first and its SAMPLED boundaries
     can differ between the subtotal pass and the main pass, silently
     shifting every offset after the first divergent boundary), collect
     the per-range subtotals (ONE tiny row per range), cumulate on the
     driver, broadcast the bases back as a literal map — the classic
     two-pass distributed prefix sum; the only window is per-range.
-    Shared by ``pack_sequences`` and ``compaction_plan``.
+    ``domain`` supplies a statically-known (lo, hi) of the order key
+    (e.g. a hash domain), skipping the min/max pass. Shared by
+    ``pack_sequences``, ``pack_sequences_shuffled`` (order_col = the
+    permutation hash), ``dedup.dedup_pack_manifest`` and
+    ``compaction_plan`` — the recipe is ORDER-GENERIC: any total order
+    with a computable range key fits.
     """
     n_ranges = n_ranges or spark.sparkContext.defaultParallelism
-    lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if hi is None:  # empty input: no ranges to cumulate — stay total
-        return df.withColumn("pid", F.lit(0).cast("long")).withColumn(
-            "s", F.lit(0).cast("long")
-        )
-    span = max((int(hi) - int(lo)) // n_ranges + 1, 1)
-    parted = df.withColumn("pid", F.expr(f"(doc_id - {int(lo)}) div {span}"))
+    if domain is None:
+        lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+        if hi is None:  # empty input: no ranges to cumulate — stay total
+            return df.withColumn("pid", F.lit(0).cast("long")).withColumn(
+                "s", F.lit(0).cast("long")
+            )
+        lo, hi = int(lo), int(hi)
+    else:
+        lo, hi = domain
+    span = max((hi - lo) // n_ranges + 1, 1)
+    parted = df.withColumn("pid", F.expr(f"({order_col} - {lo}) div {span}"))
     psums = parted.groupBy("pid").agg(F.sum(val_col).alias("pv")).collect()
     base, bases = 0, {}
     for r in sorted(psums, key=lambda r: r.pid):
         bases[int(r.pid)] = base
         base += int(r.pv)
     base_map = F.create_map(*[F.lit(x) for pid_base in bases.items() for x in pid_base])
-    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    order = [order_col] if order_col == "doc_id" else [order_col, "doc_id"]
+    w = W.partitionBy("pid").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     return parted.withColumn(
         "s", base_map[F.col("pid")] + F.sum(val_col).over(w) - F.col(val_col)
     )
@@ -477,16 +493,22 @@ def pack_sequences(
     return chunk_manifest(with_s, seq_len)
 
 
-def chunk_manifest(with_s: DataFrame, seq_len: int) -> DataFrame:
+def chunk_manifest(
+    with_s: DataFrame, seq_len: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Chunk-and-rollup over a prefix-summed token relation
-    ``(doc_id, n_toks, s, ...)`` — the shared back half of every
-    packing manifest (doc_id-order, dedup-filtered, epoch-shuffled):
+    ``(doc_id, n_toks, s, ...)`` — the shared back half of EVERY
+    packing manifest (doc_id-order, dedup-filtered, epoch-shuffled,
+    and — via ``group_cols=("phase",)`` — the per-phase curriculum
+    form, whose streams are independently prefix-summed per group):
     segment explode (⌈tokens/seq_len⌉ rows, never quadratic) + one
-    chunk_id-keyed rollup with map-side partials. Factored out in r8
-    so the three packing front-ends cannot drift in chunk semantics."""
+    (group, chunk_id)-keyed rollup with map-side partials. Factored
+    out in r8 so the packing front-ends cannot drift in chunk
+    semantics."""
     segs = (
         with_s.filter(F.col("n_toks") > 0)
         .select(
+            *group_cols,
             "doc_id",
             "n_toks",
             "s",
@@ -503,7 +525,7 @@ def chunk_manifest(with_s: DataFrame, seq_len: int) -> DataFrame:
             - F.greatest(F.lit(seq_len) * F.col("chunk_id"), F.col("s")),
         )
     )
-    return segs.groupBy("chunk_id").agg(
+    return segs.groupBy(*group_cols, "chunk_id").agg(
         F.count("*").alias("n_segments"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("seg_len").cast("bigint").alias("n_tokens"),
@@ -534,28 +556,19 @@ def pack_sequences_shuffled(
     all operands stay far inside int64).
 
     Scale shape — the point of the query: ``range_prefix_sum``'s
-    two-pass recipe generalizes to ANY total order with a computable
-    range key. Ranges are fixed-width slices OF THE HASH DOMAIN
-    (not doc_id), subtotals aggregate per range (bounded relation,
-    driver-cumulated bases exactly like the doc_id form), and the only
-    windows run per-range ordered by (h, doc_id). The chunk back half
-    is the shared :func:`chunk_manifest`.
+    two-pass recipe IS order-generic, so this is one call with
+    ``order_col="h"`` and the statically-known hash domain (no min/max
+    pass). Ranges are fixed-width slices of the hash domain, subtotals
+    aggregate per range (bounded relation, driver-cumulated bases
+    exactly like the doc_id form), and the only windows run per-range
+    ordered by (h, doc_id). The chunk back half is the shared
+    :func:`chunk_manifest`.
     """
-    n_ranges = n_ranges or spark.sparkContext.defaultParallelism
     docs = _pack_counts_state(spark, sf_dir).withColumn(
         "h", ((F.col("doc_id") % _SHUF_M) * _SHUF_A + F.lit(seed)) % _SHUF_M
     )
-    span = _SHUF_M // n_ranges + 1
-    parted = docs.withColumn("pid", F.expr(f"h div {span}"))
-    psums = parted.groupBy("pid").agg(F.sum("n_toks").alias("pv")).collect()
-    base, bases = 0, {}
-    for r in sorted(psums, key=lambda r: r.pid):
-        bases[int(r.pid)] = base
-        base += int(r.pv)
-    base_map = F.create_map(*[F.lit(x) for pid_base in bases.items() for x in pid_base])
-    w = W.partitionBy("pid").orderBy("h", "doc_id").rowsBetween(W.unboundedPreceding, 0)
-    with_s = parted.withColumn(
-        "s", base_map[F.col("pid")] + F.sum("n_toks").over(w) - F.col("n_toks")
+    with_s = range_prefix_sum(
+        spark, docs, "n_toks", n_ranges, order_col="h", domain=(0, _SHUF_M - 1)
     )
     return chunk_manifest(with_s, seq_len)
 

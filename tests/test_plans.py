@@ -596,6 +596,17 @@ def test_pack_shuffled_windows_are_range_partitioned(spark):
         assert s.lstrip().startswith("pid"), (s, specs)
 
 
+def test_cogroup_asof_shuffles_on_bucket_only(spark):
+    """The bucketed cogroup as-of (r8): both sides exchange on the
+    user-hash BUCKET key (not user_id) into one
+    FlatMapCoGroupsInPandas — the plan shape that pays pandas
+    per-group overhead per bucket, not per user."""
+    plan = physical_plan(_q(spark, "join_asof_cogroup"))
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "hashpartitioning(bucket" in plan, plan
+
+
 def test_curriculum_single_corpus_shuffle(spark):
     """corpus_curriculum_plan's only corpus-wide movement is the ONE
     shuffle down to the ≤1001-row quality-bucket relation; the ordered

@@ -506,10 +506,18 @@ def main() -> None:
         "full_payload": os.path.basename(out_path) if wrote_full else None,
     }
     line = json.dumps(summary)
-    if len(line) > 1500:
-        # hard guarantee: the line must fit the driver's tail window
-        summary["queries"] = dict(list(top.items())[:3])
+    # hard guarantee: the line must fit the driver's ~2000-char tail
+    # window (ADVICE r8: a single 3-query retry could still overflow
+    # with pathological name lengths — loop until it fits)
+    for n_keep in (3, 1, 0):
+        if len(line) <= 1500:
+            break
+        summary["queries"] = dict(list(top.items())[:n_keep])
         line = json.dumps(summary)
+    if len(line) > 1500:
+        summary["acceptance"] = {}
+        line = json.dumps(summary)
+    assert len(line) <= 1500, "compact summary exceeds driver tail window"
     print(line)
     sys.stdout.flush()
 

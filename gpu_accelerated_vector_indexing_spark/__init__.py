@@ -14,7 +14,8 @@ No RDDs; Pandas UDFs only where built-ins cannot express the semantics
 (model inference, multimodal decode, winnowing fingerprints).
 """
 
+from gpu_accelerated_vector_indexing_spark.memo import clear_session_caches
 from gpu_accelerated_vector_indexing_spark.session import get_spark
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table, load_tables, register_views
 
-__all__ = ["get_spark", "load_table", "load_tables", "register_views"]
+__all__ = ["clear_session_caches", "get_spark", "load_table", "load_tables", "register_views"]

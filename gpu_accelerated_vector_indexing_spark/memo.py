@@ -1,0 +1,94 @@
+"""Session-scoped memo registry: discover and evict the package's
+per-``SparkSession`` caches.
+
+Many operators memoize derived state per session — persisted
+DataFrames (`graph._PR_EDGES_CACHE`, `dedup._SIGS_STATE`), persisted
+index directories (`ivf._MERGED_IVF_INDEX_DIR`), small driver-side
+lists (`refshape._REF_QVEC_CACHE`). The memo dicts key on the
+``SparkSession`` object (alone or as the first tuple element), which
+is the right lifetime for the repo's bench/test sessions but means a
+long-lived multi-corpus session pins every cached relation in executor
+memory forever, and entries for stopped sessions are never released
+(ADVICE r8, graph.py:531).
+
+A ``WeakKeyDictionary`` would NOT fix this: the cached DataFrames hold
+a strong reference back to their session, so value → key keeps the
+weak key alive — the classic WeakKeyDictionary cycle. The honest fix
+is an explicit eviction hook, which this module provides without
+touching the 40+ memo sites: caches are DISCOVERED by the package's
+own naming convention (module-level ``dict`` named ``_*CACHE`` /
+``_*STATE`` / ``_*MEMO`` / ``_*DIR`` in an imported package module).
+
+Usage::
+
+    from gpu_accelerated_vector_indexing_spark.memo import clear_session_caches
+    clear_session_caches(spark)        # evict + unpersist one session's state
+    clear_session_caches()             # evict everything (all sessions)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PACKAGE = __name__.rsplit(".", 1)[0]
+_MEMO_NAME = re.compile(r"^_[A-Z0-9_]*(CACHE|STATE|MEMO|DIR)$")
+
+
+def _memo_dicts() -> list[dict]:
+    """Every module-level memo dict in already-imported package modules.
+
+    Only IMPORTED modules are scanned — a cache that was never imported
+    cannot hold entries, so there is nothing to miss.
+    """
+    out: list[dict] = []
+    for name, mod in list(sys.modules.items()):
+        if mod is None or not name.startswith(_PACKAGE):
+            continue
+        for attr, val in list(vars(mod).items()):
+            if _MEMO_NAME.match(attr) and isinstance(val, dict):
+                out.append(val)
+    return out
+
+
+def _unpersist(value: Any) -> None:
+    """Release cached storage held by a memo VALUE (DataFrame, or a
+    tuple/list of them); non-DataFrame values (dir paths, float lists)
+    need no release."""
+    items = value if isinstance(value, (tuple, list)) else (value,)
+    for item in items:
+        if isinstance(item, DataFrame):
+            try:
+                item.unpersist()
+            except Exception:
+                # session already stopped — JVM-side storage is gone
+                pass
+
+
+def _key_session(key: Any) -> Any:
+    """The session a memo key belongs to (keys are either the session
+    itself or a tuple whose first element is the session)."""
+    if isinstance(key, tuple) and key:
+        return key[0]
+    return key
+
+
+def clear_session_caches(spark: SparkSession | None = None) -> int:
+    """Evict (and unpersist) every memoized entry belonging to
+    ``spark`` — or ALL entries when ``spark`` is None. Returns the
+    number of entries evicted.
+
+    Call this between corpora in a long-lived session, or after
+    ``spark.stop()`` to drop the now-dead driver-side references.
+    """
+    evicted = 0
+    for cache in _memo_dicts():
+        for key in list(cache.keys()):
+            if spark is not None and _key_session(key) is not spark:
+                continue
+            _unpersist(cache.pop(key))
+            evicted += 1
+    return evicted

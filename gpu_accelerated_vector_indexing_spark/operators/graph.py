@@ -73,7 +73,8 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # like the edge cache; VERDICT r7 wrong #2's constant-factor pass):
 # the r7 form cached it per CALL and unpersisted both it and the shared
 # edge cache on exit, so every bench run re-paid the distinct self-join
-# build, and every round re-shuffled |E| for the rank join.
+# build, and every round re-shuffled |E| for the rank join. Long-lived
+# multi-corpus sessions evict via memo.clear_session_caches (ADVICE r8).
 _PR_EDGES_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 

@@ -1031,12 +1031,22 @@ def shard_centroid_stats(emb: DataFrame, n_shards: int = 2) -> DataFrame:
     carries shards × labels × dim tiny stat rows, never vectors.
 
     The component sum ``s`` is a DECIMAL(38,20) fold of the components
-    snapped to a fixed 1e-20 grid (ADVICE r7: a double fold is
+    snapped to an engine-local 1e-20 grid (ADVICE r7: a double fold is
     order-dependent, so two merges of the same shards could disagree
-    by an ulp). Decimal addition is associative, so the merged state
-    is IDENTICAL for any shard count, partitioning, or merge order —
-    exact by construction, pinned by
-    test_shard_merge_invariant_to_shard_count.
+    by an ulp). Decimal addition is associative, so WITHIN an engine
+    the merged state is IDENTICAL for any shard count, partitioning,
+    or merge order — pinned by
+    test_shard_merge_invariant_to_shard_count. Two caveats (ADVICE
+    r8): (1) the double→decimal snap itself is engine-local — Spark
+    snaps via the shortest decimal representation, DuckDB rounds the
+    full binary expansion — so CROSS-engine agreement is gated through
+    the 8-d.p. rounded merge output, not the raw ``s`` digits;
+    (2) DECIMAL(38,20) leaves 18 integer digits, so a single
+    (shard, label, pos) component sum past ~1e18 would overflow (to
+    NULL under non-ANSI Spark). With unit-normalized components
+    (|x| ≤ 1) that is ≥1e18 members per (shard, label) — far past any
+    real corpus; raise the shard count or narrow the scale before
+    approaching it.
     """
     from pyspark.sql.types import DecimalType
 

@@ -440,7 +440,7 @@ dsa AS (SELECT bucket, r_b, t_b,
 def _dsir_sql() -> str:
     return f"""
 WITH {_dsir_model_ctes()},
-dsbase AS (SELECT sum(r_b * aff_micro) // sum(r_b) AS mean_pg FROM dsa),
+dsbase AS (SELECT sum(r_b::HUGEINT * aff_micro) // sum(r_b) AS mean_pg FROM dsa),
 dss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                CAST(sum(aff_micro) AS BIGINT) AS affinity_micro_sum
         FROM dsb JOIN dsa USING (bucket) GROUP BY doc_id)
@@ -474,8 +474,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(aff_micro) AS BIGINT) AS aff_micro_sum,
        CAST(min(aff_micro) AS BIGINT) AS aff_micro_min,
        CAST(max(aff_micro) AS BIGINT) AS aff_micro_max,
-       CAST(sum(r_b * aff_micro) // 1000000000000000000 AS BIGINT) AS wsum_micro_hi,
-       CAST(sum(r_b * aff_micro) % 1000000000000000000 AS BIGINT) AS wsum_micro_lo
+       CAST(sum(r_b::HUGEINT * aff_micro) // 1000000000000000000 AS BIGINT) AS wsum_micro_hi,
+       CAST(sum(r_b::HUGEINT * aff_micro) % 1000000000000000000 AS BIGINT) AS wsum_micro_lo
 FROM dsa
 """
 

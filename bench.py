@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     ("curation_domain_cap", _noop),
     ("curation_decontaminate_hashed", _collect),
     ("corpus_snapshot_diff", _noop),
+    ("index_refresh_cdc", _collect),
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

@@ -1224,6 +1224,34 @@ def curriculum_pack_manifest(
 SNAP_REMOVED_MOD, SNAP_REMOVED_REM = 17, 3  # in old only  → removed
 SNAP_ADDED_MOD, SNAP_ADDED_REM = 19, 5      # in new only  → added
 SNAP_EDIT_MOD, SNAP_EDIT_REM = 23, 1        # text changed in new
+# The in-place edit: case change + an appended revision marker. The
+# marker matters for the CDC → index-refresh composition
+# (index_build.index_refresh_cdc): the hash featurizer lowercases, so
+# a case-only edit would re-embed to the SAME vector and the refresh's
+# re-embedding path would be vacuously exercised; the extra token makes
+# an edited doc's embedding genuinely move.
+SNAP_EDIT_SUFFIX = " rev2"
+
+
+def snapshot_old_docs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, text)`` of the OLD snapshot — the ONE definition,
+    shared by the diff and the CDC index refresh."""
+    return docs.filter(
+        F.col("doc_id") % SNAP_REMOVED_MOD != SNAP_REMOVED_REM
+    ).select("doc_id", "text")
+
+
+def snapshot_new_docs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, text)`` of the NEW snapshot (edited slice rewritten)."""
+    return docs.filter(F.col("doc_id") % SNAP_ADDED_MOD != SNAP_ADDED_REM).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SNAP_EDIT_MOD == SNAP_EDIT_REM,
+            F.concat(F.upper(F.col("text")), F.lit(SNAP_EDIT_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
 
 
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,22 +1272,11 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, only 32-byte digests.
     """
     docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(
-        F.col("doc_id") % SNAP_REMOVED_MOD != SNAP_REMOVED_REM
-    ).select("doc_id", F.md5(F.col("text").cast("binary")).alias("old_md5"))
-    new = (
-        docs.filter(F.col("doc_id") % SNAP_ADDED_MOD != SNAP_ADDED_REM)
-        .select(
-            "doc_id",
-            F.md5(
-                F.when(
-                    F.col("doc_id") % SNAP_EDIT_MOD == SNAP_EDIT_REM,
-                    F.upper(F.col("text")),
-                )
-                .otherwise(F.col("text"))
-                .cast("binary")
-            ).alias("new_md5"),
-        )
+    old = snapshot_old_docs(docs).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("old_md5")
+    )
+    new = snapshot_new_docs(docs).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("new_md5")
     )
     # NOTE: a doc sliced out of OLD by the removed-mod and out of NEW
     # by the added-mod appears in neither snapshot and (correctly)

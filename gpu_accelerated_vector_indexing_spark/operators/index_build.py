@@ -273,3 +273,151 @@ def assignment_invariants(assigned: DataFrame, centroids: DataFrame) -> DataFram
         F.count("*").alias("n_rows"),
         F.sum((F.col("cluster") == F.col("nearest")).cast("long")).alias("n_nearest_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC → incremental index refresh (r9: the snapshot-diff × index-
+# maintenance composition — what a 100 TB corpus actually runs nightly)
+# ---------------------------------------------------------------------------
+
+# The query string every refresh-family read uses (fixture-vocabulary
+# tokens so bucket overlap, and hence the ranking, is non-degenerate).
+CDC_QUERY_TEXT = "hash table merge join"
+CDC_K_CLUSTERS = 10
+
+# (spark, sf_dir) → index_dir of the base-built-then-refreshed layout.
+_CDC_INDEX_DIR: dict[tuple[SparkSession, str], str] = {}
+# (spark, sf_dir) → refresh accounting, filled by the same build
+_CDC_REFRESH_STATS: dict[tuple[SparkSession, str], dict[str, int]] = {}
+
+
+def _snapshot_emb(docs: DataFrame, gen: int) -> DataFrame:
+    """``(vec_id, embedding, gen)`` — hash-embedded snapshot docs.
+    ``gen`` stamps which write produced a row (0 = base build,
+    1 = CDC append), so a tombstone can retire an edited doc's BASE
+    row without shadowing its re-embedded replacement."""
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_documents
+
+    return embed_documents(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding", F.lit(gen).alias("gen")
+    )
+
+
+def cdc_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the OLD-snapshot index once, then refresh it from the CDC
+    diff — returns the refreshed index directory.
+
+    The nightly loop of a versioned 100 TB corpus, composed from parts
+    that each already exist here: ``curation.corpus_snapshot_diff``
+    classifies (added / removed / changed / unchanged) by content hash;
+    removed + changed docs TOMBSTONE their base rows (a ≤|delta| list
+    persisted beside the index — the ``ivf.knn_with_deletes`` masked-
+    read posture); added + changed docs re-embed from the NEW text and
+    append through the standard nearest-stored-centroid path
+    (:func:`append_to_index` — no KMeans re-run, the
+    ``assign_incremental`` growth rule). Unchanged docs' rows and files
+    are never touched: the refresh costs O(|delta|), not O(|corpus|) —
+    vs the reference, where ANY corpus change reruns the whole
+    embedding.py → clusters.py → convert pipeline (clusters.py:20).
+
+    Refreshed reads ≡ a from-scratch rebuild on the new snapshot —
+    exactly, not approximately: live rows = (old ∖ tombstoned) ∪
+    re-embedded delta = the new snapshot's embeddings, and a full-probe
+    search is brute force over live rows regardless of which centroids
+    partition them (SURVEY §5.3's full-probe ≡ exact invariant, pinned
+    by test_cdc_refresh_equals_scratch_rebuild).
+    """
+    import tempfile
+
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        corpus_snapshot_diff,
+        snapshot_new_docs,
+        snapshot_old_docs,
+    )
+
+    key = (spark, sf_dir)
+    if key not in _CDC_INDEX_DIR:
+        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_cdcidx_")
+        docs = load_table(spark, sf_dir, "documents")
+        # base build: old snapshot → seeded KMeans → partitioned layout
+        base = _snapshot_emb(snapshot_old_docs(docs), gen=0)
+        assigned, centroids = kmeans_assign(base, k=CDC_K_CLUSTERS, seed=42)
+        (
+            assigned.repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{out}/embeddings_indexed")
+        )
+        centroids.coalesce(1).write.mode("overwrite").parquet(f"{out}/centroids")
+
+        # CDC refresh: one diff feeds both the tombstone list and the
+        # re-embed/append batch
+        diff = corpus_snapshot_diff(spark, sf_dir)
+        tombs = diff.filter(F.col("status").isin("removed", "changed")).select(
+            F.col("doc_id").alias("vec_id")
+        )
+        tombs.coalesce(1).write.mode("overwrite").parquet(f"{out}/tombstones")
+        upsert_docs = snapshot_new_docs(docs).join(
+            diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        n_appended = append_to_index(spark, out, _snapshot_emb(upsert_docs, gen=1))
+        n_tombstoned = spark.read.parquet(f"{out}/tombstones").count()
+        _CDC_REFRESH_STATS[key] = {
+            "n_appended": n_appended,
+            "n_tombstoned": n_tombstoned,
+        }
+        _CDC_INDEX_DIR[key] = out
+    return _CDC_INDEX_DIR[key]
+
+
+def _live_index_rows(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The refreshed index's LIVE rows: base ∪ appends, minus base rows
+    named by the tombstone list. The tombstone side is delta-sized, so
+    it broadcasts; the anti-join condition keys on (vec_id, gen) so an
+    edited doc's gen-1 replacement survives its gen-0 retirement."""
+    idx = spark.read.parquet(f"{index_dir}/embeddings_indexed")
+    tombs = spark.read.parquet(f"{index_dir}/tombstones").withColumnRenamed(
+        "vec_id", "t_vec_id"
+    )
+    return idx.join(
+        F.broadcast(tombs),
+        (idx.vec_id == tombs.t_vec_id) & (idx.gen == 0),
+        "left_anti",
+    )
+
+
+def index_refresh_cdc(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k search over the CDC-REFRESHED index — the registered query
+    closing the snapshot-diff → refresh → serve lifecycle.
+
+    Full-probe (every cluster scanned) so the result is provably the
+    exact top-k over the new snapshot: the DuckDB oracle re-derives the
+    new snapshot's embeddings from text (the embed_and_search featurizer
+    CTE over the snapshot relation) and brute-forces the same query —
+    a value match certifies the tombstones retired exactly the
+    removed + edited base rows and the appends carry exactly the new
+    text's vectors. At scale the same read path serves probed subsets
+    (partition pruning composes with the tombstone anti-join).
+    """
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    idx_dir = cdc_refreshed_index(spark, sf_dir)
+    live = _live_index_rows(spark, idx_dir)
+    q = embed_queries(spark, [CDC_QUERY_TEXT])
+    return (
+        live.join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(as_double_array("embedding"), F.col("qvec")), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(k)
+    )

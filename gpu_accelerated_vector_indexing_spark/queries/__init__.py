@@ -16,53 +16,51 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-gate rotation, round 8 (VERDICT r7 "Next round" #2): the
+# Driver-gate rotation, round 9 (VERDICT r8 "Next round" #2): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# The union closed at 270/270 through r7; this round's prefix = the 6
-# r8 novelties + the 9 rows r8's changes touch (the DECIMAL-fold
-# promotions, the exact shard merge, the pagerank and cogroup-as-of
-# rewrites, the shared curriculum-stage refactor) + kmeans_invariants
-# (the ONE name whose only driver rows predate its oracle — r1/r2
-# recorded it ``no_oracle``; it has carried a full value oracle since,
-# so this slot records its first driver hash row) + the 37 names whose
-# most recent gate is r1/r2 vintage in oldest-first order (computed
-# from CORRECTNESS_r01..r07; at a strict 50-row cut the last three
-# spill to the next rotation), so every name's freshest green keeps
-# rotating forward.
+# The union closed at 276/276 through r8 (judge-computed, zero
+# never-gated names). This round's prefix = the 1 r9 novelty (the CDC
+# index-refresh composition) + the 12 rows r9's changes touch (the
+# shared snapshot edit definition, the salted as-of cogroup, the DSIR
+# oracle HUGEINT promotion, the embed-CTE refactor, and the graph-walk
+# job-overhead pass) + the 3 r2-vintage names that spilled past r8's
+# cut + the 34 oldest r3-vintage names (last-green computed from
+# CORRECTNESS_r01..r08; the remaining 14 r3 names spill to the r10
+# rotation), so every name's freshest green keeps rotating forward.
 _GATE_FIRST = [
-    # --- round-8 novelties (never gated by definition)
-    "engine_ivf_merge_serve", "corpus_curriculum_pack",
-    "corpus_dedup_pack", "corpus_pack_shuffled",
-    "corpus_snapshot_diff", "lineitem_profile",
-    # --- re-confirmations: rows round-8 changes touch
-    "knn_ivf_shard_merge",             # DECIMAL-exact shard merge
-    "ivf_shard_state_roundtrip",       # decimal partials + n_shards memo key
-    "supplier_concentration",          # DECIMAL(38,0) Σr/Σr² folds
-    "curation_dsir_sample",            # DECIMAL mean-cut fold
-    "dsir_state_roundtrip",            # hi/lo split digest
-    "curation_dsir_score_pretrained",  # scores through the promoted fold
-    "copurchase_pagerank",             # one-shuffle-per-round rewrite
-    "join_asof_cogroup",               # bucketed merge_asof(by=) rewrite
-    "corpus_curriculum_plan",          # curriculum_bucket_phases refactor
-    # --- first driver hash row (oracle added after its r1/r2 gates)
-    "kmeans_invariants",
-    # --- freshness rotation: the 37 r1/r2-vintage names (oldest
-    # last-green)
-    "distinct_agg", "join_anti", "join_bucketed_colocate",
-    "join_multiway", "join_outer", "join_semi", "scalar_subquery",
-    "window_running",
-    "corpus_validation", "cube_counts", "embed_and_search",
-    "engine_full_probe", "filtered_scan", "having_groups",
-    "hybrid_search_rrf", "hybrid_search_rrf_topn",
-    "ivf_assign_incremental", "ivf_centroids", "ivf_index_stats",
-    "ivf_rebalance_plan", "ivf_recall", "ivf_recall_sweep",
-    "knn_with_docs", "lateral_topk", "lsh_bucket_stats", "lsh_recall",
-    "mmr_rerank", "multi_query_knn", "multi_query_knn_ivf",
-    "multi_query_knn_prenorm", "pricing_summary",
-    "revenue_monthly_gapfill", "rollup_counts",
-    "similarity_range_search", "sql_scripting_report",
-    "variant_props_stats", "zorder_layout",
+    # --- round-9 novelty (never gated by definition)
+    "index_refresh_cdc",
+    # --- re-confirmations: rows round-9 changes touch
+    "corpus_snapshot_diff",            # edit def now upper(text)||' rev2'
+    "join_asof_cogroup",               # hot-bucket salt + realiased branch
+    "embed_and_search",                # oracle rebuilt through embed_cte()
+    "curation_dsir_sample",            # oracle r_b::HUGEINT product
+    "dsir_state_roundtrip",            # ditto (hi/lo digest)
+    "curation_dsir_score_pretrained",  # ditto
+    "graph_engine_batch_search",       # serving-state memo + fused broadcast
+    "graph_serve_after_repair",        # serving-state memo
+    "graph_repair_recall",             # exact side collected once (InSet)
+    "multi_query_graph_beam",          # fused pair/query broadcast
+    "knn_graph_beam",                  # entry-id memo
+    "knn_graph_beam_with_deletes",     # masked-walk entry-id memo
+    # --- freshness rotation: 3 r2-vintage spills, then the 34 oldest
+    # r3-vintage names
+    "sql_scripting_report", "variant_props_stats", "zorder_layout",
+    "ann_method_comparison", "contrastive_triplets",
+    "copurchase_triangles", "corpus_clean_manifest", "corpus_integrity",
+    "corpus_pack_sequences", "corpus_shard_manifest",
+    "curation_decontaminate", "curation_decontaminate_semantic",
+    "curation_domain_cap", "curation_nb_language",
+    "curation_quality_filter", "curation_repetition_signals",
+    "dedup_embedding_topk", "dedup_exact_summary",
+    "dedup_incremental_batch", "dedup_jaccard_verified_lsh",
+    "dedup_minhash_lsh", "dedup_state_roundtrip",
+    "dedup_substring_spans", "embedding_drift", "ivf_centroid_refresh",
+    "ivf_delete_compact", "join_asof", "knn_chunk_pooled", "knn_ivf_pq",
+    "knn_ivf_pq_residual", "knn_matryoshka", "knn_maxsim", "knn_pq",
+    "knn_with_deletes", "quantiles_histogram", "refshape_search_bq",
+    "refshape_search_cli",
 ]
 
 

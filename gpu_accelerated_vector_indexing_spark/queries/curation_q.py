@@ -615,7 +615,7 @@ WITH old_snap AS (
 new_snap AS (
   SELECT doc_id,
          md5(CASE WHEN doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM}
-                  THEN upper(text) ELSE text END) AS new_md5
+                  THEN upper(text) || '{C.SNAP_EDIT_SUFFIX}' ELSE text END) AS new_md5
   FROM documents
   WHERE doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}
 )

@@ -1044,3 +1044,45 @@ ORACLES["ivf_adaptive_sweep"] = (
     + "\nUNION ALL\n".join(f"SELECT * FROM ({_adaptive_at(d)})" for d in ADAPTIVE_DELTAS)
     + "\n) ORDER BY delta"
 )
+
+
+# --- r9: CDC → incremental index refresh (snapshot-diff composition) --------
+# The refreshed layout (base build on the OLD snapshot, tombstones for
+# removed+changed, nearest-stored-centroid appends for added+changed)
+# must serve EXACTLY the new snapshot: the oracle re-derives the new
+# snapshot's embeddings from text (the ONE featurizer CTE restatement,
+# knn_q.embed_cte) and brute-forces the same query — full-probe reads
+# are brute force over live rows, so centroid drift cannot excuse a
+# mismatch. Snapshot slices/edit restate curation's ONE definition.
+QUERIES["index_refresh_cdc"] = index_build.index_refresh_cdc
+
+
+def _cdc_new_snapshot_rel() -> str:
+    from gpu_accelerated_vector_indexing_spark.operators import curation as C
+
+    return f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM}
+              THEN upper(text) || '{C.SNAP_EDIT_SUFFIX}' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}
+) new_snap"""
+
+
+def _index_refresh_cdc_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.knn_q import embed_cte
+
+    return embed_cte(
+        docs_rel=_cdc_new_snapshot_rel(),
+        query_text=index_build.CDC_QUERY_TEXT,
+    ) + f"""
+SELECT doc_id,
+       round(list_dot_product(c.emb, q.q) /
+             (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q, q.q)) + 1e-8),
+             6) AS score
+FROM corpus c CROSS JOIN qvec q
+ORDER BY score DESC, doc_id DESC LIMIT {K}
+"""
+
+
+ORACLES["index_refresh_cdc"] = _index_refresh_cdc_oracle()

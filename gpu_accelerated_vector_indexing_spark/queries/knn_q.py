@@ -328,10 +328,19 @@ ORDER BY rrf DESC, doc_id DESC LIMIT 10
 # ((v/n)::FLOAT::DOUBLE) are restated literally. All intermediate sums
 # are integer-valued doubles (exact at any order); the cosine is rounded
 # to 6 d.p. like every score.
-_EMBED_CTE = """
+def embed_cte(
+    docs_rel: str = "documents", query_text: str = "hash table merge join"
+) -> str:
+    """The md5 hashing featurizer restated as DuckDB CTEs, parameterized
+    over the corpus relation and the query string — shared by
+    ``embed_and_search`` (whole fixture corpus) and the CDC refresh
+    oracle (the NEW-snapshot relation): ONE SQL restatement of
+    functions/embedder._hash_embed_batch, so the two oracles cannot
+    drift off the featurizer contract."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, t AS tok
-  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents)
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM {docs_rel})
   WHERE t <> ''
 ),
 hashes AS (
@@ -347,7 +356,7 @@ buckets AS (
 dims AS (SELECT i FROM range(0, 64) t(i)),
 dense AS (
   SELECT d.doc_id, dims.i, coalesce(b.v, 0.0) AS v
-  FROM (SELECT DISTINCT doc_id FROM documents) d
+  FROM (SELECT DISTINCT doc_id FROM {docs_rel}) d
   CROSS JOIN dims
   LEFT JOIN buckets b ON b.doc_id = d.doc_id AND b.bucket = dims.i
 ),
@@ -360,7 +369,7 @@ corpus AS (
   FROM dense JOIN norms USING (doc_id) GROUP BY dense.doc_id
 ),
 q_toks AS (
-  SELECT t AS tok FROM (SELECT unnest(string_split_regex(lower('hash table merge join'), '\\s+')) AS t)
+  SELECT t AS tok FROM (SELECT unnest(string_split_regex(lower('{query_text}'), '\\s+')) AS t)
   WHERE t <> ''
 ),
 q_hashes AS (
@@ -381,6 +390,9 @@ qvec AS (
   FROM q_dense CROSS JOIN q_norm GROUP BY n
 )
 """
+
+
+_EMBED_CTE = embed_cte()
 
 ORACLES["embed_and_search"] = _EMBED_CTE + f"""
 SELECT doc_id,

@@ -714,3 +714,127 @@ def test_adaptive_sweep_monotone_in_delta(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["n_probes"] <= b["n_probes"]
         assert a["recall"] <= b["recall"]
+
+
+# --- r9: CDC → incremental index refresh --------------------------------------
+
+
+def test_cdc_refresh_equals_scratch_rebuild(spark):
+    """The composition's core claim: full-probe reads over the CDC-
+    refreshed index ≡ a from-scratch rebuild on the new snapshot —
+    EXACTLY (full probe is brute force over live rows, so differing
+    KMeans centroids between the two builds cannot matter)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.curation import snapshot_new_docs
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        CDC_QUERY_TEXT,
+        _snapshot_emb,
+        index_refresh_cdc,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    refreshed = [
+        (r.doc_id, r.score) for r in index_refresh_cdc(spark, SF_SMOKE).collect()
+    ]
+
+    # from-scratch "rebuild": full-probe reads ≡ brute force over the
+    # re-embedded new snapshot, whatever centroids a rebuild would pick
+    docs = load_table(spark, SF_SMOKE, "documents")
+    scratch_emb = _snapshot_emb(snapshot_new_docs(docs), gen=0)
+    q = embed_queries(spark, [CDC_QUERY_TEXT])
+    scratch = [
+        (r.doc_id, r.score)
+        for r in (
+            scratch_emb.join(F.broadcast(q))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    cosine_similarity(as_double_array("embedding"), F.col("qvec")), 6
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.desc("doc_id"))
+            .limit(5)
+        ).collect()
+    ]
+    assert refreshed == scratch
+
+
+def test_cdc_refresh_accounting_and_live_set(spark):
+    """Refresh cost is O(|delta|): appends = |added| + |changed|,
+    tombstones = |removed| + |changed|, and the live row set is exactly
+    the new snapshot's doc ids."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        corpus_snapshot_diff,
+        snapshot_new_docs,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        _CDC_REFRESH_STATS,
+        _live_index_rows,
+        cdc_refreshed_index,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    idx_dir = cdc_refreshed_index(spark, SF_SMOKE)
+    stats = _CDC_REFRESH_STATS[(spark, SF_SMOKE)]
+    by_status = {
+        r.status: r.n
+        for r in corpus_snapshot_diff(spark, SF_SMOKE)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert stats["n_appended"] == by_status.get("added", 0) + by_status.get("changed", 0)
+    assert stats["n_tombstoned"] == by_status.get("removed", 0) + by_status.get("changed", 0)
+    assert by_status.get("changed", 0) > 0  # the edit slice must exercise re-embedding
+
+    live_ids = {
+        r.vec_id for r in _live_index_rows(spark, idx_dir).select("vec_id").collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    new_ids = {r.doc_id for r in snapshot_new_docs(docs).select("doc_id").collect()}
+    assert live_ids == new_ids
+
+
+def test_cdc_edit_moves_the_embedding(spark):
+    """The ' rev2' marker exists so edited docs genuinely re-embed (the
+    featurizer lowercases, so a case-only edit would be a no-op): an
+    edited doc's gen-1 vector must differ from its gen-0 vector."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        SNAP_EDIT_MOD,
+        SNAP_EDIT_REM,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        cdc_refreshed_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    idx_dir = cdc_refreshed_index(spark, SF_SMOKE)
+    idx = spark.read.parquet(f"{idx_dir}/embeddings_indexed")
+    edited = idx.filter(
+        (F.col("vec_id") % SNAP_EDIT_MOD == SNAP_EDIT_REM)
+    )
+    pairs = (
+        edited.filter(F.col("gen") == 0)
+        .select("vec_id", F.col("embedding").alias("e0"))
+        .join(
+            edited.filter(F.col("gen") == 1).select(
+                "vec_id", F.col("embedding").alias("e1")
+            ),
+            "vec_id",
+        )
+        .collect()
+    )
+    assert pairs, "edit slice must intersect both snapshots"
+    assert all(list(p.e0) != list(p.e1) for p in pairs)

@@ -230,7 +230,8 @@ BENCH_QUERIES = [
     ("curation_domain_cap", _noop),
     ("curation_decontaminate_hashed", _collect),
     ("corpus_snapshot_diff", _noop),
-    ("index_refresh_cdc", _collect),
+    ("index_refresh_cdc", _collect),  # run 1 pays base build + CDC refresh
+    ("index_refresh_stats", _collect),
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

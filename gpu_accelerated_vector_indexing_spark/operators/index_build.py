@@ -421,3 +421,33 @@ def index_refresh_cdc(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
         .orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(k)
     )
+
+
+def index_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One observability row for the CDC refresh — the lifecycle's
+    monitoring close (the ``ivf_index_stats`` posture applied to the
+    refresh): per-status diff counts, what the refresh wrote
+    (appends = added + changed, tombstones = removed + changed), and
+    the refreshed index's live row count (= the new snapshot size).
+    A value match certifies the refresh's accounting end to end —
+    the row a nightly pipeline alerts on when a diff goes sideways."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import corpus_snapshot_diff
+
+    idx_dir = cdc_refreshed_index(spark, sf_dir)
+    stats = _CDC_REFRESH_STATS[(spark, sf_dir)]
+    by_status = corpus_snapshot_diff(spark, sf_dir).groupBy().pivot(
+        "status", ["added", "removed", "changed", "unchanged"]
+    ).count()
+    live = _live_index_rows(spark, idx_dir).agg(F.count("*").alias("n_live"))
+    return (
+        by_status.crossJoin(F.broadcast(live))
+        .select(
+            F.coalesce("added", F.lit(0)).alias("n_added"),
+            F.coalesce("removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("changed", F.lit(0)).alias("n_changed"),
+            F.coalesce("unchanged", F.lit(0)).alias("n_unchanged"),
+            F.lit(stats["n_appended"]).cast("long").alias("n_appended"),
+            F.lit(stats["n_tombstoned"]).cast("long").alias("n_tombstoned"),
+            "n_live",
+        )
+    )

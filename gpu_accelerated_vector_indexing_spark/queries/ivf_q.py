@@ -1086,3 +1086,51 @@ ORDER BY score DESC, doc_id DESC LIMIT {K}
 
 
 ORACLES["index_refresh_cdc"] = _index_refresh_cdc_oracle()
+
+
+# The refresh's monitoring row: diff-class counts, write accounting
+# (appends = added+changed, tombstones = removed+changed), live rows
+# (= new snapshot size) — the oracle re-derives all seven numbers from
+# the snapshot definitions alone, so a value match certifies the
+# refresh accounting without trusting any engine-side state.
+QUERIES["index_refresh_stats"] = index_build.index_refresh_stats
+
+
+def _index_refresh_stats_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.operators import curation as C
+
+    return f"""
+WITH old_snap AS (
+  SELECT doc_id, md5(text) AS old_md5 FROM documents
+  WHERE doc_id % {C.SNAP_REMOVED_MOD} <> {C.SNAP_REMOVED_REM}
+),
+new_snap AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM}
+                  THEN upper(text) || '{C.SNAP_EDIT_SUFFIX}' ELSE text END) AS new_md5
+  FROM documents
+  WHERE doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}
+),
+diff AS (
+  SELECT CASE WHEN old_md5 IS NULL THEN 'added'
+              WHEN new_md5 IS NULL THEN 'removed'
+              WHEN old_md5 <> new_md5 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+),
+c AS (
+  SELECT sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+         sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+         sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+  FROM diff
+)
+SELECT n_added, n_removed, n_changed, n_unchanged,
+       n_added + n_changed AS n_appended,
+       n_removed + n_changed AS n_tombstoned,
+       (SELECT count(*) FROM new_snap)::BIGINT AS n_live
+FROM c
+"""
+
+
+ORACLES["index_refresh_stats"] = _index_refresh_stats_oracle()

@@ -303,6 +303,34 @@ def _snapshot_emb(docs: DataFrame, gen: int) -> DataFrame:
     )
 
 
+def build_base_snapshot_index(spark: SparkSession, sf_dir: str) -> str:
+    """The OLD-snapshot base index in a fresh directory: hash-embed the
+    old snapshot, seeded KMeans, cluster-partitioned layout + centroid
+    table + an EMPTY tombstone list — the starting state both refresh
+    flavors (batch ``cdc_refreshed_index``, streaming
+    ``streaming_index_refresh``) mutate. NOT memoized: each caller owns
+    (and mutates) its directory."""
+    import tempfile
+
+    from gpu_accelerated_vector_indexing_spark.operators.curation import snapshot_old_docs
+
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_cdcidx_")
+    docs = load_table(spark, sf_dir, "documents")
+    base = _snapshot_emb(snapshot_old_docs(docs), gen=0)
+    assigned, centroids = kmeans_assign(base, k=CDC_K_CLUSTERS, seed=42)
+    (
+        assigned.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{out}/embeddings_indexed")
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{out}/centroids")
+    spark.createDataFrame([], "vec_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/tombstones")
+    return out
+
+
 def cdc_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the OLD-snapshot index once, then refresh it from the CDC
     diff — returns the refreshed index directory.
@@ -327,28 +355,15 @@ def cdc_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
     partition them (SURVEY §5.3's full-probe ≡ exact invariant, pinned
     by test_cdc_refresh_equals_scratch_rebuild).
     """
-    import tempfile
-
     from gpu_accelerated_vector_indexing_spark.operators.curation import (
         corpus_snapshot_diff,
         snapshot_new_docs,
-        snapshot_old_docs,
     )
 
     key = (spark, sf_dir)
     if key not in _CDC_INDEX_DIR:
-        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_cdcidx_")
+        out = build_base_snapshot_index(spark, sf_dir)
         docs = load_table(spark, sf_dir, "documents")
-        # base build: old snapshot → seeded KMeans → partitioned layout
-        base = _snapshot_emb(snapshot_old_docs(docs), gen=0)
-        assigned, centroids = kmeans_assign(base, k=CDC_K_CLUSTERS, seed=42)
-        (
-            assigned.repartition("cluster")
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(f"{out}/embeddings_indexed")
-        )
-        centroids.coalesce(1).write.mode("overwrite").parquet(f"{out}/centroids")
 
         # CDC refresh: one diff feeds both the tombstone list and the
         # re-embed/append batch
@@ -401,13 +416,19 @@ def index_refresh_cdc(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
     text's vectors. At scale the same read path serves probed subsets
     (partition pruning composes with the tombstone anti-join).
     """
+    return serve_refreshed_index(spark, cdc_refreshed_index(spark, sf_dir), k)
+
+
+def serve_refreshed_index(spark: SparkSession, idx_dir: str, k: int = 5) -> DataFrame:
+    """Full-probe top-k over a refreshed layout's live rows — the ONE
+    serve definition shared by the batch and streaming refresh queries
+    (both must hit the same oracle)."""
     from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
     from gpu_accelerated_vector_indexing_spark.functions.vector import (
         as_double_array,
         cosine_similarity,
     )
 
-    idx_dir = cdc_refreshed_index(spark, sf_dir)
     live = _live_index_rows(spark, idx_dir)
     q = embed_queries(spark, [CDC_QUERY_TEXT])
     return (

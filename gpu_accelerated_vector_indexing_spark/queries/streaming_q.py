@@ -639,3 +639,33 @@ SELECT va.event_id, va.event_type, va.v AS cents, abs(va.v - m.med_c) AS dev_c
 FROM vals va JOIN med m USING (event_type) JOIN mad d USING (event_type)
 WHERE {MAD_Z_NUM} * abs(va.v - m.med_c) > {MAD_CUT_NUM} * d.mad_c
 """
+
+
+# --- r9: streaming CDC index refresh -----------------------------------------
+
+
+def _streaming_index_refresh(spark, sf_dir):
+    """The change feed as a stream, folded micro-batch by micro-batch
+    into the persisted index (tombstones + nearest-stored-centroid
+    appends), then served — must hit the batch refresh's full oracle
+    exactly (streaming/index_stream.py: batching invariance is
+    structural because every row's fate is row-local)."""
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import (
+        streaming_index_refresh,
+    )
+
+    return streaming_index_refresh(spark, sf_dir)
+
+
+QUERIES["streaming_index_refresh"] = _streaming_index_refresh
+
+
+def _streaming_index_refresh_oracle() -> str:
+    # the SAME oracle as the batch refresh: both serve the new
+    # snapshot's exact top-k through the one serve definition
+    from gpu_accelerated_vector_indexing_spark.queries.ivf_q import ORACLES as IVF_ORACLES
+
+    return IVF_ORACLES["index_refresh_cdc"]
+
+
+ORACLES["streaming_index_refresh"] = _streaming_index_refresh_oracle()

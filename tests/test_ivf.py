@@ -838,3 +838,19 @@ def test_cdc_edit_moves_the_embedding(spark):
     )
     assert pairs, "edit slice must intersect both snapshots"
     assert all(list(p.e0) != list(p.e1) for p in pairs)
+
+
+def test_streaming_refresh_equals_batch_refresh(spark):
+    """The streaming fold and the nightly batch job must maintain the
+    SAME index: drained-stream serve rows ≡ batch refresh serve rows."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import index_refresh_cdc
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import (
+        streaming_index_refresh,
+    )
+    from tests.conftest import SF_SMOKE
+
+    batch = [(r.doc_id, r.score) for r in index_refresh_cdc(spark, SF_SMOKE).collect()]
+    stream = [
+        (r.doc_id, r.score) for r in streaming_index_refresh(spark, SF_SMOKE).collect()
+    ]
+    assert stream == batch

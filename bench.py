@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     ("index_refresh_cdc", _collect),  # run 1 pays base build + CDC refresh
     ("index_refresh_stats", _collect),
     ("streaming_index_refresh", _collect),  # run 1 drains the feed into a fresh base
+    ("index_refresh_compacted", _collect),  # run 1 builds + refreshes + compacts its copy
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

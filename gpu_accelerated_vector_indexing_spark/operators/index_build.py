@@ -355,36 +355,38 @@ def cdc_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
     partition them (SURVEY §5.3's full-probe ≡ exact invariant, pinned
     by test_cdc_refresh_equals_scratch_rebuild).
     """
+    key = (spark, sf_dir)
+    if key not in _CDC_INDEX_DIR:
+        out = build_base_snapshot_index(spark, sf_dir)
+        _CDC_REFRESH_STATS[key] = apply_cdc_refresh(spark, sf_dir, out)
+        _CDC_INDEX_DIR[key] = out
+    return _CDC_INDEX_DIR[key]
+
+
+def apply_cdc_refresh(spark: SparkSession, sf_dir: str, out: str) -> dict[str, int]:
+    """Apply the diff-driven refresh to the base layout at ``out``:
+    one diff feeds both the tombstone list and the re-embed/append
+    batch. Returns the write accounting. Shared by the memoized query
+    path and the compaction lifecycle (which mutates its own copy)."""
     from gpu_accelerated_vector_indexing_spark.operators.curation import (
         corpus_snapshot_diff,
         snapshot_new_docs,
     )
 
-    key = (spark, sf_dir)
-    if key not in _CDC_INDEX_DIR:
-        out = build_base_snapshot_index(spark, sf_dir)
-        docs = load_table(spark, sf_dir, "documents")
-
-        # CDC refresh: one diff feeds both the tombstone list and the
-        # re-embed/append batch
-        diff = corpus_snapshot_diff(spark, sf_dir)
-        tombs = diff.filter(F.col("status").isin("removed", "changed")).select(
-            F.col("doc_id").alias("vec_id")
-        )
-        tombs.coalesce(1).write.mode("overwrite").parquet(f"{out}/tombstones")
-        upsert_docs = snapshot_new_docs(docs).join(
-            diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        )
-        n_appended = append_to_index(spark, out, _snapshot_emb(upsert_docs, gen=1))
-        n_tombstoned = spark.read.parquet(f"{out}/tombstones").count()
-        _CDC_REFRESH_STATS[key] = {
-            "n_appended": n_appended,
-            "n_tombstoned": n_tombstoned,
-        }
-        _CDC_INDEX_DIR[key] = out
-    return _CDC_INDEX_DIR[key]
+    docs = load_table(spark, sf_dir, "documents")
+    diff = corpus_snapshot_diff(spark, sf_dir)
+    tombs = diff.filter(F.col("status").isin("removed", "changed")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    tombs.coalesce(1).write.mode("overwrite").parquet(f"{out}/tombstones")
+    upsert_docs = snapshot_new_docs(docs).join(
+        diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n_appended = append_to_index(spark, out, _snapshot_emb(upsert_docs, gen=1))
+    n_tombstoned = spark.read.parquet(f"{out}/tombstones").count()
+    return {"n_appended": n_appended, "n_tombstoned": n_tombstoned}
 
 
 def _live_index_rows(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -472,3 +474,79 @@ def index_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_live",
         )
     )
+
+
+# (spark, sf_dir) → compacted index dir — its OWN refreshed copy (the
+# shared cdc_refreshed_index memo must stay tombstoned: index_refresh_cdc
+# reads it through the masked path every call).
+_CDC_COMPACT_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def compact_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Fold the tombstone list into the files — the maintenance step
+    that closes the CDC lifecycle (refresh nightly, compact when the
+    masked-read tax is worth reclaiming — ``ivf.delete_compact_plan``'s
+    trigger applied to the refresh layout):
+
+    1. affected clusters = partitions holding ≥1 tombstoned base row
+       (one delta-sized semi-join — bounded by the tombstone list);
+    2. rewrite ONLY those partition directories with their live rows
+       (dynamic partition overwrite: untouched clusters' files are
+       never opened, listed, or rewritten);
+    3. a cluster whose rows were ALL tombstoned is deleted outright
+       (dynamic overwrite writes nothing for an empty partition, and a
+       leftover directory would resurrect its rows once the list
+       empties — at scale this is the catalog/FS partition drop);
+    4. the tombstone list becomes empty.
+
+    Serve-identical by construction: live rows before ≡ rows after,
+    pinned by test_compaction_preserves_serving + the shared oracle.
+    """
+    import shutil
+
+    key = (spark, sf_dir)
+    if key in _CDC_COMPACT_DIR:
+        return _CDC_COMPACT_DIR[key]
+
+    out = build_base_snapshot_index(spark, sf_dir)
+    apply_cdc_refresh(spark, sf_dir, out)
+
+    idx = spark.read.parquet(f"{out}/embeddings_indexed")
+    tombs = spark.read.parquet(f"{out}/tombstones").withColumnRenamed(
+        "vec_id", "t_vec_id"
+    )
+    affected = sorted(
+        r.cluster
+        for r in idx.filter(F.col("gen") == 0)
+        .join(F.broadcast(tombs), F.col("vec_id") == F.col("t_vec_id"), "left_semi")
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    live_affected = _live_index_rows(spark, out).filter(F.col("cluster").isin(affected))
+    survivors = {
+        r.cluster for r in live_affected.select("cluster").distinct().collect()
+    }
+    (
+        live_affected.repartition("cluster")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster")
+        .parquet(f"{out}/embeddings_indexed")
+    )
+    for cluster in affected:
+        if cluster not in survivors:
+            shutil.rmtree(f"{out}/embeddings_indexed/cluster={cluster}")
+    spark.createDataFrame([], "vec_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/tombstones")
+    _CDC_COMPACT_DIR[key] = out
+    return out
+
+
+def index_refresh_compacted(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Serve AFTER compaction — must hit the same oracle as
+    ``index_refresh_cdc``: compaction reclaims the masked-read tax
+    (the tombstone anti-join sees an empty list) without moving a
+    single result value."""
+    return serve_refreshed_index(spark, compact_refreshed_index(spark, sf_dir), k)

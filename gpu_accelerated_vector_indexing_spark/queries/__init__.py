@@ -20,19 +20,20 @@ from pyspark.sql import DataFrame, SparkSession
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
 # The union closed at 276/276 through r8 (judge-computed, zero
-# never-gated names). This round's prefix = the 3 r9 novelties (the
-# CDC index-refresh composition, its accounting row, and its streaming
-# twin) + the 12 rows r9's changes touch (the shared snapshot edit
-# definition, the salted
+# never-gated names). This round's prefix = the 4 r9 novelties (the
+# CDC index-refresh composition, its accounting row, its streaming
+# twin, and the compaction close) + the 12 rows r9's changes touch
+# (the shared snapshot edit definition, the salted
 # as-of cogroup, the DSIR oracle HUGEINT promotion, the embed-CTE
 # refactor, and the graph-walk job-overhead pass) + the 3 r2-vintage
 # names that spilled past r8's cut + the 34 oldest r3-vintage names
 # (last-green computed from CORRECTNESS_r01..r08; at a strict 50 cut
-# the last two names spill with the remaining 14 r3 names to the r10
-# rotation), so every name's freshest green keeps rotating forward.
+# the last three names spill with the remaining 14 r3 names to the
+# r10 rotation), so every name's freshest green keeps rotating forward.
 _GATE_FIRST = [
     # --- round-9 novelties (never gated by definition)
     "index_refresh_cdc", "index_refresh_stats", "streaming_index_refresh",
+    "index_refresh_compacted",
     # --- re-confirmations: rows round-9 changes touch
     "corpus_snapshot_diff",            # edit def now upper(text)||' rev2'
     "join_asof_cogroup",               # hot-bucket salt + realiased branch

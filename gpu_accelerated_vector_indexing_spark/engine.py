@@ -136,6 +136,12 @@ class IVFEngine:
 # entry-point groupBy — the job-overhead drift VERDICT r8 wrong #1
 # flagged. Value = [edges, corpus, entry_ids|None]; evictable via
 # memo.clear_session_caches (DataFrame items unpersist).
+# CONTRACT: a served index directory is IMMUTABLE — every writer in
+# this repo builds into a fresh mkdtemp and in-place maintenance
+# (compaction) runs BEFORE serving; rewriting a directory an engine
+# has already served would leave this cache (and the memoized entry
+# ids) stale. To re-serve a rewritten dir, evict first
+# (memo.clear_session_caches) or write to a new directory.
 _GRAPH_SERVING_CACHE: dict[tuple[SparkSession, str], list] = {}
 
 

@@ -54,10 +54,22 @@ def _memo_dicts() -> list[dict]:
     return out
 
 
+# Every persisted-state directory this package creates is a
+# tempfile.mkdtemp with this prefix — the marker that makes it safe for
+# eviction to reclaim the disk (a _*DIR memo entry is the ONLY handle
+# to its directory; popping it without deleting would leak one full
+# index copy per build/clear cycle).
+_TEMP_DIR_PREFIX = "gpu_accelerated_vector_indexing_"
+
+
 def _unpersist(value: Any) -> None:
-    """Release cached storage held by a memo VALUE (DataFrame, or a
-    tuple/list of them); non-DataFrame values (dir paths, float lists)
-    need no release."""
+    """Release storage held by a memo VALUE: DataFrames (or tuples/
+    lists of them) unpersist; package-prefixed temp-dir path strings
+    (persisted index/state layouts) are deleted from disk. Other
+    values (float lists, ints) need no release."""
+    import os
+    import shutil
+
     items = value if isinstance(value, (tuple, list)) else (value,)
     for item in items:
         if isinstance(item, DataFrame):
@@ -66,6 +78,12 @@ def _unpersist(value: Any) -> None:
             except Exception:
                 # session already stopped — JVM-side storage is gone
                 pass
+        elif (
+            isinstance(item, str)
+            and os.path.basename(item).startswith(_TEMP_DIR_PREFIX)
+            and os.path.isdir(item)
+        ):
+            shutil.rmtree(item, ignore_errors=True)
 
 
 def _key_session(key: Any) -> Any:

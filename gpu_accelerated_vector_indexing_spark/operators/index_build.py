@@ -288,7 +288,7 @@ CDC_K_CLUSTERS = 10
 # (spark, sf_dir) → index_dir of the base-built-then-refreshed layout.
 _CDC_INDEX_DIR: dict[tuple[SparkSession, str], str] = {}
 # (spark, sf_dir) → refresh accounting, filled by the same build
-_CDC_REFRESH_STATS: dict[tuple[SparkSession, str], dict[str, int]] = {}
+_CDC_REFRESH_STATE: dict[tuple[SparkSession, str], dict[str, int]] = {}
 
 
 def _snapshot_emb(docs: DataFrame, gen: int) -> DataFrame:
@@ -358,7 +358,7 @@ def cdc_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
     key = (spark, sf_dir)
     if key not in _CDC_INDEX_DIR:
         out = build_base_snapshot_index(spark, sf_dir)
-        _CDC_REFRESH_STATS[key] = apply_cdc_refresh(spark, sf_dir, out)
+        _CDC_REFRESH_STATE[key] = apply_cdc_refresh(spark, sf_dir, out)
         _CDC_INDEX_DIR[key] = out
     return _CDC_INDEX_DIR[key]
 
@@ -457,7 +457,7 @@ def index_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpu_accelerated_vector_indexing_spark.operators.curation import corpus_snapshot_diff
 
     idx_dir = cdc_refreshed_index(spark, sf_dir)
-    stats = _CDC_REFRESH_STATS[(spark, sf_dir)]
+    stats = _CDC_REFRESH_STATE[(spark, sf_dir)]
     by_status = corpus_snapshot_diff(spark, sf_dir).groupBy().pivot(
         "status", ["added", "removed", "changed", "unchanged"]
     ).count()
@@ -502,14 +502,23 @@ def compact_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
     Serve-identical by construction: live rows before ≡ rows after,
     pinned by test_compaction_preserves_serving + the shared oracle.
     """
-    import shutil
-
     key = (spark, sf_dir)
     if key in _CDC_COMPACT_DIR:
         return _CDC_COMPACT_DIR[key]
 
     out = build_base_snapshot_index(spark, sf_dir)
     apply_cdc_refresh(spark, sf_dir, out)
+    compact_index_dir(spark, out)
+    _CDC_COMPACT_DIR[key] = out
+    return out
+
+
+def compact_index_dir(spark: SparkSession, out: str) -> list[int]:
+    """Compact one refreshed layout IN PLACE (the mechanism behind
+    :func:`compact_refreshed_index`, separable so tests can run it on
+    a caller-owned copy and audit exactly which files moved). Returns
+    the affected cluster ids."""
+    import shutil
 
     idx = spark.read.parquet(f"{out}/embeddings_indexed")
     tombs = spark.read.parquet(f"{out}/tombstones").withColumnRenamed(
@@ -540,8 +549,7 @@ def compact_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
     spark.createDataFrame([], "vec_id long").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{out}/tombstones")
-    _CDC_COMPACT_DIR[key] = out
-    return out
+    return affected
 
 
 def index_refresh_compacted(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:

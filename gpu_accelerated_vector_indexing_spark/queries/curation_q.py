@@ -607,22 +607,51 @@ ORACLES["corpus_curriculum_pack"] = _curriculum_pack_sql()
 
 QUERIES["corpus_snapshot_diff"] = C.corpus_snapshot_diff
 
-ORACLES["corpus_snapshot_diff"] = f"""
-WITH old_snap AS (
+
+def new_snapshot_text_sql() -> str:
+    """The NEW snapshot's text expression — the ONE SQL restatement of
+    ``curation.snapshot_new_docs``'s edit rule, shared by the diff
+    oracle, the refresh-stats oracle, and the refresh serve oracle's
+    corpus relation (r9 /code-review: three verbatim copies would have
+    to move together on the next edit-rule change)."""
+    return (
+        f"CASE WHEN doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM} "
+        f"THEN upper(text) || '{C.SNAP_EDIT_SUFFIX}' ELSE text END"
+    )
+
+
+def new_snapshot_rel_sql(alias: str = "new_snap") -> str:
+    """The NEW snapshot as an aliased relation (for FROM positions)."""
+    return f"""(
+  SELECT doc_id, {new_snapshot_text_sql()} AS text
+  FROM documents
+  WHERE doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}
+) {alias}"""
+
+
+def snapshot_diff_ctes_sql() -> str:
+    """``old_snap`` / ``new_snap`` (md5 digests) + the classified
+    ``diff`` — the shared front half of every snapshot-diff oracle."""
+    return f"""old_snap AS (
   SELECT doc_id, md5(text) AS old_md5 FROM documents
   WHERE doc_id % {C.SNAP_REMOVED_MOD} <> {C.SNAP_REMOVED_REM}
 ),
 new_snap AS (
-  SELECT doc_id,
-         md5(CASE WHEN doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM}
-                  THEN upper(text) || '{C.SNAP_EDIT_SUFFIX}' ELSE text END) AS new_md5
+  SELECT doc_id, md5({new_snapshot_text_sql()}) AS new_md5
   FROM documents
   WHERE doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}
-)
-SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5,
-       CASE WHEN old_md5 IS NULL THEN 'added'
-            WHEN new_md5 IS NULL THEN 'removed'
-            WHEN old_md5 <> new_md5 THEN 'changed'
-            ELSE 'unchanged' END AS status
-FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+),
+diff AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5,
+         CASE WHEN old_md5 IS NULL THEN 'added'
+              WHEN new_md5 IS NULL THEN 'removed'
+              WHEN old_md5 <> new_md5 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+)"""
+
+
+ORACLES["corpus_snapshot_diff"] = f"""
+WITH {snapshot_diff_ctes_sql()}
+SELECT doc_id, old_md5, new_md5, status FROM diff
 """

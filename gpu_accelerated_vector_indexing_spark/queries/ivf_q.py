@@ -1057,23 +1057,12 @@ ORACLES["ivf_adaptive_sweep"] = (
 QUERIES["index_refresh_cdc"] = index_build.index_refresh_cdc
 
 
-def _cdc_new_snapshot_rel() -> str:
-    from gpu_accelerated_vector_indexing_spark.operators import curation as C
-
-    return f"""(
-  SELECT doc_id,
-         CASE WHEN doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM}
-              THEN upper(text) || '{C.SNAP_EDIT_SUFFIX}' ELSE text END AS text
-  FROM documents
-  WHERE doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}
-) new_snap"""
-
-
 def _index_refresh_cdc_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import new_snapshot_rel_sql
     from gpu_accelerated_vector_indexing_spark.queries.knn_q import embed_cte
 
     return embed_cte(
-        docs_rel=_cdc_new_snapshot_rel(),
+        docs_rel=new_snapshot_rel_sql(),
         query_text=index_build.CDC_QUERY_TEXT,
     ) + f"""
 SELECT doc_id,
@@ -1097,27 +1086,12 @@ QUERIES["index_refresh_stats"] = index_build.index_refresh_stats
 
 
 def _index_refresh_stats_oracle() -> str:
-    from gpu_accelerated_vector_indexing_spark.operators import curation as C
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import (
+        snapshot_diff_ctes_sql,
+    )
 
     return f"""
-WITH old_snap AS (
-  SELECT doc_id, md5(text) AS old_md5 FROM documents
-  WHERE doc_id % {C.SNAP_REMOVED_MOD} <> {C.SNAP_REMOVED_REM}
-),
-new_snap AS (
-  SELECT doc_id,
-         md5(CASE WHEN doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM}
-                  THEN upper(text) || '{C.SNAP_EDIT_SUFFIX}' ELSE text END) AS new_md5
-  FROM documents
-  WHERE doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}
-),
-diff AS (
-  SELECT CASE WHEN old_md5 IS NULL THEN 'added'
-              WHEN new_md5 IS NULL THEN 'removed'
-              WHEN old_md5 <> new_md5 THEN 'changed'
-              ELSE 'unchanged' END AS status
-  FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
-),
+WITH {snapshot_diff_ctes_sql()},
 c AS (
   SELECT sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
          sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,

@@ -355,7 +355,10 @@ def test_snapshot_diff_classifies_every_change_class(spark):
         i, text = d["doc_id"], d["text"]
         in_old = i % SNAP_REMOVED_MOD != SNAP_REMOVED_REM
         in_new = i % SNAP_ADDED_MOD != SNAP_ADDED_REM
-        edited = i % SNAP_EDIT_MOD == SNAP_EDIT_REM and text.upper() != text
+        # the ' rev2' suffix changes the md5 unconditionally, so every
+        # edit-slice doc present in both snapshots is 'changed' (the old
+        # upper()-only rule needed a lowercase letter to register)
+        edited = i % SNAP_EDIT_MOD == SNAP_EDIT_REM
         if in_old and in_new:
             want[i] = "changed" if edited else "unchanged"
         elif in_old:

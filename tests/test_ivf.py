@@ -777,7 +777,7 @@ def test_cdc_refresh_accounting_and_live_set(spark):
         snapshot_new_docs,
     )
     from gpu_accelerated_vector_indexing_spark.operators.index_build import (
-        _CDC_REFRESH_STATS,
+        _CDC_REFRESH_STATE,
         _live_index_rows,
         cdc_refreshed_index,
     )
@@ -785,7 +785,7 @@ def test_cdc_refresh_accounting_and_live_set(spark):
     from tests.conftest import SF_SMOKE
 
     idx_dir = cdc_refreshed_index(spark, SF_SMOKE)
-    stats = _CDC_REFRESH_STATS[(spark, SF_SMOKE)]
+    stats = _CDC_REFRESH_STATE[(spark, SF_SMOKE)]
     by_status = {
         r.status: r.n
         for r in corpus_snapshot_diff(spark, SF_SMOKE)
@@ -904,39 +904,46 @@ def test_compaction_preserves_serving_and_empties_tombstones(spark):
 
 
 def test_compaction_rewrites_only_affected_partitions(spark):
-    """Dynamic partition overwrite: clusters holding no tombstoned row
-    keep their original files (same names and sizes as the refresh
-    copy would have) — compaction cost scales with damage, not index
-    size. Verified structurally: every unaffected cluster directory
-    contains at least one file whose (name, size) pair also exists in
-    the pre-compaction layout of the same build lineage."""
-    from pyspark.sql import functions as F
+    """Compaction cost scales with DAMAGE, not index size: on a
+    caller-owned refreshed copy, every unaffected cluster's file set
+    (names + sizes) is byte-identical before and after compaction —
+    a regression to whole-index rewrites (dropping the affected filter
+    or the dynamic-overwrite option) fails here."""
+    import os
 
     from gpu_accelerated_vector_indexing_spark.operators.index_build import (
-        compact_refreshed_index,
+        apply_cdc_refresh,
+        build_base_snapshot_index,
+        compact_index_dir,
     )
     from tests.conftest import SF_SMOKE
 
-    cdir = compact_refreshed_index(spark, SF_SMOKE)
-    idx = spark.read.parquet(f"{cdir}/embeddings_indexed")
-    # structural invariant instead of file mtimes (the memo returns an
-    # already-compacted dir): every cluster still holds gen-0 rows OR
-    # was fully rewritten; and no cluster directory is empty
-    import os
+    out = build_base_snapshot_index(spark, SF_SMOKE)
+    apply_cdc_refresh(spark, SF_SMOKE, out)
 
-    clusters = [
-        d
-        for d in os.listdir(f"{cdir}/embeddings_indexed")
-        if d.startswith("cluster=")
-    ]
-    assert clusters
-    for d in clusters:
-        files = [
-            f
-            for f in os.listdir(f"{cdir}/embeddings_indexed/{d}")
-            if f.endswith(".parquet")
-        ]
-        assert files, f"{d} left empty by compaction"
+    def listing(root):
+        snap = {}
+        for d in os.listdir(root):
+            if d.startswith("cluster="):
+                snap[d] = {
+                    (f, os.path.getsize(f"{root}/{d}/{f}"))
+                    for f in os.listdir(f"{root}/{d}")
+                    if f.endswith(".parquet")
+                }
+        return snap
+
+    before = listing(f"{out}/embeddings_indexed")
+    affected = compact_index_dir(spark, out)
+    after = listing(f"{out}/embeddings_indexed")
+
+    assert affected, "the fixture delta must damage at least one cluster"
+    affected_dirs = {f"cluster={c}" for c in affected}
+    untouched = set(before) - affected_dirs
+    assert untouched, "some cluster must be undamaged for the test to bite"
+    for d in untouched:
+        assert after[d] == before[d], f"{d} was rewritten without damage"
+    for d in affected_dirs & set(after):
+        assert after[d], f"{d} left empty by compaction"
 
 
 def test_streaming_classifier_matches_snapshot_diff(spark):

@@ -62,21 +62,49 @@ class IVFEngine:
     ``cluster``) + ``{index_dir}/centroids``.
     """
 
-    def __init__(self, spark: SparkSession, emb_path: str, cent_path: str, config: SearchConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        emb_path: str,
+        cent_path: str,
+        config: SearchConfig,
+        tombstones: DataFrame | None = None,
+    ):
         config.validate()
         self.spark = spark
         self.config = config
         # lazy relations — nothing is read until a search runs (vs IVF.cpp:456-486)
         self.embeddings = spark.read.parquet(emb_path)
         self.centroids = spark.read.parquet(cent_path)
+        # masked reads (r9): a CDC-refreshed layout ships a tombstone
+        # list beside the index; searches anti-join it so retired base
+        # rows never score. None ⇒ the classic immutable-index path.
+        self.tombstones = tombstones
 
     @classmethod
     def from_pretrained(
         cls, spark: SparkSession, index_dir: str, n_probe: int = 20, **flags
     ) -> "IVFEngine":
-        """≙ ``IVFIndex::from_pretrained(dir, n_probe)`` (IVF.cpp:439-524)."""
+        """≙ ``IVFIndex::from_pretrained(dir, n_probe)`` (IVF.cpp:439-524).
+
+        Layouts maintained by the CDC refresh carry a ``tombstones``
+        table beside the index — when present it is bound so the facade
+        serves the LIVE rows (the reference class cannot do this at
+        all: its per-cluster .bin files are immutable monoliths)."""
         cfg = SearchConfig(n_probe=n_probe, **flags)
-        return cls(spark, f"{index_dir}/embeddings_indexed", f"{index_dir}/centroids", cfg)
+        # silent, FS-agnostic existence probe (local, HDFS, S3A alike);
+        # a read-then-catch would spew the AnalysisException's JVM
+        # stack into every classic-layout construction
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/tombstones")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        tombs = spark.read.parquet(f"{index_dir}/tombstones") if fs.exists(jpath) else None
+        return cls(
+            spark,
+            f"{index_dir}/embeddings_indexed",
+            f"{index_dir}/centroids",
+            cfg,
+            tombstones=tombs,
+        )
 
     def _coarse(self, qvec: list[float], n_probe: int) -> list[int]:
         """Top-n_probe clusters by cosine(query, centroid) — ≤128 rows,
@@ -104,7 +132,18 @@ class IVFEngine:
         cfg = self.config
         probes = self._coarse(qvec, cfg.n_probe)
         q = F.lit([float(x) for x in qvec]).cast("array<double>")
-        fine = self.embeddings.filter(F.col("cluster").isin(probes)).select(
+        emb = self.embeddings
+        if self.tombstones is not None:
+            # delta-sized list → broadcast anti-join; a layout with a
+            # gen column retires only gen-0 (base) rows so an edited
+            # doc's re-embedded replacement survives, a classic layout
+            # retires by vec_id alone
+            tombs = self.tombstones.withColumnRenamed("vec_id", "t_vec_id")
+            cond = emb.vec_id == tombs.t_vec_id
+            if "gen" in emb.columns:
+                cond = cond & (emb.gen == 0)
+            emb = emb.join(F.broadcast(tombs), cond, "left_anti")
+        fine = emb.filter(F.col("cluster").isin(probes)).select(
             "vec_id",
             "cluster",
             F.round(cosine_similarity(as_double_array("embedding"), q), SCORE_SCALE).alias("score"),

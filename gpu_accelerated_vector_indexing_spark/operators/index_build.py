@@ -422,28 +422,22 @@ def index_refresh_cdc(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
 
 
 def serve_refreshed_index(spark: SparkSession, idx_dir: str, k: int = 5) -> DataFrame:
-    """Full-probe top-k over a refreshed layout's live rows — the ONE
-    serve definition shared by the batch and streaming refresh queries
-    (both must hit the same oracle)."""
+    """Full-probe top-k over a refreshed layout's live rows THROUGH the
+    standard facade — the ONE serve definition shared by the batch,
+    streaming, and compacted refresh queries (all must hit the same
+    oracle). ``IVFEngine.from_pretrained`` binds the tombstone list it
+    finds beside the index (r9: masked reads through the facade, the
+    same index-agnostic posture as the graph class), and
+    n_probe = every cluster makes the read provably exact."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
     from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
-    from gpu_accelerated_vector_indexing_spark.functions.vector import (
-        as_double_array,
-        cosine_similarity,
-    )
 
-    live = _live_index_rows(spark, idx_dir)
-    q = embed_queries(spark, [CDC_QUERY_TEXT])
-    return (
-        live.join(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                cosine_similarity(as_double_array("embedding"), F.col("qvec")), 6
-            ).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.desc("doc_id"))
-        .limit(k)
-    )
+    qvec = [
+        float(x)
+        for x in embed_queries(spark, [CDC_QUERY_TEXT]).collect()[0].qvec
+    ]
+    eng = IVFEngine.from_pretrained(spark, idx_dir, n_probe=CDC_K_CLUSTERS)
+    return eng.search(qvec, k=k).select(F.col("vec_id").alias("doc_id"), "score")
 
 
 def index_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

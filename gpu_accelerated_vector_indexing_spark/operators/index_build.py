@@ -430,14 +430,34 @@ def serve_refreshed_index(spark: SparkSession, idx_dir: str, k: int = 5) -> Data
     same index-agnostic posture as the graph class), and
     n_probe = every cluster makes the read provably exact."""
     from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
-    from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
 
-    qvec = [
-        float(x)
-        for x in embed_queries(spark, [CDC_QUERY_TEXT]).collect()[0].qvec
-    ]
-    eng = IVFEngine.from_pretrained(spark, idx_dir, n_probe=CDC_K_CLUSTERS)
+    qvec = _cdc_query_vec(spark)
+    key = (spark, idx_dir)
+    if key not in _CDC_SERVE_ENGINE_CACHE:
+        _CDC_SERVE_ENGINE_CACHE[key] = IVFEngine.from_pretrained(
+            spark, idx_dir, n_probe=CDC_K_CLUSTERS
+        )
+    eng = _CDC_SERVE_ENGINE_CACHE[key]
     return eng.search(qvec, k=k).select(F.col("vec_id").alias("doc_id"), "score")
+
+
+# served engines + the embedded query vector are session-fixed state —
+# memoized like every other serving memo (evictable via
+# memo.clear_session_caches; the dict values here hold no persisted
+# DataFrames, only lazy relations + a float list)
+_CDC_SERVE_ENGINE_CACHE: dict[tuple[SparkSession, str], object] = {}
+_CDC_QVEC_STATE: dict[SparkSession, list[float]] = {}
+
+
+def _cdc_query_vec(spark: SparkSession) -> list[float]:
+    if spark not in _CDC_QVEC_STATE:
+        from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
+
+        _CDC_QVEC_STATE[spark] = [
+            float(x)
+            for x in embed_queries(spark, [CDC_QUERY_TEXT]).collect()[0].qvec
+        ]
+    return _CDC_QVEC_STATE[spark]
 
 
 def index_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

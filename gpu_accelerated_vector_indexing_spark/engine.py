@@ -94,10 +94,23 @@ class IVFEngine:
         cfg = SearchConfig(n_probe=n_probe, **flags)
         # silent, FS-agnostic existence probe (local, HDFS, S3A alike);
         # a read-then-catch would spew the AnalysisException's JVM
-        # stack into every classic-layout construction
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/tombstones")
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        tombs = spark.read.parquet(f"{index_dir}/tombstones") if fs.exists(jpath) else None
+        # stack into every classic-layout construction. The Py4J
+        # internals don't exist on Spark Connect sessions (ADVICE r9),
+        # so that path degrades to a guarded read probe — Connect
+        # raises clean client-side AnalysisExceptions, so the original
+        # stack-spew concern doesn't apply there.
+        tomb_path = f"{index_dir}/tombstones"
+        try:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(tomb_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            tombs = spark.read.parquet(tomb_path) if fs.exists(jpath) else None
+        except AttributeError:
+            from pyspark.errors import AnalysisException
+
+            try:
+                tombs = spark.read.parquet(tomb_path)
+            except AnalysisException:
+                tombs = None
         return cls(
             spark,
             f"{index_dir}/embeddings_indexed",
@@ -134,14 +147,24 @@ class IVFEngine:
         q = F.lit([float(x) for x in qvec]).cast("array<double>")
         emb = self.embeddings
         if self.tombstones is not None:
-            # delta-sized list → broadcast anti-join; a layout with a
-            # gen column retires only gen-0 (base) rows so an edited
-            # doc's re-embedded replacement survives, a classic layout
-            # retires by vec_id alone
-            tombs = self.tombstones.withColumnRenamed("vec_id", "t_vec_id")
+            # delta-sized list → broadcast anti-join. A generation-
+            # stamped layout retires rows written at or before the
+            # tombstone's dead-gen (index_build.TOMBSTONE_SCHEMA — the
+            # multi-cycle rule: an edited doc's LATEST re-embedding
+            # survives every earlier retirement); a gen-less tombstone
+            # list against a gen-stamped index retires base rows only
+            # (the r9 single-cycle layout); a fully classic layout
+            # retires by vec_id alone.
+            tombs = self.tombstones.withColumnRenamed(
+                "vec_id", "t_vec_id"
+            ).withColumnRenamed("gen", "t_gen")
             cond = emb.vec_id == tombs.t_vec_id
             if "gen" in emb.columns:
-                cond = cond & (emb.gen == 0)
+                cond = cond & (
+                    (emb.gen <= tombs.t_gen)
+                    if "t_gen" in tombs.columns
+                    else (emb.gen == 0)
+                )
             emb = emb.join(F.broadcast(tombs), cond, "left_anti")
         fine = emb.filter(F.col("cluster").isin(probes)).select(
             "vec_id",

@@ -22,8 +22,17 @@ own naming convention (module-level ``dict`` named ``_*CACHE`` /
 Usage::
 
     from gpu_accelerated_vector_indexing_spark.memo import clear_session_caches
-    clear_session_caches(spark)        # evict + unpersist one session's state
-    clear_session_caches()             # evict everything (all sessions)
+    clear_session_caches(spark)                  # one session's state
+    clear_session_caches(all_sessions=True)      # every STOPPED session
+
+OWNERSHIP CONTRACT (ADVICE r9): a ``_*DIR`` memo entry must be the
+EXCLUSIVE owner of the directory path it holds — eviction rmtrees it.
+Every such entry in this package holds a ``tempfile.mkdtemp`` created
+by (and only reachable through) that memo; do not store shared or
+caller-owned paths in a convention-named memo dict. The all-sessions
+form is explicit-opt-in and skips sessions that are still running (a
+live session may be mid-query over its memoized relations and temp
+layouts); purge a live session by passing it directly.
 """
 
 from __future__ import annotations
@@ -94,18 +103,44 @@ def _key_session(key: Any) -> Any:
     return key
 
 
-def clear_session_caches(spark: SparkSession | None = None) -> int:
+def _is_stopped(session: Any) -> bool:
+    """True when a session's JVM context is gone (``spark.stop()`` ran)
+    — its executor storage is already released and its temp layouts can
+    have no in-flight readers."""
+    try:
+        return session.sparkContext._jsc is None
+    except Exception:
+        return True  # no reachable context ⇒ nothing live to disturb
+
+
+def clear_session_caches(
+    spark: SparkSession | None = None, *, all_sessions: bool = False
+) -> int:
     """Evict (and unpersist) every memoized entry belonging to
-    ``spark`` — or ALL entries when ``spark`` is None. Returns the
-    number of entries evicted.
+    ``spark``. Returns the number of entries evicted.
 
     Call this between corpora in a long-lived session, or after
     ``spark.stop()`` to drop the now-dead driver-side references.
+
+    The sweep form (``all_sessions=True``, ADVICE r9: explicit opt-in,
+    not a default-argument accident) evicts entries of STOPPED sessions
+    only — a live session may be mid-query over its memoized relations
+    and temp directories, so bulk cleanup never deletes state out from
+    under one; pass each live session explicitly to purge it.
     """
+    if spark is None and not all_sessions:
+        raise ValueError(
+            "pass the SparkSession to evict, or all_sessions=True to sweep "
+            "every stopped session's state (deletes their temp index layouts)"
+        )
     evicted = 0
     for cache in _memo_dicts():
         for key in list(cache.keys()):
-            if spark is not None and _key_session(key) is not spark:
+            sess = _key_session(key)
+            if spark is not None:
+                if sess is not spark:
+                    continue
+            elif isinstance(sess, SparkSession) and not _is_stopped(sess):
                 continue
             _unpersist(cache.pop(key))
             evicted += 1

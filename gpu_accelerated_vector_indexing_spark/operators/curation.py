@@ -1254,6 +1254,91 @@ def snapshot_new_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- snapshot N+2 (r10): the SECOND nightly cycle --------------------------
+# Generation 2 is where a CDC refresh design is actually tested: v3's
+# change classes deliberately OVERLAP v2's so cycle 2 must retire
+# cycle-1 APPENDS, not just base rows. Each class below names the
+# lifecycle edge it exercises (populations at the 500-doc fixture):
+#   - v2-edited docs split by parity: even → REMOVED in v3 (a gen-1
+#     append gets tombstoned; 10 docs), odd → edited AGAIN (" rev3" on
+#     top of " rev2": gen-1 retired, gen-2 appended; 10 docs);
+#   - a slice of v2-ADDED docs is removed (pure gen-1 row, no gen-0
+#     ancestor; 6 docs);
+#   - a slice of v1-removed docs is RE-ADDED (its gen-0 tombstone from
+#     cycle 1 must not shadow the gen-2 resurrection; 9 docs);
+#   - a fresh mod-43 slice of previously-unchanged docs is edited
+#     (gen-0 retired at dead-gen 1, gen-2 appended; 12 docs).
+SNAP3_READD_MOD, SNAP3_READD_REM = 3, 0   # among docs absent from v2
+SNAP3_DROPADD_MOD, SNAP3_DROPADD_REM = 5, 0  # among v2-added docs
+SNAP3_EDIT_MOD, SNAP3_EDIT_REM = 43, 6    # fresh v3 edits
+SNAP3_EDIT_SUFFIX = " rev3"
+
+
+def _in_v2(col):
+    return col % SNAP_ADDED_MOD != SNAP_ADDED_REM
+
+
+def _v3_membership(col):
+    """(in_v3, removed_in_v3, edited_in_v3) boolean exprs over a doc_id
+    column — the ONE row-local definition of snapshot N+2, shared by
+    the snapshot relation, the v2→v3 diff, and the gen-2 refresh."""
+    v2_edited = col % SNAP_EDIT_MOD == SNAP_EDIT_REM
+    v2_added = col % SNAP_REMOVED_MOD == SNAP_REMOVED_REM
+    removed_v3 = _in_v2(col) & (
+        (v2_edited & (col % 2 == 0))
+        | (v2_added & (col % SNAP3_DROPADD_MOD == SNAP3_DROPADD_REM))
+    )
+    readded_v3 = (col % SNAP_ADDED_MOD == SNAP_ADDED_REM) & (
+        col % SNAP3_READD_MOD == SNAP3_READD_REM
+    )
+    in_v3 = (_in_v2(col) & ~removed_v3) | readded_v3
+    edited_v3 = in_v3 & (
+        (v2_edited & (col % 2 == 1))
+        | (col % SNAP3_EDIT_MOD == SNAP3_EDIT_REM)
+    )
+    return in_v3, removed_v3, edited_v3
+
+
+def snapshot_v3_docs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, text)`` of snapshot N+2. Text is a pure row-local
+    function: the v2 edit rule applied first (so a twice-edited doc
+    carries BOTH suffixes), then the v3 suffix for the v3-edited
+    slice — both engines reconstruct it from (doc_id, text) alone."""
+    col = F.col("doc_id")
+    in_v3, _, edited_v3 = _v3_membership(col)
+    v2_text = F.when(
+        col % SNAP_EDIT_MOD == SNAP_EDIT_REM,
+        F.concat(F.upper(F.col("text")), F.lit(SNAP_EDIT_SUFFIX)),
+    ).otherwise(F.col("text"))
+    v3_text = F.when(
+        edited_v3, F.concat(v2_text, F.lit(SNAP3_EDIT_SUFFIX))
+    ).otherwise(v2_text)
+    return docs.filter(in_v3).select("doc_id", v3_text.alias("text"))
+
+
+def corpus_snapshot_diff_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff snapshot N+1 → N+2 by content hash — the SECOND cycle's
+    change feed, same md5 full-outer-join shape (and scale posture) as
+    :func:`corpus_snapshot_diff`."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = snapshot_new_docs(docs).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("old_md5")
+    )
+    new = snapshot_v3_docs(docs).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("new_md5")
+    )
+    return old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        "old_md5",
+        "new_md5",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff two corpus snapshots by content hash — the CDC primitive of
     dataset VERSIONING (which documents were added, removed, or edited

@@ -655,3 +655,72 @@ ORACLES["corpus_snapshot_diff"] = f"""
 WITH {snapshot_diff_ctes_sql()}
 SELECT doc_id, old_md5, new_md5, status FROM diff
 """
+
+
+# --- r10: snapshot N+2 (the SECOND cycle's change feed) ----------------------
+# ONE SQL restatement of curation._v3_membership / snapshot_v3_docs,
+# shared by the v2→v3 diff oracle and the gen-2 refresh oracles.
+
+_IN_V2 = f"doc_id % {C.SNAP_ADDED_MOD} <> {C.SNAP_ADDED_REM}"
+_V2_EDITED = f"doc_id % {C.SNAP_EDIT_MOD} = {C.SNAP_EDIT_REM}"
+_V2_ADDED = f"doc_id % {C.SNAP_REMOVED_MOD} = {C.SNAP_REMOVED_REM}"
+_REMOVED_V3 = (
+    f"({_IN_V2} AND (({_V2_EDITED} AND doc_id % 2 = 0)"
+    f" OR ({_V2_ADDED} AND doc_id % {C.SNAP3_DROPADD_MOD} = {C.SNAP3_DROPADD_REM})))"
+)
+_READDED_V3 = (
+    f"(doc_id % {C.SNAP_ADDED_MOD} = {C.SNAP_ADDED_REM}"
+    f" AND doc_id % {C.SNAP3_READD_MOD} = {C.SNAP3_READD_REM})"
+)
+_IN_V3 = f"(({_IN_V2} AND NOT {_REMOVED_V3}) OR {_READDED_V3})"
+_EDITED_V3 = (
+    f"({_IN_V3} AND (({_V2_EDITED} AND doc_id % 2 = 1)"
+    f" OR doc_id % {C.SNAP3_EDIT_MOD} = {C.SNAP3_EDIT_REM}))"
+)
+
+
+def v3_snapshot_text_sql() -> str:
+    """Snapshot N+2's text expression: the v2 edit rule applied first,
+    then the v3 suffix for the v3-edited slice — mirroring
+    ``curation.snapshot_v3_docs``'s pure row-local rule."""
+    return (
+        f"CASE WHEN {_EDITED_V3} THEN {new_snapshot_text_sql()} ||"
+        f" '{C.SNAP3_EDIT_SUFFIX}' ELSE {new_snapshot_text_sql()} END"
+    )
+
+
+def v3_snapshot_rel_sql(alias: str = "v3_snap") -> str:
+    """Snapshot N+2 as an aliased relation (for FROM positions)."""
+    return f"""(
+  SELECT doc_id, {v3_snapshot_text_sql()} AS text
+  FROM documents
+  WHERE {_IN_V3}
+) {alias}"""
+
+
+def snapshot_diff_v3_ctes_sql() -> str:
+    """``v2_snap`` / ``v3_snap`` digests + the classified ``diff3`` —
+    the shared front half of every v2→v3 diff oracle."""
+    return f"""v2_snap AS (
+  SELECT doc_id, md5({new_snapshot_text_sql()}) AS old_md5
+  FROM documents WHERE {_IN_V2}
+),
+v3_snap AS (
+  SELECT doc_id, md5({v3_snapshot_text_sql()}) AS new_md5
+  FROM documents WHERE {_IN_V3}
+),
+diff3 AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5,
+         CASE WHEN old_md5 IS NULL THEN 'added'
+              WHEN new_md5 IS NULL THEN 'removed'
+              WHEN old_md5 <> new_md5 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v2_snap o FULL OUTER JOIN v3_snap n ON o.doc_id = n.doc_id
+)"""
+
+
+QUERIES["corpus_snapshot_diff_v3"] = C.corpus_snapshot_diff_v3
+ORACLES["corpus_snapshot_diff_v3"] = f"""
+WITH {snapshot_diff_v3_ctes_sql()}
+SELECT doc_id, old_md5, new_md5, status FROM diff3
+"""

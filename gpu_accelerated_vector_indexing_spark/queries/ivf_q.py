@@ -1115,3 +1115,79 @@ ORACLES["index_refresh_stats"] = _index_refresh_stats_oracle()
 # unchanged — live rows before ≡ rows after, by construction.
 QUERIES["index_refresh_compacted"] = index_build.index_refresh_compacted
 ORACLES["index_refresh_compacted"] = ORACLES["index_refresh_cdc"]
+
+
+# --- r10: generation 2 — the refresh as a LOOP (snapshot N → N+1 → N+2) -----
+# Two stacked refresh cycles must serve EXACTLY snapshot N+2: cycle-2
+# tombstones (dead-gen 1) retire cycle-1 APPENDS (docs edited twice,
+# docs added then removed), a cycle-1 tombstone must not shadow a
+# cycle-2 resurrection, and compaction can run MID-sequence. The
+# oracle is the same brute-force-over-snapshot shape as cycle 1's,
+# pointed at the v3 relation — full-probe reads are exact over live
+# rows, so a value match certifies both tombstone generations.
+QUERIES["index_refresh_cdc_gen2"] = index_build.index_refresh_cdc_gen2
+
+
+def _index_refresh_cdc_gen2_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import v3_snapshot_rel_sql
+    from gpu_accelerated_vector_indexing_spark.queries.knn_q import embed_cte
+
+    return embed_cte(
+        docs_rel=v3_snapshot_rel_sql(),
+        query_text=index_build.CDC_QUERY_TEXT,
+    ) + f"""
+SELECT doc_id,
+       round(list_dot_product(c.emb, q.q) /
+             (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q, q.q)) + 1e-8),
+             6) AS score
+FROM corpus c CROSS JOIN qvec q
+ORDER BY score DESC, doc_id DESC LIMIT {K}
+"""
+
+
+ORACLES["index_refresh_cdc_gen2"] = _index_refresh_cdc_gen2_oracle()
+
+# Mid-sequence maintenance: base → refresh → COMPACT → refresh serves
+# the same rows — compaction preserves gen stamps, so the next cycle's
+# dead-gen-1 tombstones still retire exactly the rows they name.
+QUERIES["index_refresh_gen2_compact_mid"] = index_build.index_refresh_gen2_compact_mid
+ORACLES["index_refresh_gen2_compact_mid"] = ORACLES["index_refresh_cdc_gen2"]
+
+
+# Two-cycle accounting: cycle-2 diff class counts + both cycles' write
+# accounting + the final live count (= |v3|) — every number re-derived
+# from the snapshot definitions alone.
+QUERIES["index_refresh_gen2_stats"] = index_build.index_refresh_gen2_stats
+
+
+def _index_refresh_gen2_stats_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import (
+        snapshot_diff_ctes_sql,
+        snapshot_diff_v3_ctes_sql,
+    )
+
+    return f"""
+WITH {snapshot_diff_ctes_sql()},
+{snapshot_diff_v3_ctes_sql()},
+c1 AS (
+  SELECT sum(CASE WHEN status IN ('added', 'changed') THEN 1 ELSE 0 END)::BIGINT AS n_appended_c1,
+         sum(CASE WHEN status IN ('removed', 'changed') THEN 1 ELSE 0 END)::BIGINT AS n_tombstoned_c1
+  FROM diff
+),
+c2 AS (
+  SELECT sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added_c2,
+         sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed_c2,
+         sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed_c2,
+         sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged_c2,
+         sum(CASE WHEN status IN ('added', 'changed') THEN 1 ELSE 0 END)::BIGINT AS n_appended_c2,
+         sum(CASE WHEN status IN ('removed', 'changed') THEN 1 ELSE 0 END)::BIGINT AS n_tombstoned_c2
+  FROM diff3
+)
+SELECT n_added_c2, n_removed_c2, n_changed_c2, n_unchanged_c2,
+       n_appended_c1, n_tombstoned_c1, n_appended_c2, n_tombstoned_c2,
+       (SELECT count(*) FROM v3_snap)::BIGINT AS n_live
+FROM c1 CROSS JOIN c2
+"""
+
+
+ORACLES["index_refresh_gen2_stats"] = _index_refresh_gen2_stats_oracle()

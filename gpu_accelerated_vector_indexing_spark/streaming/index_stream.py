@@ -10,11 +10,22 @@ index directory, not a streaming sink):
     docs stream → row-local change classification (status is a pure
         function of (doc_id, text): snapshot membership by the shared
         modular slices, edit by the shared suffix rule)
-      → removed + changed rows APPEND their vec_ids to the tombstone
-        list (delta-sized parquet beside the index)
-      → added + changed rows re-embed from the NEW text and append
-        through the nearest-STORED-centroid path
-        (``index_build.append_to_index`` — no KMeans re-run)
+      → removed + changed rows write their (vec_id, gen) tombstones
+        into ``tombstones/batch={batch_id}`` (delta-sized parquet
+        beside the index)
+      → added + changed rows re-embed from the NEW text and land in
+        ``embeddings_indexed/batch={batch_id}`` through the
+        nearest-STORED-centroid path (``index_build.append_to_index``
+        — no KMeans re-run)
+
+Every write is mode("overwrite") into its OWN batch={batch_id}
+subdirectory (ADVICE r9): foreachBatch is at-least-once, and this —
+the standard idempotent-sink pattern — makes a replayed micro-batch
+rewrite the same deterministic rows over the same directory instead of
+double-appending, so stream restarts genuinely recover from the
+layout + checkpoint. Readers partition-discover an extra ``batch``
+column and ignore it; ``cluster`` stays a partition key, so probe
+pruning composes unchanged.
 
 Batching invariance is structural: tombstones and appends are set
 unions across batches (every row's fate is row-local), so ANY
@@ -78,10 +89,46 @@ def _classified(batch: DataFrame) -> DataFrame:
     )
 
 
-def _refreshed_dir(spark: SparkSession, sf_dir: str) -> str:
+def fold_micro_batch(
+    spark: SparkSession, out: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch's fold into the index layout at ``out`` —
+    IDEMPOTENT per batch_id (ADVICE r9): foreachBatch is
+    at-least-once, so a micro-batch replayed after a failure/restart
+    must not double-append. Every write lands in a batch={batch_id}
+    subdirectory with mode("overwrite") — a replay rewrites the SAME
+    deterministic rows over the same directory (classification,
+    embedding, and centroid assignment are all pure functions of the
+    batch rows), so recovery from the layout + checkpoint holds by
+    construction. Module-level (not a closure) so the idempotency
+    contract is directly testable."""
     from gpu_accelerated_vector_indexing_spark.operators.index_build import (
         _snapshot_emb,
         append_to_index,
+    )
+
+    delta = _classified(batch_df)
+    (
+        delta.filter(F.col("status").isin("removed", "changed"))
+        .select(F.col("doc_id").alias("vec_id"), F.lit(0).cast("int").alias("gen"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out}/tombstones/batch={batch_id}")
+    )
+    upserts = delta.filter(F.col("status").isin("added", "changed")).select(
+        "doc_id", "text"
+    )
+    append_to_index(
+        spark,
+        out,
+        _snapshot_emb(upserts, gen=1),
+        write_path=f"{out}/embeddings_indexed/batch={batch_id}",
+        write_mode="overwrite",
+    )
+
+
+def _refreshed_dir(spark: SparkSession, sf_dir: str) -> str:
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
         build_base_snapshot_index,
     )
 
@@ -89,21 +136,10 @@ def _refreshed_dir(spark: SparkSession, sf_dir: str) -> str:
     if key in _STREAM_INDEX_DIR:
         return _STREAM_INDEX_DIR[key]
 
-    out = build_base_snapshot_index(spark, sf_dir)
+    out = build_base_snapshot_index(spark, sf_dir, batch_layout=True)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        delta = _classified(batch_df)
-        (
-            delta.filter(F.col("status").isin("removed", "changed"))
-            .select(F.col("doc_id").alias("vec_id"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(f"{out}/tombstones")
-        )
-        upserts = delta.filter(F.col("status").isin("added", "changed")).select(
-            "doc_id", "text"
-        )
-        append_to_index(spark, out, _snapshot_emb(upserts, gen=1))
+        fold_micro_batch(spark, out, batch_df, batch_id)
 
     q = (
         documents_stream(spark, sf_dir)

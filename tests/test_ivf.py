@@ -964,3 +964,161 @@ def test_streaming_classifier_matches_snapshot_diff(spark):
         for r in corpus_snapshot_diff(spark, SF_SMOKE).select("doc_id", "status").collect()
     }
     assert row_local == via_diff
+
+
+# --- r10: generation 2 — the refresh as a LOOP ---------------------------------
+
+
+def test_gen2_refresh_equals_scratch_rebuild_on_v3(spark):
+    """After TWO refresh cycles, full-probe reads ≡ a from-scratch
+    rebuild on snapshot N+2 — the VERDICT r9 #1 pin, iterated: two
+    stacked tombstone generations + two append generations must leave
+    exactly v3's embeddings live, whatever centroids partition them."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.curation import snapshot_v3_docs
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        CDC_QUERY_TEXT,
+        _snapshot_emb,
+        index_refresh_cdc_gen2,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    refreshed = [
+        (r.doc_id, r.score) for r in index_refresh_cdc_gen2(spark, SF_SMOKE).collect()
+    ]
+    docs = load_table(spark, SF_SMOKE, "documents")
+    scratch_emb = _snapshot_emb(snapshot_v3_docs(docs), gen=0)
+    q = embed_queries(spark, [CDC_QUERY_TEXT])
+    scratch = [
+        (r.doc_id, r.score)
+        for r in (
+            scratch_emb.join(F.broadcast(q))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    cosine_similarity(as_double_array("embedding"), F.col("qvec")), 6
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.desc("doc_id"))
+            .limit(5)
+        ).collect()
+    ]
+    assert refreshed == scratch
+
+
+def test_gen2_layout_exercises_every_lifecycle_edge(spark):
+    """The v3 slices were designed to make cycle 2 retire cycle-1
+    APPENDS — assert each edge actually fired in the layout (a slice
+    drifting empty would quietly stop testing the design):
+    (a) ≥1 gen-1 tombstone names a vec_id holding a gen-1 index row
+    (tombstone-of-append); (b) ≥1 doc tombstoned at gen 0 in cycle 1
+    is resurrected by a live gen-2 row; (c) ≥1 twice-edited doc holds
+    gen-1 AND gen-2 rows with only gen-2 live; (d) live vec_ids ≡ v3
+    doc ids exactly."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.curation import snapshot_v3_docs
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        _live_index_rows,
+        cdc_refreshed_index_gen2,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    idx_dir = cdc_refreshed_index_gen2(spark, SF_SMOKE)
+    idx = spark.read.parquet(f"{idx_dir}/embeddings_indexed")
+    tombs = spark.read.parquet(f"{idx_dir}/tombstones")
+    rows_by_gen = {
+        g: {r.vec_id for r in idx.filter(F.col("gen") == g).collect()} for g in (0, 1, 2)
+    }
+    tombs_by_gen = {
+        g: {r.vec_id for r in tombs.filter(F.col("gen") == g).collect()} for g in (0, 1)
+    }
+    live = {r.vec_id for r in _live_index_rows(spark, idx_dir).select("vec_id").collect()}
+
+    # (a) tombstone-of-append
+    assert tombs_by_gen[1] & rows_by_gen[1], "no cycle-1 append was retired"
+    # (b) resurrection: cycle-1 tombstone, live gen-2 row
+    resurrected = tombs_by_gen[0] & rows_by_gen[2] & live
+    assert resurrected, "no doc removed in cycle 1 was re-added in cycle 2"
+    # (c) twice-edited: gen-1 and gen-2 rows, only gen-2 live
+    twice = rows_by_gen[1] & rows_by_gen[2]
+    assert twice, "no doc was edited in both cycles"
+    assert twice <= tombs_by_gen[1]  # their gen-1 rows are retired
+    # (d) live set ≡ v3 exactly
+    docs = load_table(spark, SF_SMOKE, "documents")
+    v3_ids = {r.doc_id for r in snapshot_v3_docs(docs).select("doc_id").collect()}
+    assert live == v3_ids
+
+
+def test_gen2_compact_mid_sequence_preserves_state(spark):
+    """base → cycle 1 → COMPACT → cycle 2 ends in the same live state
+    as the uncompacted two-cycle layout: same live (vec_id, gen-class)
+    rows, same serve result — maintenance can interleave with refresh
+    cycles at any point."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        _live_index_rows,
+        cdc_refreshed_index_gen2,
+        compact_mid_sequence_index,
+        index_refresh_cdc_gen2,
+        index_refresh_gen2_compact_mid,
+    )
+    from tests.conftest import SF_SMOKE
+
+    a = [(r.doc_id, r.score) for r in index_refresh_cdc_gen2(spark, SF_SMOKE).collect()]
+    b = [
+        (r.doc_id, r.score)
+        for r in index_refresh_gen2_compact_mid(spark, SF_SMOKE).collect()
+    ]
+    assert a == b
+    live_a = {
+        r.vec_id
+        for r in _live_index_rows(spark, cdc_refreshed_index_gen2(spark, SF_SMOKE))
+        .select("vec_id")
+        .collect()
+    }
+    live_b = {
+        r.vec_id
+        for r in _live_index_rows(spark, compact_mid_sequence_index(spark, SF_SMOKE))
+        .select("vec_id")
+        .collect()
+    }
+    assert live_a == live_b
+
+
+def test_streaming_fold_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id, same rows — the recovery case ADVICE r9 flagged) must
+    leave the layout byte-for-byte equivalent, not double-appended."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        build_base_snapshot_index,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import (
+        fold_micro_batch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = build_base_snapshot_index(spark, SF_SMOKE, batch_layout=True)
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def state():
+        idx = spark.read.parquet(f"{out}/embeddings_indexed")
+        tombs = spark.read.parquet(f"{out}/tombstones")
+        return (
+            sorted((r.vec_id, r.gen, r.batch) for r in idx.select("vec_id", "gen", "batch").collect()),
+            sorted((r.vec_id, r.gen, r.batch) for r in tombs.select("vec_id", "gen", "batch").collect()),
+        )
+
+    fold_micro_batch(spark, out, docs, batch_id=0)
+    first = state()
+    assert first[0] and first[1], "fold must have written appends and tombstones"
+    fold_micro_batch(spark, out, docs, batch_id=0)  # the replay
+    assert state() == first

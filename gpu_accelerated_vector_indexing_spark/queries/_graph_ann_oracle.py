@@ -133,26 +133,28 @@ def _beam_ctes(
     beam: int = BEAM_WIDTH,
     hops: int = BEAM_HOPS,
     ent: str = "ent",
+    en: str = "en",
 ) -> tuple[list[str], str]:
     """CTE parts for one beam search over final graph ``g`` starting
     from entry CTE ``ent``; names carry ``suffix`` so several searches
-    (the recall harness) coexist in one statement. Returns
-    (parts, final_visited_name)."""
+    (the recall harness) coexist in one statement. ``en`` names the
+    normed scoring corpus (the CDC refresh walks over the LIVE corpus,
+    not the build corpus). Returns (parts, final_visited_name)."""
     s = suffix
-    qscore = f"round(list_dot_product(en.v, q{s}.qv) / (en.nrm * q{s}.qn + 1e-8), 6)"
+    qscore = f"round(list_dot_product({en}.v, q{s}.qv) / ({en}.nrm * q{s}.qn + 1e-8), 6)"
     parts = [
-        f"q{s} AS (SELECT v AS qv, nrm AS qn FROM en WHERE vec_id = {query_id})",
+        f"q{s} AS (SELECT v AS qv, nrm AS qn FROM {en} WHERE vec_id = {query_id})",
         f"""v{s}_0 AS (
-  SELECT en.vec_id, {qscore} AS score
-  FROM en CROSS JOIN q{s} WHERE en.vec_id IN (SELECT vec_id FROM {ent}))""",
+  SELECT {en}.vec_id, {qscore} AS score
+  FROM {en} CROSS JOIN q{s} WHERE {en}.vec_id IN (SELECT vec_id FROM {ent}))""",
         f"f{s}_0 AS (SELECT vec_id FROM v{s}_0 ORDER BY score DESC, vec_id DESC LIMIT {beam})",
     ]
     for i in range(1, hops + 1):
         parts.append(f"""x{s}_{i} AS (
   SELECT DISTINCT gr.nbr AS vec_id FROM {g} gr JOIN f{s}_{i - 1} f ON gr.node = f.vec_id)""")
         parts.append(f"""s{s}_{i} AS (
-  SELECT en.vec_id, {qscore} AS score
-  FROM x{s}_{i} JOIN en USING (vec_id) CROSS JOIN q{s})""")
+  SELECT {en}.vec_id, {qscore} AS score
+  FROM x{s}_{i} JOIN {en} USING (vec_id) CROSS JOIN q{s})""")
         parts.append(f"""v{s}_{i} AS (
   SELECT vec_id, max(score) AS score FROM (
     SELECT * FROM v{s}_{i - 1} UNION ALL SELECT * FROM s{s}_{i}
@@ -717,3 +719,95 @@ def ndcg_beam_sweep_sql(
     joined = ",\n".join(parts)
     union = "\nUNION ALL\n".join(selects)
     return f"WITH {joined}\n{union}\nORDER BY beam"
+
+
+def graph_refresh_cdc_sql(query_id: int, k: int = 5) -> str:
+    """Replay the graph CDC refresh end to end: old-snapshot NN-descent
+    build → delta mask (removed ∪ changed dead) → neighborhood repair →
+    attach of added ∪ changed (changed scored with their REPLACED,
+    element-reversed vector) → beam walk over the refreshed graph from
+    live entries — graph_ann.cdc_refreshed_graph_index +
+    graph_refresh_cdc, stage for stage. Every predicate restates the
+    Spark side's modular slices; scoring joins run against the LIVE
+    normed corpus exactly where the Spark kernels use it."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        GRAPH_CDC_ADD_MOD as AM,
+        GRAPH_CDC_ADD_REM as AR,
+        GRAPH_CDC_CHG_MOD as CM,
+        GRAPH_CDC_CHG_REM as CR,
+        GRAPH_CDC_DEL_MOD as DM,
+        GRAPH_CDC_DEL_REM as DR,
+    )
+
+    def dead(c: str) -> str:
+        # applied to build-graph endpoints (all in the old snapshot):
+        # removed (old-only slice) or changed (vector replaced)
+        return f"({c} % {DM} = {DR} OR ({c} % {AM} <> {AR} AND {c} % {CM} = {CR}))"
+
+    def new(c: str) -> str:
+        # within the live corpus: added (new-only slice) or changed
+        return f"({c} % {AM} = {AR} OR ({c} % {AM} <> {AR} AND {c} % {CM} = {CR}))"
+    e_old = (
+        f"e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+        f" WHERE vec_id % {AM} <> {AR})"
+    )
+    ctes, g = graph_build_ctes(e_sql=e_old)
+    parts = [
+        ctes,
+        f"""gelive AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % {AM} <> {AR} AND vec_id % {CM} = {CR}
+              THEN list_reverse(embedding::DOUBLE[])
+              ELSE embedding::DOUBLE[] END AS v
+  FROM embeddings WHERE vec_id % {DM} <> {DR})""",
+        "enlive AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM gelive)",
+        f"""gcmask AS (
+  SELECT node, nbr FROM {g} WHERE NOT {dead('node')} AND NOT {dead('nbr')})""",
+        f"""gcaff AS (
+  SELECT DISTINCT node FROM {g} WHERE NOT {dead('node')} AND {dead('nbr')})""",
+        """gcund AS (
+  SELECT node, nbr FROM gcmask UNION ALL SELECT nbr AS node, node AS nbr FROM gcmask)""",
+        """gctwo AS (
+  SELECT a.node, b.nbr
+  FROM gcund a JOIN gcaff USING (node) JOIN gcund b ON a.nbr = b.node
+  WHERE b.nbr <> a.node)""",
+        """gcrcand AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT m.node, m.nbr FROM gcmask m JOIN gcaff USING (node)
+    UNION ALL SELECT node, nbr FROM gctwo))""",
+        _scored_topk("gcrcand", "gcrepaired", K_GRAPH, en="enlive"),
+        f"""gcranked AS (
+  SELECT vec_id, label,
+         (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // {SEED_WINDOW} AS cg
+  FROM gelive)""",
+        f"""gcseed AS (
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM gcranked a JOIN gcranked b
+    ON a.label = b.label AND a.cg = b.cg AND a.vec_id <> b.vec_id
+  WHERE {new('a.vec_id')} AND NOT {new('b.vec_id')}
+  UNION
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM gelive a JOIN gelive b
+    ON (a.vec_id // {SEED_WINDOW}) = (b.vec_id // {SEED_WINDOW})
+   AND a.vec_id <> b.vec_id
+  WHERE {new('a.vec_id')} AND NOT {new('b.vec_id')})""",
+        """gcrefine AS (
+  SELECT DISTINCT s.node, gg.nbr
+  FROM gcseed s JOIN gcmask gg ON s.nbr = gg.node WHERE s.node <> gg.nbr)""",
+        """gcacand AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT node, nbr FROM gcseed UNION ALL SELECT node, nbr FROM gcrefine))""",
+        _scored_topk("gcacand", "gcattached", K_GRAPH, en="enlive"),
+        """gcserve AS (
+  SELECT node, nbr FROM gcmask WHERE node NOT IN (SELECT node FROM gcaff)
+  UNION ALL SELECT node, nbr FROM gcrepaired
+  UNION ALL SELECT node, nbr FROM gcattached)""",
+        "entlc AS (SELECT min(vec_id) AS vec_id FROM gelive GROUP BY label)",
+    ]
+    bparts, v = _beam_ctes(query_id, "gcserve", suffix="gc", ent="entlc", en="enlive")
+    joined = ",\n".join([*parts, *bparts])
+    return (
+        f"WITH {joined}\n"
+        f"SELECT vec_id, score FROM {v}"
+        f" ORDER BY score DESC, vec_id DESC LIMIT {k}"
+    )

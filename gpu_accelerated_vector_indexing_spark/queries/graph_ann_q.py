@@ -224,3 +224,25 @@ def _merge_serve(spark, sf_dir):
 
 QUERIES["graph_merge_serve"] = _merge_serve
 ORACLES["graph_merge_serve"] = ORACLES["graph_shard_merge_search"]
+
+
+# --- r10: CDC refresh for the graph index (the IVF lifecycle's symmetry) ------
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    graph_refresh_cdc_sql,
+)
+
+
+def _graph_refresh_cdc(spark, sf_dir):
+    """One snapshot delta drives delete-repair AND attach in a single
+    maintenance pass over the OLD-snapshot graph, served through the
+    persisted GraphEngine layout — the oracle replays build → mask →
+    repair → attach → walk, so the whole pass is value-certified."""
+    return graph_ann.graph_refresh_cdc(
+        spark, sf_dir, query_id=graph_ann.GRAPH_CDC_QUERY_ID, k=K
+    )
+
+
+QUERIES["graph_refresh_cdc"] = _graph_refresh_cdc
+ORACLES["graph_refresh_cdc"] = graph_refresh_cdc_sql(
+    query_id=graph_ann.GRAPH_CDC_QUERY_ID, k=K
+)

@@ -16,54 +16,53 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Driver-gate rotation, round 9 (VERDICT r8 "Next round" #2): the
+# Driver-gate rotation, round 10 (VERDICT r9 "Next round" #4): the
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
-# The union closed at 276/276 through r8 (judge-computed, zero
-# never-gated names). This round's prefix = the 4 r9 novelties (the
-# CDC index-refresh composition, its accounting row, its streaming
-# twin, and the compaction close) + the 12 rows r9's changes touch
-# (the shared snapshot edit definition, the salted
-# as-of cogroup, the DSIR oracle HUGEINT promotion, the embed-CTE
-# refactor, and the graph-walk job-overhead pass) + the 3 r2-vintage
-# names that spilled past r8's cut + the 34 oldest r3-vintage names
-# (last-green computed from CORRECTNESS_r01..r08; at a strict 50 cut
-# the last three names spill with the remaining 14 r3 names to the
-# r10 rotation), so every name's freshest green keeps rotating forward.
+# The gate union closed at 280/280 through r9 (judge-computed, zero
+# never-gated names). This round's prefix = the 6 r10 novelties (the
+# gen-2 refresh loop + its accounting, mid-sequence-compaction, and
+# streaming twins, the v2→v3 change feed, and the graph-index CDC
+# refresh) +
+# the 7 rows r10's machinery changes touch (the (vec_id, gen)
+# tombstone schema + gen-aware masked reads behind every refresh
+# serve, the idempotent batch-keyed streaming layout, the compaction
+# staging write, the snapshot definitions the v3 slices extend, and
+# the IVFEngine.from_pretrained probe fallback behind both facade
+# serves) + the 17 remaining r3-vintage names + the 20 oldest
+# r4-vintage names (last-green computed from CORRECTNESS_r01..r09; at
+# a strict 50 cut the other 25 r4 names spill to r11), so every
+# name's freshest green keeps rotating forward.
 _GATE_FIRST = [
-    # --- round-9 novelties (never gated by definition)
-    "index_refresh_cdc", "index_refresh_stats", "streaming_index_refresh",
-    "index_refresh_compacted",
-    # --- re-confirmations: rows round-9 changes touch
-    "corpus_snapshot_diff",            # edit def now upper(text)||' rev2'
-    "join_asof_cogroup",               # hot-bucket salt + realiased branch
-    "embed_and_search",                # oracle rebuilt through embed_cte()
-    "curation_dsir_sample",            # oracle r_b::HUGEINT product
-    "dsir_state_roundtrip",            # ditto (hi/lo digest)
-    "curation_dsir_score_pretrained",  # ditto
-    "graph_engine_batch_search",       # serving-state memo + fused broadcast
-    "graph_serve_after_repair",        # serving-state memo
-    "graph_repair_recall",             # exact side collected once (InSet)
-    "multi_query_graph_beam",          # fused pair/query broadcast
-    "knn_graph_beam",                  # entry-id memo
-    "knn_graph_beam_with_deletes",     # masked-walk entry-id memo
-    # --- freshness rotation: 3 r2-vintage spills, then the 34 oldest
-    # r3-vintage names
-    "sql_scripting_report", "variant_props_stats", "zorder_layout",
-    "ann_method_comparison", "contrastive_triplets",
-    "copurchase_triangles", "corpus_clean_manifest", "corpus_integrity",
-    "corpus_pack_sequences", "corpus_shard_manifest",
-    "curation_decontaminate", "curation_decontaminate_semantic",
-    "curation_domain_cap", "curation_nb_language",
-    "curation_quality_filter", "curation_repetition_signals",
-    "dedup_embedding_topk", "dedup_exact_summary",
-    "dedup_incremental_batch", "dedup_jaccard_verified_lsh",
-    "dedup_minhash_lsh", "dedup_state_roundtrip",
-    "dedup_substring_spans", "embedding_drift", "ivf_centroid_refresh",
-    "ivf_delete_compact", "join_asof", "knn_chunk_pooled", "knn_ivf_pq",
-    "knn_ivf_pq_residual", "knn_matryoshka", "knn_maxsim", "knn_pq",
-    "knn_with_deletes", "quantiles_histogram", "refshape_search_bq",
-    "refshape_search_cli",
+    # --- round-10 novelties (never gated by definition)
+    "corpus_snapshot_diff_v3", "index_refresh_cdc_gen2",
+    "index_refresh_gen2_stats", "index_refresh_gen2_compact_mid",
+    "streaming_index_refresh_gen2", "graph_refresh_cdc",
+    # --- re-confirmations: rows round-10 changes touch
+    "index_refresh_cdc",        # (vec_id, gen) tombstones, cycle append
+    "index_refresh_stats",      # accounting through apply_refresh_cycle
+    "streaming_index_refresh",  # idempotent batch={id} overwrite layout
+    "index_refresh_compacted",  # staging write + gen-aware affected set
+    "corpus_snapshot_diff",     # the v1→v2 half of the extended snapshots
+    "engine_full_probe",        # from_pretrained probe try/except fallback
+    "engine_ivf_merge_serve",   # ditto (the merged-layout facade serve)
+    # --- freshness rotation: the 17 remaining r3-vintage names, then
+    # the 21 oldest r4-vintage names
+    "quantiles_histogram", "refshape_search_bq", "refshape_search_cli",
+    "sample_weighted_pps", "sketch_hll_distinct",
+    "sources_articles_roundtrip", "sources_bin_stream",
+    "sources_jsonl_shards", "sources_npy_roundtrip", "sources_roundtrip",
+    "streaming_incremental_dedup", "streaming_knn", "streaming_tumbling",
+    "text_bpe_compression", "text_bpe_merges", "text_bpe_train",
+    "udaf_geomean_price",
+    "ann_compression_error", "copurchase_kcore", "copurchase_lift",
+    "corpus_compaction_plan", "curation_mix_rebalance",
+    "curation_pii_redact", "curation_temperature_mix",
+    "dedup_corpus_overlap", "dedup_exact_keep", "dedup_simhash_pairs",
+    "dedup_substring_spans_hashed", "events_cohort_retention",
+    "events_funnel", "events_mad_outliers", "events_sequence_dataset",
+    "events_tumbling", "filtered_method_recall", "graph_ann_build",
+    "graph_ann_insert", "graph_recall_sweep",
 ]
 
 

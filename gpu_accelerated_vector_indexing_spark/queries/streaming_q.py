@@ -669,3 +669,30 @@ def _streaming_index_refresh_oracle() -> str:
 
 
 ORACLES["streaming_index_refresh"] = _streaming_index_refresh_oracle()
+
+
+# --- r10: streaming CDC refresh across snapshot VERSIONS ----------------------
+
+
+def _streaming_index_refresh_gen2(spark, sf_dir):
+    """Two change feeds (v1→v2, then v2→v3) drained into ONE persisted
+    layout — the CDC bus across generations: cycle-keyed batch
+    directories (idempotent overwrites), tombstones at dead-gen g-1,
+    appends at gen g. Must hit the batch gen-2 oracle exactly."""
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import (
+        streaming_index_refresh_gen2,
+    )
+
+    return streaming_index_refresh_gen2(spark, sf_dir)
+
+
+QUERIES["streaming_index_refresh_gen2"] = _streaming_index_refresh_gen2
+
+
+def _streaming_index_refresh_gen2_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.ivf_q import ORACLES as IVF_ORACLES
+
+    return IVF_ORACLES["index_refresh_cdc_gen2"]
+
+
+ORACLES["streaming_index_refresh_gen2"] = _streaming_index_refresh_gen2_oracle()

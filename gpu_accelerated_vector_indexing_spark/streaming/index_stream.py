@@ -89,31 +89,52 @@ def _classified(batch: DataFrame) -> DataFrame:
     )
 
 
+# batch-key stride between refresh CYCLES: cycle g's micro-batch ids
+# land at (g-1)·STRIDE + batch_id, so two drained change feeds (the
+# gen-2 stream) can never collide in the batch-keyed layout while a
+# replay within a cycle still overwrites its own directory. A stream
+# restart resets batch_id to its checkpoint, never past the stride.
+CYCLE_BATCH_STRIDE = 1_000_000
+
+
 def fold_micro_batch(
-    spark: SparkSession, out: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    out: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    classifier=None,
+    gen: int = 1,
 ) -> None:
     """One micro-batch's fold into the index layout at ``out`` —
     IDEMPOTENT per batch_id (ADVICE r9): foreachBatch is
     at-least-once, so a micro-batch replayed after a failure/restart
-    must not double-append. Every write lands in a batch={batch_id}
+    must not double-append. Every write lands in a batch={key}
     subdirectory with mode("overwrite") — a replay rewrites the SAME
     deterministic rows over the same directory (classification,
     embedding, and centroid assignment are all pure functions of the
     batch rows), so recovery from the layout + checkpoint holds by
     construction. Module-level (not a closure) so the idempotency
-    contract is directly testable."""
+    contract is directly testable.
+
+    ``classifier``/``gen`` parameterize the CYCLE (the gen-2 stream
+    folds the v2→v3 feed at gen=2): tombstones land at dead-gen
+    ``gen - 1``, appends at write-gen ``gen`` — the same monotone rule
+    as ``index_build.apply_refresh_cycle``."""
     from gpu_accelerated_vector_indexing_spark.operators.index_build import (
         _snapshot_emb,
         append_to_index,
     )
 
-    delta = _classified(batch_df)
+    delta = (classifier or _classified)(batch_df)
+    key = (gen - 1) * CYCLE_BATCH_STRIDE + batch_id
     (
         delta.filter(F.col("status").isin("removed", "changed"))
-        .select(F.col("doc_id").alias("vec_id"), F.lit(0).cast("int").alias("gen"))
+        .select(
+            F.col("doc_id").alias("vec_id"), F.lit(gen - 1).cast("int").alias("gen")
+        )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{out}/tombstones/batch={batch_id}")
+        .parquet(f"{out}/tombstones/batch={key}")
     )
     upserts = delta.filter(F.col("status").isin("added", "changed")).select(
         "doc_id", "text"
@@ -121,25 +142,55 @@ def fold_micro_batch(
     append_to_index(
         spark,
         out,
-        _snapshot_emb(upserts, gen=1),
-        write_path=f"{out}/embeddings_indexed/batch={batch_id}",
+        _snapshot_emb(upserts, gen=gen),
+        write_path=f"{out}/embeddings_indexed/batch={key}",
         write_mode="overwrite",
     )
 
 
-def _refreshed_dir(spark: SparkSession, sf_dir: str) -> str:
-    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
-        build_base_snapshot_index,
+def _classified_v3(batch: DataFrame) -> DataFrame:
+    """Row-local classification of the SECOND cycle's feed (v2 → v3):
+    restates curation's ``_v3_membership`` / ``snapshot_v3_docs`` as
+    pure row predicates — every row's fate is still a function of
+    (doc_id, text), which is what keeps the gen-2 stream
+    batching-invariant."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        SNAP3_EDIT_SUFFIX,
+        SNAP_EDIT_MOD,
+        SNAP_EDIT_REM,
+        SNAP_EDIT_SUFFIX,
+        _in_v2,
+        _v3_membership,
     )
 
-    key = (spark, sf_dir)
-    if key in _STREAM_INDEX_DIR:
-        return _STREAM_INDEX_DIR[key]
+    col = F.col("doc_id")
+    in_v2 = _in_v2(col)
+    in_v3, _, edited_v3 = _v3_membership(col)
+    v2_text = F.when(
+        col % SNAP_EDIT_MOD == SNAP_EDIT_REM,
+        F.concat(F.upper(F.col("text")), F.lit(SNAP_EDIT_SUFFIX)),
+    ).otherwise(F.col("text"))
+    v3_text = F.when(
+        edited_v3, F.concat(v2_text, F.lit(SNAP3_EDIT_SUFFIX))
+    ).otherwise(v2_text)
+    status = (
+        F.when(~in_v2 & in_v3, F.lit("added"))
+        .when(in_v2 & ~in_v3, F.lit("removed"))
+        .when(edited_v3, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return batch.filter(in_v2 | in_v3).select(
+        "doc_id", v3_text.alias("text"), status.alias("status")
+    )
 
-    out = build_base_snapshot_index(spark, sf_dir, batch_layout=True)
+
+def _drain_cycle(spark: SparkSession, sf_dir: str, out: str, classifier, gen: int) -> None:
+    """Drain ONE change feed into the layout at ``out`` (cycle ``gen``):
+    the generic foreachBatch driver both the single-cycle and gen-2
+    streaming refreshes run per cycle."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        fold_micro_batch(spark, out, batch_df, batch_id)
+        fold_micro_batch(spark, out, batch_df, batch_id, classifier=classifier, gen=gen)
 
     q = (
         documents_stream(spark, sf_dir)
@@ -155,6 +206,19 @@ def _refreshed_dir(spark: SparkSession, sf_dir: str) -> str:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def _refreshed_dir(spark: SparkSession, sf_dir: str) -> str:
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        build_base_snapshot_index,
+    )
+
+    key = (spark, sf_dir)
+    if key in _STREAM_INDEX_DIR:
+        return _STREAM_INDEX_DIR[key]
+
+    out = build_base_snapshot_index(spark, sf_dir, batch_layout=True)
+    _drain_cycle(spark, sf_dir, out, _classified, gen=1)
     _STREAM_INDEX_DIR[key] = out
     return out
 
@@ -170,4 +234,43 @@ def streaming_index_refresh(spark: SparkSession, sf_dir: str, k: int = 5) -> Dat
 
     with _lock:
         idx_dir = _refreshed_dir(spark, sf_dir)
+    return serve_refreshed_index(spark, idx_dir, k)
+
+
+# (spark, sf_dir) → the gen-2 stream's own twice-refreshed layout
+_STREAM_GEN2_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def _refreshed_dir_gen2(spark: SparkSession, sf_dir: str) -> str:
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        build_base_snapshot_index,
+    )
+
+    key = (spark, sf_dir)
+    if key in _STREAM_GEN2_DIR:
+        return _STREAM_GEN2_DIR[key]
+
+    out = build_base_snapshot_index(spark, sf_dir, batch_layout=True)
+    _drain_cycle(spark, sf_dir, out, _classified, gen=1)
+    _drain_cycle(spark, sf_dir, out, _classified_v3, gen=2)
+    _STREAM_GEN2_DIR[key] = out
+    return out
+
+
+def streaming_index_refresh_gen2(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """The CDC bus flowing across SNAPSHOT VERSIONS: drain the v1→v2
+    feed, then the v2→v3 feed, into one persisted layout (cycle-keyed
+    batch directories, tombstones at dead-gen g-1, appends at gen g)
+    and serve — must produce EXACTLY ``index_refresh_cdc_gen2``'s rows
+    (shared serve definition, shared oracle): the streaming fold and
+    the nightly batch loop maintain the same index across generations,
+    not just within one."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        serve_refreshed_index,
+    )
+
+    with _lock:
+        idx_dir = _refreshed_dir_gen2(spark, sf_dir)
     return serve_refreshed_index(spark, idx_dir, k)

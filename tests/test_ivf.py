@@ -1122,3 +1122,25 @@ def test_streaming_fold_replay_is_idempotent(spark):
     assert first[0] and first[1], "fold must have written appends and tombstones"
     fold_micro_batch(spark, out, docs, batch_id=0)  # the replay
     assert state() == first
+
+
+def test_streaming_gen2_equals_batch_gen2(spark):
+    """The gen-2 stream (two drained change feeds, cycle-keyed batch
+    dirs) and the batch gen-2 loop must maintain the SAME index: serve
+    rows identical."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        index_refresh_cdc_gen2,
+    )
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import (
+        streaming_index_refresh_gen2,
+    )
+    from tests.conftest import SF_SMOKE
+
+    batch = [
+        (r.doc_id, r.score) for r in index_refresh_cdc_gen2(spark, SF_SMOKE).collect()
+    ]
+    stream = [
+        (r.doc_id, r.score)
+        for r in streaming_index_refresh_gen2(spark, SF_SMOKE).collect()
+    ]
+    assert stream == batch

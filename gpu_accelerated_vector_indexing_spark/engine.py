@@ -109,6 +109,8 @@ class IVFEngine:
 
             try:
                 tombs = spark.read.parquet(tomb_path)
+                tombs.columns  # Connect reads are LAZY — force analysis
+                # here so a missing path surfaces now, not at first search
             except AnalysisException:
                 tombs = None
         return cls(

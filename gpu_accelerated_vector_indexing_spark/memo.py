@@ -104,13 +104,21 @@ def _key_session(key: Any) -> Any:
 
 
 def _is_stopped(session: Any) -> bool:
-    """True when a session's JVM context is gone (``spark.stop()`` ran)
-    — its executor storage is already released and its temp layouts can
-    have no in-flight readers."""
+    """True when a session is provably stopped — its executor storage
+    is already released and its temp layouts can have no in-flight
+    readers. Classic sessions expose the JVM context (None after
+    ``spark.stop()``); Spark Connect sessions expose a client-closed
+    flag. An UNRECOGNIZED session type is assumed LIVE (the sweep must
+    never yank state out from under a session it can't classify —
+    purge those explicitly)."""
     try:
-        return session.sparkContext._jsc is None
+        return session.sparkContext._jsc is None  # classic
     except Exception:
-        return True  # no reachable context ⇒ nothing live to disturb
+        pass
+    try:
+        return bool(session.client.is_closed)  # Spark Connect
+    except Exception:
+        return False
 
 
 def clear_session_caches(
@@ -140,7 +148,14 @@ def clear_session_caches(
             if spark is not None:
                 if sess is not spark:
                     continue
-            elif isinstance(sess, SparkSession) and not _is_stopped(sess):
+            elif (
+                # duck-typed: classic AND Connect sessions (different
+                # classes) both expose read/sql; non-session keys fall
+                # through and stay evictable as before
+                hasattr(sess, "read")
+                and hasattr(sess, "sql")
+                and not _is_stopped(sess)
+            ):
                 continue
             _unpersist(cache.pop(key))
             evicted += 1

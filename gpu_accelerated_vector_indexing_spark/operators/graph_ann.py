@@ -1659,9 +1659,14 @@ def cdc_refreshed_graph_index(spark: SparkSession, sf_dir: str) -> str:
         return _GRAPH_CDC_INDEX_DIR[key]
 
     old = load_table(spark, sf_dir, "embeddings").filter(_cdc_in_old(F.col("vec_id")))
-    g = build_knn_graph_over(old, _normed(old))
+    # both normed relations are build-scoped: cached for the build's
+    # many scoring actions (seed + 4 descent rounds / repair + attach),
+    # unpersisted once the index write lands — downstream serves read
+    # the PERSISTED corpus_normed, never these
+    old_n = _normed(old).cache()
+    g = build_knn_graph_over(old, old_n)
     live = _cdc_live_emb(spark, sf_dir)
-    live_n = _normed(live).cache()  # scores repair AND attach AND serves
+    live_n = _normed(live).cache()
 
     dead_node = _cdc_dead(F.col("node"))
     dead_nbr = _cdc_dead(F.col("nbr"))
@@ -1708,6 +1713,8 @@ def cdc_refreshed_graph_index(spark: SparkSession, sf_dir: str) -> str:
         full,
         corpus_normed,
     )
+    old_n.unpersist()
+    live_n.unpersist()
     return _GRAPH_CDC_INDEX_DIR[key]
 
 

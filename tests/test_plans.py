@@ -616,3 +616,18 @@ def test_curriculum_single_corpus_shuffle(spark):
     count."""
     plan = physical_plan(_q(spark, "corpus_curriculum_plan"))
     assert plan.count("Exchange") == 2, plan
+
+
+def test_gen2_serve_masked_read_is_broadcast_anti_with_pruning(spark):
+    """The twice-refreshed serve keeps the masked-read scale posture:
+    the tombstone retirement is a BROADCAST anti-join (the list is
+    delta-sized — a shuffled anti here would move the corpus), and the
+    fine scan still lists only probed cluster directories
+    (PartitionFilters survives composing with the gen-aware anti-join
+    across TWO tombstone generations)."""
+    plan = physical_plan(_q(spark, "index_refresh_cdc_gen2"))
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, plan
+    assert all("BroadcastHashJoin" in ln for ln in anti_lines), plan
+    assert "PartitionFilters" in plan, plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1][:200], plan

@@ -1105,3 +1105,159 @@ def pq_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micro_sum).alias("recon_checksum"),
     )
     return b.crossJoin(F.broadcast(r))
+
+
+# ---------------------------------------------------------------------------
+# CDC refresh for the PQ index (r10) — the compression rung's lifecycle
+# ---------------------------------------------------------------------------
+# The third index family joins the CDC loop (IVF: index_build.
+# cdc_refreshed_index; graph: graph_ann.cdc_refreshed_graph_index),
+# sharing the ONE vector-corpus snapshot definition (graph_ann's
+# modular vec_id slices; changed = vector replaced by element
+# reversal). The PQ-specific posture: codebooks are STORED state —
+# the delta encodes with the trained books (the assign_incremental /
+# nearest-stored-centroid analog), never refits; removed + changed
+# rows tombstone their base code rows; serving ADC-scans the live
+# codes and exact-rescores candidates against live vectors. The
+# reference cannot do any of this (immutable build artifacts,
+# ≙ IVF.cpp:439-524).
+
+_PQ_CDC_DIR: dict[tuple[SparkSession, str], str] = {}
+_PQ_CDC_BOOKS_CACHE: dict[tuple[SparkSession, str], list[list[list[float]]]] = {}
+
+
+def cdc_refreshed_pq_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build the OLD-snapshot PQ state (codebooks trained on the old
+    corpus' deterministic sample + base codes at gen 0), then apply the
+    snapshot delta: dead rows (removed ∪ changed) tombstone at dead-gen
+    0, new rows (added ∪ changed) encode their LIVE vector with the
+    STORED codebooks and append at gen 1. Refresh cost is O(|delta|)
+    encodes — no Lloyd re-run, no base re-encode."""
+    import tempfile
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        _cdc_dead,
+        _cdc_in_old,
+        _cdc_live_emb,
+        _cdc_new_node,
+    )
+
+    key = (spark, sf_dir)
+    if key in _PQ_CDC_DIR:
+        return _PQ_CDC_DIR[key]
+
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_pqcdc_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(_cdc_in_old(F.col("vec_id")))
+    sample = (
+        old.orderBy("vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .select(as_double_array("embedding").alias("v"))
+        .collect()
+    )
+    books = _lloyd_fit([r.v for r in sample])
+    dim = len(sample[0].v)
+    spark.createDataFrame(
+        [
+            (s, cw + 1, books[s][cw])
+            for s in range(len(books))
+            for cw in range(len(books[s]))
+        ],
+        "subspace int, codeword int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{out}/codebooks")
+    old.select(
+        "vec_id",
+        "label",
+        _pq_encode(as_double_array("embedding"), books, dim).alias("codes"),
+        F.lit(0).cast("int").alias("gen"),
+    ).write.mode("overwrite").parquet(f"{out}/codes")
+    # the delta, applied with the index_build.TOMBSTONE_SCHEMA rule
+    # (tombstone gen = max retired generation)
+    emb.filter(_cdc_dead(F.col("vec_id"))).select(
+        "vec_id", F.lit(0).cast("int").alias("gen")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/tombstones")
+    _cdc_live_emb(spark, sf_dir).filter(_cdc_new_node(F.col("vec_id"))).select(
+        "vec_id",
+        "label",
+        _pq_encode(as_double_array("embedding"), books, dim).alias("codes"),
+        F.lit(1).cast("int").alias("gen"),
+    ).write.mode("append").parquet(f"{out}/codes")
+    _PQ_CDC_BOOKS_CACHE[key] = books
+    _PQ_CDC_DIR[key] = out
+    return out
+
+
+def pq_refresh_cdc(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 1,
+    k: int = 5,
+    n_candidates: int = 150,
+) -> DataFrame:
+    """Serve THROUGH the CDC-refreshed PQ state: ADC-rank the LIVE
+    codes (base ∖ tombstoned ∪ appended — the masked-read anti-join),
+    exact-rescore candidates against live vectors. query 1 is in both
+    snapshots and unchanged, so both engines read the same query
+    vector. The oracle replays old-corpus Lloyd fit → live-corpus
+    encode with those books → ADC rank → exact rescore."""
+    import numpy as np
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import _cdc_live_emb
+
+    out = cdc_refreshed_pq_state(spark, sf_dir)
+    books = _PQ_CDC_BOOKS_CACHE.get((spark, sf_dir))
+    if books is None:
+        # a fresh session serving a persisted layout: load the STORED
+        # codebooks (serving never refits)
+        brows = spark.read.parquet(f"{out}/codebooks").orderBy(
+            "subspace", "codeword"
+        ).collect()
+        books = [
+            [list(r.centroid) for r in brows if r.subspace == s]
+            for s in range(PQ_SUBSPACES)
+        ]
+        _PQ_CDC_BOOKS_CACHE[(spark, sf_dir)] = books
+
+    codes = spark.read.parquet(f"{out}/codes")
+    tombs = spark.read.parquet(f"{out}/tombstones").select(
+        F.col("vec_id").alias("t_vec_id"), F.col("gen").alias("t_gen")
+    )
+    live_codes = codes.join(
+        F.broadcast(tombs),
+        (codes.vec_id == tombs.t_vec_id) & (codes.gen <= tombs.t_gen),
+        "left_anti",
+    )
+
+    q = query_vectors(spark, sf_dir, [query_id])
+    qrow = q.select("qvec", "qnorm").first()
+    qvec, qnorm = np.asarray(qrow.qvec), float(qrow.qnorm)
+    sub = len(qvec) // PQ_SUBSPACES
+    dot_luts, nsq_luts = [], []
+    for s, book in enumerate(books):
+        B = np.asarray(book)
+        dot_luts.append(_lit_array((B @ qvec[s * sub : (s + 1) * sub]).tolist()))
+        nsq_luts.append(_lit_array((B * B).sum(axis=1).tolist()))
+    approx_dot = sum(
+        F.element_at(dot_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES)
+    )
+    recon_norm = F.sqrt(
+        sum(F.element_at(nsq_luts[s], F.col("codes")[s]) for s in range(PQ_SUBSPACES))
+    )
+    approx = approx_dot / (recon_norm * F.lit(qnorm) + F.lit(EPSILON))
+    candidates = (
+        live_codes.select("vec_id", F.round(approx, 6).alias("approx_score"))
+        .orderBy(F.desc("approx_score"), F.desc("vec_id"))
+        .limit(n_candidates)
+        .select("vec_id")
+    )
+    live = _cdc_live_emb(spark, sf_dir)
+    exact = cosine_similarity_hoisted(
+        as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
+    )
+    return (
+        live.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(exact, 6).alias("score"))
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )

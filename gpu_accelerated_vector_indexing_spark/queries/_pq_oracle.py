@@ -23,7 +23,13 @@ from gpu_accelerated_vector_indexing_spark.operators.quantize import (
 )
 
 
-def pq_replay_ctes(query_id: int, dim: int, residual: bool = False) -> str:
+def pq_replay_ctes(
+    query_id: int,
+    dim: int,
+    residual: bool = False,
+    sample_rel: str = "embeddings",
+    corpus_rel: str = "embeddings",
+) -> str:
     """CTE chain ending in ``{p}approx(vec_id, label, ascore)`` — the
     rounded ADC approximate score of every corpus vector for one query
     (prefix ``p`` = ``pq_`` for raw-vector codes, ``pqr_`` for residual
@@ -43,6 +49,13 @@ def pq_replay_ctes(query_id: int, dim: int, residual: bool = False) -> str:
     centroid back; the block then REQUIRES the shared IVF ``cent`` and
     ``q`` CTEs (``ivf_q._ivf_ctes``) in scope — the same rounded
     centroids Spark memoizes as index state.
+
+    ``sample_rel``/``corpus_rel`` (r10, non-residual only) decouple the
+    TRAINING corpus from the ENCODED corpus — the PQ CDC refresh trains
+    on the OLD snapshot and encodes the LIVE one with those stored
+    books; both default to ``embeddings`` (byte-identical SQL to the
+    pre-parameter form). The relations must expose
+    (vec_id, label, embedding).
     """
     p = "pqr_" if residual else "pq_"
     sub = dim // PQ_SUBSPACES
@@ -65,13 +78,13 @@ def pq_replay_ctes(query_id: int, dim: int, residual: bool = False) -> str:
         allsub_from = f"FROM embeddings e JOIN cent c ON e.label = c.label CROSS JOIN {p}ss ss"
     else:
         sample_src = f"""
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM {sample_rel}
   ORDER BY vec_id LIMIT {PQ_TRAIN_SAMPLE}"""
         allsub_x = (
             f"list_transform(generate_series(1, {sub}), "
             f"i -> e.embedding[ss.s * {sub} + i]::DOUBLE)"
         )
-        allsub_from = f"FROM embeddings e CROSS JOIN {p}ss ss"
+        allsub_from = f"FROM {corpus_rel} e CROSS JOIN {p}ss ss"
     parts = [
         f"""
 {p}sample AS ({sample_src}
@@ -234,3 +247,39 @@ WHERE e.vec_id IN (SELECT vec_id FROM pqr_cand)
 ORDER BY score DESC, vec_id DESC LIMIT {k}
 """
     )
+
+
+def pq_refresh_cdc_sql(query_id: int, dim: int, k: int, n_candidates: int) -> str:
+    """Full-value oracle for ``quantize.pq_refresh_cdc``: replay the
+    OLD-snapshot Lloyd fit (codebooks = stored state), encode the LIVE
+    corpus with those books (changed rows carry their element-reversed
+    replacement vector — exactly what the Spark side's delta append
+    encodes), ADC-rank, then exact-rescore candidates against the live
+    vectors. Slice predicates restate graph_ann's ONE vector-corpus
+    snapshot definition."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        GRAPH_CDC_ADD_MOD as AM,
+        GRAPH_CDC_ADD_REM as AR,
+        GRAPH_CDC_CHG_MOD as CM,
+        GRAPH_CDC_CHG_REM as CR,
+        GRAPH_CDC_DEL_MOD as DM,
+        GRAPH_CDC_DEL_REM as DR,
+    )
+
+    sample_rel = f"(SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % {AM} <> {AR})"
+    live_rel = f"""(
+  SELECT vec_id, label,
+         CASE WHEN vec_id % {AM} <> {AR} AND vec_id % {CM} = {CR}
+              THEN list_reverse(embedding::DOUBLE[])
+              ELSE embedding::DOUBLE[] END AS embedding
+  FROM embeddings WHERE vec_id % {DM} <> {DR})"""
+    return f"""
+WITH {pq_replay_ctes(query_id, dim, sample_rel=sample_rel, corpus_rel=live_rel)},
+pq_cand AS (
+  SELECT vec_id FROM pq_approx ORDER BY ascore DESC, vec_id DESC LIMIT {n_candidates}
+)
+SELECT e.vec_id, {_COS} AS score
+FROM {live_rel} e CROSS JOIN pq_q q
+WHERE e.vec_id IN (SELECT vec_id FROM pq_cand)
+ORDER BY score DESC, vec_id DESC LIMIT {k}
+"""

@@ -643,3 +643,23 @@ QUERIES["knn_sq4"] = _knn_sq4
 # approx ≡ exact contract at the widened candidate margin — same oracle
 # posture as knn_sq8
 ORACLES["knn_sq4"] = ORACLES["knn_bruteforce"]
+
+
+# --- r10: CDC refresh for the PQ index (the compression rung's lifecycle) -----
+from gpu_accelerated_vector_indexing_spark.queries._pq_oracle import (  # noqa: E402
+    pq_refresh_cdc_sql as _pq_refresh_cdc_sql,
+)
+
+
+def _pq_refresh_cdc(spark, sf_dir):
+    """Codebooks = stored state trained on the OLD snapshot; the delta
+    encodes with those books (no Lloyd re-run), dead rows tombstone,
+    serving ADC-scans live codes and exact-rescores against live
+    vectors — the third index family in the CDC loop."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import pq_refresh_cdc
+
+    return pq_refresh_cdc(spark, sf_dir, query_id=1, k=K, n_candidates=150)
+
+
+QUERIES["pq_refresh_cdc"] = _pq_refresh_cdc
+ORACLES["pq_refresh_cdc"] = _pq_refresh_cdc_sql(1, dim=64, k=K, n_candidates=150)

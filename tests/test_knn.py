@@ -313,3 +313,62 @@ def test_sq4_margin_headroom(spark):
                 f"{sf} q{qid}: exact top-{k} ids {missing} fall outside the "
                 f"top {n_candidates // 2} by SQ4 approx score — margin headroom lost"
             )
+
+
+def test_pq_refresh_cdc_lifecycle(spark):
+    """Structural pins on the CDC-refreshed PQ state (the oracle
+    value-certifies the served top-k): live code rows ≡ the live
+    snapshot exactly, appends carry gen 1, a changed doc's replacement
+    code row differs from its tombstoned base row (the replaced vector
+    genuinely re-encoded), and unchanged docs' codes are untouched
+    base rows (gen 0)."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        _cdc_dead,
+        _cdc_in_new,
+        _cdc_in_old,
+        _cdc_new_node,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        cdc_refreshed_pq_state,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = cdc_refreshed_pq_state(spark, SF_SMOKE)
+    codes = spark.read.parquet(f"{out}/codes")
+    tombs = spark.read.parquet(f"{out}/tombstones").select(
+        F.col("vec_id").alias("t_vec_id"), F.col("gen").alias("t_gen")
+    )
+    live_codes = codes.join(
+        F.broadcast(tombs),
+        (codes.vec_id == tombs.t_vec_id) & (codes.gen <= tombs.t_gen),
+        "left_anti",
+    )
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    live_ids = {
+        r.vec_id for r in emb.filter(_cdc_in_new(F.col("vec_id"))).select("vec_id").collect()
+    }
+    assert {r.vec_id for r in live_codes.select("vec_id").collect()} == live_ids
+    by_gen = {
+        r.gen: r.n
+        for r in live_codes.groupBy("gen").agg(F.count("*").alias("n")).collect()
+    }
+    new_n = emb.filter(_cdc_new_node(F.col("vec_id"))).count()
+    assert by_gen.get(1, 0) == new_n and by_gen.get(0, 0) == len(live_ids) - new_n
+
+    # a changed doc appears twice in the codes table: its dead gen-0
+    # row and its live gen-1 replacement, with different codes
+    changed = (
+        codes.filter(_cdc_dead(F.col("vec_id")) & _cdc_in_new(F.col("vec_id")) & _cdc_in_old(F.col("vec_id")))
+        .select("vec_id", "gen", "codes")
+        .collect()
+    )
+    by_id = {}
+    for r in changed:
+        by_id.setdefault(r.vec_id, {})[r.gen] = list(r.codes)
+    assert by_id, "changed slice must be populated"
+    assert any(0 in v and 1 in v and v[0] != v[1] for v in by_id.values()), (
+        "no changed doc's replacement re-encoded to different codes"
+    )

@@ -234,6 +234,14 @@ BENCH_QUERIES = [
     ("index_refresh_stats", _collect),
     ("streaming_index_refresh", _collect),  # run 1 drains the feed into a fresh base
     ("index_refresh_compacted", _collect),  # run 1 builds + refreshes + compacts its copy
+    # r10: the refresh as a LOOP (gen 2) + the other two index families
+    ("corpus_snapshot_diff_v3", _noop),
+    ("index_refresh_cdc_gen2", _collect),  # run 1 pays base build + two cycles
+    ("index_refresh_gen2_stats", _collect),
+    ("index_refresh_gen2_compact_mid", _collect),  # run 1: base → c1 → compact → c2
+    ("streaming_index_refresh_gen2", _collect),  # run 1 drains BOTH feeds
+    ("graph_refresh_cdc", _collect),  # run 1 pays old-corpus build + mask/repair/attach
+    ("pq_refresh_cdc", _collect),  # run 1 pays old-corpus fit + encode + delta
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     ("streaming_index_refresh_gen2", _collect),  # run 1 drains BOTH feeds
     ("graph_refresh_cdc", _collect),  # run 1 pays old-corpus build + mask/repair/attach
     ("pq_refresh_cdc", _collect),  # run 1 pays old-corpus fit + encode + delta
+    ("graph_refresh_cdc_gen2", _collect),  # run 1: delta 2 over the persisted cycle-1 index
+    ("pq_refresh_cdc_gen2", _collect),  # run 1: base+cycle1 copy + delta 2
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

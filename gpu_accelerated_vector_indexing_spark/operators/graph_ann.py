@@ -1735,3 +1735,156 @@ def graph_refresh_cdc(
     return eng.search(fixture_qvec(spark, sf_dir, query_id), k=k).select(
         "vec_id", "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Second delta (r10): the vector corpus' snapshot N+2 — the CDC loop LOOPS
+# ---------------------------------------------------------------------------
+# Mirrors the documents family's v3 design: delta-2 classes deliberately
+# OVERLAP delta-1's so cycle 2 must retire cycle-1 WORK, not just base
+# rows (populations at the 500-vector fixture): 13 cycle-1 attaches are
+# removed (tombstone-of-append), 9 vectors are replaced TWICE
+# (negate ∘ reverse), 12 cycle-1 removals are re-added (resurrection),
+# 2 cycle-1 adds are changed. The second replacement transform is
+# element NEGATION — distinct from the original AND from the reversal
+# (reverse∘reverse would silently revert to the original), and exactly
+# restatable as list_transform(v, x -> -x).
+
+GRAPH_CDC2_DEL_MOD, GRAPH_CDC2_DEL_REM = 7, 3    # among v2 members
+GRAPH_CDC2_ADD_MOD, GRAPH_CDC2_ADD_REM = 4, 1    # among non-members
+GRAPH_CDC2_CHG_MOD, GRAPH_CDC2_CHG_REM = 15, 8   # among v2 survivors
+
+
+def _cdc2_changed(c):
+    return (
+        _cdc_in_new(c)
+        & (c % GRAPH_CDC2_DEL_MOD != GRAPH_CDC2_DEL_REM)
+        & (c % GRAPH_CDC2_CHG_MOD == GRAPH_CDC2_CHG_REM)
+    )
+
+
+def _cdc_in_v3(c):
+    return (_cdc_in_new(c) & (c % GRAPH_CDC2_DEL_MOD != GRAPH_CDC2_DEL_REM)) | (
+        ~_cdc_in_new(c) & (c % GRAPH_CDC2_ADD_MOD == GRAPH_CDC2_ADD_REM)
+    )
+
+
+def _cdc2_dead(c):
+    """Rows delta 2 retires from the CYCLE-1 graph: removed ∪ changed
+    (every cycle-1 node is a v2 member, so the in-v2 guard is implied
+    on that set — kept explicit so the predicate is corpus-agnostic)."""
+    return _cdc_in_new(c) & (
+        (c % GRAPH_CDC2_DEL_MOD == GRAPH_CDC2_DEL_REM)
+        | (c % GRAPH_CDC2_CHG_MOD == GRAPH_CDC2_CHG_REM)
+    )
+
+
+def _cdc2_new_node(c):
+    """Rows delta 2 attaches: re-added ∪ changed."""
+    return _cdc_in_v3(c) & (~_cdc_in_new(c) | _cdc2_changed(c))
+
+
+def _cdc_live_emb_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot N+2's corpus: the v2 replacement rule applied first
+    (reversal for delta-1-changed rows), then NEGATION for the
+    delta-2-changed slice — a twice-changed vector is negate∘reverse
+    of the original, a pure row-local composition both engines restate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v2 = F.when(
+        _cdc_changed(F.col("vec_id")), F.reverse(F.col("embedding"))
+    ).otherwise(F.col("embedding"))
+    v3 = F.when(
+        _cdc2_changed(F.col("vec_id")), F.transform(v2, lambda x: -x)
+    ).otherwise(v2)
+    return emb.filter(_cdc_in_v3(F.col("vec_id"))).select(
+        "vec_id", "label", v3.alias("embedding")
+    )
+
+
+_GRAPH_CDC2_INDEX_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def cdc_refreshed_graph_index_gen2(spark: SparkSession, sf_dir: str) -> str:
+    """Apply the SECOND snapshot delta to the PERSISTED cycle-1 index —
+    the nightly loop actually looping for the graph family: read the
+    cycle-1 layout from disk (edges ∪ repaired ∪ attached — exactly
+    what a fresh session would serve), mask delta-2 dead nodes, repair
+    the newly damaged neighborhoods, attach the delta-2 batch, persist.
+    Every re-rank scores against the v3-live corpus (twice-changed
+    vectors carry negate∘reverse of the original); surviving edges'
+    stored scores stay valid because any endpoint whose vector moved is
+    dead-masked by construction. Repair stays damage-bounded, attach
+    stays batch-bounded — two cycles cost two deltas, never two builds."""
+    key = (spark, sf_dir)
+    if key in _GRAPH_CDC2_INDEX_DIR:
+        return _GRAPH_CDC2_INDEX_DIR[key]
+
+    idx1 = cdc_refreshed_graph_index(spark, sf_dir)
+    edges1 = spark.read.parquet(f"{idx1}/edges")
+    live3 = _cdc_live_emb_v3(spark, sf_dir)
+    live3_n = _normed(live3).cache()
+
+    dead_node = _cdc2_dead(F.col("node"))
+    dead_nbr = _cdc2_dead(F.col("nbr"))
+    masked = edges1.filter(~dead_node & ~dead_nbr)
+    affected = edges1.filter(~dead_node & dead_nbr).select("node").distinct()
+
+    surv = masked.select("node", "nbr").join(F.broadcast(affected), "node")
+    und = masked.select("node", "nbr").union(
+        masked.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    )
+    twohop = (
+        und.join(F.broadcast(affected), "node")
+        .select("node", F.col("nbr").alias("mid"))
+        .join(und.select(F.col("node").alias("mid"), "nbr"), "mid")
+        .filter(F.col("nbr") != F.col("node"))
+        .select("node", "nbr")
+    )
+    rcand = surv.select("node", "nbr").union(twohop).distinct()
+    repaired = _topk_per_node(_score_pairs(rcand, live3_n), K_GRAPH)
+
+    grouped = _grouped(live3)
+    new_pred = _cdc2_new_node(F.col("vec_id"))
+    acand = attach_candidates(
+        grouped.filter(new_pred),
+        grouped.filter(~new_pred),
+        masked.select("node", "nbr"),
+    )
+    attached = _topk_per_node(_score_pairs(acand, live3_n), K_GRAPH)
+
+    unaffected = masked.join(F.broadcast(affected), "node", "left_anti")
+    full = (
+        unaffected.select("node", "nbr", "score", "rk")
+        .unionByName(repaired.select("node", "nbr", "score", "rk"))
+        .unionByName(attached.select("node", "nbr", "score", "rk"))
+    )
+    corpus_normed = live3.select("vec_id", "label").join(live3_n, "vec_id")
+    ensure_graph_index(
+        _GRAPH_CDC2_INDEX_DIR,
+        key,
+        "gpu_accelerated_vector_indexing_graphcdc2_",
+        full,
+        corpus_normed,
+    )
+    live3_n.unpersist()
+    return _GRAPH_CDC2_INDEX_DIR[key]
+
+
+def graph_refresh_cdc_gen2(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = GRAPH_CDC_QUERY_ID,
+    k: int = 5,
+) -> DataFrame:
+    """Serve THROUGH the twice-refreshed graph index (query 1 misses
+    every slice of both deltas, so all engines read the same query
+    vector). The oracle replays build → delta-1 mask/repair/attach →
+    delta-2 mask/repair/attach → walk over the v3 corpus."""
+    from gpu_accelerated_vector_indexing_spark.engine import GraphEngine
+
+    eng = GraphEngine.from_pretrained(
+        spark, cdc_refreshed_graph_index_gen2(spark, sf_dir)
+    )
+    return eng.search(fixture_qvec(spark, sf_dir, query_id), k=k).select(
+        "vec_id", "score"
+    )

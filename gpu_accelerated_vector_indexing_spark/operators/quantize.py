@@ -1126,13 +1126,11 @@ _PQ_CDC_DIR: dict[tuple[SparkSession, str], str] = {}
 _PQ_CDC_BOOKS_CACHE: dict[tuple[SparkSession, str], list[list[list[float]]]] = {}
 
 
-def cdc_refreshed_pq_state(spark: SparkSession, sf_dir: str) -> str:
-    """Build the OLD-snapshot PQ state (codebooks trained on the old
-    corpus' deterministic sample + base codes at gen 0), then apply the
-    snapshot delta: dead rows (removed ∪ changed) tombstone at dead-gen
-    0, new rows (added ∪ changed) encode their LIVE vector with the
-    STORED codebooks and append at gen 1. Refresh cost is O(|delta|)
-    encodes — no Lloyd re-run, no base re-encode."""
+def _pq_cdc_build(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Un-memoized base + cycle-1 build (old-corpus fit, base encode,
+    delta-1 tombstones/appends) into a fresh directory — shared by the
+    single-cycle and gen-2 states (each memoizes its OWN copy). Returns
+    (dir, codebooks)."""
     import tempfile
 
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
@@ -1141,10 +1139,6 @@ def cdc_refreshed_pq_state(spark: SparkSession, sf_dir: str) -> str:
         _cdc_live_emb,
         _cdc_new_node,
     )
-
-    key = (spark, sf_dir)
-    if key in _PQ_CDC_DIR:
-        return _PQ_CDC_DIR[key]
 
     out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_pqcdc_")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1182,9 +1176,58 @@ def cdc_refreshed_pq_state(spark: SparkSession, sf_dir: str) -> str:
         _pq_encode(as_double_array("embedding"), books, dim).alias("codes"),
         F.lit(1).cast("int").alias("gen"),
     ).write.mode("append").parquet(f"{out}/codes")
-    _PQ_CDC_BOOKS_CACHE[key] = books
-    _PQ_CDC_DIR[key] = out
-    return out
+    return out, books
+
+
+def cdc_refreshed_pq_state(spark: SparkSession, sf_dir: str) -> str:
+    """The memoized single-cycle state — each memo owns its directory
+    (the gen-2 state mutates a fresh copy, never this one)."""
+    key = (spark, sf_dir)
+    if key not in _PQ_CDC_DIR:
+        out, books = _pq_cdc_build(spark, sf_dir)
+        _PQ_CDC_BOOKS_CACHE[key] = books
+        _PQ_CDC_DIR[key] = out
+    return _PQ_CDC_DIR[key]
+
+
+_PQ_CDC2_DIR: dict[tuple[SparkSession, str], str] = {}
+_PQ_CDC2_BOOKS_CACHE: dict[tuple[SparkSession, str], list[list[list[float]]]] = {}
+
+
+def cdc_refreshed_pq_state_gen2(spark: SparkSession, sf_dir: str) -> str:
+    """TWO delta cycles over the PQ state — the compression rung's loop
+    (the IVF gen-2 posture): cycle-2 tombstones land at dead-gen 1
+    (retiring cycle-1 APPENDS as well as base rows, under the shared
+    row.gen <= tombstone.gen rule), cycle-2 appends encode the v3
+    vectors (twice-changed = negate ∘ reverse) with the SAME stored
+    codebooks at gen 2. The codebooks never refit across cycles —
+    retraining is a separate drift-triggered event, exactly like the
+    IVF family's centroid refresh."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        _cdc2_dead,
+        _cdc2_new_node,
+        _cdc_live_emb_v3,
+    )
+
+    key = (spark, sf_dir)
+    if key in _PQ_CDC2_DIR:
+        return _PQ_CDC2_DIR[key]
+
+    out, books = _pq_cdc_build(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(books[0][0]) * PQ_SUBSPACES
+    emb.filter(_cdc2_dead(F.col("vec_id"))).select(
+        "vec_id", F.lit(1).cast("int").alias("gen")
+    ).coalesce(1).write.mode("append").parquet(f"{out}/tombstones")
+    _cdc_live_emb_v3(spark, sf_dir).filter(_cdc2_new_node(F.col("vec_id"))).select(
+        "vec_id",
+        "label",
+        _pq_encode(as_double_array("embedding"), books, dim).alias("codes"),
+        F.lit(2).cast("int").alias("gen"),
+    ).write.mode("append").parquet(f"{out}/codes")
+    _PQ_CDC2_BOOKS_CACHE[key] = books
+    _PQ_CDC2_DIR[key] = out
+    return _PQ_CDC2_DIR[key]
 
 
 def pq_refresh_cdc(
@@ -1200,15 +1243,46 @@ def pq_refresh_cdc(
     snapshots and unchanged, so both engines read the same query
     vector. The oracle replays old-corpus Lloyd fit → live-corpus
     encode with those books → ADC rank → exact rescore."""
-    import numpy as np
-
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import _cdc_live_emb
 
     out = cdc_refreshed_pq_state(spark, sf_dir)
-    books = _PQ_CDC_BOOKS_CACHE.get((spark, sf_dir))
+    books = _stored_books(spark, out, _PQ_CDC_BOOKS_CACHE, (spark, sf_dir))
+    return _pq_serve_refreshed(
+        spark, sf_dir, out, books, _cdc_live_emb(spark, sf_dir),
+        query_id, k, n_candidates,
+    )
+
+
+def pq_refresh_cdc_gen2(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 1,
+    k: int = 5,
+    n_candidates: int = 150,
+) -> DataFrame:
+    """Serve THROUGH the twice-refreshed PQ state: two tombstone
+    generations retire exactly the right code rows (including cycle-1
+    appends) and candidates rescore against the v3 corpus. query 1
+    misses every slice of both deltas."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        _cdc_live_emb_v3,
+    )
+
+    out = cdc_refreshed_pq_state_gen2(spark, sf_dir)
+    books = _stored_books(spark, out, _PQ_CDC2_BOOKS_CACHE, (spark, sf_dir))
+    return _pq_serve_refreshed(
+        spark, sf_dir, out, books, _cdc_live_emb_v3(spark, sf_dir),
+        query_id, k, n_candidates,
+    )
+
+
+def _stored_books(
+    spark: SparkSession, out: str, cache: dict, key: tuple
+) -> list[list[list[float]]]:
+    """The layout's codebooks, loaded from the PERSISTED table when the
+    session didn't build it (serving never refits)."""
+    books = cache.get(key)
     if books is None:
-        # a fresh session serving a persisted layout: load the STORED
-        # codebooks (serving never refits)
         brows = spark.read.parquet(f"{out}/codebooks").orderBy(
             "subspace", "codeword"
         ).collect()
@@ -1216,7 +1290,24 @@ def pq_refresh_cdc(
             [list(r.centroid) for r in brows if r.subspace == s]
             for s in range(PQ_SUBSPACES)
         ]
-        _PQ_CDC_BOOKS_CACHE[(spark, sf_dir)] = books
+        cache[key] = books
+    return books
+
+
+def _pq_serve_refreshed(
+    spark: SparkSession,
+    sf_dir: str,
+    out: str,
+    books: list[list[list[float]]],
+    live: DataFrame,
+    query_id: int,
+    k: int,
+    n_candidates: int,
+) -> DataFrame:
+    """The ONE refreshed-PQ serve definition (single-cycle and gen-2):
+    broadcast tombstone anti-join over the codes table, ADC LUT rank,
+    exact rescore against the given live corpus."""
+    import numpy as np
 
     codes = spark.read.parquet(f"{out}/codes")
     tombs = spark.read.parquet(f"{out}/tombstones").select(
@@ -1250,7 +1341,6 @@ def pq_refresh_cdc(
         .limit(n_candidates)
         .select("vec_id")
     )
-    live = _cdc_live_emb(spark, sf_dir)
     exact = cosine_similarity_hoisted(
         as_double_array("embedding"), F.col("qvec"), F.col("qnorm")
     )

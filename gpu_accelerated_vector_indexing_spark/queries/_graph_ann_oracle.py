@@ -721,15 +721,11 @@ def ndcg_beam_sweep_sql(
     return f"WITH {joined}\n{union}\nORDER BY beam"
 
 
-def graph_refresh_cdc_sql(query_id: int, k: int = 5) -> str:
-    """Replay the graph CDC refresh end to end: old-snapshot NN-descent
-    build → delta mask (removed ∪ changed dead) → neighborhood repair →
-    attach of added ∪ changed (changed scored with their REPLACED,
-    element-reversed vector) → beam walk over the refreshed graph from
-    live entries — graph_ann.cdc_refreshed_graph_index +
-    graph_refresh_cdc, stage for stage. Every predicate restates the
-    Spark side's modular slices; scoring joins run against the LIVE
-    normed corpus exactly where the Spark kernels use it."""
+def _graph_cdc_serve_parts() -> list[str]:
+    """CTE parts ending in the cycle-1 refreshed graph ``gcserve`` +
+    its live entries ``entlc`` — the shared front half of the cycle-1
+    serve oracle and the gen-2 oracle (which applies a second delta on
+    top of ``gcserve``)."""
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
         GRAPH_CDC_ADD_MOD as AM,
         GRAPH_CDC_ADD_REM as AR,
@@ -804,7 +800,131 @@ def graph_refresh_cdc_sql(query_id: int, k: int = 5) -> str:
   UNION ALL SELECT node, nbr FROM gcattached)""",
         "entlc AS (SELECT min(vec_id) AS vec_id FROM gelive GROUP BY label)",
     ]
+    return parts
+
+
+def graph_refresh_cdc_sql(query_id: int, k: int = 5) -> str:
+    """Replay the graph CDC refresh end to end: old-snapshot NN-descent
+    build → delta mask (removed ∪ changed dead) → neighborhood repair →
+    attach of added ∪ changed (changed scored with their REPLACED,
+    element-reversed vector) → beam walk over the refreshed graph from
+    live entries — graph_ann.cdc_refreshed_graph_index +
+    graph_refresh_cdc, stage for stage. Every predicate restates the
+    Spark side's modular slices; scoring joins run against the LIVE
+    normed corpus exactly where the Spark kernels use it."""
+    parts = _graph_cdc_serve_parts()
     bparts, v = _beam_ctes(query_id, "gcserve", suffix="gc", ent="entlc", en="enlive")
+    joined = ",\n".join([*parts, *bparts])
+    return (
+        f"WITH {joined}\n"
+        f"SELECT vec_id, score FROM {v}"
+        f" ORDER BY score DESC, vec_id DESC LIMIT {k}"
+    )
+
+
+def graph_refresh_cdc_gen2_sql(query_id: int, k: int = 5) -> str:
+    """The graph CDC loop LOOPING: everything in
+    :func:`graph_refresh_cdc_sql` up to the cycle-1 refreshed graph,
+    then the SECOND delta applied on top of it — delta-2 mask
+    (removed ∪ changed-again dead, including cycle-1 attaches),
+    neighborhood repair and attach over the v3 corpus (twice-changed
+    vectors = negate ∘ reverse of the original), then the walk from v3
+    entries — graph_ann.cdc_refreshed_graph_index_gen2 +
+    graph_refresh_cdc_gen2, stage for stage."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        GRAPH_CDC2_ADD_MOD as A2M,
+        GRAPH_CDC2_ADD_REM as A2R,
+        GRAPH_CDC2_CHG_MOD as C2M,
+        GRAPH_CDC2_CHG_REM as C2R,
+        GRAPH_CDC2_DEL_MOD as D2M,
+        GRAPH_CDC2_DEL_REM as D2R,
+        GRAPH_CDC_ADD_MOD as AM,
+        GRAPH_CDC_ADD_REM as AR,
+        GRAPH_CDC_CHG_MOD as CM,
+        GRAPH_CDC_CHG_REM as CR,
+        GRAPH_CDC_DEL_MOD as DM,
+        GRAPH_CDC_DEL_REM as DR,
+    )
+
+    in_v2 = f"vec_id % {DM} <> {DR}"
+    chg2 = f"({in_v2} AND vec_id % {D2M} <> {D2R} AND vec_id % {C2M} = {C2R})"
+    in_v3 = (
+        f"(({in_v2} AND vec_id % {D2M} <> {D2R})"
+        f" OR (vec_id % {DM} = {DR} AND vec_id % {A2M} = {A2R}))"
+    )
+
+    def dead2(c: str) -> str:
+        # applied to cycle-1 graph endpoints (all v2 members)
+        return (
+            f"({c} % {DM} <> {DR} AND ({c} % {D2M} = {D2R}"
+            f" OR {c} % {C2M} = {C2R}))"
+        )
+
+    def new2(c: str) -> str:
+        # within the v3 corpus: re-added (not a v2 member) or changed
+        return (
+            f"({c} % {DM} = {DR}"
+            f" OR ({c} % {D2M} <> {D2R} AND {c} % {C2M} = {C2R}))"
+        )
+
+    v2_vec = (
+        f"CASE WHEN vec_id % {AM} <> {AR} AND vec_id % {DM} <> {DR}"
+        f" AND vec_id % {CM} = {CR}"
+        f" THEN list_reverse(embedding::DOUBLE[])"
+        f" ELSE embedding::DOUBLE[] END"
+    )
+    parts = _graph_cdc_serve_parts()
+    parts += [
+        f"""gelive3 AS (
+  SELECT vec_id, label,
+         CASE WHEN {chg2} THEN list_transform({v2_vec}, x -> -x)
+              ELSE {v2_vec} END AS v
+  FROM embeddings WHERE {in_v3})""",
+        "enlive3 AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM gelive3)",
+        f"""g2mask AS (
+  SELECT node, nbr FROM gcserve WHERE NOT {dead2('node')} AND NOT {dead2('nbr')})""",
+        f"""g2aff AS (
+  SELECT DISTINCT node FROM gcserve WHERE NOT {dead2('node')} AND {dead2('nbr')})""",
+        """g2und AS (
+  SELECT node, nbr FROM g2mask UNION ALL SELECT nbr AS node, node AS nbr FROM g2mask)""",
+        """g2two AS (
+  SELECT a.node, b.nbr
+  FROM g2und a JOIN g2aff USING (node) JOIN g2und b ON a.nbr = b.node
+  WHERE b.nbr <> a.node)""",
+        """g2rcand AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT m.node, m.nbr FROM g2mask m JOIN g2aff USING (node)
+    UNION ALL SELECT node, nbr FROM g2two))""",
+        _scored_topk("g2rcand", "g2repaired", K_GRAPH, en="enlive3"),
+        f"""g2ranked AS (
+  SELECT vec_id, label,
+         (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1) // {SEED_WINDOW} AS cg
+  FROM gelive3)""",
+        f"""g2seed AS (
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM g2ranked a JOIN g2ranked b
+    ON a.label = b.label AND a.cg = b.cg AND a.vec_id <> b.vec_id
+  WHERE {new2('a.vec_id')} AND NOT {new2('b.vec_id')}
+  UNION
+  SELECT a.vec_id AS node, b.vec_id AS nbr
+  FROM gelive3 a JOIN gelive3 b
+    ON (a.vec_id // {SEED_WINDOW}) = (b.vec_id // {SEED_WINDOW})
+   AND a.vec_id <> b.vec_id
+  WHERE {new2('a.vec_id')} AND NOT {new2('b.vec_id')})""",
+        """g2refine AS (
+  SELECT DISTINCT s.node, gg.nbr
+  FROM g2seed s JOIN g2mask gg ON s.nbr = gg.node WHERE s.node <> gg.nbr)""",
+        """g2acand AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT node, nbr FROM g2seed UNION ALL SELECT node, nbr FROM g2refine))""",
+        _scored_topk("g2acand", "g2attached", K_GRAPH, en="enlive3"),
+        """g2serve AS (
+  SELECT node, nbr FROM g2mask WHERE node NOT IN (SELECT node FROM g2aff)
+  UNION ALL SELECT node, nbr FROM g2repaired
+  UNION ALL SELECT node, nbr FROM g2attached)""",
+        "entl3 AS (SELECT min(vec_id) AS vec_id FROM gelive3 GROUP BY label)",
+    ]
+    bparts, v = _beam_ctes(query_id, "g2serve", suffix="g2", ent="entl3", en="enlive3")
     joined = ",\n".join([*parts, *bparts])
     return (
         f"WITH {joined}\n"

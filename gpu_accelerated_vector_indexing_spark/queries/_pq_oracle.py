@@ -283,3 +283,56 @@ FROM {live_rel} e CROSS JOIN pq_q q
 WHERE e.vec_id IN (SELECT vec_id FROM pq_cand)
 ORDER BY score DESC, vec_id DESC LIMIT {k}
 """
+
+
+def pq_refresh_cdc_gen2_sql(query_id: int, dim: int, k: int, n_candidates: int) -> str:
+    """Full-value oracle for ``quantize.pq_refresh_cdc_gen2``: same
+    replay as the single-cycle oracle, pointed at snapshot N+2 — the
+    stored old-corpus codebooks encode the v3-live corpus
+    (twice-changed rows carry negate ∘ reverse of the original), which
+    is exactly the live code set two stacked tombstone generations
+    leave behind."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        GRAPH_CDC2_ADD_MOD as A2M,
+        GRAPH_CDC2_ADD_REM as A2R,
+        GRAPH_CDC2_CHG_MOD as C2M,
+        GRAPH_CDC2_CHG_REM as C2R,
+        GRAPH_CDC2_DEL_MOD as D2M,
+        GRAPH_CDC2_DEL_REM as D2R,
+        GRAPH_CDC_ADD_MOD as AM,
+        GRAPH_CDC_ADD_REM as AR,
+        GRAPH_CDC_CHG_MOD as CM,
+        GRAPH_CDC_CHG_REM as CR,
+        GRAPH_CDC_DEL_MOD as DM,
+        GRAPH_CDC_DEL_REM as DR,
+    )
+
+    in_v2 = f"vec_id % {DM} <> {DR}"
+    chg2 = f"({in_v2} AND vec_id % {D2M} <> {D2R} AND vec_id % {C2M} = {C2R})"
+    in_v3 = (
+        f"(({in_v2} AND vec_id % {D2M} <> {D2R})"
+        f" OR (vec_id % {DM} = {DR} AND vec_id % {A2M} = {A2R}))"
+    )
+    v2_vec = (
+        f"CASE WHEN vec_id % {AM} <> {AR} AND {in_v2} AND vec_id % {CM} = {CR}"
+        f" THEN list_reverse(embedding::DOUBLE[])"
+        f" ELSE embedding::DOUBLE[] END"
+    )
+    sample_rel = (
+        f"(SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % {AM} <> {AR})"
+    )
+    live_rel = f"""(
+  SELECT vec_id, label,
+         CASE WHEN {chg2} THEN list_transform({v2_vec}, x -> -x)
+              ELSE {v2_vec} END AS embedding
+  FROM embeddings WHERE {in_v3})"""
+    return f"""
+WITH {pq_replay_ctes(query_id, dim, sample_rel=sample_rel, corpus_rel=live_rel)},
+pq_cand AS (
+  SELECT vec_id FROM pq_approx ORDER BY ascore DESC, vec_id DESC LIMIT {n_candidates}
+)
+SELECT e.vec_id, {_COS} AS score
+FROM {live_rel} e CROSS JOIN pq_q q
+WHERE e.vec_id IN (SELECT vec_id FROM pq_cand)
+ORDER BY score DESC, vec_id DESC LIMIT {k}
+"""

@@ -246,3 +246,26 @@ QUERIES["graph_refresh_cdc"] = _graph_refresh_cdc
 ORACLES["graph_refresh_cdc"] = graph_refresh_cdc_sql(
     query_id=graph_ann.GRAPH_CDC_QUERY_ID, k=K
 )
+
+
+# --- r10: the graph CDC loop LOOPING (second delta over the cycle-1 index) ----
+from gpu_accelerated_vector_indexing_spark.queries._graph_ann_oracle import (  # noqa: E402
+    graph_refresh_cdc_gen2_sql,
+)
+
+
+def _graph_refresh_cdc_gen2(spark, sf_dir):
+    """The SECOND snapshot delta applied to the PERSISTED cycle-1 graph
+    index (read from disk, exactly what a fresh nightly job sees):
+    delta-2 mask (incl. cycle-1 attaches), damage-bounded repair,
+    batch-bounded attach over the v3 corpus, serve. The oracle replays
+    both cycles stage for stage."""
+    return graph_ann.graph_refresh_cdc_gen2(
+        spark, sf_dir, query_id=graph_ann.GRAPH_CDC_QUERY_ID, k=K
+    )
+
+
+QUERIES["graph_refresh_cdc_gen2"] = _graph_refresh_cdc_gen2
+ORACLES["graph_refresh_cdc_gen2"] = graph_refresh_cdc_gen2_sql(
+    query_id=graph_ann.GRAPH_CDC_QUERY_ID, k=K
+)

@@ -663,3 +663,23 @@ def _pq_refresh_cdc(spark, sf_dir):
 
 QUERIES["pq_refresh_cdc"] = _pq_refresh_cdc
 ORACLES["pq_refresh_cdc"] = _pq_refresh_cdc_sql(1, dim=64, k=K, n_candidates=150)
+
+
+def _pq_refresh_cdc_gen2(spark, sf_dir):
+    """Two stacked delta cycles over the PQ state — tombstones at
+    dead-gen 0 then 1 (cycle-1 appends retire too), appends at gen 1
+    then 2 with the SAME stored codebooks; serve rescored against the
+    v3 corpus."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        pq_refresh_cdc_gen2,
+    )
+
+    return pq_refresh_cdc_gen2(spark, sf_dir, query_id=1, k=K, n_candidates=150)
+
+
+from gpu_accelerated_vector_indexing_spark.queries._pq_oracle import (  # noqa: E402
+    pq_refresh_cdc_gen2_sql as _pq_refresh_cdc_gen2_sql,
+)
+
+QUERIES["pq_refresh_cdc_gen2"] = _pq_refresh_cdc_gen2
+ORACLES["pq_refresh_cdc_gen2"] = _pq_refresh_cdc_gen2_sql(1, dim=64, k=K, n_candidates=150)

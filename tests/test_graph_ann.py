@@ -490,3 +490,74 @@ def test_graph_cdc_refresh_lifecycle(spark):
     assert new_ids, "the delta-new slice must be populated"
     for nid in new_ids:
         assert deg.get(nid, 0) == K_GRAPH, f"new node {nid} degree {deg.get(nid, 0)}"
+
+
+def test_graph_cdc_gen2_lifecycle(spark):
+    """The graph CDC loop LOOPING — structural pins on the cycle-2
+    layout: corpus ≡ the v3 snapshot, a twice-changed node's persisted
+    vector is negate∘reverse of its original, at least one cycle-1
+    ATTACH was retired by delta 2, and every delta-2 new node got a
+    full out-neighborhood."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        K_GRAPH,
+        _cdc2_dead,
+        _cdc2_new_node,
+        _cdc_changed,
+        _cdc2_changed,
+        _cdc_in_v3,
+        _cdc_new_node,
+        cdc_refreshed_graph_index_gen2,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    idx2 = cdc_refreshed_graph_index_gen2(spark, SF_SMOKE)
+    corpus = spark.read.parquet(f"{idx2}/corpus_normed")
+    edges = spark.read.parquet(f"{idx2}/edges")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    v3_ids = {
+        r.vec_id for r in emb.filter(_cdc_in_v3(F.col("vec_id"))).select("vec_id").collect()
+    }
+    assert {r.vec_id for r in corpus.select("vec_id").collect()} == v3_ids
+
+    twice = (
+        corpus.select("vec_id", "v")
+        .join(
+            emb.select(
+                "vec_id",
+                F.transform(F.reverse("embedding"), lambda x: -x).alias("nr"),
+            ),
+            "vec_id",
+        )
+        .filter(_cdc_changed(F.col("vec_id")) & _cdc2_changed(F.col("vec_id")))
+        .collect()
+    )
+    assert twice, "twice-changed slice must be populated"
+    for r in twice:
+        assert [round(float(x), 5) for x in r.v] == [round(float(x), 5) for x in r.nr]
+
+    # a cycle-1 attach REMOVED by delta 2 (not changed — changed nodes
+    # re-attach) is gone from the cycle-2 state entirely
+    retired_attach = {
+        r.vec_id
+        for r in emb.filter(
+            _cdc_new_node(F.col("vec_id"))
+            & _cdc2_dead(F.col("vec_id"))
+            & ~_cdc_in_v3(F.col("vec_id"))
+        ).select("vec_id").collect()
+    }
+    assert retired_attach, "delta 2 must remove some cycle-1 attaches"
+    assert not (retired_attach & v3_ids)
+    node_set = {r.node for r in edges.select("node").distinct().collect()}
+    assert not (retired_attach & node_set)
+
+    new2 = {
+        r.vec_id
+        for r in emb.filter(_cdc2_new_node(F.col("vec_id"))).select("vec_id").collect()
+    } & v3_ids
+    deg = {r.node: r.n for r in edges.groupBy("node").agg(F.count("*").alias("n")).collect()}
+    assert new2
+    for nid in new2:
+        assert deg.get(nid, 0) == K_GRAPH, f"delta-2 node {nid} degree {deg.get(nid, 0)}"

@@ -372,3 +372,62 @@ def test_pq_refresh_cdc_lifecycle(spark):
     assert any(0 in v and 1 in v and v[0] != v[1] for v in by_id.values()), (
         "no changed doc's replacement re-encoded to different codes"
     )
+
+
+def test_pq_refresh_gen2_lifecycle(spark):
+    """Two stacked tombstone generations over the PQ codes: live rows ≡
+    the v3 snapshot, a gen-1 tombstone retires a cycle-1 APPEND, and a
+    twice-changed vector holds three code rows (gen 0/1/2) with only
+    gen 2 live."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        _cdc2_changed,
+        _cdc_changed,
+        _cdc_in_v3,
+        _cdc_new_node,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        cdc_refreshed_pq_state_gen2,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = cdc_refreshed_pq_state_gen2(spark, SF_SMOKE)
+    codes = spark.read.parquet(f"{out}/codes")
+    tombs = spark.read.parquet(f"{out}/tombstones")
+    live = codes.join(
+        F.broadcast(
+            tombs.select(F.col("vec_id").alias("t_vec_id"), F.col("gen").alias("t_gen"))
+        ),
+        (codes.vec_id == F.col("t_vec_id")) & (codes.gen <= F.col("t_gen")),
+        "left_anti",
+    )
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    v3_ids = {
+        r.vec_id for r in emb.filter(_cdc_in_v3(F.col("vec_id"))).select("vec_id").collect()
+    }
+    assert {r.vec_id for r in live.select("vec_id").collect()} == v3_ids
+
+    # gen-1 tombstone naming a vec that holds a gen-1 code row
+    t1 = {r.vec_id for r in tombs.filter(F.col("gen") == 1).collect()}
+    g1 = {r.vec_id for r in codes.filter(F.col("gen") == 1).select("vec_id").collect()}
+    assert t1 & g1, "no cycle-1 append was retired by delta 2"
+
+    twice_ids = [
+        r.vec_id
+        for r in emb.filter(
+            _cdc_changed(F.col("vec_id")) & _cdc2_changed(F.col("vec_id"))
+        ).select("vec_id").collect()
+    ]
+    assert twice_ids
+    rows = codes.filter(F.col("vec_id").isin(twice_ids)).select("vec_id", "gen").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.vec_id, set()).add(r.gen)
+    assert all(v == {0, 1, 2} for v in by_id.values()), by_id
+    live_gens = {
+        r.gen
+        for r in live.filter(F.col("vec_id").isin(twice_ids)).select("gen").collect()
+    }
+    assert live_gens == {2}

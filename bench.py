@@ -244,6 +244,10 @@ BENCH_QUERIES = [
     ("pq_refresh_cdc", _collect),  # run 1 pays old-corpus fit + encode + delta
     ("graph_refresh_cdc_gen2", _collect),  # run 1: delta 2 over the persisted cycle-1 index
     ("pq_refresh_cdc_gen2", _collect),  # run 1: base+cycle1 copy + delta 2
+    ("index_read_asof_gen", _collect),  # run 1 shares the gen-2 layout build
+    ("index_delete_where", _collect),  # run 1: base build + predicate tombstones
+    ("ivf_rebalance_apply", _collect),  # run 1: split pass + layout rewrite
+    ("ivf_rebalance_serve", _collect),  # full-probe serve over the split layout
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

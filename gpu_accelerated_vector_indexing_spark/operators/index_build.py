@@ -757,3 +757,121 @@ def index_refresh_gen2_compact_mid(
     gen-2 oracle unchanged: maintenance interleaved with refresh
     cycles moves no result value."""
     return serve_refreshed_index(spark, compact_mid_sequence_index(spark, sf_dir), k)
+
+
+# ---------------------------------------------------------------------------
+# Time-travel reads (r10 cont.): the gen stamps ARE a version history
+# ---------------------------------------------------------------------------
+# The multi-generation layout never rewrites a row in place: writes
+# carry their cycle's gen, retirements are (vec_id, dead-gen) rows in a
+# side list. That makes every historical snapshot reconstructible from
+# the ONE layout — the Delta/Iceberg "read AS OF version v" posture,
+# which the reference can never offer (its per-cluster .bin files are
+# overwritten monoliths, IVF.cpp:439-524). History lives until
+# compaction folds it (compaction = VACUUM: it drops retired rows and
+# empties the list, collapsing all generations into the latest).
+
+
+def _live_index_rows_asof(spark: SparkSession, index_dir: str, asof_gen: int) -> DataFrame:
+    """Rows visible AS OF generation ``asof_gen``: writes at
+    ``gen <= asof_gen``, minus retirements by tombstones EMITTED by
+    cycles ≤ asof_gen (cycle g stamps dead-gen g-1, so the emitted-by
+    filter is ``t_gen <= asof_gen - 1``); within that window the
+    standard monotone rule ``row.gen <= t_gen`` applies unchanged."""
+    idx = spark.read.parquet(f"{index_dir}/embeddings_indexed").filter(
+        F.col("gen") <= asof_gen
+    )
+    tombs = (
+        spark.read.parquet(f"{index_dir}/tombstones")
+        .filter(F.col("gen") <= asof_gen - 1)
+        .select(F.col("vec_id").alias("t_vec_id"), F.col("gen").alias("t_gen"))
+    )
+    return idx.join(
+        F.broadcast(tombs),
+        (idx.vec_id == tombs.t_vec_id) & (idx.gen <= tombs.t_gen),
+        "left_anti",
+    )
+
+
+def index_read_asof_gen(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k at EVERY generation, from the ONE twice-refreshed layout:
+    ``(asof_gen, doc_id, score)`` — asof 0 must reproduce the base
+    snapshot's ranking, asof 1 snapshot N+1's, asof 2 snapshot N+2's,
+    all from the same files with no historical copy retained. The
+    oracle brute-forces each snapshot's text independently, so a value
+    match certifies the visibility rule (gen-windowed writes minus
+    gen-windowed retirements) reconstructs all three corpus versions
+    exactly. Full-probe reads keep each slice provably exact."""
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE
+
+    idx_dir = cdc_refreshed_index_gen2(spark, sf_dir)
+    q = F.lit(_cdc_query_vec(spark)).cast("array<double>")
+    out: DataFrame | None = None
+    for v in (0, 1, 2):
+        topk = (
+            _live_index_rows_asof(spark, idx_dir, v)
+            .select(
+                F.lit(v).alias("asof_gen"),
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    cosine_similarity(as_double_array("embedding"), q), SCORE_SCALE
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.desc("doc_id"))
+            .limit(k)
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Predicate-driven deletes (r10 cont.): DELETE FROM index WHERE <metadata>
+# ---------------------------------------------------------------------------
+# The OTHER way tombstones arise in production: not a snapshot diff but
+# a retention/compliance predicate over the catalog — purge a source,
+# drop a license class, GDPR-erase a user. The tombstone list is the
+# predicate's doc_ids; nothing else changes: the same masked-read serve,
+# the same compaction, the same O(|delta|) cost shape.
+
+# the purged sources — a deterministic ~15% metadata slice present at
+# every fixture SF (documents.source is uniform over src0..src19)
+DELETE_WHERE_SOURCES = ("src3", "src7", "src11")
+
+_DELETE_WHERE_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def delete_where_index(spark: SparkSession, sf_dir: str) -> str:
+    """Base-build on the old snapshot, then tombstone every indexed doc
+    whose ``source`` is in :data:`DELETE_WHERE_SOURCES` — tombstones at
+    dead-gen 0 (the rows being purged are base writes). The predicate
+    is evaluated against the CATALOG (documents' metadata columns), not
+    the index: the index stores only (vec_id, embedding, gen), so a
+    metadata delete is a semi-join catalog→id-list, broadcast-sized."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import snapshot_old_docs
+
+    key = (spark, sf_dir)
+    if key not in _DELETE_WHERE_DIR:
+        out = build_base_snapshot_index(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        victims = (
+            docs.join(snapshot_old_docs(docs).select("doc_id"), "doc_id", "left_semi")
+            .filter(F.col("source").isin(*DELETE_WHERE_SOURCES))
+            .select(
+                F.col("doc_id").alias("vec_id"), F.lit(0).cast("int").alias("gen")
+            )
+        )
+        victims.coalesce(1).write.mode("append").parquet(f"{out}/tombstones")
+        _DELETE_WHERE_DIR[key] = out
+    return _DELETE_WHERE_DIR[key]
+
+
+def index_delete_where(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Serve after the predicate delete — full-probe top-k whose oracle
+    brute-forces the old snapshot MINUS the purged sources: a value
+    match certifies the catalog semi-join tombstoned exactly the
+    predicate's rows and the masked read excludes them all."""
+    return serve_refreshed_index(spark, delete_where_index(spark, sf_dir), k)

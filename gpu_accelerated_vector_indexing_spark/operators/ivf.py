@@ -811,6 +811,174 @@ def rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r10 cont.: EXECUTE the split half of the rebalance plan ----------------
+# rebalance_plan marks hot clusters; this is the maintenance job that
+# acts on the marks. One pass splits each hot cluster IN TWO (nightly
+# passes iterate to convergence — the same one-step-per-cycle posture
+# as the CDC refresh). The split rule is a single deterministic
+# assignment step: seeds = the members with min and max vec_id, every
+# member goes to the nearer seed by rounded L2 (ties → the lo seed) —
+# exactly replayable in SQL, unlike an iterated Lloyd whose float
+# accumulation order cannot be pinned across engines (SURVEY §5.3's
+# property-not-centroid-values rule, applied in reverse: where the
+# oracle CAN replay values, make the rule replayable).
+# Cost shape at 100 TB: the split set is k-row metadata; seed fetch is
+# a broadcast semi-join; the rewrite touches ONLY hot clusters'
+# partitions (the same damage-bounded posture as compaction).
+
+_REBALANCE_DIR: dict[tuple[SparkSession, str], str] = {}
+_REBALANCE_ENGINE: dict[tuple[SparkSession, str], object] = {}
+
+
+def _d2_rounded(a, b):
+    """Rounded squared-L2 between two double arrays — the one distance
+    recipe every rebalance stage (and its oracle) shares."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def rebalance_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(cluster, vec_id, embedding)`` after one split pass: hot
+    clusters (rebalance_plan's ``split`` rule) are divided between
+    their min-vec_id and max-vec_id members' seeds; everything else
+    keeps its label. New cluster ids are dense after the existing max
+    (``max_label + rank-of-split-label``) so ids never collide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    totals = counts.agg(
+        F.sum("n_vectors").alias("total"), F.count("*").alias("k_clusters")
+    )
+    split_labels = (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("n_vectors") / (F.col("total") / F.col("k_clusters"))
+            > REBALANCE_SPLIT_RATIO
+        )
+        .select("label")
+    )
+    maxl = emb.agg(F.max("label").alias("max_label"))
+    hi_map = (
+        split_labels.withColumn("rn", F.row_number().over(W.orderBy("label")))
+        .crossJoin(F.broadcast(maxl))
+        .select("label", (F.col("max_label") + F.col("rn")).cast("int").alias("hi_label"))
+    )
+    seed_ids = (
+        emb.join(F.broadcast(split_labels), "label")
+        .groupBy("label")
+        .agg(F.min("vec_id").alias("lo_id"), F.max("vec_id").alias("hi_id"))
+    )
+    seeds = (
+        seed_ids.join(
+            F.broadcast(
+                emb.select(F.col("vec_id").alias("lo_id"), F.col("embedding").alias("s_lo"))
+            ),
+            "lo_id",
+        )
+        .join(
+            F.broadcast(
+                emb.select(F.col("vec_id").alias("hi_id"), F.col("embedding").alias("s_hi"))
+            ),
+            "hi_id",
+        )
+        .select("label", "s_lo", "s_hi")
+    )
+    e = as_double_array("embedding")
+    split_rows = (
+        emb.join(F.broadcast(seeds), "label")
+        .withColumn(
+            "hi",
+            _d2_rounded(e, as_double_array("s_hi")) < _d2_rounded(e, as_double_array("s_lo")),
+        )
+        .join(F.broadcast(hi_map), "label")
+        .select(
+            F.when(F.col("hi"), F.col("hi_label"))
+            .otherwise(F.col("label"))
+            .alias("cluster"),
+            "vec_id",
+            "embedding",
+        )
+    )
+    keep_rows = emb.join(F.broadcast(split_labels), "label", "left_anti").select(
+        F.col("label").alias("cluster"), "vec_id", "embedding"
+    )
+    return keep_rows.unionByName(split_rows)
+
+
+def rebalanced_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the post-split layout (cluster-partitioned rows + a fresh
+    centroid table = per-cluster means) — the artifact the accounting
+    and serve queries read, so the oracle pins the REWRITE, not a lazy
+    plan. At scale only hot clusters' partitions change; the fixture
+    write rewrites all of them for test isolation (a caller-owned dir)."""
+    import tempfile
+
+    key = (spark, sf_dir)
+    if key not in _REBALANCE_DIR:
+        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_rebal_")
+        rows = rebalance_split_assignments(spark, sf_dir)
+        (
+            rows.repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{out}/embeddings_indexed")
+        )
+        cents = (
+            spark.read.parquet(f"{out}/embeddings_indexed")
+            .select("cluster", F.posexplode(as_double_array("embedding")).alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
+            .select("cluster", F.col("s.v").alias("centroid"))
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(f"{out}/centroids")
+        _REBALANCE_DIR[key] = out
+    return _REBALANCE_DIR[key]
+
+
+def ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster membership accounting of the WRITTEN post-split
+    layout: ``(cluster, n_vectors, id_sum, id_min, id_max)``. The
+    id-sum/min/max triple plus the count pins the exact member set of
+    every post-rebalance cluster — the oracle replays the split rule
+    (plan thresholds → seeds → rounded-d2 assignment → dense new ids)
+    from the fixture alone, so a value match certifies the executed
+    rewrite moved exactly the rows the plan marked."""
+    idx = spark.read.parquet(f"{rebalanced_index_dir(spark, sf_dir)}/embeddings_indexed")
+    return idx.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("vec_id").alias("id_sum"),
+        F.min("vec_id").alias("id_min"),
+        F.max("vec_id").alias("id_max"),
+    )
+
+
+def ivf_rebalance_serve(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Full-probe top-k THROUGH the rebalanced layout via the standard
+    facade — must hit ``knn_bruteforce``'s oracle unchanged: splitting
+    partitions moves no vector, so serving is value-identical while
+    per-probe fine-search cost drops with the hot cluster's size."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+
+    out = rebalanced_index_dir(spark, sf_dir)
+    key = (spark, out)
+    if key not in _REBALANCE_ENGINE:
+        n_clusters = spark.read.parquet(f"{out}/centroids").count()
+        _REBALANCE_ENGINE[key] = IVFEngine.from_pretrained(
+            spark, out, n_probe=n_clusters
+        )
+    qrow = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+    )
+    return _REBALANCE_ENGINE[key].search([float(x) for x in qrow.embedding], k=k)
+
+
 # delete/compaction parameters: vec_id % DELETE_MOD == 0 tombstones a
 # deterministic ~11% of the corpus (standing in for dedup losers /
 # retention purges); partitions past the fraction threshold rewrite

@@ -629,6 +629,19 @@ def new_snapshot_rel_sql(alias: str = "new_snap") -> str:
 ) {alias}"""
 
 
+def old_snapshot_rel_sql(alias: str = "old_snap_rel", where: str = "") -> str:
+    """The OLD (base) snapshot as an aliased relation — the SQL twin of
+    ``curation.snapshot_old_docs``, with an optional extra predicate
+    (the delete-where oracle carves its purge slice out of this ONE
+    membership definition)."""
+    extra = f" AND ({where})" if where else ""
+    return f"""(
+  SELECT doc_id, text
+  FROM documents
+  WHERE doc_id % {C.SNAP_REMOVED_MOD} <> {C.SNAP_REMOVED_REM}{extra}
+) {alias}"""
+
+
 def snapshot_diff_ctes_sql() -> str:
     """``old_snap`` / ``new_snap`` (md5 digests) + the classified
     ``diff`` — the shared front half of every snapshot-diff oracle."""

@@ -1191,3 +1191,126 @@ FROM c1 CROSS JOIN c2
 
 
 ORACLES["index_refresh_gen2_stats"] = _index_refresh_gen2_stats_oracle()
+
+
+# --- r10 cont.: time-travel reads over the multi-generation layout ----------
+# The gen stamps ARE a version history: asof 0/1/2 reconstruct the
+# base / N+1 / N+2 snapshots from the ONE twice-refreshed layout. The
+# oracle brute-forces each snapshot's text independently (three
+# embed_cte blocks over the three snapshot relation definitions), so a
+# value match certifies the visibility rule — gen-windowed writes minus
+# gen-windowed retirements — reproduces all three corpus versions.
+QUERIES["index_read_asof_gen"] = index_build.index_read_asof_gen
+
+
+def _index_read_asof_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import (
+        new_snapshot_rel_sql,
+        old_snapshot_rel_sql,
+        v3_snapshot_rel_sql,
+    )
+    from gpu_accelerated_vector_indexing_spark.queries.knn_q import embed_cte
+
+    def block(v: int, rel: str) -> str:
+        return embed_cte(docs_rel=rel, query_text=index_build.CDC_QUERY_TEXT) + f"""
+SELECT {v} AS asof_gen, doc_id,
+       round(list_dot_product(c.emb, q.q) /
+             (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q, q.q)) + 1e-8),
+             6) AS score
+FROM corpus c CROSS JOIN qvec q
+ORDER BY score DESC, doc_id DESC LIMIT {K}
+"""
+
+    rels = [old_snapshot_rel_sql(), new_snapshot_rel_sql(), v3_snapshot_rel_sql()]
+    return (
+        "SELECT asof_gen, doc_id, score FROM (\n"
+        + "\nUNION ALL\n".join(f"SELECT * FROM ({block(v, rel)})" for v, rel in enumerate(rels))
+        + "\n)"
+    )
+
+
+ORACLES["index_read_asof_gen"] = _index_read_asof_oracle()
+
+
+# --- r10 cont.: predicate-driven deletes (DELETE FROM index WHERE ...) ------
+# Tombstones from a retention/compliance predicate over the catalog —
+# the oracle carves the purged sources out of the base-snapshot
+# relation and brute-forces the remainder: a value match certifies the
+# catalog semi-join tombstoned exactly the predicate's rows.
+QUERIES["index_delete_where"] = index_build.index_delete_where
+
+
+def _index_delete_where_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import (
+        old_snapshot_rel_sql,
+    )
+    from gpu_accelerated_vector_indexing_spark.queries.knn_q import embed_cte
+
+    srcs = ", ".join(f"'{s}'" for s in index_build.DELETE_WHERE_SOURCES)
+    rel = old_snapshot_rel_sql(alias="live_docs", where=f"source NOT IN ({srcs})")
+    return embed_cte(docs_rel=rel, query_text=index_build.CDC_QUERY_TEXT) + f"""
+SELECT doc_id,
+       round(list_dot_product(c.emb, q.q) /
+             (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q, q.q)) + 1e-8),
+             6) AS score
+FROM corpus c CROSS JOIN qvec q
+ORDER BY score DESC, doc_id DESC LIMIT {K}
+"""
+
+
+ORACLES["index_delete_where"] = _index_delete_where_oracle()
+
+
+# --- r10 cont.: EXECUTE the rebalance plan's split half ----------------------
+# The accounting oracle replays the whole split rule from the fixture
+# alone — plan thresholds → min/max-vec_id seeds → rounded-d2 nearer-
+# seed assignment → dense new ids — and pins the WRITTEN layout's
+# member sets via (count, id_sum, id_min, id_max) per cluster. The
+# serve query must hit knn_bruteforce's oracle unchanged: splitting
+# partitions moves no vector.
+QUERIES["ivf_rebalance_apply"] = ivf.ivf_rebalance_apply
+QUERIES["ivf_rebalance_serve"] = partial(ivf.ivf_rebalance_serve, k=K)
+
+ORACLES["ivf_rebalance_apply"] = f"""
+WITH counts AS (SELECT label, count(*)::BIGINT AS n_vectors FROM embeddings GROUP BY label),
+tot AS (SELECT sum(n_vectors)::BIGINT AS total, count(*)::BIGINT AS k_clusters FROM counts),
+split AS (
+  SELECT label FROM counts CROSS JOIN tot
+  WHERE n_vectors / (total / k_clusters) > {ivf.REBALANCE_SPLIT_RATIO}
+),
+maxl AS (SELECT max(label) AS max_label FROM embeddings),
+hi_map AS (
+  SELECT label, (max_label + row_number() OVER (ORDER BY label))::INT AS hi_label
+  FROM split CROSS JOIN maxl
+),
+seed_ids AS (
+  SELECT label, min(vec_id) AS lo_id, max(vec_id) AS hi_id
+  FROM embeddings WHERE label IN (SELECT label FROM split) GROUP BY label
+),
+seeds AS (
+  SELECT s.label, el.embedding AS s_lo, eh.embedding AS s_hi
+  FROM seed_ids s
+  JOIN embeddings el ON el.vec_id = s.lo_id
+  JOIN embeddings eh ON eh.vec_id = s.hi_id
+),
+assigned AS (
+  SELECT e.label, e.vec_id,
+         round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (e.embedding[i]::DOUBLE - s.s_hi[i]::DOUBLE) * (e.embedding[i]::DOUBLE - s.s_hi[i]::DOUBLE))), 6)
+       < round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (e.embedding[i]::DOUBLE - s.s_lo[i]::DOUBLE) * (e.embedding[i]::DOUBLE - s.s_lo[i]::DOUBLE))), 6) AS hi
+  FROM embeddings e JOIN seeds s ON s.label = e.label
+),
+relabeled AS (
+  SELECT CASE WHEN a.hi THEN h.hi_label ELSE a.label END AS cluster, a.vec_id
+  FROM assigned a JOIN hi_map h ON h.label = a.label
+  UNION ALL
+  SELECT e.label AS cluster, e.vec_id FROM embeddings e
+  WHERE e.label NOT IN (SELECT label FROM split)
+)
+SELECT cluster, count(*)::BIGINT AS n_vectors, sum(vec_id)::BIGINT AS id_sum,
+       min(vec_id) AS id_min, max(vec_id) AS id_max
+FROM relabeled GROUP BY cluster
+"""
+
+ORACLES["ivf_rebalance_serve"] = _knn_q.ORACLES["knn_bruteforce"]

@@ -1144,3 +1144,120 @@ def test_streaming_gen2_equals_batch_gen2(spark):
         for r in streaming_index_refresh_gen2(spark, SF_SMOKE).collect()
     ]
     assert stream == batch
+
+
+# --- r10 cont.: time travel / delete-where / rebalance-apply -----------------
+
+
+def test_asof_gen2_slice_equals_latest_serve(spark):
+    """The asof-2 slice of the time-travel read must be value-identical
+    to the gen-2 refresh serve — latest-generation time travel IS the
+    ordinary masked read."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        index_read_asof_gen,
+        index_refresh_cdc_gen2,
+    )
+
+    asof = {
+        (r.doc_id, r.score)
+        for r in index_read_asof_gen(spark, SF_SMOKE).collect()
+        if r.asof_gen == 2
+    }
+    latest = {
+        (r.doc_id, r.score)
+        for r in index_refresh_cdc_gen2(spark, SF_SMOKE).collect()
+    }
+    assert asof == latest
+
+
+def test_asof_live_counts_match_snapshot_sizes(spark):
+    """Visibility windows reconstruct each snapshot's exact row count:
+    |asof 0| = |base|, |asof 1| = |N+1|, |asof 2| = |N+2|."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        snapshot_new_docs,
+        snapshot_old_docs,
+        snapshot_v3_docs,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        _live_index_rows_asof,
+        cdc_refreshed_index_gen2,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    idx_dir = cdc_refreshed_index_gen2(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    expected = [
+        snapshot_old_docs(docs).count(),
+        snapshot_new_docs(docs).count(),
+        snapshot_v3_docs(docs).count(),
+    ]
+    got = [_live_index_rows_asof(spark, idx_dir, v).count() for v in (0, 1, 2)]
+    assert got == expected
+
+
+def test_delete_where_purges_exactly_the_predicate(spark):
+    """No served id may belong to a purged source, and the live set
+    shrinks by exactly the victim count."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import snapshot_old_docs
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        DELETE_WHERE_SOURCES,
+        _live_index_rows,
+        delete_where_index,
+        index_delete_where,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old_ids = snapshot_old_docs(docs).select("doc_id")
+    victims = {
+        r.doc_id
+        for r in docs.join(old_ids, "doc_id", "left_semi")
+        .filter(F.col("source").isin(*DELETE_WHERE_SOURCES))
+        .collect()
+    }
+    assert victims, "fixture must exercise the purge slice"
+    served = {r.doc_id for r in index_delete_where(spark, SF_SMOKE).collect()}
+    assert not served & victims
+    idx_dir = delete_where_index(spark, SF_SMOKE)
+    assert _live_index_rows(spark, idx_dir).count() == old_ids.count() - len(victims)
+
+
+def test_rebalance_apply_preserves_membership_and_splits(spark):
+    """The rewritten layout holds exactly the fixture's vec_ids once
+    each; every split produced two non-empty sides; hot clusters got
+    strictly smaller."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        REBALANCE_SPLIT_RATIO,
+        rebalance_split_assignments,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = rebalance_split_assignments(spark, SF_SMOKE)
+    assert rows.count() == emb.count()
+    assert rows.select("vec_id").distinct().count() == emb.count()
+
+    before = {r.label: r.n for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    target = sum(before.values()) / len(before)
+    hot = {lbl for lbl, n in before.items() if n / target > REBALANCE_SPLIT_RATIO}
+    assert hot, "fixture must exercise the split path"
+    after = {r.cluster: r.n for r in rows.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert len(after) == len(before) + len(hot)
+    for lbl in hot:
+        assert 0 < after[lbl] < before[lbl]
+    for lbl, n in before.items():
+        if lbl not in hot:
+            assert after[lbl] == n
+
+
+def test_rebalance_serve_is_value_identical_to_bruteforce(spark):
+    """Full-probe serving through the rebalanced layout returns exactly
+    the brute-force top-k — the split moved no vector."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import ivf_rebalance_serve
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    got = {(r.vec_id, r.score) for r in ivf_rebalance_serve(spark, SF_SMOKE).collect()}
+    want = {(r.vec_id, r.score) for r in knn_bruteforce(spark, SF_SMOKE, query_id=0, k=5).collect()}
+    assert got == want

@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     ("index_delete_where", _collect),  # run 1: base build + predicate tombstones
     ("ivf_rebalance_apply", _collect),  # run 1: split pass + layout rewrite
     ("ivf_rebalance_serve", _collect),  # full-probe serve over the split layout
+    ("ivf_rebalance_merge_apply", _collect),  # run 1: merge pass + layout rewrite
+    ("ivf_rebalance_merge_serve", _collect),  # full-probe serve over the merged layout
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

@@ -916,29 +916,11 @@ def rebalanced_index_dir(spark: SparkSession, sf_dir: str) -> str:
     and serve queries read, so the oracle pins the REWRITE, not a lazy
     plan. At scale only hot clusters' partitions change; the fixture
     write rewrites all of them for test isolation (a caller-owned dir)."""
-    import tempfile
-
     key = (spark, sf_dir)
     if key not in _REBALANCE_DIR:
-        out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_rebal_")
-        rows = rebalance_split_assignments(spark, sf_dir)
-        (
-            rows.repartition("cluster")
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(f"{out}/embeddings_indexed")
+        _REBALANCE_DIR[key] = _write_rebalanced_layout(
+            spark, rebalance_split_assignments(spark, sf_dir)
         )
-        cents = (
-            spark.read.parquet(f"{out}/embeddings_indexed")
-            .select("cluster", F.posexplode(as_double_array("embedding")).alias("i", "v"))
-            .groupBy("cluster", "i")
-            .agg(F.avg("v").alias("v"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
-            .select("cluster", F.col("s.v").alias("centroid"))
-        )
-        cents.coalesce(1).write.mode("overwrite").parquet(f"{out}/centroids")
-        _REBALANCE_DIR[key] = out
     return _REBALANCE_DIR[key]
 
 
@@ -957,6 +939,123 @@ def ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("id_min"),
         F.max("vec_id").alias("id_max"),
     )
+
+
+def rebalance_merge_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(cluster, vec_id, embedding)`` after one merge pass: cold
+    clusters (rebalance_plan's ``merge`` rule) donate ALL their members
+    to their ``merge_into`` target — the nearest OTHER centroid by the
+    plan's rounded-d2 recipe. All merges apply simultaneously against
+    ORIGINAL labels (a target that is itself cold donates its own rows
+    elsewhere in the same pass; chains converge across nightly cycles,
+    the same one-step-per-cycle posture as the split half)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    totals = counts.agg(
+        F.sum("n_vectors").alias("total"), F.count("*").alias("k_clusters")
+    )
+    merge_labels = (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("n_vectors") / (F.col("total") / F.col("k_clusters"))
+            < REBALANCE_MERGE_RATIO
+        )
+        .select("label")
+    )
+    cents = fixture_centroids(spark, sf_dir)
+    a = cents.select(F.col("label"), F.col("centroid").alias("ca"))
+    b = cents.select(F.col("label").alias("nbr"), F.col("centroid").alias("cb"))
+    pairs = a.join(b, F.col("label") != F.col("nbr")).select(
+        "label", "nbr", _d2_rounded(F.col("ca"), F.col("cb")).alias("d2")
+    )
+    target = (
+        pairs.withColumn(
+            "rn", F.row_number().over(W.partitionBy("label").orderBy("d2", "nbr"))
+        )
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(merge_labels), "label", "left_semi")
+        .select("label", F.col("nbr").alias("merge_into"))
+    )
+    merged_rows = emb.join(F.broadcast(target), "label").select(
+        F.col("merge_into").alias("cluster"), "vec_id", "embedding"
+    )
+    keep_rows = emb.join(F.broadcast(merge_labels), "label", "left_anti").select(
+        F.col("label").alias("cluster"), "vec_id", "embedding"
+    )
+    return keep_rows.unionByName(merged_rows)
+
+
+_REBALANCE_MERGE_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def _write_rebalanced_layout(spark: SparkSession, rows: DataFrame) -> str:
+    """Persist a relabeled ``(cluster, vec_id, embedding)`` relation as
+    an engine-servable layout: cluster-partitioned rows + per-cluster
+    mean centroids (the coarse stage's table; full-probe serves stay
+    exact regardless of centroid quality)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_rebal_")
+    (
+        rows.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{out}/embeddings_indexed")
+    )
+    cents = (
+        spark.read.parquet(f"{out}/embeddings_indexed")
+        .select("cluster", F.posexplode(as_double_array("embedding")).alias("i", "v"))
+        .groupBy("cluster", "i")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
+        .select("cluster", F.col("s.v").alias("centroid"))
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{out}/centroids")
+    return out
+
+
+def merged_rebalance_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark, sf_dir)
+    if key not in _REBALANCE_MERGE_DIR:
+        _REBALANCE_MERGE_DIR[key] = _write_rebalanced_layout(
+            spark, rebalance_merge_assignments(spark, sf_dir)
+        )
+    return _REBALANCE_MERGE_DIR[key]
+
+
+def ivf_rebalance_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster membership accounting of the WRITTEN post-merge
+    layout — same (count, id_sum, id_min, id_max) member-set pin as the
+    split half; the oracle replays thresholds → nearest-other-centroid
+    targets → simultaneous relabel from the fixture alone."""
+    idx = spark.read.parquet(
+        f"{merged_rebalance_dir(spark, sf_dir)}/embeddings_indexed"
+    )
+    return idx.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("vec_id").alias("id_sum"),
+        F.min("vec_id").alias("id_min"),
+        F.max("vec_id").alias("id_max"),
+    )
+
+
+def ivf_rebalance_merge_serve(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Full-probe top-k through the post-merge layout — value-identical
+    to brute force: merging partitions moves no vector."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+
+    out = merged_rebalance_dir(spark, sf_dir)
+    key = (spark, out)
+    if key not in _REBALANCE_ENGINE:
+        n_clusters = spark.read.parquet(f"{out}/centroids").count()
+        _REBALANCE_ENGINE[key] = IVFEngine.from_pretrained(
+            spark, out, n_probe=n_clusters
+        )
+    qrow = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+    )
+    return _REBALANCE_ENGINE[key].search([float(x) for x in qrow.embedding], k=k)
 
 
 def ivf_rebalance_serve(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:

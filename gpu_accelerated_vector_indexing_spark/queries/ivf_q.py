@@ -1314,3 +1314,53 @@ FROM relabeled GROUP BY cluster
 """
 
 ORACLES["ivf_rebalance_serve"] = _knn_q.ORACLES["knn_bruteforce"]
+
+
+# The merge half: cold clusters donate all members to the plan's
+# merge_into target (nearest other centroid, the plan oracle's own
+# recipe), applied simultaneously against original labels. Same
+# member-set accounting pin; same serve-unchanged pin.
+QUERIES["ivf_rebalance_merge_apply"] = ivf.ivf_rebalance_merge_apply
+QUERIES["ivf_rebalance_merge_serve"] = partial(ivf.ivf_rebalance_merge_serve, k=K)
+
+ORACLES["ivf_rebalance_merge_apply"] = f"""
+WITH dims AS (SELECT i FROM range(1, {DIM + 1}) t(i)),
+cent_flat AS (
+  SELECT e.label, d.i, round(avg(e.embedding[d.i]::DOUBLE), 8) AS v
+  FROM embeddings e CROSS JOIN dims d
+  GROUP BY e.label, d.i
+),
+cent AS (
+  SELECT label AS c_label, list(v ORDER BY i) AS centroid FROM cent_flat GROUP BY label
+),
+pairs AS (
+  SELECT a.c_label AS label, b.c_label AS nbr,
+         round(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (a.centroid[i] - b.centroid[i]) * (a.centroid[i] - b.centroid[i]))), 6) AS d2
+  FROM cent a JOIN cent b ON a.c_label <> b.c_label
+),
+nearest AS (
+  SELECT label, nbr AS merge_into FROM (
+    SELECT label, nbr, row_number() OVER (PARTITION BY label ORDER BY d2, nbr) AS rn FROM pairs
+  ) WHERE rn = 1
+),
+counts AS (SELECT label, count(*)::BIGINT AS n_vectors FROM embeddings GROUP BY label),
+tot AS (SELECT sum(n_vectors)::BIGINT AS total, count(*)::BIGINT AS k_clusters FROM counts),
+mrg AS (
+  SELECT label FROM counts CROSS JOIN tot
+  WHERE n_vectors / (total / k_clusters) < {ivf.REBALANCE_MERGE_RATIO}
+),
+relabeled AS (
+  SELECT n.merge_into AS cluster, e.vec_id
+  FROM embeddings e JOIN nearest n ON n.label = e.label
+  WHERE e.label IN (SELECT label FROM mrg)
+  UNION ALL
+  SELECT e.label AS cluster, e.vec_id FROM embeddings e
+  WHERE e.label NOT IN (SELECT label FROM mrg)
+)
+SELECT cluster, count(*)::BIGINT AS n_vectors, sum(vec_id)::BIGINT AS id_sum,
+       min(vec_id) AS id_min, max(vec_id) AS id_max
+FROM relabeled GROUP BY cluster
+"""
+
+ORACLES["ivf_rebalance_merge_serve"] = _knn_q.ORACLES["knn_bruteforce"]

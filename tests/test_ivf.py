@@ -1261,3 +1261,37 @@ def test_rebalance_serve_is_value_identical_to_bruteforce(spark):
     got = {(r.vec_id, r.score) for r in ivf_rebalance_serve(spark, SF_SMOKE).collect()}
     want = {(r.vec_id, r.score) for r in knn_bruteforce(spark, SF_SMOKE, query_id=0, k=5).collect()}
     assert got == want
+
+
+def test_rebalance_merge_preserves_membership_and_drains_cold(spark):
+    """The post-merge relation holds exactly the fixture's vec_ids once
+    each; every cold cluster is gone as a label; its target grew by at
+    least its donation (unless the target itself merged away)."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        REBALANCE_MERGE_RATIO,
+        rebalance_merge_assignments,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = rebalance_merge_assignments(spark, SF_SMOKE)
+    assert rows.count() == emb.count()
+    assert rows.select("vec_id").distinct().count() == emb.count()
+
+    before = {r.label: r.n for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    target = sum(before.values()) / len(before)
+    cold = {lbl for lbl, n in before.items() if n / target < REBALANCE_MERGE_RATIO}
+    assert cold, "fixture must exercise the merge path"
+    after = {r.cluster: r.n for r in rows.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert not cold & set(after)
+    assert sum(after.values()) == sum(before.values())
+
+
+def test_rebalance_merge_serve_is_value_identical_to_bruteforce(spark):
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import ivf_rebalance_merge_serve
+    from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
+
+    got = {(r.vec_id, r.score) for r in ivf_rebalance_merge_serve(spark, SF_SMOKE).collect()}
+    want = {(r.vec_id, r.score) for r in knn_bruteforce(spark, SF_SMOKE, query_id=0, k=5).collect()}
+    assert got == want

@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     ("ivf_rebalance_serve", _collect),  # full-probe serve over the split layout
     ("ivf_rebalance_merge_apply", _collect),  # run 1: merge pass + layout rewrite
     ("ivf_rebalance_merge_serve", _collect),  # full-probe serve over the merged layout
+    ("index_history_stats", _collect),  # per-gen write/retire/live accounting
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

@@ -828,6 +828,47 @@ def index_read_asof_gen(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
     return out
 
 
+def index_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-version accounting of the multi-generation layout — the
+    observability row for time travel: for each version v,
+    ``(gen, n_written, n_retired, n_live)`` where n_written = rows the
+    cycle appended (v=0: the base build), n_retired = tombstone rows
+    the cycle emitted (dead-gen v-1), n_live = rows visible AS OF v.
+    All three columns are read from the PHYSICAL layout; the oracle
+    re-derives every number from the snapshot definitions alone, so a
+    value match certifies the layout's entire write/retire history."""
+    idx_dir = cdc_refreshed_index_gen2(spark, sf_dir)
+    writes = (
+        spark.read.parquet(f"{idx_dir}/embeddings_indexed")
+        .groupBy("gen")
+        .agg(F.count("*").alias("n_written"))
+    )
+    retires = (
+        spark.read.parquet(f"{idx_dir}/tombstones")
+        .select((F.col("gen") + 1).cast("int").alias("gen"))
+        .groupBy("gen")
+        .agg(F.count("*").alias("n_retired"))
+    )
+    lives: DataFrame | None = None
+    for v in (0, 1, 2):
+        row = (
+            _live_index_rows_asof(spark, idx_dir, v)
+            .agg(F.count("*").alias("n_live"))
+            .select(F.lit(v).cast("int").alias("gen"), "n_live")
+        )
+        lives = row if lives is None else lives.unionByName(row)
+    return (
+        writes.join(F.broadcast(retires), "gen", "left")
+        .join(F.broadcast(lives), "gen")
+        .select(
+            "gen",
+            "n_written",
+            F.coalesce("n_retired", F.lit(0)).cast("long").alias("n_retired"),
+            "n_live",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Predicate-driven deletes (r10 cont.): DELETE FROM index WHERE <metadata>
 # ---------------------------------------------------------------------------

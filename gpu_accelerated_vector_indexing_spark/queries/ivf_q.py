@@ -1364,3 +1364,39 @@ FROM relabeled GROUP BY cluster
 """
 
 ORACLES["ivf_rebalance_merge_serve"] = _knn_q.ORACLES["knn_bruteforce"]
+
+
+# Time travel's observability row: the layout's full write/retire
+# history — per version: rows appended, tombstones emitted, rows
+# visible as-of — every number re-derived from the snapshot
+# definitions alone (the diff class counts and snapshot sizes).
+QUERIES["index_history_stats"] = index_build.index_history_stats
+
+
+def _index_history_stats_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import (
+        snapshot_diff_ctes_sql,
+        snapshot_diff_v3_ctes_sql,
+    )
+
+    return f"""
+WITH {snapshot_diff_ctes_sql()},
+{snapshot_diff_v3_ctes_sql()}
+SELECT 0::INT AS gen,
+       (SELECT count(*) FROM old_snap)::BIGINT AS n_written,
+       0::BIGINT AS n_retired,
+       (SELECT count(*) FROM old_snap)::BIGINT AS n_live
+UNION ALL
+SELECT 1::INT,
+       (SELECT count(*) FROM diff WHERE status IN ('added', 'changed'))::BIGINT,
+       (SELECT count(*) FROM diff WHERE status IN ('removed', 'changed'))::BIGINT,
+       (SELECT count(*) FROM new_snap)::BIGINT
+UNION ALL
+SELECT 2::INT,
+       (SELECT count(*) FROM diff3 WHERE status IN ('added', 'changed'))::BIGINT,
+       (SELECT count(*) FROM diff3 WHERE status IN ('removed', 'changed'))::BIGINT,
+       (SELECT count(*) FROM v3_snap)::BIGINT
+"""
+
+
+ORACLES["index_history_stats"] = _index_history_stats_oracle()

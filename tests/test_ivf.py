@@ -1295,3 +1295,22 @@ def test_rebalance_merge_serve_is_value_identical_to_bruteforce(spark):
     got = {(r.vec_id, r.score) for r in ivf_rebalance_merge_serve(spark, SF_SMOKE).collect()}
     want = {(r.vec_id, r.score) for r in knn_bruteforce(spark, SF_SMOKE, query_id=0, k=5).collect()}
     assert got == want
+
+
+def test_history_stats_ledger_balances(spark):
+    """Each cycle's tombstones retire exactly one live row apiece
+    (removed/changed docs have one live row by construction), so the
+    ledger balances: live(v) = live(v-1) + written(v) - retired(v)."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        index_history_stats,
+    )
+
+    rows = {r.gen: r for r in index_history_stats(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n_retired == 0
+    assert rows[0].n_live == rows[0].n_written
+    for v in (1, 2):
+        assert (
+            rows[v].n_live
+            == rows[v - 1].n_live + rows[v].n_written - rows[v].n_retired
+        )

@@ -828,6 +828,52 @@ def index_read_asof_gen(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
     return out
 
 
+# (spark, sf_dir) → rebalanced-after-refresh layout dir
+_CDC_REBAL_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def rebalanced_refreshed_index(spark: SparkSession, sf_dir: str) -> str:
+    """The two lifecycles COMPOSED: after two CDC refresh cycles the
+    nearest-stored-centroid appends have skewed some clusters (appends
+    go wherever the stale centroids say — exactly the drift
+    ``rebalance_plan`` exists to heal), so the nightly maintenance
+    window runs the split pass over the refreshed layout's LIVE rows
+    and writes a fresh compact layout (tombstones folded, like
+    compaction; hot clusters divided, like rebalance). Reads the
+    memoized gen-2 layout read-only and owns its output directory."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        _write_rebalanced_layout,
+        split_hot_clusters,
+    )
+
+    key = (spark, sf_dir)
+    if key not in _CDC_REBAL_DIR:
+        live = _live_index_rows(spark, cdc_refreshed_index_gen2(spark, sf_dir))
+        relabeled = split_hot_clusters(live.select("cluster", "vec_id", "embedding"))
+        _CDC_REBAL_DIR[key] = _write_rebalanced_layout(spark, relabeled)
+    return _CDC_REBAL_DIR[key]
+
+
+def index_refresh_rebalanced(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Serve after refresh → refresh → rebalance — must hit the gen-2
+    oracle unchanged: maintenance (splitting + tombstone folding)
+    moves no result value, while post-split probes scan smaller
+    partitions."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+
+    out = rebalanced_refreshed_index(spark, sf_dir)
+    key = (spark, out)
+    if key not in _CDC_SERVE_ENGINE_CACHE:
+        n_clusters = spark.read.parquet(f"{out}/centroids").count()
+        _CDC_SERVE_ENGINE_CACHE[key] = IVFEngine.from_pretrained(
+            spark, out, n_probe=n_clusters
+        )
+    eng = _CDC_SERVE_ENGINE_CACHE[key]
+    return eng.search(_cdc_query_vec(spark), k=k).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+
+
 def index_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-version accounting of the multi-generation layout — the
     observability row for time travel: for each version v,

@@ -844,12 +844,21 @@ def _d2_rounded(a, b):
 
 
 def rebalance_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(cluster, vec_id, embedding)`` after one split pass: hot
-    clusters (rebalance_plan's ``split`` rule) are divided between
-    their min-vec_id and max-vec_id members' seeds; everything else
-    keeps its label. New cluster ids are dense after the existing max
-    (``max_label + rank-of-split-label``) so ids never collide."""
+    """``(cluster, vec_id, embedding)`` after one split pass over the
+    fixture corpus — see :func:`split_hot_clusters` for the rule."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return split_hot_clusters(emb.withColumnRenamed("label", "cluster"))
+
+
+def split_hot_clusters(emb: DataFrame) -> DataFrame:
+    """One split pass over ANY ``(cluster, vec_id, embedding)``
+    relation: hot clusters (rebalance_plan's ``split`` rule) are
+    divided between their min-vec_id and max-vec_id members' seeds;
+    everything else keeps its label. New cluster ids are dense after
+    the existing max (``max + rank-of-split-cluster``) so ids never
+    collide. Generic so the pass composes with the CDC-refreshed
+    layout's live rows, not just the fixture corpus."""
+    emb = emb.withColumnRenamed("cluster", "label")
     counts = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
     totals = counts.agg(
         F.sum("n_vectors").alias("total"), F.count("*").alias("k_clusters")

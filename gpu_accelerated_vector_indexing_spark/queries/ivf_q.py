@@ -1400,3 +1400,11 @@ SELECT 2::INT,
 
 
 ORACLES["index_history_stats"] = _index_history_stats_oracle()
+
+
+# The two lifecycles composed: refresh → refresh → rebalance serves
+# the gen-2 oracle unchanged (maintenance moves no value) while the
+# split pass heals the cluster skew the nearest-stored-centroid
+# appends introduced.
+QUERIES["index_refresh_rebalanced"] = index_build.index_refresh_rebalanced
+ORACLES["index_refresh_rebalanced"] = ORACLES["index_refresh_cdc_gen2"]

@@ -1314,3 +1314,26 @@ def test_history_stats_ledger_balances(spark):
             rows[v].n_live
             == rows[v - 1].n_live + rows[v].n_written - rows[v].n_retired
         )
+
+
+def test_refresh_rebalance_composition_preserves_live_set(spark):
+    """The maintenance rewrite holds exactly the gen-2 live rows once
+    each, with MORE clusters than before (the split actually fired on
+    the skew the appends introduced) and no tombstone list left."""
+    import os
+
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        _live_index_rows,
+        cdc_refreshed_index_gen2,
+        rebalanced_refreshed_index,
+    )
+
+    live = _live_index_rows(spark, cdc_refreshed_index_gen2(spark, SF_SMOKE))
+    out = rebalanced_refreshed_index(spark, SF_SMOKE)
+    reb = spark.read.parquet(f"{out}/embeddings_indexed")
+    assert reb.count() == live.count()
+    assert reb.select("vec_id").distinct().count() == live.count()
+    n_before = live.select("cluster").distinct().count()
+    n_after = reb.select("cluster").distinct().count()
+    assert n_after > n_before
+    assert not os.path.exists(f"{out}/tombstones")

@@ -696,3 +696,30 @@ def _streaming_index_refresh_gen2_oracle() -> str:
 
 
 ORACLES["streaming_index_refresh_gen2"] = _streaming_index_refresh_gen2_oracle()
+
+
+# --- r10 cont.: streaming predicate deletes ----------------------------------
+
+
+def _streaming_index_delete_where(spark, sf_dir):
+    """The purge feed as a stream: each micro-batch folds its victims'
+    tombstones idempotently (tombstone-ONLY folds — deletes never touch
+    index files), then serve — must hit the batch DELETE WHERE's full
+    oracle exactly."""
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import (
+        streaming_index_delete_where,
+    )
+
+    return streaming_index_delete_where(spark, sf_dir)
+
+
+QUERIES["streaming_index_delete_where"] = _streaming_index_delete_where
+
+
+def _streaming_index_delete_where_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries import ivf_q
+
+    return ivf_q.ORACLES["index_delete_where"]
+
+
+ORACLES["streaming_index_delete_where"] = _streaming_index_delete_where_oracle()

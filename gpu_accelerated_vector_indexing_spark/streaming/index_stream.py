@@ -274,3 +274,78 @@ def streaming_index_refresh_gen2(
     with _lock:
         idx_dir = _refreshed_dir_gen2(spark, sf_dir)
     return serve_refreshed_index(spark, idx_dir, k)
+
+
+# --- r10 cont.: the predicate-delete feed (streaming DELETE WHERE) ----------
+# The delete path gets the same streaming twin the refresh has: purge
+# decisions arrive on the bus (a compliance queue, a retention
+# sweeper), each micro-batch folds its victims' tombstones into the
+# layout idempotently, and serving must equal the one-shot batch
+# delete. Deletes are tombstone-ONLY folds — no appends, no centroid
+# work — so a delete feed never touches index files at all until
+# compaction reclaims the masked rows.
+
+_STREAM_DELETE_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def fold_delete_batch(
+    spark: SparkSession, out: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch of the predicate-delete feed: victims = old-
+    snapshot members whose ``source`` is purged (the same row-local
+    predicate as ``index_build.delete_where_index``), written
+    idempotently into ``tombstones/batch={batch_id}`` at dead-gen 0."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        SNAP_REMOVED_MOD,
+        SNAP_REMOVED_REM,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        DELETE_WHERE_SOURCES,
+    )
+
+    in_old = F.col("doc_id") % SNAP_REMOVED_MOD != SNAP_REMOVED_REM
+    (
+        batch_df.filter(in_old & F.col("source").isin(*DELETE_WHERE_SOURCES))
+        .select(F.col("doc_id").alias("vec_id"), F.lit(0).cast("int").alias("gen"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out}/tombstones/batch={batch_id}")
+    )
+
+
+def streaming_index_delete_where(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Drain the predicate-delete feed into the persisted index, then
+    serve — must produce EXACTLY ``index_delete_where``'s rows (shared
+    serve definition, shared oracle): the streaming purge and the
+    one-shot batch DELETE maintain the same index."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        build_base_snapshot_index,
+        serve_refreshed_index,
+    )
+
+    with _lock:
+        key = (spark, sf_dir)
+        if key not in _STREAM_DELETE_DIR:
+            out = build_base_snapshot_index(spark, sf_dir, batch_layout=True)
+
+            def fold(batch_df: DataFrame, batch_id: int) -> None:
+                fold_delete_batch(spark, out, batch_df, batch_id)
+
+            q = (
+                documents_stream(spark, sf_dir)
+                .writeStream.outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_sdel_ckpt_"),
+                )
+                .foreachBatch(fold)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            _STREAM_DELETE_DIR[key] = out
+    return serve_refreshed_index(spark, _STREAM_DELETE_DIR[key], k)

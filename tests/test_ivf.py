@@ -1337,3 +1337,35 @@ def test_refresh_rebalance_composition_preserves_live_set(spark):
     n_after = reb.select("cluster").distinct().count()
     assert n_after > n_before
     assert not os.path.exists(f"{out}/tombstones")
+
+
+def test_streaming_delete_fold_replay_is_idempotent(spark):
+    """The delete feed's fold is tombstone-only and idempotent per
+    batch_id: a replay leaves the layout equivalent, and index files
+    are never touched."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        build_base_snapshot_index,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import (
+        fold_delete_batch,
+    )
+
+    out = build_base_snapshot_index(spark, SF_SMOKE, batch_layout=True)
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def state():
+        idx = spark.read.parquet(f"{out}/embeddings_indexed")
+        tombs = spark.read.parquet(f"{out}/tombstones")
+        return (
+            sorted((r.vec_id, r.gen) for r in idx.select("vec_id", "gen").collect()),
+            sorted((r.vec_id, r.gen, r.batch) for r in tombs.select("vec_id", "gen", "batch").collect()),
+        )
+
+    base_rows = state()[0]
+    fold_delete_batch(spark, out, docs, batch_id=0)
+    first = state()
+    assert first[1], "fold must have written tombstones"
+    assert first[0] == base_rows, "delete folds must not touch index rows"
+    fold_delete_batch(spark, out, docs, batch_id=0)  # the replay
+    assert state() == first

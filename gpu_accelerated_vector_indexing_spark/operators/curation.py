@@ -70,7 +70,13 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced by column — interpreted higher-order expressions get no
     codegen CSE, so a flat select re-tokenizes per referencing column.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+def quality_flags(docs: DataFrame) -> DataFrame:
+    """The Gopher gate over ANY ``(doc_id, text)`` relation — the
+    reusable core of :func:`quality_filter` (the gated index refresh
+    applies it to the CDC append batch's NEW text)."""
     staged = docs.select(
         "doc_id", "text", tokens(F.col("text")).alias("toks")
     ).select(

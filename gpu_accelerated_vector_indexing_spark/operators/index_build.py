@@ -828,6 +828,55 @@ def index_read_asof_gen(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
     return out
 
 
+# (spark, sf_dir) → quality-gated refreshed layout dir
+_GATED_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def quality_gated_refresh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Cycle-1 refresh with the CURATION GATE on the append path — the
+    "don't index junk" rule every production pipeline runs between
+    ingestion and the index: removed + changed docs still tombstone
+    (junk must leave regardless), but added + changed docs re-enter
+    only if their NEW text passes the Gopher quality filter
+    (``curation.quality_flags``). A changed doc that fails the gate is
+    thereby dropped from serving entirely — tombstoned, not
+    re-appended."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        corpus_snapshot_diff,
+        quality_flags,
+        snapshot_new_docs,
+    )
+
+    key = (spark, sf_dir)
+    if key not in _GATED_DIR:
+        out = build_base_snapshot_index(spark, sf_dir)
+        diff = corpus_snapshot_diff(spark, sf_dir)
+        new_docs = snapshot_new_docs(load_table(spark, sf_dir, "documents"))
+        keep_ids = quality_flags(new_docs).filter(F.col("keep")).select("doc_id")
+        tombs = diff.filter(F.col("status").isin("removed", "changed")).select(
+            F.col("doc_id").alias("vec_id"), F.lit(0).cast("int").alias("gen")
+        )
+        tombs.coalesce(1).write.mode("append").parquet(f"{out}/tombstones")
+        upserts = (
+            new_docs.join(
+                diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ).join(keep_ids, "doc_id", "left_semi")
+        )
+        append_to_index(spark, out, _snapshot_emb(upserts, gen=1))
+        _GATED_DIR[key] = out
+    return _GATED_DIR[key]
+
+
+def index_refresh_gated(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Serve the quality-gated refresh — the oracle brute-forces the
+    gated corpus (unchanged docs ∪ quality-passing upserts, all at
+    their new text), so a value match certifies the gate admitted
+    exactly the passing rows and dropped failing edits entirely."""
+    return serve_refreshed_index(spark, quality_gated_refresh_index(spark, sf_dir), k)
+
+
 # (spark, sf_dir) → rebalanced-after-refresh layout dir
 _CDC_REBAL_DIR: dict[tuple[SparkSession, str], str] = {}
 

@@ -629,6 +629,26 @@ def new_snapshot_rel_sql(alias: str = "new_snap") -> str:
 ) {alias}"""
 
 
+def quality_keep_ids_sql(docs_rel: str) -> str:
+    """doc_ids passing the Gopher gate, over ANY ``(doc_id, text)``
+    relation — the SQL twin of ``curation.quality_flags`` (the ONE
+    restatement of the rule set, shared with the quality_filter oracle
+    above and the gated-refresh oracle)."""
+    return f"""(
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           len({_TOKS})::INT AS n_tokens,
+           list_sum(list_transform({_TOKS}, t -> length(t)::INT))::INT
+             / len({_TOKS})::INT AS avg_token_len,
+           len(list_filter({_TOKS}, t -> t IN ({_STOPS})))::INT
+             / len({_TOKS})::INT AS stopword_ratio,
+           (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))::INT
+             / length(text) AS punct_ratio
+    FROM {docs_rel}
+  ) WHERE ({_QF_NFAIL}) = 0
+)"""
+
+
 def old_snapshot_rel_sql(alias: str = "old_snap_rel", where: str = "") -> str:
     """The OLD (base) snapshot as an aliased relation — the SQL twin of
     ``curation.snapshot_old_docs``, with an optional extra predicate

@@ -1408,3 +1408,40 @@ ORACLES["index_history_stats"] = _index_history_stats_oracle()
 # appends introduced.
 QUERIES["index_refresh_rebalanced"] = index_build.index_refresh_rebalanced
 ORACLES["index_refresh_rebalanced"] = ORACLES["index_refresh_cdc_gen2"]
+
+
+# --- r10 cont.: the curation gate on the refresh path ------------------------
+# Only quality-passing upserts re-enter the index; failing edits are
+# tombstoned and NOT re-appended (dropped from serving). The oracle
+# brute-forces the gated corpus: unchanged docs ∪ quality-passing
+# added/changed docs, all at their new text.
+QUERIES["index_refresh_gated"] = index_build.index_refresh_gated
+
+
+def _index_refresh_gated_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.operators import curation as C
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import (
+        new_snapshot_rel_sql,
+        quality_keep_ids_sql,
+    )
+    from gpu_accelerated_vector_indexing_spark.queries.knn_q import embed_cte
+
+    keep_rel = quality_keep_ids_sql(new_snapshot_rel_sql("ks"))
+    gated_rel = f"""(
+  SELECT ns.doc_id, ns.text
+  FROM {new_snapshot_rel_sql("ns")}
+  WHERE (ns.doc_id % {C.SNAP_REMOVED_MOD} <> {C.SNAP_REMOVED_REM}
+         AND ns.doc_id % {C.SNAP_EDIT_MOD} <> {C.SNAP_EDIT_REM})
+     OR ns.doc_id IN (SELECT doc_id FROM {keep_rel})
+) gated_corpus"""
+    return embed_cte(docs_rel=gated_rel, query_text=index_build.CDC_QUERY_TEXT) + f"""
+SELECT doc_id,
+       round(list_dot_product(c.emb, q.q) /
+             (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q, q.q)) + 1e-8),
+             6) AS score
+FROM corpus c CROSS JOIN qvec q
+ORDER BY score DESC, doc_id DESC LIMIT {K}
+"""
+
+
+ORACLES["index_refresh_gated"] = _index_refresh_gated_oracle()

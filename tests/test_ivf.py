@@ -1369,3 +1369,43 @@ def test_streaming_delete_fold_replay_is_idempotent(spark):
     assert first[0] == base_rows, "delete folds must not touch index rows"
     fold_delete_batch(spark, out, docs, batch_id=0)  # the replay
     assert state() == first
+
+
+def test_gated_refresh_rejects_failing_upserts(spark):
+    """The quality gate must actually fire: some upserts fail the
+    filter and are absent from the gated layout's live rows, while
+    every admitted upsert passes."""
+    from gpu_accelerated_vector_indexing_spark.operators.curation import (
+        corpus_snapshot_diff,
+        quality_flags,
+        snapshot_new_docs,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        _live_index_rows,
+        quality_gated_refresh_index,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    diff = corpus_snapshot_diff(spark, SF_SMOKE)
+    upsert_ids = {
+        r.doc_id
+        for r in diff.filter(F.col("status").isin("added", "changed")).collect()
+    }
+    keep = {
+        r.doc_id
+        for r in quality_flags(snapshot_new_docs(docs))
+        .filter(F.col("keep"))
+        .collect()
+    }
+    rejected = upsert_ids - keep
+    assert rejected, "fixture must exercise the gate"
+    live = {
+        r.vec_id
+        for r in _live_index_rows(
+            spark, quality_gated_refresh_index(spark, SF_SMOKE)
+        ).collect()
+    }
+    assert not live & rejected
+    assert (upsert_ids & keep) <= live

@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     ("index_refresh_rebalanced", _collect),  # run 1: split pass over the gen-2 live rows
     ("streaming_index_delete_where", _collect),  # run 1: drain the purge feed
     ("index_refresh_gated", _collect),  # run 1: base build + gated cycle
+    ("knn_filtered_planned_narrow", _collect),  # prefilter branch (fr)
+    ("knn_filtered_planned_broad", _collect),  # postfilter branch (en)
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

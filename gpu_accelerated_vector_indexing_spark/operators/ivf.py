@@ -811,6 +811,63 @@ def rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r10 cont.: selectivity-planned filtered search -------------------------
+# The pre-filter vs post-filter decision every filtered-ANN service
+# makes: a SELECTIVE predicate (few matches) is cheapest as an exact
+# scan over the qualifying rows (the probe structure would mostly miss
+# them anyway); a BROAD predicate keeps the IVF probes and filters the
+# candidates. The cutoff compares the predicate's exact selectivity —
+# metadata-scale counts, so the plan choice is deterministic and the
+# oracle replays it (both branches guarded by the same selectivity
+# predicate; exactly one emits rows).
+
+PLAN_SELECTIVITY_CUTOFF = 0.25
+
+
+def knn_filtered_planned(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 5,
+    lang: str = "fr",
+    n_probe: int = 5,
+) -> DataFrame:
+    """Filtered top-k with a planned strategy: ``(strategy, vec_id,
+    score)`` where strategy ∈ {prefilter, postfilter} is chosen by the
+    predicate's exact selectivity against
+    :data:`PLAN_SELECTIVITY_CUTOFF`. The strategy column is part of the
+    value contract, so the oracle certifies the CHOICE, not just the
+    rows."""
+    from gpu_accelerated_vector_indexing_spark.operators.knn import (
+        query_vectors,
+        scored_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    n_match = docs.filter(F.col("lang") == lang).count()
+    allowed = docs.filter(F.col("lang") == lang).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    q = query_vectors(spark, sf_dir, [query_id])
+    if n_match / n_total < PLAN_SELECTIVITY_CUTOFF:
+        strategy = "prefilter"
+        cands = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
+    else:
+        strategy = "postfilter"
+        probes = coarse_probes(spark, sf_dir, query_id, n_probe)
+        cands = emb.filter(F.col("label").isin(probes)).join(
+            F.broadcast(allowed), "vec_id", "left_semi"
+        )
+    return (
+        scored_embeddings(cands, q)
+        .select(F.lit(strategy).alias("strategy"), "vec_id", "score")
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
 # --- r10 cont.: EXECUTE the split half of the rebalance plan ----------------
 # rebalance_plan marks hot clusters; this is the maintenance job that
 # acts on the marks. One pass splits each hot cluster IN TWO (nightly

@@ -1445,3 +1445,49 @@ ORDER BY score DESC, doc_id DESC LIMIT {K}
 
 
 ORACLES["index_refresh_gated"] = _index_refresh_gated_oracle()
+
+
+# --- r10 cont.: selectivity-planned filtered search --------------------------
+# Two registered variants exercise BOTH planner branches: 'fr' (~15%
+# of docs) goes pre-filter, 'en' (~43%) goes post-filter through the
+# IVF probes. The oracle replays the plan choice itself: both branches
+# are guarded by the same exact-selectivity predicate, so exactly one
+# emits rows — a value match certifies strategy AND results.
+QUERIES["knn_filtered_planned_narrow"] = partial(
+    ivf.knn_filtered_planned, query_id=QUERY_ID, k=K, lang="fr", n_probe=N_PROBE
+)
+QUERIES["knn_filtered_planned_broad"] = partial(
+    ivf.knn_filtered_planned, query_id=QUERY_ID, k=K, lang="en", n_probe=N_PROBE
+)
+
+
+def _knn_filtered_planned_oracle(lang: str) -> str:
+    sel = (
+        f"(SELECT sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END)::DOUBLE"
+        f" / count(*)::DOUBLE FROM documents)"
+    )
+    allowed = f" AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
+    pre = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_ID}),
+fine AS (
+  SELECT e.vec_id, {_COS_Q} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE true{allowed}
+)
+SELECT 'prefilter' AS strategy, vec_id, score FROM fine
+WHERE {sel} < {ivf.PLAN_SELECTIVITY_CUTOFF}
+ORDER BY score DESC, vec_id DESC LIMIT {K}
+"""
+    post = f"""{_ivf_ctes(N_PROBE, fine_where=allowed)}
+SELECT 'postfilter' AS strategy, vec_id, score FROM fine
+WHERE {sel} >= {ivf.PLAN_SELECTIVITY_CUTOFF}
+ORDER BY score DESC, vec_id DESC LIMIT {K}
+"""
+    return (
+        "SELECT strategy, vec_id, score FROM (\n"
+        f"SELECT * FROM ({pre})\nUNION ALL\nSELECT * FROM ({post})\n)"
+    )
+
+
+ORACLES["knn_filtered_planned_narrow"] = _knn_filtered_planned_oracle("fr")
+ORACLES["knn_filtered_planned_broad"] = _knn_filtered_planned_oracle("en")

@@ -1409,3 +1409,29 @@ def test_gated_refresh_rejects_failing_upserts(spark):
     }
     assert not live & rejected
     assert (upsert_ids & keep) <= live
+
+
+def test_filtered_planner_picks_both_branches(spark):
+    """'fr' (~15% of docs) must plan pre-filter; 'en' (~43%) must plan
+    post-filter — both branches of the planner are exercised, and the
+    post-filter branch's rows come from probed clusters only."""
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import (
+        coarse_probes,
+        knn_filtered_planned,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    narrow = knn_filtered_planned(spark, SF_SMOKE, lang="fr").collect()
+    broad = knn_filtered_planned(spark, SF_SMOKE, lang="en").collect()
+    assert {r.strategy for r in narrow} == {"prefilter"}
+    assert {r.strategy for r in broad} == {"postfilter"}
+    probes = set(coarse_probes(spark, SF_SMOKE, 0, 5))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    labels = {
+        r.label
+        for r in emb.filter(
+            F.col("vec_id").isin([r.vec_id for r in broad])
+        ).collect()
+    }
+    assert labels <= probes

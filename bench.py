@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     ("index_refresh_gated", _collect),  # run 1: base build + gated cycle
     ("knn_filtered_planned_narrow", _collect),  # prefilter branch (fr)
     ("knn_filtered_planned_broad", _collect),  # postfilter branch (en)
+    ("index_embedder_migration", _collect),  # run 1: v1 + v2 parallel builds
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

@@ -43,12 +43,16 @@ _TOKEN_MEMO: dict[tuple[str, int], tuple[int, float]] = {}
 _TOKEN_MEMO_MAX = 1 << 20
 
 
-def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
-    """Hashing-trick featurizer: md5(token) → (bucket, sign), L2 norm.
+def _hash_embed_batch(texts: pd.Series, dim: int, salt: str = "") -> pd.Series:
+    """Hashing-trick featurizer: md5(salt + token) → (bucket, sign), L2
+    norm.
 
     md5 (not Python ``hash``) so results are stable across processes,
     seeds, and engines — determinism is the fixture contract
-    (SURVEY.md §5.3).
+    (SURVEY.md §5.3). ``salt`` models the EMBEDDER VERSION: a non-empty
+    salt is "a different model" (every vector changes), which is what
+    the migration lifecycle exercises; the default "" keeps every
+    existing output bit-identical.
     """
     import numpy as np
 
@@ -57,10 +61,12 @@ def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
     for text in texts:
         vec = np.zeros(dim, dtype=np.float64)
         for tok in (text or "").lower().split():
-            key = (tok, dim)
+            key = (tok, dim, salt)
             hit = memo.get(key)
             if hit is None:
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                h = int.from_bytes(
+                    hashlib.md5((salt + tok).encode()).digest()[:8], "big"
+                )
                 hit = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
                 if len(memo) >= _TOKEN_MEMO_MAX:
                     memo.clear()
@@ -71,14 +77,14 @@ def _hash_embed_batch(texts: pd.Series, dim: int) -> pd.Series:
     return pd.Series(out)
 
 
-def hash_embedder(dim: int = DEFAULT_DIM) -> Column:
+def hash_embedder(dim: int = DEFAULT_DIM, salt: str = "") -> Column:
     """Column function: ``text`` → ``ARRAY<FLOAT>`` embedding."""
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # scalar-iterator form: per-worker setup would go here (≙ model load)
         for texts in it:
-            yield _hash_embed_batch(texts, dim)
+            yield _hash_embed_batch(texts, dim, salt)
 
     return embed
 
@@ -103,12 +109,18 @@ def sentence_transformer_embedder(model_name: str = "all-MiniLM-L6-v2") -> Colum
     return embed
 
 
-def embed_documents(docs: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+def embed_documents(
+    docs: DataFrame, dim: int = DEFAULT_DIM, salt: str = ""
+) -> DataFrame:
     """Corpus → ``(doc_id, embedding)`` (≙ reference embedding.py:26-36)."""
-    return docs.select("doc_id", hash_embedder(dim)(F.col("text")).alias("embedding"))
+    return docs.select(
+        "doc_id", hash_embedder(dim, salt)(F.col("text")).alias("embedding")
+    )
 
 
-def embed_queries(spark: SparkSession, texts: list[str], dim: int = DEFAULT_DIM) -> DataFrame:
+def embed_queries(
+    spark: SparkSession, texts: list[str], dim: int = DEFAULT_DIM, salt: str = ""
+) -> DataFrame:
     """Query strings → ``(query_id, qvec)`` (≙ reference test.py:13-25,
     and the ``--query`` flag README.md:45-48 documents but never
     implemented — here it exists)."""
@@ -116,5 +128,6 @@ def embed_queries(spark: SparkSession, texts: list[str], dim: int = DEFAULT_DIM)
         [(i, t) for i, t in enumerate(texts)], "query_id INT, text STRING"
     )
     return df.select(
-        "query_id", hash_embedder(dim)(F.col("text")).cast("array<double>").alias("qvec")
+        "query_id",
+        hash_embedder(dim, salt)(F.col("text")).cast("array<double>").alias("qvec"),
     )

@@ -303,14 +303,15 @@ _CDC_INDEX_DIR: dict[tuple[SparkSession, str], str] = {}
 _CDC_REFRESH_STATE: dict[tuple[SparkSession, str], dict[str, int]] = {}
 
 
-def _snapshot_emb(docs: DataFrame, gen: int) -> DataFrame:
+def _snapshot_emb(docs: DataFrame, gen: int, salt: str = "") -> DataFrame:
     """``(vec_id, embedding, gen)`` — hash-embedded snapshot docs.
     ``gen`` stamps which write produced a row (0 = base build,
     1 = CDC append), so a tombstone can retire an edited doc's BASE
-    row without shadowing its re-embedded replacement."""
+    row without shadowing its re-embedded replacement. ``salt`` selects
+    the embedder VERSION (the migration lifecycle)."""
     from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_documents
 
-    return embed_documents(docs).select(
+    return embed_documents(docs, salt=salt).select(
         F.col("doc_id").alias("vec_id"), "embedding", F.lit(gen).alias("gen")
     )
 
@@ -329,7 +330,7 @@ TOMBSTONE_SCHEMA = "vec_id long, gen int"
 
 
 def build_base_snapshot_index(
-    spark: SparkSession, sf_dir: str, batch_layout: bool = False
+    spark: SparkSession, sf_dir: str, batch_layout: bool = False, salt: str = ""
 ) -> str:
     """The OLD-snapshot base index in a fresh directory: hash-embed the
     old snapshot, seeded KMeans, cluster-partitioned layout + centroid
@@ -351,7 +352,7 @@ def build_base_snapshot_index(
     out = tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_cdcidx_")
     sub = "/batch=-1" if batch_layout else ""
     docs = load_table(spark, sf_dir, "documents")
-    base = _snapshot_emb(snapshot_old_docs(docs), gen=0)
+    base = _snapshot_emb(snapshot_old_docs(docs), gen=0, salt=salt)
     assigned, centroids = kmeans_assign(base, k=CDC_K_CLUSTERS, seed=42)
     (
         assigned.repartition("cluster")
@@ -823,6 +824,81 @@ def index_read_asof_gen(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
             )
             .orderBy(F.desc("score"), F.desc("doc_id"))
             .limit(k)
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedder-version migration (r10 cont.): the full-corpus rewrite event
+# ---------------------------------------------------------------------------
+# Model upgrades are the ONE lifecycle event that can never be
+# incremental: a new embedder changes EVERY vector, so the migration is
+# a full re-embed into a PARALLEL layout (never in place — readers stay
+# on v1 until v2 is complete), and both versions serve during the
+# cutover window with their OWN query embedder. Mixing versions in one
+# space is meaningless (the featurizer defines the geometry), which is
+# why this is a layout swap, not a refresh cycle.
+
+EMBEDDER_V2_SALT = "v2 "
+
+_MIGRATION_DIRS: dict[tuple[SparkSession, str], tuple[str, str]] = {}
+_MIGRATION_QVEC: dict[SparkSession, list[float]] = {}
+
+
+def embedder_migration_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """``(v1_dir, v2_dir)`` — the same snapshot indexed under both
+    embedder versions, each with its own KMeans over its own geometry."""
+    key = (spark, sf_dir)
+    if key not in _MIGRATION_DIRS:
+        _MIGRATION_DIRS[key] = (
+            build_base_snapshot_index(spark, sf_dir),
+            build_base_snapshot_index(spark, sf_dir, salt=EMBEDDER_V2_SALT),
+        )
+    return _MIGRATION_DIRS[key]
+
+
+def _v2_query_vec(spark: SparkSession) -> list[float]:
+    if spark not in _MIGRATION_QVEC:
+        from gpu_accelerated_vector_indexing_spark.functions.embedder import embed_queries
+
+        _MIGRATION_QVEC[spark] = [
+            float(x)
+            for x in embed_queries(spark, [CDC_QUERY_TEXT], salt=EMBEDDER_V2_SALT)
+            .collect()[0]
+            .qvec
+        ]
+    return _MIGRATION_QVEC[spark]
+
+
+def index_embedder_migration(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Serve BOTH versions during the cutover: ``(version, doc_id,
+    score)``, top-k per version, each layout probed full with the
+    matching query embedder. The oracle re-derives both embeddings from
+    text (the featurizer CTE at salt "" and at the v2 salt), so a value
+    match certifies the v2 rewrite re-embedded every document under the
+    new model and v1 serving is untouched by the migration."""
+    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
+
+    v1_dir, v2_dir = embedder_migration_dirs(spark, sf_dir)
+    out: DataFrame | None = None
+    for version, idx_dir, qvec in (
+        ("v1", v1_dir, _cdc_query_vec(spark)),
+        ("v2", v2_dir, _v2_query_vec(spark)),
+    ):
+        ekey = (spark, idx_dir)
+        if ekey not in _CDC_SERVE_ENGINE_CACHE:
+            _CDC_SERVE_ENGINE_CACHE[ekey] = IVFEngine.from_pretrained(
+                spark, idx_dir, n_probe=CDC_K_CLUSTERS
+            )
+        topk = (
+            _CDC_SERVE_ENGINE_CACHE[ekey]
+            .search(qvec, k=k)
+            .select(
+                F.lit(version).alias("version"),
+                F.col("vec_id").alias("doc_id"),
+                "score",
+            )
         )
         out = topk if out is None else out.unionByName(topk)
     return out

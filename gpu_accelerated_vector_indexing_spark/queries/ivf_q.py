@@ -1491,3 +1491,44 @@ ORDER BY score DESC, vec_id DESC LIMIT {K}
 
 ORACLES["knn_filtered_planned_narrow"] = _knn_filtered_planned_oracle("fr")
 ORACLES["knn_filtered_planned_broad"] = _knn_filtered_planned_oracle("en")
+
+
+# --- r10 cont.: embedder-version migration ------------------------------------
+# The full-corpus rewrite event: a new embedder changes EVERY vector,
+# so v2 is a parallel layout and both versions serve during cutover,
+# each with its own query embedder. The oracle re-derives both
+# geometries from text (featurizer CTE at salt "" and at the v2 salt).
+QUERIES["index_embedder_migration"] = index_build.index_embedder_migration
+
+
+def _index_embedder_migration_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries.curation_q import (
+        old_snapshot_rel_sql,
+    )
+    from gpu_accelerated_vector_indexing_spark.queries.knn_q import embed_cte
+
+    def block(version: str, salt: str) -> str:
+        return embed_cte(
+            docs_rel=old_snapshot_rel_sql(),
+            query_text=index_build.CDC_QUERY_TEXT,
+            salt=salt,
+        ) + f"""
+SELECT '{version}' AS version, doc_id,
+       round(list_dot_product(c.emb, q.q) /
+             (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.q, q.q)) + 1e-8),
+             6) AS score
+FROM corpus c CROSS JOIN qvec q
+ORDER BY score DESC, doc_id DESC LIMIT {K}
+"""
+
+    return (
+        "SELECT version, doc_id, score FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT * FROM ({block(v, s)})"
+            for v, s in (("v1", ""), ("v2", index_build.EMBEDDER_V2_SALT))
+        )
+        + "\n)"
+    )
+
+
+ORACLES["index_embedder_migration"] = _index_embedder_migration_oracle()

@@ -329,14 +329,19 @@ ORDER BY rrf DESC, doc_id DESC LIMIT 10
 # are integer-valued doubles (exact at any order); the cosine is rounded
 # to 6 d.p. like every score.
 def embed_cte(
-    docs_rel: str = "documents", query_text: str = "hash table merge join"
+    docs_rel: str = "documents",
+    query_text: str = "hash table merge join",
+    salt: str = "",
 ) -> str:
     """The md5 hashing featurizer restated as DuckDB CTEs, parameterized
-    over the corpus relation and the query string — shared by
-    ``embed_and_search`` (whole fixture corpus) and the CDC refresh
-    oracle (the NEW-snapshot relation): ONE SQL restatement of
-    functions/embedder._hash_embed_batch, so the two oracles cannot
-    drift off the featurizer contract."""
+    over the corpus relation, the query string, and the embedder
+    VERSION salt — shared by ``embed_and_search`` (whole fixture
+    corpus), the CDC refresh oracle (the NEW-snapshot relation), and
+    the model-migration oracle (non-empty salt = "a different model"):
+    ONE SQL restatement of functions/embedder._hash_embed_batch, so the
+    oracles cannot drift off the featurizer contract. The default salt
+    keeps every pre-existing oracle string byte-identical."""
+    tok = f"'{salt}' || tok" if salt else "tok"
     return f"""
 WITH toks AS (
   SELECT doc_id, t AS tok
@@ -345,7 +350,7 @@ WITH toks AS (
 ),
 hashes AS (
   SELECT doc_id,
-         ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+         ('0x' || substr(md5({tok}), 1, 16))::UBIGINT AS h
   FROM toks
 ),
 buckets AS (
@@ -373,7 +378,7 @@ q_toks AS (
   WHERE t <> ''
 ),
 q_hashes AS (
-  SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM q_toks
+  SELECT ('0x' || substr(md5({tok}), 1, 16))::UBIGINT AS h FROM q_toks
 ),
 q_buckets AS (
   SELECT (h % 64)::INT AS bucket,

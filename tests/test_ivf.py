@@ -1435,3 +1435,21 @@ def test_filtered_planner_picks_both_branches(spark):
         ).collect()
     }
     assert labels <= probes
+
+
+def test_embedder_migration_changes_geometry_and_serves_both(spark):
+    """v2 is a genuinely different model: its ranking differs from
+    v1's; each version's slice is a full top-k; and v1 serving equals
+    the un-migrated refresh family's base ranking oracle-side (both
+    gated), so here we pin the Spark-side shape."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        index_embedder_migration,
+    )
+
+    rows = index_embedder_migration(spark, SF_SMOKE).collect()
+    by_version = {}
+    for r in rows:
+        by_version.setdefault(r.version, []).append((r.doc_id, r.score))
+    assert set(by_version) == {"v1", "v2"}
+    assert len(by_version["v1"]) == len(by_version["v2"]) == 5
+    assert by_version["v1"] != by_version["v2"]

@@ -723,3 +723,25 @@ def _streaming_index_delete_where_oracle() -> str:
 
 
 ORACLES["streaming_index_delete_where"] = _streaming_index_delete_where_oracle()
+
+
+def _streaming_index_read_asof(spark, sf_dir):
+    """Time travel over the stream-folded multi-gen layout — shares the
+    batch asof oracle: the fold's generation metadata is real."""
+    from gpu_accelerated_vector_indexing_spark.streaming.index_stream import (
+        streaming_index_read_asof,
+    )
+
+    return streaming_index_read_asof(spark, sf_dir)
+
+
+QUERIES["streaming_index_read_asof"] = _streaming_index_read_asof
+
+
+def _streaming_index_read_asof_oracle() -> str:
+    from gpu_accelerated_vector_indexing_spark.queries import ivf_q
+
+    return ivf_q.ORACLES["index_read_asof_gen"]
+
+
+ORACLES["streaming_index_read_asof"] = _streaming_index_read_asof_oracle()

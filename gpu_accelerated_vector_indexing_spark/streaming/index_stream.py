@@ -349,3 +349,45 @@ def streaming_index_delete_where(
                 q.stop()
             _STREAM_DELETE_DIR[key] = out
     return serve_refreshed_index(spark, _STREAM_DELETE_DIR[key], k)
+
+
+def streaming_index_read_asof(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Time travel over the STREAM-FOLDED layout: the gen stamps and
+    batch-keyed directories written by two drained change feeds must
+    reconstruct the same three corpus versions the batch loop's layout
+    does — ``(asof_gen, doc_id, score)``, shared visibility rule
+    (``index_build._live_index_rows_asof``; the extra ``batch``
+    partition column is ignored by the reader), shared oracle. This is
+    the operational payoff of the streaming fold writing REAL
+    generation metadata instead of opaque appends."""
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        _cdc_query_vec,
+        _live_index_rows_asof,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE
+
+    with _lock:
+        idx_dir = _refreshed_dir_gen2(spark, sf_dir)
+    q = F.lit(_cdc_query_vec(spark)).cast("array<double>")
+    out: DataFrame | None = None
+    for v in (0, 1, 2):
+        topk = (
+            _live_index_rows_asof(spark, idx_dir, v)
+            .select(
+                F.lit(v).alias("asof_gen"),
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    cosine_similarity(as_double_array("embedding"), q), SCORE_SCALE
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.desc("doc_id"))
+            .limit(k)
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out

@@ -272,7 +272,19 @@ def write_zorder_layout(
     statistics in tests). This is the write half of the
     OPTIMIZE-ZORDER-BY story: one extra range shuffle at write time
     buys two-dimensional data skipping for every read after.
+
+    Buckets are EXACT ntile ranks over a total (zval, o_orderkey)
+    order, not ``repartitionByRange`` samples: the sampled range
+    partitioner draws a fresh seed per run, so its file boundaries —
+    and therefore the footer envelopes — drift run to run and can
+    land a marginal file across a bucket edge. Exact ranks make the
+    layout a pure function of the data. (The global ntile window is a
+    one-task sort — fine for a fixture-scale write utility; at corpus
+    scale the exact rank comes from the distributed prefix-sum kernel
+    the sequence packers already use, `text_analysis.range_prefix_sum`.)
     """
+    from pyspark.sql import Window as W
+
     orders = load_table(spark, sf_dir, "orders")
     keyed = (
         orders.withColumn("x", F.col("o_custkey") % (1 << ZORDER_BITS))
@@ -282,12 +294,16 @@ def write_zorder_layout(
             % (1 << ZORDER_BITS),
         )
         .withColumn("zval", _zvalue(F.col("x"), F.col("y")))
+        .withColumn(
+            "zbucket", F.ntile(n_files).over(W.orderBy("zval", "o_orderkey"))
+        )
     )
     (
-        keyed.repartitionByRange(n_files, "zval")
+        keyed.repartition("zbucket")
         .sortWithinPartitions("zval")
         .drop("x", "y", "zval")
         .write.mode("overwrite")
+        .partitionBy("zbucket")
         .parquet(out_path)
     )
     return out_path

@@ -115,8 +115,8 @@ def test_zorder_write_gives_two_dim_file_skipping(spark, tmp_path):
 
     out = str(tmp_path / "orders_zorder")
     write_zorder_layout(spark, SF_CORRECT, out, n_files=8)
-    files = sorted(glob.glob(out + "/part-*.parquet"))
-    assert len(files) >= 4  # range partitioner may merge sparse ranges
+    files = sorted(glob.glob(out + "/zbucket=*/part-*.parquet"))
+    assert len(files) == 8  # exact ntile buckets: one directory per bucket
 
     spans = {"o_custkey": [], "o_orderdate": []}
     for f in files:

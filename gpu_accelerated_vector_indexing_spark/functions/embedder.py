@@ -39,7 +39,7 @@ DEFAULT_DIM = 64  # fixture embedding dim (TESTDATA.md); reference uses 384
 # crawled vocabulary is effectively unbounded (URLs, hex ids, typos),
 # so past the cap the memo resets rather than growing without limit —
 # Zipf means the refilled head recovers the hit rate immediately.
-_TOKEN_MEMO: dict[tuple[str, int], tuple[int, float]] = {}
+_TOKEN_MEMO: dict[tuple[str, int, str], tuple[int, float]] = {}
 _TOKEN_MEMO_MAX = 1 << 20
 
 

@@ -794,22 +794,18 @@ def _live_index_rows_asof(spark: SparkSession, index_dir: str, asof_gen: int) ->
     )
 
 
-def index_read_asof_gen(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Top-k at EVERY generation, from the ONE twice-refreshed layout:
-    ``(asof_gen, doc_id, score)`` — asof 0 must reproduce the base
-    snapshot's ranking, asof 1 snapshot N+1's, asof 2 snapshot N+2's,
-    all from the same files with no historical copy retained. The
-    oracle brute-forces each snapshot's text independently, so a value
-    match certifies the visibility rule (gen-windowed writes minus
-    gen-windowed retirements) reconstructs all three corpus versions
-    exactly. Full-probe reads keep each slice provably exact."""
+def asof_topk(spark: SparkSession, idx_dir: str, k: int = 5) -> DataFrame:
+    """Per-generation top-k over ONE multi-gen layout: ``(asof_gen,
+    doc_id, score)``, one full-probe slice per version — the ONE serve
+    loop both time-travel queries (batch layout and stream-folded
+    layout) share, so the shared-oracle contract holds by construction
+    rather than by keeping two copies in lockstep."""
     from gpu_accelerated_vector_indexing_spark.functions.vector import (
         as_double_array,
         cosine_similarity,
     )
     from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE
 
-    idx_dir = cdc_refreshed_index_gen2(spark, sf_dir)
     q = F.lit(_cdc_query_vec(spark)).cast("array<double>")
     out: DataFrame | None = None
     for v in (0, 1, 2):
@@ -829,6 +825,18 @@ def index_read_asof_gen(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
     return out
 
 
+def index_read_asof_gen(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k at EVERY generation, from the ONE twice-refreshed layout:
+    ``(asof_gen, doc_id, score)`` — asof 0 must reproduce the base
+    snapshot's ranking, asof 1 snapshot N+1's, asof 2 snapshot N+2's,
+    all from the same files with no historical copy retained. The
+    oracle brute-forces each snapshot's text independently, so a value
+    match certifies the visibility rule (gen-windowed writes minus
+    gen-windowed retirements) reconstructs all three corpus versions
+    exactly. Full-probe reads keep each slice provably exact."""
+    return asof_topk(spark, cdc_refreshed_index_gen2(spark, sf_dir), k)
+
+
 # ---------------------------------------------------------------------------
 # Embedder-version migration (r10 cont.): the full-corpus rewrite event
 # ---------------------------------------------------------------------------
@@ -844,15 +852,30 @@ EMBEDDER_V2_SALT = "v2 "
 
 _MIGRATION_DIRS: dict[tuple[SparkSession, str], tuple[str, str]] = {}
 _MIGRATION_QVEC: dict[SparkSession, list[float]] = {}
+# (spark, sf_dir) → a READ-ONLY v1 base layout. build_base_snapshot_index
+# is deliberately unmemoized because its other callers MUTATE their
+# directory (refresh cycles, deletes); the migration's v1 side is the
+# one read-only consumer, so it alone shares a memoized base instead of
+# paying a redundant embed + KMeans per query family.
+_READONLY_BASE_DIR: dict[tuple[SparkSession, str], str] = {}
+
+
+def _readonly_base_index(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark, sf_dir)
+    if key not in _READONLY_BASE_DIR:
+        _READONLY_BASE_DIR[key] = build_base_snapshot_index(spark, sf_dir)
+    return _READONLY_BASE_DIR[key]
 
 
 def embedder_migration_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """``(v1_dir, v2_dir)`` — the same snapshot indexed under both
-    embedder versions, each with its own KMeans over its own geometry."""
+    embedder versions, each with its own KMeans over its own geometry.
+    v1 is the shared read-only base (never mutated by the migration —
+    that is the point: readers stay on it until v2 is complete)."""
     key = (spark, sf_dir)
     if key not in _MIGRATION_DIRS:
         _MIGRATION_DIRS[key] = (
-            build_base_snapshot_index(spark, sf_dir),
+            _readonly_base_index(spark, sf_dir),
             build_base_snapshot_index(spark, sf_dir, salt=EMBEDDER_V2_SALT),
         )
     return _MIGRATION_DIRS[key]
@@ -928,18 +951,20 @@ def quality_gated_refresh_index(spark: SparkSession, sf_dir: str) -> str:
         out = build_base_snapshot_index(spark, sf_dir)
         diff = corpus_snapshot_diff(spark, sf_dir)
         new_docs = snapshot_new_docs(load_table(spark, sf_dir, "documents"))
-        keep_ids = quality_flags(new_docs).filter(F.col("keep")).select("doc_id")
         tombs = diff.filter(F.col("status").isin("removed", "changed")).select(
             F.col("doc_id").alias("vec_id"), F.lit(0).cast("int").alias("gen")
         )
         tombs.coalesce(1).write.mode("append").parquet(f"{out}/tombstones")
-        upserts = (
-            new_docs.join(
-                diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            ).join(keep_ids, "doc_id", "left_semi")
+        # restrict to the upsert batch BEFORE scoring quality: the gate
+        # must be O(|delta|) by construction, not by hoping Catalyst
+        # pushes the semi-join below the interpreted HOF projections
+        upsert_docs = new_docs.join(
+            diff.filter(F.col("status").isin("added", "changed")).select("doc_id"),
+            "doc_id",
+            "left_semi",
         )
+        keep_ids = quality_flags(upsert_docs).filter(F.col("keep")).select("doc_id")
+        upserts = upsert_docs.join(keep_ids, "doc_id", "left_semi")
         append_to_index(spark, out, _snapshot_emb(upserts, gen=1))
         _GATED_DIR[key] = out
     return _GATED_DIR[key]
@@ -1020,6 +1045,11 @@ def index_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gen")
         .agg(F.count("*").alias("n_retired"))
     )
+    # the per-version spine is the as-of loop (it enumerates EVERY
+    # version by construction), so a tombstone-only cycle — zero
+    # appends, the delete-where shape — still gets its ledger row
+    # (g, 0, n_retired, n_live) instead of silently vanishing from a
+    # writes-driven rollup
     lives: DataFrame | None = None
     for v in (0, 1, 2):
         row = (
@@ -1029,11 +1059,11 @@ def index_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lives = row if lives is None else lives.unionByName(row)
     return (
-        writes.join(F.broadcast(retires), "gen", "left")
-        .join(F.broadcast(lives), "gen")
+        lives.join(F.broadcast(writes), "gen", "left")
+        .join(F.broadcast(retires), "gen", "left")
         .select(
             "gen",
-            "n_written",
+            F.coalesce("n_written", F.lit(0)).cast("long").alias("n_written"),
             F.coalesce("n_retired", F.lit(0)).cast("long").alias("n_retired"),
             "n_live",
         )

@@ -769,25 +769,7 @@ def rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_vectors").alias("total"), F.count("*").alias("k_clusters")
     )
 
-    cents = fixture_centroids(spark, sf_dir)
-    a = cents.select(F.col("label"), F.col("centroid").alias("ca"))
-    b = cents.select(F.col("label").alias("nbr"), F.col("centroid").alias("cb"))
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    pairs = a.join(b, F.col("label") != F.col("nbr")).select("label", "nbr", d2.alias("d2"))
-    nearest = (
-        pairs.withColumn(
-            "rn", F.row_number().over(W.partitionBy("label").orderBy("d2", "nbr"))
-        )
-        .filter(F.col("rn") == 1)
-        .select("label", F.col("nbr").alias("nearest_label"))
-    )
+    nearest = _nearest_other_centroid(fixture_centroids(spark, sf_dir))
 
     target = F.col("total") / F.col("k_clusters")
     ratio = F.col("n_vectors") / target
@@ -900,6 +882,26 @@ def _d2_rounded(a, b):
     )
 
 
+def _nearest_other_centroid(cents: DataFrame) -> DataFrame:
+    """``(label, nearest_label)`` by rounded-d2 (ties → lower nbr) —
+    the ONE nearest-other-centroid recipe, shared by the rebalance
+    PLAN (its ``merge_into`` column) and the merge EXECUTOR (its
+    relabel target), so the executor can never drift from the plan it
+    claims to execute."""
+    a = cents.select(F.col("label"), F.col("centroid").alias("ca"))
+    b = cents.select(F.col("label").alias("nbr"), F.col("centroid").alias("cb"))
+    pairs = a.join(b, F.col("label") != F.col("nbr")).select(
+        "label", "nbr", _d2_rounded(F.col("ca"), F.col("cb")).alias("d2")
+    )
+    return (
+        pairs.withColumn(
+            "rn", F.row_number().over(W.partitionBy("label").orderBy("d2", "nbr"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("nbr").alias("nearest_label"))
+    )
+
+
 def rebalance_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(cluster, vec_id, embedding)`` after one split pass over the
     fixture corpus — see :func:`split_hot_clusters` for the rule."""
@@ -939,21 +941,16 @@ def split_hot_clusters(emb: DataFrame) -> DataFrame:
         .groupBy("label")
         .agg(F.min("vec_id").alias("lo_id"), F.max("vec_id").alias("hi_id"))
     )
-    seeds = (
-        seed_ids.join(
-            F.broadcast(
-                emb.select(F.col("vec_id").alias("lo_id"), F.col("embedding").alias("s_lo"))
-            ),
-            "lo_id",
-        )
-        .join(
-            F.broadcast(
-                emb.select(F.col("vec_id").alias("hi_id"), F.col("embedding").alias("s_hi"))
-            ),
-            "hi_id",
-        )
-        .select("label", "s_lo", "s_hi")
+    # broadcast the ≤k-row SEED-ID side and stream the corpus past it —
+    # never the reverse (broadcasting the embeddings relation would
+    # materialize the whole corpus on every executor at scale)
+    s_lo = emb.select(F.col("vec_id").alias("lo_id"), F.col("embedding").alias("s_lo")).join(
+        F.broadcast(seed_ids.select("label", "lo_id")), "lo_id"
     )
+    s_hi = emb.select(F.col("vec_id").alias("hi_id"), F.col("embedding").alias("s_hi")).join(
+        F.broadcast(seed_ids.select("label", "hi_id")), "hi_id"
+    )
+    seeds = s_lo.join(s_hi, "label").select("label", "s_lo", "s_hi")
     e = as_double_array("embedding")
     split_rows = (
         emb.join(F.broadcast(seeds), "label")
@@ -1028,19 +1025,10 @@ def rebalance_merge_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label")
     )
-    cents = fixture_centroids(spark, sf_dir)
-    a = cents.select(F.col("label"), F.col("centroid").alias("ca"))
-    b = cents.select(F.col("label").alias("nbr"), F.col("centroid").alias("cb"))
-    pairs = a.join(b, F.col("label") != F.col("nbr")).select(
-        "label", "nbr", _d2_rounded(F.col("ca"), F.col("cb")).alias("d2")
-    )
     target = (
-        pairs.withColumn(
-            "rn", F.row_number().over(W.partitionBy("label").orderBy("d2", "nbr"))
-        )
-        .filter(F.col("rn") == 1)
+        _nearest_other_centroid(fixture_centroids(spark, sf_dir))
         .join(F.broadcast(merge_labels), "label", "left_semi")
-        .select("label", F.col("nbr").alias("merge_into"))
+        .select("label", F.col("nearest_label").alias("merge_into"))
     )
     merged_rows = emb.join(F.broadcast(target), "label").select(
         F.col("merge_into").alias("cluster"), "vec_id", "embedding"
@@ -1106,22 +1094,30 @@ def ivf_rebalance_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_rebalance_merge_serve(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Full-probe top-k through the post-merge layout — value-identical
-    to brute force: merging partitions moves no vector."""
+def _serve_layout_full_probe(
+    spark: SparkSession, sf_dir: str, idx_dir: str, k: int
+) -> DataFrame:
+    """Full-probe top-k through a rebalanced layout via the standard
+    facade — the ONE serve recipe both rebalance serves share (engine
+    memoized per layout, n_probe = every cluster, fixture query 0)."""
     from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
 
-    out = merged_rebalance_dir(spark, sf_dir)
-    key = (spark, out)
+    key = (spark, idx_dir)
     if key not in _REBALANCE_ENGINE:
-        n_clusters = spark.read.parquet(f"{out}/centroids").count()
+        n_clusters = spark.read.parquet(f"{idx_dir}/centroids").count()
         _REBALANCE_ENGINE[key] = IVFEngine.from_pretrained(
-            spark, out, n_probe=n_clusters
+            spark, idx_dir, n_probe=n_clusters
         )
     qrow = (
         load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
     )
     return _REBALANCE_ENGINE[key].search([float(x) for x in qrow.embedding], k=k)
+
+
+def ivf_rebalance_merge_serve(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Full-probe top-k through the post-merge layout — value-identical
+    to brute force: merging partitions moves no vector."""
+    return _serve_layout_full_probe(spark, sf_dir, merged_rebalance_dir(spark, sf_dir), k)
 
 
 def ivf_rebalance_serve(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
@@ -1129,19 +1125,7 @@ def ivf_rebalance_serve(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
     facade — must hit ``knn_bruteforce``'s oracle unchanged: splitting
     partitions moves no vector, so serving is value-identical while
     per-probe fine-search cost drops with the hot cluster's size."""
-    from gpu_accelerated_vector_indexing_spark.engine import IVFEngine
-
-    out = rebalanced_index_dir(spark, sf_dir)
-    key = (spark, out)
-    if key not in _REBALANCE_ENGINE:
-        n_clusters = spark.read.parquet(f"{out}/centroids").count()
-        _REBALANCE_ENGINE[key] = IVFEngine.from_pretrained(
-            spark, out, n_probe=n_clusters
-        )
-    qrow = (
-        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
-    )
-    return _REBALANCE_ENGINE[key].search([float(x) for x in qrow.embedding], k=k)
+    return _serve_layout_full_probe(spark, sf_dir, rebalanced_index_dir(spark, sf_dir), k)
 
 
 # delete/compaction parameters: vec_id % DELETE_MOD == 0 tombstones a

@@ -61,7 +61,7 @@ _GATE_FIRST = [
     "engine_full_probe",        # from_pretrained probe try/except fallback
     "engine_ivf_merge_serve",   # ditto (the merged-layout facade serve)
     # --- freshness rotation: the 17 remaining r3-vintage names, then
-    # the oldest r4-vintage names (5 fit at the 50 cut)
+    # the oldest r4-vintage names (3 fit at the 50 cut)
     "quantiles_histogram", "refshape_search_bq", "refshape_search_cli",
     "sample_weighted_pps", "sketch_hll_distinct",
     "sources_articles_roundtrip", "sources_bin_stream",

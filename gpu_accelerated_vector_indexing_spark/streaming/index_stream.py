@@ -360,34 +360,8 @@ def streaming_index_read_asof(spark: SparkSession, sf_dir: str, k: int = 5) -> D
     partition column is ignored by the reader), shared oracle. This is
     the operational payoff of the streaming fold writing REAL
     generation metadata instead of opaque appends."""
-    from pyspark.sql import functions as F
-
-    from gpu_accelerated_vector_indexing_spark.functions.vector import (
-        as_double_array,
-        cosine_similarity,
-    )
-    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
-        _cdc_query_vec,
-        _live_index_rows_asof,
-    )
-    from gpu_accelerated_vector_indexing_spark.operators.knn import SCORE_SCALE
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import asof_topk
 
     with _lock:
         idx_dir = _refreshed_dir_gen2(spark, sf_dir)
-    q = F.lit(_cdc_query_vec(spark)).cast("array<double>")
-    out: DataFrame | None = None
-    for v in (0, 1, 2):
-        topk = (
-            _live_index_rows_asof(spark, idx_dir, v)
-            .select(
-                F.lit(v).alias("asof_gen"),
-                F.col("vec_id").alias("doc_id"),
-                F.round(
-                    cosine_similarity(as_double_array("embedding"), q), SCORE_SCALE
-                ).alias("score"),
-            )
-            .orderBy(F.desc("score"), F.desc("doc_id"))
-            .limit(k)
-        )
-        out = topk if out is None else out.unionByName(topk)
-    return out
+    return asof_topk(spark, idx_dir, k)

@@ -631,3 +631,57 @@ def test_gen2_serve_masked_read_is_broadcast_anti_with_pruning(spark):
     assert all("BroadcastHashJoin" in ln for ln in anti_lines), plan
     assert "PartitionFilters" in plan, plan
     assert "cluster" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+# --- r10 cont.: plan pins for the new lifecycle operators --------------------
+
+
+def test_asof_read_pushes_gen_windows_and_broadcasts_tombstones(spark):
+    """Time travel is a scan-with-predicates, not a replay: both gen
+    windows reach the parquet scans as PushedFilters, the tombstone
+    side is a broadcast anti-join, and the slice ends in a bounded
+    top-k."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        _live_index_rows_asof,
+        cdc_refreshed_index_gen2,
+    )
+
+    idx_dir = cdc_refreshed_index_gen2(spark, SF_CORRECT)
+    df = _live_index_rows_asof(spark, idx_dir, 1)
+    plan = assert_plan(df, contains=("BroadcastHashJoin",))
+    assert "LeftAnti" in plan, plan
+    assert "LessThanOrEqual(gen,1)" in plan, plan  # index-side window
+    assert "LessThanOrEqual(gen,0)" in plan, plan  # tombstone-side window
+
+
+def test_planner_prefilter_scans_only_needed_columns(spark):
+    """The pre-filter branch must not read the label column (no probe
+    structure involved) and must semi-join the predicate before
+    scoring."""
+    df = _q(spark, "knn_filtered_planned_narrow")
+    assert_plan(
+        df, contains=("TakeOrderedAndProject", "LeftSemi"), absent=("SortMergeJoin",)
+    )
+    cols = read_schema_columns(df)
+    assert any(c == ["vec_id", "embedding"] for c in cols), cols
+
+
+def test_planner_postfilter_pushes_probe_inlist(spark):
+    """The post-filter branch keeps the IVF probes: the label IN-list
+    reaches the embeddings scan as a pushed filter."""
+    df = _q(spark, "knn_filtered_planned_broad")
+    plan = assert_plan(df, contains=("TakeOrderedAndProject", "LeftSemi"))
+    assert "In(label" in plan, plan
+
+
+def test_delete_where_serve_masks_via_broadcast_antijoin(spark):
+    """The predicate delete serves through the standard masked read:
+    delta-sized tombstones broadcast, anti-joined, no shuffle of the
+    index side."""
+    from gpu_accelerated_vector_indexing_spark.operators.index_build import (
+        index_delete_where,
+    )
+
+    df = index_delete_where(spark, SF_CORRECT)
+    plan = assert_plan(df, contains=("BroadcastHashJoin",))
+    assert "LeftAnti" in plan, plan

@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     ("knn_filtered_planned_broad", _collect),  # postfilter branch (en)
     ("index_embedder_migration", _collect),  # run 1: v1 + v2 parallel builds
     ("streaming_index_read_asof", _collect),  # asof over the stream-folded layout
+    ("pq_read_asof", _collect),  # PQ time travel (3 gen-windowed ADC serves)
     ("dedup_exact_keep", _noop),
     ("dedup_keep_canonical", _collect),
     ("dedup_state_roundtrip", _collect),

@@ -1276,6 +1276,48 @@ def pq_refresh_cdc_gen2(
     )
 
 
+def pq_read_asof(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 1,
+    k: int = 5,
+    n_candidates: int = 150,
+) -> DataFrame:
+    """PQ time travel — ``(asof_gen, vec_id, score)``: the compression
+    rung's twin of ``index_build.index_read_asof_gen``. The
+    twice-refreshed code table's gen stamps reconstruct each version's
+    code set (codes at gen <= v minus retirements emitted by cycles
+    <= v), ADC-ranked with the ONE stored codebook set (books never
+    refit across cycles, so they are version-invariant state), and
+    candidates exact-rescore against that VERSION's corpus. The oracle
+    replays the Lloyd fit once per version block and brute-replays the
+    version's encode → ADC → rescore — a value match certifies the gen
+    windows reconstruct all three code sets exactly."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        GRAPH_CDC_ADD_MOD,
+        GRAPH_CDC_ADD_REM,
+        _cdc_live_emb,
+        _cdc_live_emb_v3,
+    )
+    from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+
+    out = cdc_refreshed_pq_state_gen2(spark, sf_dir)
+    books = _stored_books(spark, out, _PQ_CDC2_BOOKS_CACHE, (spark, sf_dir))
+    v0 = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % GRAPH_CDC_ADD_MOD != GRAPH_CDC_ADD_REM)
+        .select("vec_id", "label", "embedding")
+    )
+    corpora = (v0, _cdc_live_emb(spark, sf_dir), _cdc_live_emb_v3(spark, sf_dir))
+    rows: DataFrame | None = None
+    for v, corpus in enumerate(corpora):
+        topk = _pq_serve_refreshed(
+            spark, sf_dir, out, books, corpus, query_id, k, n_candidates, asof_gen=v
+        ).select(F.lit(v).alias("asof_gen"), "vec_id", "score")
+        rows = topk if rows is None else rows.unionByName(topk)
+    return rows
+
+
 def _stored_books(
     spark: SparkSession, out: str, cache: dict, key: tuple
 ) -> list[list[list[float]]]:
@@ -1303,14 +1345,22 @@ def _pq_serve_refreshed(
     query_id: int,
     k: int,
     n_candidates: int,
+    asof_gen: int | None = None,
 ) -> DataFrame:
-    """The ONE refreshed-PQ serve definition (single-cycle and gen-2):
-    broadcast tombstone anti-join over the codes table, ADC LUT rank,
-    exact rescore against the given live corpus."""
+    """The ONE refreshed-PQ serve definition (single-cycle, gen-2, and
+    time travel): broadcast tombstone anti-join over the codes table,
+    ADC LUT rank, exact rescore against the given live corpus.
+    ``asof_gen`` windows the read to version v — codes written at
+    gen <= v, retirements emitted by cycles <= v (dead-gen <= v-1) —
+    the same visibility rule as ``index_build._live_index_rows_asof``."""
     import numpy as np
 
     codes = spark.read.parquet(f"{out}/codes")
-    tombs = spark.read.parquet(f"{out}/tombstones").select(
+    tombs_raw = spark.read.parquet(f"{out}/tombstones")
+    if asof_gen is not None:
+        codes = codes.filter(F.col("gen") <= asof_gen)
+        tombs_raw = tombs_raw.filter(F.col("gen") <= asof_gen - 1)
+    tombs = tombs_raw.select(
         F.col("vec_id").alias("t_vec_id"), F.col("gen").alias("t_gen")
     )
     live_codes = codes.join(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 # driver samples a ~50-query PREFIX of this registry, so registration
 # order decides which queries earn a driver-written CORRECTNESS row.
 # The gate union closed at 280/280 through r9 (judge-computed, zero
-# never-gated names). This round's prefix = the 23 r10 novelties (the
+# never-gated names). This round's prefix = the 24 r10 novelties (the
 # gen-2 refresh loop + its accounting, mid-sequence-compaction, and
 # streaming twins, the v2→v3 change feed, the graph- and PQ-index
 # CDC refreshes at generation 1 AND 2, the time-travel asof-gen read,
@@ -28,16 +28,16 @@ from pyspark.sql import DataFrame, SparkSession
 # pairs, the layout's write/retire history row, the
 # refresh→rebalance composition, the streaming purge feed, the
 # quality-gated refresh, the selectivity-planned filtered-search
-# pair, the embedder-version migration, and the stream-layout
-# time-travel twin) +
+# pair, the embedder-version migration, and the stream-layout and
+# PQ-state time-travel twins) +
 # the 7 rows r10's machinery changes touch (the (vec_id, gen)
 # tombstone schema + gen-aware masked reads behind every refresh
 # serve, the idempotent batch-keyed streaming layout, the compaction
 # staging write, the snapshot definitions the v3 slices extend, and
 # the IVFEngine.from_pretrained probe fallback behind both facade
-# serves) + the 17 remaining r3-vintage names + the 3 oldest
+# serves) + the 17 remaining r3-vintage names + the 2 oldest
 # r4-vintage names (last-green computed from CORRECTNESS_r01..r09; at
-# a strict 50 cut the other 42 r4 names spill to r11), so every
+# a strict 50 cut the other 43 r4 names spill to r11), so every
 # name's freshest green keeps rotating forward.
 _GATE_FIRST = [
     # --- round-10 novelties (never gated by definition)
@@ -52,6 +52,7 @@ _GATE_FIRST = [
     "streaming_index_delete_where", "index_refresh_gated",
     "knn_filtered_planned_narrow", "knn_filtered_planned_broad",
     "index_embedder_migration", "streaming_index_read_asof",
+    "pq_read_asof",
     # --- re-confirmations: rows round-10 changes touch
     "index_refresh_cdc",        # (vec_id, gen) tombstones, cycle append
     "index_refresh_stats",      # accounting through apply_refresh_cycle
@@ -61,7 +62,7 @@ _GATE_FIRST = [
     "engine_full_probe",        # from_pretrained probe try/except fallback
     "engine_ivf_merge_serve",   # ditto (the merged-layout facade serve)
     # --- freshness rotation: the 17 remaining r3-vintage names, then
-    # the oldest r4-vintage names (3 fit at the 50 cut)
+    # the oldest r4-vintage names (2 fit at the 50 cut)
     "quantiles_histogram", "refshape_search_bq", "refshape_search_cli",
     "sample_weighted_pps", "sketch_hll_distinct",
     "sources_articles_roundtrip", "sources_bin_stream",
@@ -69,7 +70,7 @@ _GATE_FIRST = [
     "streaming_incremental_dedup", "streaming_knn", "streaming_tumbling",
     "text_bpe_compression", "text_bpe_merges", "text_bpe_train",
     "udaf_geomean_price",
-    "ann_compression_error", "copurchase_kcore", "copurchase_lift",
+    "ann_compression_error", "copurchase_kcore",
 ]
 
 

@@ -249,14 +249,23 @@ ORDER BY score DESC, vec_id DESC LIMIT {k}
     )
 
 
-def pq_refresh_cdc_sql(query_id: int, dim: int, k: int, n_candidates: int) -> str:
-    """Full-value oracle for ``quantize.pq_refresh_cdc``: replay the
-    OLD-snapshot Lloyd fit (codebooks = stored state), encode the LIVE
-    corpus with those books (changed rows carry their element-reversed
-    replacement vector — exactly what the Spark side's delta append
-    encodes), ADC-rank, then exact-rescore candidates against the live
-    vectors. Slice predicates restate graph_ann's ONE vector-corpus
-    snapshot definition."""
+def _cdc_v0_rel_sql() -> str:
+    """The OLD vector-corpus snapshot (original vectors) — the sample
+    relation every CDC-PQ oracle fits books on, and version 0's serve
+    corpus in the time-travel oracle."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        GRAPH_CDC_ADD_MOD as AM,
+        GRAPH_CDC_ADD_REM as AR,
+    )
+
+    return (
+        f"(SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % {AM} <> {AR})"
+    )
+
+
+def _cdc_v1_live_rel_sql() -> str:
+    """Snapshot N+1's live corpus (changed rows element-reversed) —
+    graph_ann's ONE vector-corpus snapshot definition restated."""
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
         GRAPH_CDC_ADD_MOD as AM,
         GRAPH_CDC_ADD_REM as AR,
@@ -266,15 +275,22 @@ def pq_refresh_cdc_sql(query_id: int, dim: int, k: int, n_candidates: int) -> st
         GRAPH_CDC_DEL_REM as DR,
     )
 
-    sample_rel = f"(SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % {AM} <> {AR})"
-    live_rel = f"""(
+    return f"""(
   SELECT vec_id, label,
          CASE WHEN vec_id % {AM} <> {AR} AND vec_id % {CM} = {CR}
               THEN list_reverse(embedding::DOUBLE[])
               ELSE embedding::DOUBLE[] END AS embedding
   FROM embeddings WHERE vec_id % {DM} <> {DR})"""
+
+
+def _pq_version_block_sql(
+    query_id: int, dim: int, k: int, n_candidates: int, live_rel: str
+) -> str:
+    """One version's full replay: fit on the old corpus, encode
+    ``live_rel`` with those books, ADC-rank, exact-rescore — the body
+    shared by the single-cycle, gen-2, and per-version asof oracles."""
     return f"""
-WITH {pq_replay_ctes(query_id, dim, sample_rel=sample_rel, corpus_rel=live_rel)},
+WITH {pq_replay_ctes(query_id, dim, sample_rel=_cdc_v0_rel_sql(), corpus_rel=live_rel)},
 pq_cand AS (
   SELECT vec_id FROM pq_approx ORDER BY ascore DESC, vec_id DESC LIMIT {n_candidates}
 )
@@ -285,13 +301,20 @@ ORDER BY score DESC, vec_id DESC LIMIT {k}
 """
 
 
-def pq_refresh_cdc_gen2_sql(query_id: int, dim: int, k: int, n_candidates: int) -> str:
-    """Full-value oracle for ``quantize.pq_refresh_cdc_gen2``: same
-    replay as the single-cycle oracle, pointed at snapshot N+2 — the
-    stored old-corpus codebooks encode the v3-live corpus
-    (twice-changed rows carry negate ∘ reverse of the original), which
-    is exactly the live code set two stacked tombstone generations
-    leave behind."""
+def pq_refresh_cdc_sql(query_id: int, dim: int, k: int, n_candidates: int) -> str:
+    """Full-value oracle for ``quantize.pq_refresh_cdc``: replay the
+    OLD-snapshot Lloyd fit (codebooks = stored state), encode the LIVE
+    corpus with those books (changed rows carry their element-reversed
+    replacement vector — exactly what the Spark side's delta append
+    encodes), ADC-rank, then exact-rescore candidates against the live
+    vectors. Slice predicates restate graph_ann's ONE vector-corpus
+    snapshot definition."""
+    return _pq_version_block_sql(query_id, dim, k, n_candidates, _cdc_v1_live_rel_sql())
+
+
+def _cdc_v2_live_rel_sql() -> str:
+    """Snapshot N+2's live corpus (twice-changed rows carry negate ∘
+    reverse of the original) — graph_ann's delta-2 slice map restated."""
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
         GRAPH_CDC2_ADD_MOD as A2M,
         GRAPH_CDC2_ADD_REM as A2R,
@@ -318,21 +341,39 @@ def pq_refresh_cdc_gen2_sql(query_id: int, dim: int, k: int, n_candidates: int) 
         f" THEN list_reverse(embedding::DOUBLE[])"
         f" ELSE embedding::DOUBLE[] END"
     )
-    sample_rel = (
-        f"(SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % {AM} <> {AR})"
-    )
-    live_rel = f"""(
+    return f"""(
   SELECT vec_id, label,
          CASE WHEN {chg2} THEN list_transform({v2_vec}, x -> -x)
               ELSE {v2_vec} END AS embedding
   FROM embeddings WHERE {in_v3})"""
-    return f"""
-WITH {pq_replay_ctes(query_id, dim, sample_rel=sample_rel, corpus_rel=live_rel)},
-pq_cand AS (
-  SELECT vec_id FROM pq_approx ORDER BY ascore DESC, vec_id DESC LIMIT {n_candidates}
-)
-SELECT e.vec_id, {_COS} AS score
-FROM {live_rel} e CROSS JOIN pq_q q
-WHERE e.vec_id IN (SELECT vec_id FROM pq_cand)
-ORDER BY score DESC, vec_id DESC LIMIT {k}
-"""
+
+
+def pq_refresh_cdc_gen2_sql(query_id: int, dim: int, k: int, n_candidates: int) -> str:
+    """Full-value oracle for ``quantize.pq_refresh_cdc_gen2``: same
+    replay as the single-cycle oracle, pointed at snapshot N+2 — the
+    stored old-corpus codebooks encode the v3-live corpus
+    (twice-changed rows carry negate ∘ reverse of the original), which
+    is exactly the live code set two stacked tombstone generations
+    leave behind."""
+    return _pq_version_block_sql(query_id, dim, k, n_candidates, _cdc_v2_live_rel_sql())
+
+
+def pq_read_asof_sql(query_id: int, dim: int, k: int, n_candidates: int) -> str:
+    """Full-value oracle for ``quantize.pq_read_asof``: one complete
+    replay block per version — books fit on the old corpus every time
+    (they are version-invariant stored state), the version's corpus
+    encoded/ranked/rescored — UNION'd with the version tag. A value
+    match certifies the gen-windowed code reads reconstruct each
+    version's code set exactly."""
+    rels = [_cdc_v0_rel_sql(), _cdc_v1_live_rel_sql(), _cdc_v2_live_rel_sql()]
+    blocks = []
+    for v, rel in enumerate(rels):
+        body = _pq_version_block_sql(query_id, dim, k, n_candidates, rel)
+        blocks.append(
+            f"SELECT {v} AS asof_gen, vec_id, score FROM ({body})"
+        )
+    return (
+        "SELECT asof_gen, vec_id, score FROM (\n"
+        + "\nUNION ALL\n".join(blocks)
+        + "\n)"
+    )

@@ -688,3 +688,21 @@ from gpu_accelerated_vector_indexing_spark.queries._pq_oracle import (  # noqa: 
 
 QUERIES["pq_refresh_cdc_gen2"] = _pq_refresh_cdc_gen2
 ORACLES["pq_refresh_cdc_gen2"] = _pq_refresh_cdc_gen2_sql(1, dim=64, k=K, n_candidates=150)
+
+
+def _pq_read_asof(spark, sf_dir):
+    """PQ time travel: gen-windowed code reads reconstruct every
+    version's code set from the one twice-refreshed state; books are
+    version-invariant stored state; candidates rescore against the
+    matching corpus version."""
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import pq_read_asof
+
+    return pq_read_asof(spark, sf_dir, query_id=1, k=K, n_candidates=150)
+
+
+from gpu_accelerated_vector_indexing_spark.queries._pq_oracle import (  # noqa: E402
+    pq_read_asof_sql as _pq_read_asof_sql,
+)
+
+QUERIES["pq_read_asof"] = _pq_read_asof
+ORACLES["pq_read_asof"] = _pq_read_asof_sql(1, dim=64, k=K, n_candidates=150)

@@ -431,3 +431,26 @@ def test_pq_refresh_gen2_lifecycle(spark):
         for r in live.filter(F.col("vec_id").isin(twice_ids)).select("gen").collect()
     }
     assert live_gens == {2}
+
+
+def test_pq_asof_latest_slice_equals_gen2_serve(spark):
+    """asof-2 is the ordinary gen-2 masked read; asof-0 must rank over
+    the base code set only (no vec_id outside the old snapshot)."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        GRAPH_CDC_ADD_MOD,
+        GRAPH_CDC_ADD_REM,
+    )
+    from gpu_accelerated_vector_indexing_spark.operators.quantize import (
+        pq_read_asof,
+        pq_refresh_cdc_gen2,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = pq_read_asof(spark, SF_SMOKE).collect()
+    asof2 = {(r.vec_id, r.score) for r in rows if r.asof_gen == 2}
+    latest = {
+        (r.vec_id, r.score) for r in pq_refresh_cdc_gen2(spark, SF_SMOKE).collect()
+    }
+    assert asof2 == latest
+    v0_ids = {r.vec_id for r in rows if r.asof_gen == 0}
+    assert all(v % GRAPH_CDC_ADD_MOD != GRAPH_CDC_ADD_REM for v in v0_ids)

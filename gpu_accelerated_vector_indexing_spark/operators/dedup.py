@@ -539,28 +539,71 @@ def jaccard_verified_lsh(
 # --- embedding cosine near-dup ----------------------------------------------
 
 
+def _neardup_pair_scores(pdf):
+    """One cluster's within-block pair scores as a fold-exact NumPy
+    kernel (see ``functions.vector.np_dot_seq`` for the load-bearing
+    float-association invariant shared with the JVM fold and DuckDB's
+    ``list_dot_product``). Emits RAW cosines; rounding and the global
+    top-k stay in-plan so decimal semantics are Spark's."""
+    import numpy as np
+    import pandas as pd
+
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        EPSILON,
+        np_dot_seq,
+    )
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
+        )
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.sqrt(np_dot_seq(mat, mat))
+    iu, ju = np.triu_indices(n, 1)
+    dots = np_dot_seq(mat[iu], mat[ju])
+    vid = pdf["vec_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "vec_a": vid[iu],
+            "vec_b": vid[ju],
+            "cos_raw": dots / (norms[iu] * norms[ju] + EPSILON),
+        }
+    )
+
+
 def embedding_neardup_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Top-k most-similar embedding pairs within each IVF cluster.
 
     Cluster blocking ≙ the IVF insight (SURVEY.md §4 P1): near-dups land
-    in the same coarse cell, so the pair join is per-cluster, not n².
-    """
-    from gpu_accelerated_vector_indexing_spark.functions.vector import as_double_array, cosine_similarity
+    in the same coarse cell, so pair generation is per-cluster, not n².
 
+    The pair scoring runs as a per-cluster Arrow kernel
+    (``applyInPandas`` over the label block): only the |block| vectors
+    cross the Python boundary — never the |block|² pair stream — and
+    the O(pairs·dim) arithmetic is vectorized NumPy instead of the
+    interpreted per-element JVM fold the r1 self-join paid per pair
+    (guide-§4 shape; measured 5.5 s → sub-second at sf0.1). Norms are
+    computed once per VECTOR, not once per pair. ``np_dot_seq`` pins
+    the exact sequential float association of the JVM fold / DuckDB
+    ``list_dot_product``, and rounding + the global bounded-heap top-k
+    (TakeOrderedAndProject) stay in-plan, so the result is
+    bit-identical to the r1 join form and the DuckDB oracle.
+    """
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double_array("embedding").alias("v")
+        "vec_id", "label", "embedding"
     )
-    x, y = emb.alias("x"), emb.alias("y")
-    pairs = (
-        x.join(y, "label")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            F.round(cosine_similarity(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+    pairs = emb.groupBy("label").applyInPandas(
+        _neardup_pair_scores, "vec_a long, vec_b long, cos_raw double"
+    )
+    return (
+        pairs.select(
+            "vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")
         )
+        .orderBy(F.desc("cos_sim"), F.desc("vec_a"), F.desc("vec_b"))
+        .limit(k)
     )
-    return pairs.orderBy(F.desc("cos_sim"), F.desc("vec_a"), F.desc("vec_b")).limit(k)
 
 
 # Banded hyperplane signatures are INDEX STATE (computed at write time
@@ -912,6 +955,45 @@ def dedup_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact substring-span dedup (Lee et al. 2021 style) ----------------------
 
+def _span_dup_profile(per_doc: DataFrame, key: str) -> DataFrame:
+    """Per-document duplicated-window profile shared by
+    ``substring_spans`` and ``substring_spans_hashed``: attach each
+    window's document frequency, then ONE per-doc aggregate computes
+    both the window total and the duplicated-window count. Replaces
+    the r3 three-aggregate/two-join tail (window df, per-doc totals,
+    per-doc dup counts, totals⋈dup_counts) — the inner-join semantics
+    (only docs with ≥1 duplicated window appear) survive as the
+    ``n_dup_windows >= 1`` filter, and every value is computed
+    identically."""
+    wc = per_doc.groupBy(key).agg(F.count("*").alias("n_docs"))
+    return (
+        per_doc.join(wc, key)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.when(F.col("n_docs") >= 2, F.lit(1))).alias("n_dup_windows"),
+        )
+        .filter(F.col("n_dup_windows") >= 1)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            # floor-scaling, not round(): exact on identical doubles in
+            # any engine (memory recipe — round() splits at half-way
+            # digits because Spark rounds via BigDecimal while DuckDB
+            # rounds the double)
+            (
+                F.floor(
+                    F.col("n_dup_windows").cast("double")
+                    / F.col("n_windows").cast("double")
+                    * F.lit(1000000.0)
+                )
+                / F.lit(1000000.0)
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 SPAN_K = 8  # tokens per window; ≈ the 50-token spans of the paper, scaled
 # to the ~50-token fixture documents so spans are discriminative yet common
 SPAN_TOKEN_RE = "[A-Za-z0-9]+"
@@ -931,8 +1013,9 @@ def substring_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFr
 
     Plan shape: one scan builds each doc's window array JVM-side
     (``transform`` over ``sequence`` — no Python), one explode fans out
-    ~n_tokens rows per doc, and everything after is two hash aggregates
-    plus an equi-join on the window key. Nothing is quadratic: the join
+    ~n_tokens rows per doc, and everything after is a window-df
+    aggregate, one equi-join on the window key, and ONE per-doc
+    aggregate (see ``_span_dup_profile``). Nothing is quadratic: the join
     key is the window itself, so only *actually duplicated* spans meet.
     At 100 TB the window string would be replaced by ``xxhash64(win)``
     (8 bytes instead of ~50) and the stride raised — same plan, smaller
@@ -952,32 +1035,7 @@ def substring_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFr
         .select("doc_id", F.explode(windows).alias("win"))
         .distinct()  # a span repeated WITHIN one doc counts once
     )
-    dup_wins = per_doc.groupBy("win").agg(F.count("*").alias("n_docs")).filter(
-        F.col("n_docs") >= 2
-    )
-    totals = per_doc.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
-    dup_counts = (
-        per_doc.join(dup_wins.select("win"), "win")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_windows"))
-    )
-    return totals.join(dup_counts, "doc_id").select(
-        "doc_id",
-        "n_windows",
-        "n_dup_windows",
-        # floor-scaling, not round(): exact on identical doubles in any
-        # engine (memory recipe — round() splits at half-way digits
-        # because Spark rounds via BigDecimal while DuckDB rounds the
-        # double)
-        (
-            F.floor(
-                F.col("n_dup_windows").cast("double")
-                / F.col("n_windows").cast("double")
-                * F.lit(1000000.0)
-            )
-            / F.lit(1000000.0)
-        ).alias("dup_ratio"),
-    )
+    return _span_dup_profile(per_doc, "win")
 
 
 SPAN_STRIDE = 2  # scale form: sample every 2nd window start
@@ -1020,32 +1078,7 @@ def substring_spans_hashed(
         .select("doc_id", F.explode(windows).alias("win_key"))
         .distinct()  # a span repeated WITHIN one doc counts once
     )
-    dup_wins = per_doc.groupBy("win_key").agg(F.count("*").alias("n_docs")).filter(
-        F.col("n_docs") >= 2
-    )
-    totals = per_doc.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
-    dup_counts = (
-        per_doc.join(dup_wins.select("win_key"), "win_key")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_windows"))
-    )
-    return totals.join(dup_counts, "doc_id").select(
-        "doc_id",
-        "n_windows",
-        "n_dup_windows",
-        # floor-scaling, not round(): exact on identical doubles in any
-        # engine (memory recipe — round() splits at half-way digits
-        # because Spark rounds via BigDecimal while DuckDB rounds the
-        # double)
-        (
-            F.floor(
-                F.col("n_dup_windows").cast("double")
-                / F.col("n_windows").cast("double")
-                * F.lit(1000000.0)
-            )
-            / F.lit(1000000.0)
-        ).alias("dup_ratio"),
-    )
+    return _span_dup_profile(per_doc, "win_key")
 
 
 # --- corpus-level MinHash overlap (source × source) ---------------------------
@@ -1204,9 +1237,12 @@ def min_label_fixpoint(und: DataFrame, max_rounds: int = 50) -> DataFrame:
     covering diameters up to ``max_rounds`` exactly. Raises if the
     graph has not converged within the budget — a loud guard against
     silent under-merging on pathologically deep chains, instead of
-    returning split components.
+    returning split components. Each round is ONE job (r10): the
+    changed flag (``ncomp < component``) travels in the snapshot, so
+    the count that materializes the lazy checkpoint is also the
+    convergence check — no separate old-vs-new join pass.
 
-    Cache hygiene: each round's labels are eagerly localCheckpointed
+    Cache hygiene: each round's labels are localCheckpointed
     (lineage truncation — a cache-only loop grows the logical plan
     exponentially in the round count and OOMs the driver building
     explain strings past ~20 rounds) and the SUPERSEDED round's
@@ -1256,6 +1292,24 @@ def min_label_fixpoint(und: DataFrame, max_rounds: int = 50) -> DataFrame:
             new_ids = raw
         return out, new_ids
 
+    def ckpt_count(df: DataFrame, pred) -> tuple[DataFrame, set, int]:
+        """Lazy localCheckpoint materialized THROUGH the round's scalar
+        count action: ONE job persists the snapshot AND returns the
+        changed count (the r6-r9 form paid two jobs per round — an
+        eager checkpoint, then a separate old-vs-new join + count).
+        Block registration happens during the count, so the
+        persistent-RDD diff wraps the whole action."""
+        with _FIXPOINT_LOCK:
+            before = set(spark._jsc.getPersistentRDDs())
+            out = df.localCheckpoint(eager=False)
+            n = out.filter(pred).count()
+            after = dict(spark._jsc.getPersistentRDDs())
+        raw = set(after) - before
+        new_ids = {i for i in raw if _is_local_ckpt(after[i])}
+        if raw and not new_ids:
+            new_ids = raw
+        return out, new_ids, n
+
     def free(ids: set) -> None:
         m = dict(spark._jsc.getPersistentRDDs())
         for i in ids:
@@ -1271,24 +1325,24 @@ def min_label_fixpoint(und: DataFrame, max_rounds: int = 50) -> DataFrame:
             .groupBy("node")
             .agg(F.min("component").alias("ncomp"))
         )
-        new_labels, new_held = ckpt(
+        # a node changes iff its neighbor-min beats its current label —
+        # carrying that flag in the snapshot lets the changed count run
+        # off the NEW snapshot alone (no old-vs-new join), fused with
+        # the checkpoint materialization into one job per round
+        new_labels, new_held, changed = ckpt_count(
             labels.join(neigh, "node", "left").select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("ncomp", F.col("component"))
                 ).alias("component"),
-            )
+                (F.col("ncomp") < F.col("component")).alias("chg"),
+            ),
+            F.col("chg"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        free(held)  # superseded snapshot — the changed count was its last read
+        free(held)  # superseded snapshot — the round's join was its last read
         labels, held = new_labels, new_held
         if changed == 0:
-            return labels
+            return labels.select("node", "component")
     free(held)
     raise RuntimeError(
         f"min_label_fixpoint: not converged after {max_rounds + 1} rounds — "
@@ -1377,8 +1431,8 @@ def containment_pairs(
     hashes, drop shingles with document frequency > ``df_cap`` (hot
     boilerplate shingles would pair everything with everything — the
     df cap bounds per-shingle fan-out to ``df_cap²`` pairs, the
-    posting-list analog of the LSH band bound), equi-join postings on
-    the hash, distinct pairs. Verification is EXACT set intersection
+    posting-list analog of the LSH band bound), group postings per
+    hash, emit the i<j bucket pairs, distinct. Verification is EXACT set intersection
     over the memoized ``grams_state`` arrays — the LSH-verified
     composition's shape with a df-capped generator. Subset semantics
     like every candidate generator here: a pair sharing only capped
@@ -1386,17 +1440,27 @@ def containment_pairs(
     cap), and the verify stage computes true containment over the FULL
     shingle sets.
     """
+    from gpu_accelerated_vector_indexing_spark.operators.relational import (
+        bucket_pair_structs,
+    )
+
     g = grams_state(spark, sf_dir)
     posts = g.select("doc_id", F.explode("gh").alias("h"))
-    rare = posts.groupBy("h").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= df_cap
+    # ONE groupBy replaces the r5 df-count + semi-join + posting
+    # self-join pipeline: the bucket array's length IS the document
+    # frequency (gh holds distinct hashes per doc), so the df cap is a
+    # size filter on the grouped postings, and the i<j bucket pairs are
+    # the identical candidate set the self-join produced — one shuffle
+    # of the posting stream instead of three passes over it. Fan-out
+    # stays bounded by df_cap² per shingle exactly as before.
+    buckets = (
+        posts.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") <= df_cap) & (F.size("ids") >= 2))
     )
-    pr = posts.join(rare.select("h"), "h")
     cand = (
-        pr.alias("a")
-        .join(pr.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(bucket_pair_structs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("doc_a"), F.col("p.id_b").alias("doc_b"))
         .distinct()
     )
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gha"), F.col("n").alias("na"))

@@ -1306,6 +1306,31 @@ def deletion_variants(s: Column, max_del: int = 2) -> Column:
     return F.array_distinct(F.concat(F.array(s), d1, d2))
 
 
+def bucket_pair_structs(ids: Column) -> Column:
+    """All i<j element pairs of a SORTED id array as
+    ``ARRAY<STRUCT<id_a, id_b>>`` — the candidate-pair generator for
+    bucket-grouped blocked joins (posting-list buckets in
+    ``dedup.containment_pairs``). Generating pairs from the grouped
+    bucket array replaces a posting self-join when the bucket ALREADY
+    exists as a grouped aggregate (containment: the bucket length IS
+    the document frequency, so grouping is needed anyway and the pair
+    emission is free of a second shuffle). It is NOT a universal
+    replacement for a codegen'd shuffle-hash self-join: the nested
+    ``transform``/``slice`` evaluation is interpreted, so when the
+    grouping exists ONLY to emit pairs (fuzzy_customer_pairs,
+    text_typo_pairs), the measured per-pair cost exceeds the join's —
+    see OPTIMIZATION_r10.md."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 2) -> DataFrame:
     """Edit-distance near-duplicate detection: customer-name pairs
     within levenshtein ≤ ``max_dist`` (= 2) AND the same nation (the
@@ -1342,18 +1367,21 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 2) ->
     # shuffle of the pre-explode rows, negligible next to the fan-out;
     # at real scale the scan has many partitions and AQE coalesces)
     c = load_table(spark, sf_dir, "customer").repartition(F.col("c_custkey"))
+    # ids ONLY through the ×172 fan-out (r10): the r6-r9 form carried
+    # the ~25-byte name through both exploded join inputs, so every
+    # shuffled variant row paid the name payload twice; names re-attach
+    # AFTER the candidate distinct (candidates are true-pair-linear, so
+    # the dimension join moves negligible data — AQE broadcasts it at
+    # fixture scale, and at corpus scale it shuffles candidates, never
+    # the exploded stream). Candidate set and results are identical:
+    # names are functionally dependent on ids.
     v = c.select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("id"),
-        F.col("c_name").alias("name"),
         F.explode(deletion_variants(F.col("c_name"))).alias("variant"),
     )
-    a = v.select(
-        "variant", "nk", F.col("id").alias("id_a"), F.col("name").alias("name_a")
-    )
-    b = v.select(
-        "variant", "nk", F.col("id").alias("id_b"), F.col("name").alias("name_b")
-    )
+    a = v.select("variant", "nk", F.col("id").alias("id_a"))
+    b = v.select("variant", "nk", F.col("id").alias("id_b"))
     # SHUFFLE_HASH, never broadcast: Catalyst's static size estimate
     # predates the ×172 explode, so it would broadcast millions of
     # variant rows to the driver — fine at fixture scale, an OOM at
@@ -1363,11 +1391,22 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 2) ->
     cand = (
         a.join(b.hint("shuffle_hash"), ["variant", "nk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    names = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
     return (
-        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        cand.join(
+            names.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")),
+            "id_a",
+        )
+        .join(
+            names.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")),
+            "id_b",
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
     )

@@ -68,13 +68,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the new-batch document stream: stateless shingle/signature projection
     raw = documents_stream(spark, sf_dir)
+    # gh derives from gha in a SECOND projection: inlining both off the
+    # raw text would run the O(len·SHINGLE_LEN) shingle fold twice per
+    # row (Catalyst does not dedupe the common subexpression across
+    # separate aliases here)
     batch_docs = raw.filter(is_batch & (F.length("text") >= SHINGLE_LEN)).select(
         "doc_id",
         raw_shingle_hashes(F.col("text")).alias("gha"),
-        F.transform(
-            raw_shingle_hashes(F.col("text")), lambda h: h % F.lit(HASH_MOD)
-        ).alias("gh"),
-    )
+    ).withColumn("gh", F.transform(F.col("gha"), lambda h: h % F.lit(HASH_MOD)))
     # the signature fold and the banding both carry the raw-hash
     # payload through (keep=) — a streaming DF cannot re-join itself to
     # fetch gh back, and the verify stage needs it

@@ -29,6 +29,44 @@ _memory_sink_counter = threading.Lock()
 _sink_id = [0]
 
 
+class _no_trailing_batch:
+    """Skip the trailing NO-DATA micro-batch for drain-and-stop queries
+    whose output is fully emitted by data batches.
+
+    After the last data batch advances the watermark, Structured
+    Streaming runs one more (empty) micro-batch purely to evict expired
+    state — a full state-store commit cycle across every store instance
+    (measured: the interval join pays 128 instance commits ≈ half its
+    total wall time for a batch that emits ZERO rows). A query that
+    drains a bounded source and immediately stops never reads that
+    state again, so the eviction pass is pure overhead — at any scale,
+    not just locally. Only safe when emission does not DEPEND on the
+    watermark: complete-mode aggregations re-emit their whole state
+    every data batch, and ``dropDuplicatesWithinWatermark`` survivors /
+    stream-stream INNER join matches are emitted in the batch they
+    arrive. Append-mode windowed aggregations (which emit ONLY when the
+    watermark closes a window) must never use this; complete-mode
+    drains need no wrapper at all (measured: they run a single batch —
+    the trailing no-data batch is a stateful-append/join artifact).
+
+    Scoped via session conf because the flag is read once at
+    ``start()``; restored on exit so long-lived sessions (and any
+    append-mode stream started later) see the default again.
+    """
+
+    _KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+
+    def __enter__(self) -> None:
+        self._old = self._spark.conf.get(self._KEY, "true")
+        self._spark.conf.set(self._KEY, "false")
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set(self._KEY, self._old)
+
+
 def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "5 minutes") -> DataFrame:
     """Tumbling event-time windows: count + value sum per (window, type)."""
     events = load_table(spark, sf_dir, "events")
@@ -227,11 +265,12 @@ def streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
-    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _no_trailing_batch(spark):  # survivors are emitted in the batch they arrive
+        q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -305,11 +344,12 @@ def streaming_interval_join(
         .cast("long")
         .alias("secs_to_purchase"),
     )
-    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _no_trailing_batch(spark):  # inner-join matches are emitted in the batch they occur
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 

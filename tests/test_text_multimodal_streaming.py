@@ -739,3 +739,26 @@ def test_streaming_alerts_agree_with_batch_mad_counts(spark):
         if r["n_outliers"] > 0
     }
     assert got == expected
+
+
+def test_no_trailing_batch_guard_restores_conf(spark):
+    """The drain-and-stop streaming queries skip the trailing no-data
+    micro-batch (state eviction a stopped query never reads) via a
+    scoped conf guard — it must flip the flag inside the block and
+    restore the session default on exit, even when the drain raises,
+    so append-mode streams started later still get their
+    watermark-emission batch."""
+    from gpu_accelerated_vector_indexing_spark.streaming.windows import (
+        _no_trailing_batch,
+    )
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    assert spark.conf.get(key, "true") == "true"
+    with _no_trailing_batch(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"
+    with pytest.raises(RuntimeError, match="boom"):
+        with _no_trailing_batch(spark):
+            assert spark.conf.get(key) == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == "true"

@@ -1375,21 +1375,30 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 2) ->
     # fixture scale, and at corpus scale it shuffles candidates, never
     # the exploded stream). Candidate set and results are identical:
     # names are functionally dependent on ids.
+    # the join key is xxhash64(variant), not the variant STRING (r10):
+    # 8 fixed bytes instead of ~24 through both legs of the ×172
+    # fan-out shuffle, and long-equality hash probes instead of string
+    # comparison in the join (guide §2.3 narrower keys). EXACT despite
+    # hashing: every true dist≤2 pair already shares a REAL variant
+    # (the SymSpell completeness above), so a hash collision can only
+    # ADD candidates whose true distance exceeds max_dist — and the
+    # exact levenshtein verify rejects exactly those. Candidate
+    # distinct-ness is on ids, unaffected.
     v = c.select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("id"),
         F.explode(deletion_variants(F.col("c_name"))).alias("variant"),
-    )
-    a = v.select("variant", "nk", F.col("id").alias("id_a"))
-    b = v.select("variant", "nk", F.col("id").alias("id_b"))
+    ).select("nk", "id", F.xxhash64("variant").alias("vh"))
+    a = v.select("vh", "nk", F.col("id").alias("id_a"))
+    b = v.select("vh", "nk", F.col("id").alias("id_b"))
     # SHUFFLE_HASH, never broadcast: Catalyst's static size estimate
     # predates the ×172 explode, so it would broadcast millions of
     # variant rows to the driver — fine at fixture scale, an OOM at
-    # corpus scale. Both exploded sides shuffle by (variant, nk) and
+    # corpus scale. Both exploded sides shuffle by (vh, nk) and
     # hash-join per partition — the only join strategy whose memory is
     # per-partition-bounded on BOTH sides here.
     cand = (
-        a.join(b.hint("shuffle_hash"), ["variant", "nk"])
+        a.join(b.hint("shuffle_hash"), ["vh", "nk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

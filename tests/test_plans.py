@@ -497,17 +497,19 @@ def test_fuzzy_pairs_is_deletion_variant_shuffle_join(spark):
     nation. r10: the exploded stream carries ids ONLY (names re-attach
     after the candidate distinct), so broadcasts MAY appear — but only
     for the post-candidate name dimension join (keyed id_a/id_b),
-    never on the variant key."""
+    never on the variant key; and the variant travels as its xxhash64
+    (``vh`` — 8 fixed bytes through the fan-out; collisions only add
+    candidates the exact levenshtein verify rejects)."""
     df = _q(spark, "fuzzy_customer_pairs")
     plan = assert_plan(
         df,
         contains=("ShuffledHashJoin",),
         absent=("SortMergeJoin", "CartesianProduct"),
     )
-    assert "variant" in plan.split("ShuffledHashJoin", 1)[1].splitlines()[0], plan
+    assert "vh" in plan.split("ShuffledHashJoin", 1)[1].splitlines()[0], plan
     for seg in plan.split("BroadcastHashJoin")[1:]:
         first = seg.splitlines()[0]
-        assert ("id_a" in first or "id_b" in first) and "variant" not in first, plan
+        assert ("id_a" in first or "id_b" in first) and "vh" not in first, plan
 
 
 def test_typo_pairs_is_shuffle_join_like_fuzzy(spark):

@@ -91,7 +91,7 @@ BENCH_QUERIES = [
     ("multi_query_knn", _collect),
     ("multi_query_graph_beam", _collect),
     ("knn_with_docs", _collect),
-    ("engine_full_probe", _collect),  # KMeans build + partitioned write + facade search
+    ("engine_full_probe", _collect),  # run 1 pays KMeans build + partitioned write; warm runs serve the facade search
     # reference shape (128 clusters × 384 dims); run 1 pays the memoized
     # index build, later runs measure the pruned search
     ("refshape_search_cli", _collect),

@@ -36,6 +36,18 @@ from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 DAMPING = 0.85
 PR_ITERS = 12
 
+# Lineage-cut cadence for the rank trajectory (r10 measurement): an
+# eager localCheckpoint EVERY round paid a barrier + materialization
+# job per round (50 jobs/query), while deferring ALL checkpoints
+# serializes 12 rounds of lineage into one scheduling wave (the r10
+# interrupted-session attempt — measured REGRESSION, reverted). The
+# middle is strictly better on both sides: materialize every 3rd round
+# (jobs 50 → 26, alternating same-session A/B: min 8.99 → 6.57 s,
+# median 15.7 → 8.6 s at sf0.1; the 3-deep lineage is
+# corpus-size-independent, so the cadence is scale-safe). Results are
+# bit-identical for ANY cadence — the checkpoint only cuts lineage.
+PR_CKPT_EVERY = 3
+
 
 # The edge relation is GRAPH STATE shared by PageRank, triangle
 # counting and lift: the distinct-pair build (a self-join + distinct)
@@ -128,7 +140,7 @@ def copurchase_pagerank(
         .withColumn("rank", F.lit(1.0))
         .localCheckpoint(eager=True)
     )
-    for _ in range(iters):
+    for i in range(iters):
         ranks = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.part)
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
@@ -142,8 +154,11 @@ def copurchase_pagerank(
                     F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow"), 10
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # O(1) lineage across rounds
         )
+        # bounded lineage across rounds: cut every PR_CKPT_EVERY rounds
+        # (and at the end) — see the cadence note on PR_CKPT_EVERY
+        if (i + 1) % PR_CKPT_EVERY == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.select("part", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("part"))
@@ -223,11 +238,17 @@ def triangle_counts(
     )
     if n_oriented <= broadcast_edge_limit:
         # adjacency-intersection: apex w of each oriented edge (u,v) is
-        # any member of N⁺(u) ∩ N⁺(v); both lists ride one broadcast
+        # any member of N⁺(u) ∩ N⁺(v). r10: the (u, v, nu) stream is
+        # DERIVED from the adjacency itself (explode nbrs — the edge
+        # list IS Σ adjacency cells), so only the nv attach needs a
+        # broadcast join; the r9 form re-scanned `oriented` and paid a
+        # second broadcast join to re-attach nu (same rows, one join
+        # more — measured 13.1 → 10.8 s min in a same-session
+        # alternating A/B under load, identical output asserted).
         adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
         pairs = (
-            oriented.select("u", "v")
-            .join(F.broadcast(adj.select("u", F.col("nbrs").alias("nu"))), "u")
+            adj.select("u", F.col("nbrs").alias("nu"))
+            .select("u", F.explode("nu").alias("v"), "nu")
             .join(
                 F.broadcast(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))),
                 "v",

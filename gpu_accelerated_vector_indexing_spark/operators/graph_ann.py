@@ -614,6 +614,7 @@ def multi_beam_visited_over(
     beam: int,
     hops: int,
     entry_ids: list[int] | None = None,
+    beams: dict[int, int] | None = None,
 ) -> DataFrame:
     """ONE walk loop serving ALL queries per hop — ``query_id`` travels
     with the driver-resident frontier (the ``ivf.multi_query_knn_ivf``
@@ -633,6 +634,14 @@ def multi_beam_visited_over(
     DESC, vec_id DESC) ordering as a driver sort (Python float order ≡
     the engine's on finite doubles). Returns the deduplicated visited
     set (query_id, vec_id, score).
+
+    ``beams`` optionally overrides the frontier bound PER MEMBER
+    (member id → beam width): because the walk's dataflow is
+    independent per member, a batch whose members share one query
+    vector but sweep the beam knob is value-identical to one
+    single-query walk per width — the r10 batching that serves the
+    whole recall/NDCG sweep grid from ONE walk loop (2·hops+2 jobs for
+    the grid instead of per swept value).
     """
     spark = emb.sparkSession
     qmeta: dict[int, tuple[list[float], float]] = {}
@@ -702,7 +711,9 @@ def multi_beam_visited_over(
         frontier = [
             (q_id, vid)
             for q_id, items in per_q.items()
-            for vid, _ in sorted(items, key=lambda kv: (-kv[1], -kv[0]))[:beam]
+            for vid, _ in sorted(items, key=lambda kv: (-kv[1], -kv[0]))[
+                : beams.get(q_id, beam) if beams else beam
+            ]
         ]
         union_nodes = sorted({int(vid) for _, vid in frontier})
         nbr_rows = (
@@ -774,6 +785,43 @@ def topk_per_query(visited: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _sweep_visited(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int,
+    beams: tuple[int, ...],
+    hops: int = BEAM_HOPS,
+) -> DataFrame:
+    """ONE batched walk serving EVERY swept beam width (member id = the
+    beam value, all members sharing the query vector): the batched
+    walk's per-member dataflow is independent, so each member's visited
+    set is exactly the single-query walk's at that width (the pinned
+    ``multi_query_graph_beam`` parity, applied to the beam knob). Jobs
+    per sweep drop from |beams|·(2·hops+2) to 2·hops+2."""
+    qv = fixture_qvec(spark, sf_dir, query_id)
+    return multi_beam_visited_over(
+        fixture_graph(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        fixture_normed(spark, sf_dir),
+        [(int(b), qv) for b in beams],
+        max(beams),
+        hops,
+        entry_ids=fixture_entry_ids(spark, sf_dir),
+        beams={int(b): int(b) for b in beams},
+    )
+
+
+def _member_topk(visited: DataFrame, member: int, k: int) -> DataFrame:
+    """One member's top-k cut from a batched visited set — the same
+    (score DESC, vec_id DESC) order + limit as ``knn_graph_beam``."""
+    return (
+        visited.filter(F.col("query_id") == member)
+        .select("vec_id", "score")
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
 def graph_recall_sweep(
     spark: SparkSession,
     sf_dir: str,
@@ -786,17 +834,20 @@ def graph_recall_sweep(
     reference's experiment grid, experiment*_config.txt, the knob here
     being beam width instead of n_probe). Unlike the IVF sweep, each
     width is a genuinely different WALK (the frontier bound changes
-    which regions are explored), so the sweep runs one bounded walk per
-    width over the shared memoized build; every compared side is ≤k
-    rows. Output: (beam, n_hits, recall) ascending."""
+    which regions are explored) — but all widths ride ONE batched walk
+    loop (``_sweep_visited``: beam travels per member exactly like
+    query_id does in ``multi_query_graph_beam``), so the sweep pays one
+    walk's jobs, not one per width; every compared side is ≤k rows.
+    Output: (beam, n_hits, recall) ascending."""
     from gpu_accelerated_vector_indexing_spark.operators.ivf import recall_sweep_rows
 
+    visited = _sweep_visited(spark, sf_dir, query_id, beams)
     return recall_sweep_rows(
         spark,
         sf_dir,
         "beam",
         beams,
-        lambda b: knn_graph_beam(spark, sf_dir, query_id=query_id, k=k, beam=b),
+        lambda b: _member_topk(visited, b, k),
         query_id=query_id,
         k=k,
     )
@@ -811,16 +862,25 @@ def graph_ann_recall(
     """Recall@k of beam search vs exact brute force, per query — the
     graph index's row in the ANN-quality harness (the
     ``ivf.ann_method_comparison`` posture). Each side is k rows, the
-    comparison itself costs nothing; the adjacency state is shared
-    across the per-query searches (memoized), so the incremental cost
-    per query is one bounded beam walk.
+    comparison itself costs nothing; ALL queries ride one batched walk
+    loop (``multi_beam_visited_over`` — the pinned batching-parity
+    shape), so the walk's job count is |Q|-independent.
     """
     from gpu_accelerated_vector_indexing_spark.operators.knn import knn_bruteforce
 
+    visited = multi_beam_visited_over(
+        fixture_graph(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        fixture_normed(spark, sf_dir),
+        fixture_qvecs(spark, sf_dir, tuple(query_ids)),
+        BEAM_WIDTH,
+        BEAM_HOPS,
+        entry_ids=fixture_entry_ids(spark, sf_dir),
+    )
     out = None
     for qid in query_ids:
         exact = knn_bruteforce(spark, sf_dir, query_id=qid, k=k).select("vec_id")
-        got = knn_graph_beam(spark, sf_dir, query_id=qid, k=k).select("vec_id")
+        got = _member_topk(visited, qid, k).select("vec_id")
         row = got.join(exact, "vec_id", "left_semi").agg(
             F.lit(qid).alias("query_id"),
             F.count("*").alias("n_hits"),
@@ -1506,17 +1566,18 @@ def graph_retrieval_ndcg(
     """Rank-quality sweep for the graph walk: NDCG@k / MRR / recall@k
     per beam width vs the exact top-k — ``ivf.retrieval_ndcg``'s metric
     kernel (``ranking_metric_rows``) over the graph knob, the same
-    pairing as graph_recall_sweep ↔ ivf_recall_sweep. Each width is one
-    bounded walk over the shared memoized build; eval math runs over
-    ≤ k rows per width."""
+    pairing as graph_recall_sweep ↔ ivf_recall_sweep. All widths ride
+    ONE batched walk (``_sweep_visited`` — beam travels per member);
+    eval math runs over ≤ k rows per width."""
     from gpu_accelerated_vector_indexing_spark.operators.ivf import ranking_metric_rows
 
+    visited = _sweep_visited(spark, sf_dir, query_id, beams)
     return ranking_metric_rows(
         spark,
         sf_dir,
         "beam",
         beams,
-        lambda b: knn_graph_beam(spark, sf_dir, query_id=query_id, k=k, beam=b),
+        lambda b: _member_topk(visited, b, k),
         query_id=query_id,
         k=k,
     )

@@ -52,6 +52,26 @@ SPAN_GUARD = 1e-12  # constant-dimension guard (span 0 → code 0)
 _STATS_CACHE: dict[tuple[SparkSession, str], tuple[list[float], list[float]]] = {}
 
 
+def _fixture_qrow(spark: SparkSession, sf_dir: str, query_id: int):
+    """Memoized ``(qvec ndarray, qnorm float)`` for the ADC LUT builds —
+    served from ``ivf.fixture_qvec``'s per-(session, corpus, id) memo
+    instead of a per-call ``.first()`` driver job. ``qnorm`` is the
+    Python left-to-right square fold + ``math.sqrt``, bit-identical to
+    the JVM ``l2_norm`` fold (same IEEE-754 doubles, same order — the
+    documented equivalence the graph walk's hoist relies on)."""
+    import math
+
+    import numpy as np
+
+    from gpu_accelerated_vector_indexing_spark.operators.ivf import fixture_qvec
+
+    qv = fixture_qvec(spark, sf_dir, query_id)
+    acc = 0.0
+    for x in qv:
+        acc += float(x) * float(x)
+    return np.asarray(qv), math.sqrt(acc)
+
+
 def corpus_quantizer(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]:
     key = (spark, sf_dir)
     if key not in _STATS_CACHE:
@@ -436,13 +456,9 @@ def _pq_adc_score(
     """
     import numpy as np
 
-    from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
-
     books = pq_codebooks(spark, sf_dir)
     codes_tbl = pq_codes_table(spark, sf_dir)
-    q = query_vectors(spark, sf_dir, [query_id])
-    qrow = q.select("qvec", "qnorm").first()
-    qvec, qnorm = np.asarray(qrow.qvec), float(qrow.qnorm)
+    qvec, qnorm = _fixture_qrow(spark, sf_dir, query_id)
     sub = len(qvec) // PQ_SUBSPACES
     dot_luts, nsq_luts = [], []
     for s, book in enumerate(books):
@@ -647,13 +663,11 @@ def residual_approx_scores(
         fixture_centroid_rows,
     )
 
-    q = query_vectors(spark, sf_dir, [query_id])
     probes = coarse_probes(spark, sf_dir, query_id, n_probe)
     books = pq_residual_codebooks(spark, sf_dir)
     codes_tbl = pq_residual_codes_table(spark, sf_dir)
 
-    qrow = q.select("qvec", "qnorm").first()
-    qvec, qnorm = np.asarray(qrow.qvec), float(qrow.qnorm)
+    qvec, qnorm = _fixture_qrow(spark, sf_dir, query_id)
     sub = len(qvec) // PQ_SUBSPACES
     B = [np.asarray(book) for book in books]
     # label-independent LUTs (literals): q·codeword, ‖codeword‖²
@@ -1370,8 +1384,7 @@ def _pq_serve_refreshed(
     )
 
     q = query_vectors(spark, sf_dir, [query_id])
-    qrow = q.select("qvec", "qnorm").first()
-    qvec, qnorm = np.asarray(qrow.qvec), float(qrow.qnorm)
+    qvec, qnorm = _fixture_qrow(spark, sf_dir, query_id)
     sub = len(qvec) // PQ_SUBSPACES
     dot_luts, nsq_luts = [], []
     for s, book in enumerate(books):

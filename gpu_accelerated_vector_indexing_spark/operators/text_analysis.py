@@ -628,6 +628,15 @@ BPE_TRAIN_ROUNDS = 4
 # single-delimiter form silently skipped back-to-back occurrences).
 # Symbols never contain the delimiter, and "||" occurs only between
 # adjacent symbols, so cross-boundary false matches are impossible.
+#
+# r10 (optimization): the state is the DISTINCT segmented word with its
+# occurrence count (seg, cnt) — the representation BPE trainers
+# actually iterate (Sennrich et al. 2016 work on a word-frequency
+# dict). Every downstream quantity is a per-word count times cnt, so
+# pair counts, winners and symbol totals are INTEGER-IDENTICAL to the
+# per-occurrence form while each round's pair explode + replace touch
+# |vocabulary| rows instead of |token occurrences| (~40× fewer at
+# sf0.1; the ratio grows with corpus size since vocabulary saturates).
 _BPE_WORDS_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
@@ -640,7 +649,8 @@ def _bpe_words_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg0 = F.regexp_replace(F.col("tok"), "(.)", "|$1|")
         df = (
             docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-            .select(seg0.alias("seg"))
+            .groupBy(seg0.alias("seg"))
+            .agg(F.count("*").alias("cnt"))
             .cache()
         )
         df.count()
@@ -657,7 +667,10 @@ def _bpe_syms() -> Column:
 def _bpe_top_pair(df: DataFrame) -> tuple[str, str, int] | None:
     """One BPE round's winning rule: the most frequent adjacent symbol
     pair over the current segmentation (count DESC, pair ASC), via one
-    pair-vocabulary-bounded shuffle + a ≤1-row driver collect."""
+    pair-vocabulary-bounded shuffle + a ≤1-row driver collect. Pair
+    occurrences are the per-distinct-word pair list weighted by the
+    word's corpus count — sum(cnt) over words ≡ count(*) over
+    occurrences, integer-exact."""
     syms = _bpe_syms()
     pair = F.explode(
         F.when(
@@ -671,9 +684,9 @@ def _bpe_top_pair(df: DataFrame) -> tuple[str, str, int] | None:
         ).otherwise(F.array().cast("array<string>"))
     )
     top = (
-        df.select(pair.alias("p"))
+        df.select(pair.alias("p"), "cnt")
         .groupBy("p")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("cnt").alias("c"))
         .orderBy(F.desc("c"), F.asc("p"))
         .limit(1)
         .collect()
@@ -687,11 +700,13 @@ def _bpe_top_pair(df: DataFrame) -> tuple[str, str, int] | None:
 def _bpe_apply(df: DataFrame, left: str, right: str) -> DataFrame:
     """Apply one merge rule in-plan: a codegen'd literal replace whose
     non-overlapping left→right substitution IS the greedy BPE pass
-    under the double-delimiter representation."""
+    under the double-delimiter representation. Non-``seg`` columns
+    (the word count under the (seg, cnt) state) pass through."""
     return df.select(
         F.replace(
             F.col("seg"), F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
-        ).alias("seg")
+        ).alias("seg"),
+        *[c for c in df.columns if c != "seg"],
     )
 
 
@@ -735,7 +750,9 @@ def bpe_compression_curve(
     words = _bpe_words_state(spark, sf_dir)
 
     def total(df: DataFrame) -> int:
-        return df.select(F.sum(F.size(_bpe_syms())).alias("t")).collect()[0]["t"]
+        return df.select(
+            F.sum(F.size(_bpe_syms()) * F.col("cnt")).alias("t")
+        ).collect()[0]["t"]
 
     rows: list[tuple[int, int]] = [(0, total(words))]
     df = words

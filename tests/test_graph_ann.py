@@ -106,6 +106,30 @@ def test_beam_bq_recall_floor(spark):
     assert hits / total >= 0.6, f"recall@5 {hits}/{total}"
 
 
+def test_sweep_batched_walk_matches_per_beam_walks(spark):
+    """The r10 batched SWEEP (beam width travels per member through
+    ``multi_beam_visited_over(beams=...)``) must match the per-beam
+    single-query walk exactly at every width — the beam-knob twin of
+    the multi-query batching-parity pin below."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        _member_topk,
+        _sweep_visited,
+        knn_graph_beam,
+    )
+
+    beams = (8, 24, 48)
+    visited = _sweep_visited(spark, SF_CORRECT, 0, beams)
+    for b in beams:
+        batched = sorted(
+            (r.vec_id, r.score) for r in _member_topk(visited, b, 5).collect()
+        )
+        single = sorted(
+            (r.vec_id, r.score)
+            for r in knn_graph_beam(spark, SF_CORRECT, query_id=0, k=5, beam=b).collect()
+        )
+        assert batched == single, f"beam {b} diverged"
+
+
 def test_multi_query_graph_beam_batched_parity_and_jobs(spark):
     """The batched walk (query_id in the frontier) must (a) match the
     per-query walk's top-k exactly and (b) cost a job count INDEPENDENT

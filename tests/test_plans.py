@@ -347,9 +347,13 @@ def test_triangle_fast_path_is_adjacency_broadcast_no_wedge_shuffle(spark):
         contains=("array_intersect", "BroadcastHashJoin"),
         absent=("SortMergeJoin",),
     )
-    # one Generate (the corner explode over the intersect) feeding the
-    # final aggregate; the wedge path had a second self-join Generate
-    assert plan.count("Generate") <= 2
+    # three Generates: the (u, v, nu) stream exploded from the
+    # adjacency itself (r10 — replaces the second broadcast join that
+    # re-attached nu to the edge stream), the apex explode over the
+    # intersect, and the corner explode feeding the final aggregate.
+    # The wedge path's failure mode stays guarded by the joins above
+    # (no SortMergeJoin; nothing shuffles more than |E| rows).
+    assert plan.count("Generate") <= 3
 
 
 def test_zipf_window_ranks_counts_not_raw_tokens(spark):

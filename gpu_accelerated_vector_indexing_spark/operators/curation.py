@@ -451,13 +451,19 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gpu_accelerated_vector_indexing_spark.functions.vector import (
         as_double_array,
-        dot_product,
+        dot_product_seq_pandas,
         l2_normalize,
     )
 
     # both sides pre-normalized ONCE in a staged projection (SURVEY §4
     # P4 hoisting): the per-pair work is a bare dot — the inline-cosine
-    # form recomputed both norms per (train, eval) pair, 2×+ the flops
+    # form recomputed both norms per (train, eval) pair, 2×+ the flops.
+    # The pair dot runs through the fold-exact Arrow kernel: the JVM
+    # ``aggregate``/``zip_with`` fold is interpreted (no codegen), so at
+    # |train|·|eval| pairs it dominated the query; ``_dot_seq_batch``
+    # keeps the EXACT sequential float association of the JVM fold /
+    # DuckDB ``list_dot_product`` (functions/vector.py invariant), and
+    # rounding stays in-plan so decimal semantics are Spark's.
     emb = load_table(spark, sf_dir, "embeddings")
     ev = emb.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
         F.col("vec_id").alias("eval_vec_id"),
@@ -466,7 +472,9 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 0).select(
         "vec_id", l2_normalize(as_double_array("embedding")).alias("embedding")
     )
-    sim = F.round(dot_product(F.col("embedding"), F.col("eval_embedding")), 6)
+    sim = F.round(
+        dot_product_seq_pandas(F.col("embedding"), F.col("eval_embedding")), 6
+    )
     scored = tr.join(F.broadcast(ev)).select("vec_id", sim.alias("sim"))
     return (
         scored.groupBy("vec_id")

@@ -207,6 +207,30 @@ def append_to_index(
     return n
 
 
+_KMEANS_FIXTURE_STATE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def fixture_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Memoized (assigned, centroids) for the FIXTURE corpus — index
+    state per (session, corpus, k, seed), the same build-once/serve-many
+    posture as every other memoized index table (ivf.fixture_qvec,
+    graph_ann.fixture_graph). A KMeans fit is an index BUILD: paying it
+    once per session is the production shape; callers that audit or
+    serve re-run their own plan over the cached assignment each call."""
+    key = (spark, sf_dir, k, seed)
+    if key not in _KMEANS_FIXTURE_STATE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        assigned, centroids = kmeans_assign(emb, k=k, seed=seed)
+        assigned = assigned.cache()
+        assigned.count()
+        centroids = centroids.cache()
+        centroids.count()
+        _KMEANS_FIXTURE_STATE[key] = (assigned, centroids)
+    return _KMEANS_FIXTURE_STATE[key]
+
+
 def cluster_invariants(spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42) -> DataFrame:
     """Property-style summary of a KMeans build (SURVEY.md §5.3).
 
@@ -214,8 +238,7 @@ def cluster_invariants(spark: SparkSession, sf_dir: str, k: int = 10, seed: int 
     rows sit with their nearest centroid (must = n_rows — i.e. the
     assignment IS the argmin, reference clusters.py:20 semantics).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = kmeans_assign(emb, k=k, seed=seed)
+    assigned, centroids = fixture_kmeans(spark, sf_dir, k=k, seed=seed)
     return assignment_invariants(assigned, centroids)
 
 

@@ -7,6 +7,7 @@ a copy per module)."""
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 import tempfile
 from collections.abc import Callable
@@ -14,6 +15,70 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+# Per-partition byte target for deriving a stream's shuffle-partition
+# count — AQE's advisoryPartitionSizeInBytes default (64 MB).
+STREAM_PART_BYTES = 64 * 1024 * 1024
+
+
+def stream_shuffle_partitions(sf_dir: str, *tables: str) -> int:
+    """Scale-adaptive shuffle-partition count for ONE streaming query.
+
+    AQE never applies inside Structured Streaming, and a stateful
+    operator's state-store instance count is pinned to the
+    shuffle-partition count at the query's FIRST start (checkpoint
+    metadata) — so the one knob AQE would have tuned at runtime must be
+    derived up front. The derivation mirrors AQE's coalescer: total
+    source bytes / advisory partition size, floored at 1. Every
+    micro-batch pays a state-store commit cycle PER INSTANCE (measured
+    on the interval join: 128 instances ≈ half the query's wall time
+    for a fixture that fits in one), so an oversized constant burns a
+    cluster-sized commit fan-out on every batch — and an UNDERSIZED one
+    cannot be raised later without discarding the checkpoint, which is
+    why the count must track the corpus, not the local core count.
+
+    Overrides: ``$SPARK_GRAFT_STREAM_PARTITIONS`` pins the count
+    outright (cluster deployments with known state cardinality);
+    ``$SPARK_GRAFT_STREAM_PART_BYTES`` changes the per-partition byte
+    target.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    target = int(os.environ.get("SPARK_GRAFT_STREAM_PART_BYTES", STREAM_PART_BYTES))
+    total = 0
+    for t in tables:
+        for p in _glob.glob(os.path.join(sf_dir, f"{t}.parque*")):
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            else:
+                total += os.path.getsize(p)
+    return max(1, -(-total // max(target, 1)))
+
+
+class scoped_stream_partitions:
+    """Scoped ``spark.sql.shuffle.partitions`` for one stream drain.
+
+    The conf is read once at ``start()`` (and per micro-batch for the
+    foreachBatch folds planned inside the scope) and restored on exit
+    so batch queries keep the session default + AQE coalescing — the
+    same scoped-conf pattern as ``windows._no_trailing_batch``.
+    """
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, sf_dir: str, *tables: str) -> None:
+        self._spark = spark
+        self._n = stream_shuffle_partitions(sf_dir, *tables)
+
+    def __enter__(self) -> "scoped_stream_partitions":
+        self._old = self._spark.conf.get(self._KEY)
+        self._spark.conf.set(self._KEY, str(self._n))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set(self._KEY, self._old)
 
 
 def embeddings_stream(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from gpu_accelerated_vector_indexing_spark.streaming._drain import (
     documents_stream,
     drain_accumulate,
+    scoped_stream_partitions,
 )
 
 
@@ -69,6 +70,7 @@ def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (per_gram >= F.lit(mean_pg)).alias("selected"),
         )
 
-    return drain_accumulate(
-        raw, score_batch, "gpu_accelerated_vector_indexing_sdsir_"
-    )
+    with scoped_stream_partitions(spark, sf_dir, "documents"):
+        return drain_accumulate(
+            raw, score_batch, "gpu_accelerated_vector_indexing_sdsir_"
+        )

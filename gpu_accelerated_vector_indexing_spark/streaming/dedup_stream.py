@@ -29,7 +29,10 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gpu_accelerated_vector_indexing_spark.streaming._drain import documents_stream
+from gpu_accelerated_vector_indexing_spark.streaming._drain import (
+    documents_stream,
+    scoped_stream_partitions,
+)
 from gpu_accelerated_vector_indexing_spark.operators.dedup import (
     HASH_MOD,
     band_keys,
@@ -107,9 +110,10 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.corpus_doc_id").alias("best_match_doc_id"),
         (F.col("best.jaccard") >= INCR_THRESHOLD).alias("is_duplicate"),
     )
-    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "documents"):
+        q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)

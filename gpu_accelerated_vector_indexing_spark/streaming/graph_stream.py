@@ -54,6 +54,7 @@ from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 from gpu_accelerated_vector_indexing_spark.streaming._drain import (
     drain_accumulate,
     embeddings_stream,
+    scoped_stream_partitions,
 )
 
 
@@ -85,7 +86,8 @@ def streaming_graph_attach(
         cand = attach_candidates(new_g, arch_g, arch_adj)
         return _topk_per_node(_score_pairs(cand, emb_n), k)
 
-    attached = drain_accumulate(
-        new_ids, attach, "gpu_accelerated_vector_indexing_sgraph_"
-    )
+    with scoped_stream_partitions(spark, sf_dir, "embeddings"):
+        attached = drain_accumulate(
+            new_ids, attach, "gpu_accelerated_vector_indexing_sgraph_"
+        )
     return _rank_digest(attached)

@@ -31,6 +31,7 @@ from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 from gpu_accelerated_vector_indexing_spark.streaming._drain import (
     drain_accumulate,
     embeddings_stream,
+    scoped_stream_partitions,
 )
 
 
@@ -63,6 +64,7 @@ def streaming_knn(
             .select("query_id", "vec_id", "score", "rn")
         )
 
-    return drain_accumulate(
-        qstream, search_batch, "gpu_accelerated_vector_indexing_sknn_"
-    )
+    with scoped_stream_partitions(spark, sf_dir, "embeddings"):
+        return drain_accumulate(
+            qstream, search_batch, "gpu_accelerated_vector_indexing_sknn_"
+        )

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 from gpu_accelerated_vector_indexing_spark.operators.relational import dec
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
+from gpu_accelerated_vector_indexing_spark.streaming._drain import (
+    scoped_stream_partitions,
+)
 
 _memory_sink_counter = threading.Lock()
 _sink_id = [0]
@@ -174,11 +177,12 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str, width: str = "5 minutes
         .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -204,11 +208,12 @@ def streaming_sliding(
         .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -236,11 +241,12 @@ def streaming_session_window(
             "n_events",
         )
     )
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -265,7 +271,8 @@ def streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
-    with _no_trailing_batch(spark):  # survivors are emitted in the batch they arrive
+    with _no_trailing_batch(spark), scoped_stream_partitions(spark, sf_dir, "events"):
+        # survivors are emitted in the batch they arrive
         q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
         try:
             q.processAllAvailable()
@@ -344,7 +351,8 @@ def streaming_interval_join(
         .cast("long")
         .alias("secs_to_purchase"),
     )
-    with _no_trailing_batch(spark):  # inner-join matches are emitted in the batch they occur
+    with _no_trailing_batch(spark), scoped_stream_partitions(spark, sf_dir, "events"):
+        # inner-join matches are emitted in the batch they occur
         q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
         try:
             q.processAllAvailable()
@@ -373,11 +381,12 @@ def streaming_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sink_id[0] += 1
         name = f"gpu_accelerated_vector_indexing_tws_{_sink_id[0]}"
     out = user_profile_tws(_events_stream(spark, sf_dir))
-    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -409,11 +418,12 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("sum_value"),
         )
     )
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -449,17 +459,18 @@ def streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["df"] = latest.localCheckpoint(eager=True)
 
-    q = (
-        _events_stream(spark, sf_dir)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_fb_"))
-        .foreachBatch(upsert)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_fb_"))
+            .foreachBatch(upsert)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return state["df"].select("user_id", "last_type", "last_value", "last_ts")
 
 
@@ -496,17 +507,18 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["df"] = merged.localCheckpoint(eager=True)
 
-    q = (
-        _events_stream(spark, sf_dir)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_hll_"))
-        .foreachBatch(fold)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_hll_"))
+            .foreachBatch(fold)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     if "df" not in state:
         # same contract as _drain.drain_accumulate: a no-file source glob
         # must fail loudly, not as a bare KeyError below
@@ -568,17 +580,18 @@ def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["df"] = merged.localCheckpoint(eager=True)
 
-    q = (
-        _events_stream(spark, sf_dir)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_cmsstream_"))
-        .foreachBatch(fold)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="gpu_accelerated_vector_indexing_cmsstream_"))
+            .foreachBatch(fold)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     if "df" not in state:
         raise ValueError(
             "stream drained zero micro-batches — the source glob matched no files"
@@ -647,8 +660,9 @@ def streaming_outlier_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "cents", "dev_c")
         )
 
-    return drain_accumulate(
-        events_stream(spark, sf_dir),
-        flag_batch,
-        "gpu_accelerated_vector_indexing_salerts_",
-    )
+    with scoped_stream_partitions(spark, sf_dir, "events"):
+        return drain_accumulate(
+            events_stream(spark, sf_dir),
+            flag_batch,
+            "gpu_accelerated_vector_indexing_salerts_",
+        )

@@ -762,3 +762,52 @@ def test_no_trailing_batch_guard_restores_conf(spark):
             assert spark.conf.get(key) == "false"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == "true"
+
+
+def test_stream_shuffle_partitions_derivation(monkeypatch):
+    """The stateful-stream partition count derives from source bytes /
+    per-partition target (AQE's coalescer rule, applied up front because
+    AQE never runs inside Structured Streaming): fixture-sized sources
+    floor at 1, corpus-sized sources scale linearly, and the env
+    overrides pin it for cluster deployments."""
+    import os
+
+    from gpu_accelerated_vector_indexing_spark.streaming._drain import (
+        STREAM_PART_BYTES,
+        stream_shuffle_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PART_BYTES", raising=False)
+    # fixture events are ~2 MB << 64 MB target → floor of 1
+    assert stream_shuffle_partitions(SF_CORRECT, "events") == 1
+    # unknown table → zero bytes → still the floor, never 0
+    assert stream_shuffle_partitions(SF_CORRECT, "no_such_table") == 1
+    # a smaller per-partition target scales the count with the bytes
+    sz = os.path.getsize(os.path.join(SF_CORRECT, "events.parquet"))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PART_BYTES", str(max(sz // 4, 1)))
+    assert stream_shuffle_partitions(SF_CORRECT, "events") >= 4
+    # the explicit count override wins outright
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "7")
+    assert stream_shuffle_partitions(SF_CORRECT, "events") == 7
+    assert STREAM_PART_BYTES == 64 * 1024 * 1024
+
+
+def test_scoped_stream_partitions_restores_conf(spark):
+    """The scoped shuffle-partition override for stream drains must set
+    the derived count inside the block and restore the session default
+    on exit (same contract as the no-trailing-batch guard), including
+    on error — batch queries keep AQE + the session default."""
+    from gpu_accelerated_vector_indexing_spark.streaming._drain import (
+        scoped_stream_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    default = spark.conf.get(key)
+    with scoped_stream_partitions(spark, SF_CORRECT, "events"):
+        assert spark.conf.get(key) == "1"
+    assert spark.conf.get(key) == default
+    with pytest.raises(RuntimeError, match="boom"):
+        with scoped_stream_partitions(spark, SF_CORRECT, "events"):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == default

@@ -668,8 +668,10 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     candidates, scores — replays in SQL under the value gate.
     """
     from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        EPSILON,
         as_double_array,
-        cosine_similarity,
+        dot_product,
+        l2_norm,
     )
 
     sigs = _banded_signatures(spark, sf_dir)
@@ -680,18 +682,30 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .distinct()
     )
+    # norms hoisted out of the pair verify (SURVEY §4 P4): computed once
+    # per VECTOR here instead of twice per candidate PAIR — the inline
+    # cosine ran three interpreted folds per pair; same doubles, same
+    # order (sqrt and * round once each in both forms)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot_product(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb") + F.lit(EPSILON)),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.desc("vec_a"), F.desc("vec_b"))
         .limit(k)

@@ -425,20 +425,35 @@ def knn_maxsim(
     Chunk fan-out is len/stride per doc; nothing materializes the
     |query chunks| × |corpus chunks| relation past the scan.
     """
-    from gpu_accelerated_vector_indexing_spark.functions.vector import cosine_similarity
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        EPSILON,
+        dot_product,
+        l2_norm,
+    )
 
     cv = chunk_vectors(spark, sf_dir)
     q_chunks = cv.filter(F.col("doc_id") == query_doc_id).select(
-        F.col("chunk_idx").alias("q_idx"), F.col("emb").alias("qemb")
+        F.col("chunk_idx").alias("q_idx"),
+        F.col("emb").alias("qemb"),
+        l2_norm(F.col("emb")).alias("qn"),
     )
-    scored = (
-        cv.filter(F.col("doc_id") != query_doc_id)
-        .join(F.broadcast(q_chunks))
-        .select(
-            "doc_id",
-            "q_idx",
-            F.round(cosine_similarity(F.col("emb"), F.col("qemb")), SCORE_SCALE).alias("c"),
-        )
+    # norms HOISTED out of the pair loop (SURVEY §4 P4, the
+    # cosine_similarity_hoisted move applied to BOTH sides): the inline
+    # cosine paid THREE interpreted folds per (candidate chunk × query
+    # chunk) pair; with per-vector norms precomputed the pair work is
+    # ONE dot fold + a multiply — bit-identical doubles (same ops, same
+    # order; sqrt and * round once each in both forms)
+    cand = cv.filter(F.col("doc_id") != query_doc_id).select(
+        "doc_id", "emb", l2_norm(F.col("emb")).alias("cn")
+    )
+    scored = cand.join(F.broadcast(q_chunks)).select(
+        "doc_id",
+        "q_idx",
+        F.round(
+            dot_product(F.col("emb"), F.col("qemb"))
+            / (F.col("cn") * F.col("qn") + F.lit(EPSILON)),
+            SCORE_SCALE,
+        ).alias("c"),
     )
     per_q = scored.groupBy("doc_id", "q_idx").agg(F.max("c").alias("mx"))
     # m (the query's chunk count) is derivable IN-PLAN: the cross join

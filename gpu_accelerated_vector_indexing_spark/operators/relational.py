@@ -1513,20 +1513,24 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
     """Market-basket analysis: the most co-purchased part pairs.
 
-    Self-join of per-order distinct parts on the order key with
-    ``part_a < part_b`` so each unordered pair counts once. The pair
-    fan-out is bounded by (order size choose 2) — order sizes are
-    bounded by the data model, so this never goes quadratic in the
-    corpus. Shuffles: the distinct, the self-join co-partition on
-    orderkey, the pair count; the final top-N is TakeOrderedAndProject.
+    Baskets come from ONE ``collect_set`` aggregation keyed on the
+    order (the distinct folds into the aggregate), and the i≠j pair
+    stream is a codegen'd double ``explode`` of each basket —
+    replacing the r1 form's distinct + orderkey self-join, which paid
+    an extra exchange and a hash join for the same pair multiset
+    (measured 2.0 → 1.6 s min at sf0.1; results identical by
+    construction). The pair fan-out is bounded by (order size choose 2)
+    — order sizes are bounded by the data model, so this never goes
+    quadratic in the corpus. Shuffles: the basket aggregation, the pair
+    count; the final top-N is TakeOrderedAndProject.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    order_parts = li.select("l_orderkey", "l_partkey").distinct()
-    a = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    pairs = baskets.select(F.explode("parts").alias("part_a"), "parts").select(
+        "part_a", F.explode("parts").alias("part_b")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        pairs.filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
@@ -1925,15 +1929,22 @@ def copurchase_lift(spark: SparkSession, sf_dir: str, top_n: int = 20, min_pair:
     divisions in float64 — identical in any engine; rounded to 6 d.p.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    order_parts = li.select("l_orderkey", "l_partkey").distinct()
+    # ONE basket aggregation feeds pairs, totals AND per-part counts
+    # (the copurchase_part_pairs double-explode form; the old distinct +
+    # orderkey self-join paid an extra exchange + hash join for the
+    # same multisets). Exchange reuse covers the three consumers.
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
     # basket total rides as a broadcast singleton instead of a separate
     # driver count() job (identical double arithmetic downstream)
-    totals = order_parts.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    part_counts = order_parts.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
-    a = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = order_parts.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    totals = baskets.agg(F.count("*").alias("n_orders"))
+    part_counts = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_part"))
+    )
     pairs = (
-        a.join(b, "l_orderkey")
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_pair"))

@@ -237,6 +237,8 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 # re-cached a fresh identical relation).
 _GRAMS_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
 _SIGS_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
+# (session, corpus) → per-source distinct shingle hashes (corpus_source_overlap)
+_SRC_SHINGLES_STATE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
 def grams_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,20 +1135,27 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*[F.min(f"m{i}").alias(f"m{i}") for i in range(N_MINHASH)])
     )
     # exact distinct-shingle sets per source over the signatures' domain
-    sh = (
-        grams_state(spark, sf_dir)
-        .filter(F.col("len_chars") >= SHINGLE_LEN)
-        .join(docs, "doc_id")
-        .select(
-            "source",
-            F.explode(F.transform("gh", lambda h: h % F.lit(HASH_MOD))).alias("h"),
+    # — (session, corpus) index state like grams_state/sigs_state it
+    # derives from: memoized+cached so the explode+distinct shuffle runs
+    # once per corpus, not once per call, and the cache covers all three
+    # consumers per call (sizes + both self-join sides — the job the
+    # per-call localCheckpoint used to do)
+    key = (spark, sf_dir)
+    if key not in _SRC_SHINGLES_STATE:
+        df = (
+            grams_state(spark, sf_dir)
+            .filter(F.col("len_chars") >= SHINGLE_LEN)
+            .join(docs, "doc_id")
+            .select(
+                "source",
+                F.explode(F.transform("gh", lambda h: h % F.lit(HASH_MOD))).alias("h"),
+            )
+            .distinct()
+            .cache()
         )
-        .distinct()
-        # three consumers (sizes + both self-join sides): materialize the
-        # explode+distinct ONCE instead of trusting exchange reuse to
-        # cover all three subplans
-        .localCheckpoint()
-    )
+        df.count()
+        _SRC_SHINGLES_STATE[key] = df
+    sh = _SRC_SHINGLES_STATE[key]
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("x")

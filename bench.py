@@ -380,6 +380,31 @@ BENCH_QUERIES = [
 # remains recomputable from the artifact alone.
 ACCEPT_FLOOR_SEC = 0.5
 
+# Rows whose run 1 pays a memoized index/state build (the "run 1
+# pays…" comments above) while runs 2-3 serve warm: the N=3 MEDIAN no
+# longer contains the build at all, so a fit/build-time regression is
+# invisible to the median acceptance rule. VERDICT r10 #2: the
+# acceptance block below ALSO compares runs[0] (cold) against the
+# baseline's runs[0] for every row in this set, with the same 2× rule
+# (higher floor — cold runs carry JVM/session warm-up on top of the
+# build). A cold breach is reported as acceptance.cold_breaches and
+# does not change the median statistic or any query's result.
+MEMOIZED_QUERIES = {
+    "engine_ivf_merge_serve", "graph_ann_build", "engine_full_probe",
+    "refshape_search_cli", "refshape_search_bq", "refshape_kmeans_invariants",
+    "refshape_graph_build", "corpus_bpe_encode", "corpus_dedup_pack",
+    "index_refresh_cdc", "streaming_index_refresh", "index_refresh_compacted",
+    "index_refresh_cdc_gen2", "index_refresh_gen2_compact_mid",
+    "streaming_index_refresh_gen2", "graph_refresh_cdc", "pq_refresh_cdc",
+    "graph_refresh_cdc_gen2", "pq_refresh_cdc_gen2", "index_read_asof_gen",
+    "index_delete_where", "ivf_rebalance_apply", "ivf_rebalance_merge_apply",
+    "index_refresh_rebalanced", "streaming_index_delete_where",
+    "index_refresh_gated", "index_embedder_migration", "curation_dsir_sample",
+    "graph_engine_batch_search", "graph_serve_after_repair",
+    "kmeans_invariants", "sources_bin_stream", "dedup_corpus_overlap",
+}
+COLD_FLOOR_SEC = 2.0
+
 # Walk-style rows (graph beam/sweep: many tiny driver-latency-bound
 # stages) — kept for artifact continuity; since r7 the median rule
 # applies to ALL rows, this set no longer selects a different statistic.
@@ -397,6 +422,29 @@ WALK_QUERIES = {
 from statistics import median as _median  # noqa: E402
 
 
+def _storage_note(spark, tag: str) -> None:
+    """Persisted-state pressure line (stderr only, VERDICT r10 #1b).
+
+    The 304-query single-session bench carries the memo registry's
+    persisted DataFrames and on-disk layouts; if the session slows down
+    as it accumulates state, this trace is how the next verdict tells
+    session drag from host contention. Never affects timing or results.
+    """
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        infos = jsc.getRDDStorageInfo()
+        n = len(infos)
+        mem = sum(i.memSize() for i in infos)
+        disk = sum(i.diskSize() for i in infos)
+        print(
+            f"# storage[{tag}]: persisted_rdds={n} "
+            f"mem_mb={mem / 1e6:.1f} disk_mb={disk / 1e6:.1f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # instrumentation must never fail the bench
+        print(f"# storage[{tag}]: unavailable ({e})", file=sys.stderr)
+
+
 def main() -> None:
     from gpu_accelerated_vector_indexing_spark.queries import merged
     from gpu_accelerated_vector_indexing_spark.session import get_spark
@@ -407,7 +455,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     results: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    for name, materialize in BENCH_QUERIES:
+    for qi, (name, materialize) in enumerate(BENCH_QUERIES):
         fn = queries[name]
         runs = []
         for _ in range(N_RUNS):
@@ -417,6 +465,9 @@ def main() -> None:
         results[name] = round(_median(runs), 4)
         all_runs[name] = [round(t, 4) for t in runs]
         print(f"# {name}: {results[name]:.3f}s  {[f'{t:.3f}' for t in runs]}  [median]", file=sys.stderr)
+        if (qi + 1) % 50 == 0:
+            _storage_note(spark, f"after_{qi + 1}")
+    _storage_note(spark, "end")
 
     total = round(sum(results.values()), 4)
     payload = {
@@ -498,9 +549,10 @@ def main() -> None:
         base_n, base_path = prior[-1]
         try:
             with open(base_path) as f:
-                base = json.load(f)["queries"]
+                base_payload = json.load(f)
+                base = base_payload["queries"]
         except (OSError, KeyError, ValueError):
-            base = {}
+            base_payload, base = {}, {}
         worst, worst_q, breaches = 0.0, None, 0
         for q, t in results.items():
             if q not in base:
@@ -517,6 +569,26 @@ def main() -> None:
                 breaches=breaches,
                 worst_ratio=round(worst, 3),
                 worst_ratio_query=worst_q,
+            )
+        # Cold (run-1) check for memoized rows — VERDICT r10 #2: the
+        # median lands on warm serves, so also hold run 1 (which pays
+        # the build) to the 2× rule vs the baseline's run 1.
+        base_runs = base_payload.get("runs", {})
+        c_worst, c_worst_q, c_breaches = 0.0, None, 0
+        for q in sorted(MEMOIZED_QUERIES):
+            if q not in all_runs or not base_runs.get(q):
+                continue
+            ratio = all_runs[q][0] / max(base_runs[q][0], COLD_FLOOR_SEC)
+            if ratio > 2.0:
+                c_breaches += 1
+            if ratio > c_worst:
+                c_worst, c_worst_q = ratio, q
+        if c_worst_q is not None:
+            accept.update(
+                cold_rule=f"runs[0]_new <= 2 * max(runs[0]_base, {COLD_FLOOR_SEC})",
+                cold_breaches=c_breaches,
+                cold_worst_ratio=round(c_worst, 3),
+                cold_worst_query=c_worst_q,
             )
     top = dict(sorted(results.items(), key=lambda kv: -kv[1])[:8])
     summary = {

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from gpu_accelerated_vector_indexing_spark.functions.vector import lit_long_array
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
 SHINGLE_LEN = 5
@@ -164,9 +165,10 @@ def minhash_from_grams(grams: DataFrame, keep: tuple[str, ...] = ()) -> DataFram
     codegen CSEs the shared fold). ``keep`` carries payload columns
     through (the streaming path needs gh alongside the signature —
     a streaming DF cannot re-join itself to fetch it back)."""
-    a_consts = F.array(*[F.lit(a).cast("long") for a in MINHASH_AS])
-    b_consts = F.array(*[F.lit(b).cast("long") for b in MINHASH_BS])
-    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * N_MINHASH)
+    # one py4j round-trip per constant array (r11), not one per element
+    a_consts = lit_long_array(MINHASH_AS)
+    b_consts = lit_long_array(MINHASH_BS)
+    init = lit_long_array([MINHASH_PRIME] * N_MINHASH)
 
     def step(acc: Column, h: Column) -> Column:
         vals = F.zip_with(a_consts, b_consts, lambda a, b: (a * h + b) % F.lit(MINHASH_PRIME))
@@ -350,11 +352,11 @@ def simhash_docs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
             ).cast("long")
         return total % F.lit(HASH_MOD)
 
-    a_consts = F.array(*[F.lit(a).cast("long") for a in SIMHASH_AS[:bits]])
+    a_consts = lit_long_array(SIMHASH_AS[:bits])
     weights = F.array(
         *[F.lit(2**j if j < 63 else -(2**63)).cast("long") for j in range(bits)]
     )
-    zero = F.array(*[F.lit(0).cast("long")] * bits)
+    zero = lit_long_array([0] * bits)
     gh = F.transform(F.sequence(F.lit(1), F.length(text) - (SHINGLE_LEN - 1)), poly)
 
     def step(acc: Column, h: Column) -> Column:
@@ -1348,17 +1350,43 @@ def min_label_fixpoint(und: DataFrame, max_rounds: int = 50) -> DataFrame:
             .groupBy("node")
             .agg(F.min("component").alias("ncomp"))
         )
-        # a node changes iff its neighbor-min beats its current label —
+        # a node changes iff this round's label beats its current one —
         # carrying that flag in the snapshot lets the changed count run
         # off the NEW snapshot alone (no old-vs-new join), fused with
-        # the checkpoint materialization into one job per round
+        # the checkpoint materialization into one job per round.
+        #
+        # POINTER DOUBLING (r11, guide §2 — fewer synchronized rounds):
+        # after the one-hop neighbor min, each candidate label is
+        # SHORTCUT through the previous snapshot (component ←
+        # labels_prev[candidate]): label values are always node ids of
+        # the same component with labels_prev[v] ≤ v, so the jump is
+        # value-safe and contracts label-chase chains exponentially —
+        # a diameter-d chain converges in O(log d) rounds instead of d
+        # (Kiveris et al.'s star-contraction idea applied to the
+        # min-label kernel). The FIXPOINT is unchanged: at convergence
+        # neither the neighbor min nor the jump moves any label, which
+        # is exactly the plain kernel's termination state (constant
+        # min-id per component — the transitive-closure oracle's
+        # answer). One extra hash join per round against the already-
+        # checkpointed snapshot; still ONE job per round.
+        cand = F.least(F.col("component"), F.coalesce("ncomp", F.col("component")))
         new_labels, new_held, changed = ckpt_count(
-            labels.join(neigh, "node", "left").select(
+            labels.join(neigh, "node", "left")
+            .select("node", "component", cand.alias("cand"))
+            .join(
+                labels.select(
+                    F.col("node").alias("cand"), F.col("component").alias("jump")
+                ),
+                "cand",
+                "left",
+            )
+            .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("ncomp", F.col("component"))
-                ).alias("component"),
-                (F.col("ncomp") < F.col("component")).alias("chg"),
+                # jump ≤ cand and rides the same component; coalesce is
+                # belt-and-braces (label values are always present as
+                # nodes, so the left join cannot actually miss)
+                F.coalesce("jump", F.col("cand")).alias("component"),
+                (F.coalesce("jump", F.col("cand")) < F.col("component")).alias("chg"),
             ),
             F.col("chg"),
         )

@@ -56,6 +56,7 @@ from gpu_accelerated_vector_indexing_spark.functions.vector import (
     dot_product,
     dot_product_seq_pandas,
     l2_norm,
+    lit_double_array,
 )
 from gpu_accelerated_vector_indexing_spark.operators.ivf import DELETE_MOD, fixture_qvec, fixture_qvecs
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
@@ -423,6 +424,150 @@ def _walk(
     )
 
 
+def _walk_lockstep(
+    adj: DataFrame,
+    entry_ids: list[int],
+    members: list[tuple[str, str, bool, object]],
+    beam: int,
+    hops: int,
+) -> list[DataFrame]:
+    """N bounded walks over ONE adjacency in LOCKSTEP — the
+    ``multi_beam_visited_over`` batching posture extended to
+    HETEROGENEOUS scorers (float cosine + Hamming cannot share one
+    scorer relation, so per-member scored rows union into ONE collect
+    per hop instead). Per hop: one union-frontier adjacency
+    point-lookup + one union scoring action for ALL members, so jobs
+    per lockstep are 2·hops+1 regardless of member count, where N
+    independent ``_walk`` calls pay N·(2·hops+1).
+
+    ``members``: (value_col, value_type, ascending, scorer_ids) per
+    walk. Value parity with independent walks is structural — each
+    member keeps its OWN visited dict, frontier cut and dedup (the
+    orchestration is shared, the dataflow is not): scored values ride
+    the union as doubles, exact for both the float scores and the
+    integer Hamming distances (≤ dim < 2^53), and the per-member
+    frontier ordering on those doubles equals the standalone walk's
+    float/int ordering. Pinned by
+    tests/test_graph_ann.py::test_comparison_pair_walk_matches_standalone.
+    """
+    spark = adj.sparkSession
+    n = len(members)
+
+    def union_scored(per_member_ids: list[list[int]]) -> list:
+        out = None
+        for i, ((vcol, _vt, _asc, scorer), ids) in enumerate(
+            zip(members, per_member_ids)
+        ):
+            if not ids:
+                continue
+            part = scorer(ids).select(
+                F.lit(i).alias("wk"),
+                "vec_id",
+                F.col(vcol).cast("double").alias("val"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.collect() if out is not None else []
+
+    visited: list[dict[int, float]] = [{} for _ in members]
+
+    def fold(rows: list) -> None:
+        for r in rows:
+            visited[r["wk"]].setdefault(r["vec_id"], r["val"])
+
+    entry_list = sorted(int(v) for v in entry_ids)
+    fold(union_scored([entry_list] * n))
+    for _ in range(hops):
+        frontiers: list[list[int]] = []
+        for i, (_vcol, _vt, asc, _scorer) in enumerate(members):
+            sign = 1 if asc else -1
+            frontiers.append(
+                [
+                    int(vid)
+                    for vid, _ in sorted(
+                        visited[i].items(), key=lambda kv: (sign * kv[1], -kv[0])
+                    )[:beam]
+                ]
+            )
+        union_nodes = sorted({v for f in frontiers for v in f})
+        nbr_rows = (
+            adj.filter(F.col("node").isin(union_nodes))
+            .select("node", "nbr")
+            .collect()
+        )
+        adj_map: dict[int, list[int]] = {}
+        for r in nbr_rows:
+            adj_map.setdefault(r.node, []).append(r.nbr)
+        new_ids = [
+            sorted(
+                {int(nb) for v in frontiers[i] for nb in adj_map.get(v, ())}
+                - visited[i].keys()
+            )
+            for i in range(n)
+        ]
+        if any(new_ids):
+            fold(union_scored(new_ids))
+    out: list[DataFrame] = []
+    for i, (vcol, vt, _asc, _scorer) in enumerate(members):
+        conv = int if vt == "bigint" else float
+        out.append(
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                    [(int(kk), conv(v)) for kk, v in sorted(visited[i].items())], 1
+                ),
+                f"vec_id bigint, {vcol} {vt}",
+            )
+        )
+    return out
+
+
+def graph_comparison_members(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int,
+    k: int,
+    beam: int = BEAM_WIDTH,
+    hops: int = BEAM_HOPS,
+) -> tuple[DataFrame, DataFrame]:
+    """The two graph members of ``ivf.ann_method_comparison``
+    (``graph_beam``, ``graph_beam_bq``) served from ONE lockstep walk
+    loop (r11): the standalone rows paid 2·(2·hops+1) driver actions
+    for two walks over the SAME adjacency and entry points; the
+    lockstep pays 2·hops+1. Each member's visited set — and hence its
+    top-k / rescored top-k — is exactly the standalone query's (the
+    per-member dataflow is untouched; see ``_walk_lockstep``)."""
+    adj = fixture_graph(spark, sf_dir)
+    emb_n = fixture_normed(spark, sf_dir)
+    codes = fixture_bq_codes(spark, sf_dir)
+    qvec = fixture_qvec(spark, sf_dir, query_id)
+    fscored, q, qn = _float_scorer(emb_n, qvec)
+    hscored = _bq_scorer(codes, qvec)
+    fvis, hvis = _walk_lockstep(
+        adj,
+        fixture_entry_ids(spark, sf_dir),
+        [
+            ("score", "double", False, fscored),
+            ("hamming", "bigint", True, hscored),
+        ],
+        beam,
+        hops,
+    )
+    float_member = fvis.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
+    # BQ member: exact rescore of EVERY visited node (rescore_n=None
+    # posture of knn_graph_beam_bq) through the same scorer expressions
+    bq_member = (
+        emb_n.join(F.broadcast(hvis.select("vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                dot_product(F.col("v"), q) / (F.col("nrm") * qn + F.lit(EPSILON)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("vec_id"))
+        .limit(k)
+    )
+    return float_member, bq_member
+
+
 def _beam_visited(
     spark: SparkSession,
     sf_dir: str,
@@ -468,6 +613,34 @@ def _beam_visited(
     )
 
 
+def _float_scorer(emb_n: DataFrame, qvec: list[float]):
+    """The ONE float-cosine walk scorer: returns (scorer_ids, q, qn).
+
+    ``q`` is one parsed array literal (one py4j round-trip, not dim
+    F.lit calls); ‖q‖ is hoisted once, in Python floats — bit-identical
+    to the JVM fold + sqrt (same IEEE-754 doubles, same left-to-right
+    order), so the hoist is value-neutral exactly like the build's.
+    ``scorer_ids(ids)``: ids is walk-bounded (≤ |entries| or ≤ beam·K)
+    and enters as a pushed InSet predicate on the corpus relation, so
+    the probe is a pruned scan (pinned in tests/test_plans.py), never a
+    shuffle."""
+    q = lit_double_array(qvec)
+    acc = 0.0
+    for x in qvec:
+        acc += float(x) * float(x)
+    qn = F.lit(math.sqrt(acc))  # math.sqrt: correctly rounded, ≡ JVM/DuckDB sqrt
+
+    def scored(ids: list[int]) -> DataFrame:
+        return emb_n.filter(F.col("vec_id").isin(ids)).select(
+            "vec_id",
+            F.round(
+                dot_product(F.col("v"), q) / (F.col("nrm") * qn + F.lit(EPSILON)), 6
+            ).alias("score"),
+        )
+
+    return scored, q, qn
+
+
 def beam_visited_over(
     adj: DataFrame,
     emb: DataFrame,
@@ -483,26 +656,7 @@ def beam_visited_over(
     (operators/refshape.refshape_graph_beam) — one walk definition.
     ``entry_ids`` bypasses the per-search entry-point groupBy when the
     caller (the serving engine) has memoized them for its index."""
-    q = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
-    # ‖q‖ hoisted once, in Python floats — bit-identical to the JVM
-    # fold + sqrt (same IEEE-754 doubles, same left-to-right order),
-    # so the hoist is value-neutral exactly like the build's.
-    acc = 0.0
-    for x in qvec:
-        acc += float(x) * float(x)
-    qn = F.lit(math.sqrt(acc))  # math.sqrt: correctly rounded, ≡ JVM/DuckDB sqrt
-
-    def scored(ids: list[int]) -> DataFrame:
-        # ids is walk-bounded (≤ |entries| or ≤ beam·K) — it enters as a
-        # pushed InSet predicate on the corpus relation, so the probe is
-        # a pruned scan (PushedFilters on the persisted-index parquet
-        # path; pinned in tests/test_plans.py), never a shuffle
-        return emb_n.filter(F.col("vec_id").isin(ids)).select(
-            "vec_id",
-            F.round(
-                dot_product(F.col("v"), q) / (F.col("nrm") * qn + F.lit(EPSILON)), 6
-            ).alias("score"),
-        )
+    scored, _q, _qn = _float_scorer(emb_n, qvec)
 
     return _walk(
         adj,
@@ -914,6 +1068,35 @@ def fixture_bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BQ_CODE_STATE[key]
 
 
+def _bq_scorer(codes: DataFrame, qvec: list[float]):
+    """The ONE Hamming walk scorer over the 1-bit sign codes: packs the
+    query codeword (same bit convention as ``quantize.bq_code`` — bit 63
+    via two's complement) and returns ``hscored(ids)``; ids enter as a
+    pushed InSet on the codes state (see ``_float_scorer``)."""
+    if len(qvec) > 64:
+        # the one-word packing below and fixture_bq_codes' quantize.bq_code
+        # are both 64-dim forms; past one word the stored codes go NULL and
+        # the hand-packed qcode wraps — fail loudly (the multi-word path is
+        # quantize.bq_codes, used by the refshape family).
+        raise ValueError(
+            f"knn_graph_beam_bq packs one 64-bit word; embedding dim is {len(qvec)}"
+        )
+    qcode = 0
+    for j, x in enumerate(qvec):  # same packing as quantize.bq_code
+        if float(x) > 0.0:
+            qcode += 2**j if j < 63 else -(2**63)
+
+    def hscored(ids: list[int]) -> DataFrame:
+        return codes.filter(F.col("vec_id").isin(ids)).select(
+            "vec_id",
+            F.bit_count(F.col("code").bitwiseXOR(F.lit(qcode).cast("long")))
+            .cast("long")
+            .alias("hamming"),
+        )
+
+    return hscored
+
+
 def knn_graph_beam_bq(
     spark: SparkSession,
     sf_dir: str,
@@ -954,41 +1137,19 @@ def knn_graph_beam_bq(
     small-integer doubles (queries/_graph_ann_oracle.beam_bq_sql).
     """
     adj = fixture_graph(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
     emb_n = fixture_normed(spark, sf_dir)
     codes = fixture_bq_codes(spark, sf_dir)
     qvec = fixture_qvec(spark, sf_dir, query_id)
-    if len(qvec) > 64:
-        # the one-word packing below and fixture_bq_codes' quantize.bq_code
-        # are both 64-dim forms; past one word the stored codes go NULL and
-        # the hand-packed qcode wraps — fail loudly (the multi-word path is
-        # quantize.bq_codes, used by the refshape family).
-        raise ValueError(
-            f"knn_graph_beam_bq packs one 64-bit word; embedding dim is {len(qvec)}"
-        )
-    qcode = 0
-    for j, x in enumerate(qvec):  # same packing as quantize.bq_code
-        if float(x) > 0.0:
-            qcode += 2**j if j < 63 else -(2**63)
-    q = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
-    acc = 0.0
-    for x in qvec:
-        acc += float(x) * float(x)
-    qn = F.lit(math.sqrt(acc))
-
-    def hscored(ids: list[int]) -> DataFrame:
-        # walk-bounded ids as a pushed InSet on the codes state (see
-        # beam_visited_over's scorer)
-        return codes.filter(F.col("vec_id").isin(ids)).select(
-            "vec_id",
-            F.bit_count(F.col("code").bitwiseXOR(F.lit(qcode).cast("long")))
-            .cast("long")
-            .alias("hamming"),
-        )
+    hscored = _bq_scorer(codes, qvec)
+    _scored, q, qn = _float_scorer(emb_n, qvec)  # for the exact rescore
 
     cand = _walk(
         adj,
-        _entry_points(emb),
+        # memoized per (session, corpus) — the same ids the per-call
+        # _entry_points groupBy produced (one node per cell, the cell's
+        # min vec_id); using the cache drops one job per call (r11, the
+        # fixture_entry_ids posture every float walk already has)
+        fixture_entry_ids(spark, sf_dir),
         hscored,
         "hamming",
         "bigint",
@@ -1552,6 +1713,10 @@ def knn_graph_beam_merged(
         fixture_qvec(spark, sf_dir, query_id),
         beam,
         hops,
+        # the merged graph serves the SAME corpus — its entry points
+        # (per-cell min vec_id over the full embeddings table) are the
+        # memoized fixture set; one groupBy job fewer per serve (r11)
+        entry_ids=fixture_entry_ids(spark, sf_dir),
     )
     return visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
 

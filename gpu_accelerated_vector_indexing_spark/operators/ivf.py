@@ -677,24 +677,39 @@ def ann_method_comparison(
         "ivf_mrl": knn_ivf_matryoshka(spark, sf_dir, query_id=query_id, k=k, n_probe=3),
     }
     # the graph index's rungs (r4) — imported late: graph_ann imports
-    # this module for fixture_qvec
+    # this module for fixture_qvec. Both graph members ride ONE
+    # lockstep walk loop (r11): the float and BQ walks share the same
+    # adjacency and entry points, so their per-hop adjacency lookup and
+    # scoring actions batch into one job each — each member's result is
+    # exactly its standalone query's (value parity pinned in
+    # tests/test_graph_ann.py).
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
-        knn_graph_beam,
-        knn_graph_beam_bq,
+        graph_comparison_members,
     )
 
-    methods["graph_beam"] = knn_graph_beam(spark, sf_dir, query_id=query_id, k=k)
-    methods["graph_beam_bq"] = knn_graph_beam_bq(spark, sf_dir, query_id=query_id, k=k)
+    methods["graph_beam"], methods["graph_beam_bq"] = graph_comparison_members(
+        spark, sf_dir, query_id, k
+    )
     return _recall_rows(methods, exact, k)
 
 
 def _recall_rows(methods: dict[str, DataFrame], exact: DataFrame, k: int) -> DataFrame:
-    """(method, n_hits, recall) rows: each method's k-row result
-    semi-joined against the k-row exact set — shared by the unfiltered
-    and filtered comparison harnesses."""
+    """(method, n_hits, recall) rows: each method's k-row result checked
+    against the k-row exact set — shared by the unfiltered and filtered
+    comparison harnesses.
+
+    The exact ids are COLLECTED ONCE (≤k rows, one tiny job) and enter
+    each member as a pushed InSet filter (the ``graph_repair_recall``
+    posture) instead of a per-member semi join against the lazy exact
+    relation: the semi-join form embedded the full brute-force subtree
+    (a corpus scan + TakeOrdered) once PER MEMBER in the union plan —
+    14 redundant corpus scans at scale, and a 14×-larger tree for the
+    optimizer. Same rows by construction (semi join ≡ membership test
+    on a unique key)."""
+    exact_ids = [int(r.vec_id) for r in exact.collect()]
     out = None
     for name, df in methods.items():
-        hits = df.select("vec_id").join(exact, "vec_id", "left_semi").agg(
+        hits = df.select("vec_id").filter(F.col("vec_id").isin(exact_ids)).agg(
             F.lit(name).alias("method"),
             F.count("*").alias("n_hits"),
             F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),

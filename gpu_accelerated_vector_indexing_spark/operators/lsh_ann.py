@@ -31,6 +31,7 @@ from gpu_accelerated_vector_indexing_spark.functions.vector import (
     as_double_array,
     cosine_similarity,
     dot_product,
+    lit_double_array,
 )
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
 
@@ -68,7 +69,7 @@ def signature(vec: Column, planes: list[list[int]]) -> Column:
     qv = quantize(vec)
     bits = [
         F.when(
-            dot_product(qv, F.array(*[F.lit(float(w)) for w in row])) >= 0,
+            dot_product(qv, lit_double_array([float(w) for w in row])) >= 0,
             F.lit(1 << j),
         ).otherwise(F.lit(0))
         for j, row in enumerate(planes)

@@ -38,6 +38,8 @@ from gpu_accelerated_vector_indexing_spark.functions.vector import (
     cosine_similarity_hoisted,
     dot_product,
     l2_norm,
+    lit_double_array,
+    lit_double_array2,
 )
 from gpu_accelerated_vector_indexing_spark.operators.knn import query_vectors
 from gpu_accelerated_vector_indexing_spark.sources.fixtures import load_table
@@ -98,7 +100,10 @@ def dim_min_max(emb: DataFrame, dim: int) -> tuple[list[float], list[float]]:
 
 
 def _lit_array(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+    # ONE py4j round-trip (r11): the per-element F.lit form cost
+    # ~0.5 ms × dim per CALL SITE — sq8_codes/sq8_dequantize build six
+    # of these per query construction, the ADC LUTs sixteen
+    return lit_double_array(vals)
 
 
 def sq8_codes(
@@ -284,7 +289,7 @@ def _pq_encode(v: Column, books: list[list[list[float]]], dim: int) -> Column:
     codes = []
     for s, book in enumerate(books):
         subvec = F.slice(v, s * sub + 1, sub)
-        book_lit = F.array(*[_lit_array(cw) for cw in book])
+        book_lit = lit_double_array2(book)  # one parse, not S×k×sub lits
         d2s = F.transform(
             book_lit,
             lambda cw: F.round(

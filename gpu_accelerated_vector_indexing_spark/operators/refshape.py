@@ -37,6 +37,8 @@ from gpu_accelerated_vector_indexing_spark.functions.vector import (
     as_double_array,
     cosine_similarity_hoisted,
     l2_norm,
+    lit_double_array,
+    lit_long_array,
 )
 from gpu_accelerated_vector_indexing_spark.operators.ivf import (
     label_centroids,
@@ -252,6 +254,27 @@ def refshape_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_digest(refshape_graph(spark, sf_dir))
 
 
+# Entry points of the reference-shape corpus (per-cell min vec_id) —
+# corpus-derived state collected once per (session, corpus), the
+# graph_ann.fixture_entry_ids posture over ref_corpus: drops one
+# groupBy+collect job per walk serve (r11).
+_REF_ENTRY_IDS_CACHE: dict[tuple[SparkSession, str], list[int]] = {}
+
+
+def ref_entry_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    key = (spark, sf_dir)
+    if key not in _REF_ENTRY_IDS_CACHE:
+        from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+            _entry_points,
+        )
+
+        _REF_ENTRY_IDS_CACHE[key] = sorted(
+            r.vec_id
+            for r in _entry_points(ref_corpus(spark, sf_dir)).collect()
+        )
+    return _REF_ENTRY_IDS_CACHE[key]
+
+
 def refshape_graph_beam(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 5
 ) -> DataFrame:
@@ -279,6 +302,7 @@ def refshape_graph_beam(
         ref_qvec(spark, sf_dir, query_id),
         beam=BEAM_WIDTH,
         hops=BEAM_HOPS,
+        entry_ids=ref_entry_ids(spark, sf_dir),  # memoized, one job fewer
     )
     topk = visited.orderBy(F.desc("score"), F.desc("vec_id")).limit(k)
     return map_to_docs(topk, load_table(spark, sf_dir, "documents"))
@@ -331,12 +355,10 @@ def refshape_graph_bq(
     from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
         BEAM_HOPS,
         BEAM_WIDTH,
-        _entry_points,
         _walk,
     )
 
     adj = refshape_graph(spark, sf_dir)
-    emb = ref_corpus(spark, sf_dir)
     emb_n = refshape_normed(spark, sf_dir)
     codes = refshape_bq_codes(spark, sf_dir)
     qvec = ref_qvec(spark, sf_dir, query_id)
@@ -350,7 +372,7 @@ def refshape_graph_bq(
             if idx < len(qvec) and float(qvec[idx]) > 0.0:
                 word += 2**j if j < 63 else -(2**63)
         qwords.append(word)
-    qcode = F.array(*[F.lit(w).cast("long") for w in qwords])
+    qcode = lit_long_array(qwords)  # one py4j round-trip
 
     def hscored(ids: list[int]) -> DataFrame:
         # walk-bounded ids as a pushed InSet on the codes state
@@ -361,7 +383,7 @@ def refshape_graph_bq(
 
     cand = _walk(
         adj,
-        _entry_points(emb),
+        ref_entry_ids(spark, sf_dir),  # memoized, one job fewer (r11)
         hscored,
         "hamming",
         "bigint",
@@ -369,7 +391,7 @@ def refshape_graph_bq(
         BEAM_WIDTH,
         BEAM_HOPS,
     )
-    q = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
+    q = lit_double_array(qvec)  # one py4j round-trip, not dim F.lit calls
     acc = 0.0
     for x in qvec:
         acc += float(x) * float(x)

@@ -48,7 +48,11 @@ def stream_shuffle_partitions(sf_dir: str, *tables: str) -> int:
     target = int(os.environ.get("SPARK_GRAFT_STREAM_PART_BYTES", STREAM_PART_BYTES))
     total = 0
     for t in tables:
-        for p in _glob.glob(os.path.join(sf_dir, f"{t}.parque*")):
+        # exactly the stream readers' own source set ({t}.parquet file or
+        # directory) — the old f"{t}.parque*" glob also matched unrelated
+        # siblings (events.parquet.bak, .parquet_old), inflating the byte
+        # total the knob is meant to derive from (ADVICE r10)
+        for p in _glob.glob(os.path.join(sf_dir, f"{t}.parquet")):
             if os.path.isdir(p):
                 for root, _dirs, files in os.walk(p):
                     total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
@@ -64,6 +68,15 @@ class scoped_stream_partitions:
     foreachBatch folds planned inside the scope) and restored on exit
     so batch queries keep the session default + AQE coalescing — the
     same scoped-conf pattern as ``windows._no_trailing_batch``.
+
+    SINGLE-THREADED-DRAIN ASSUMPTION (ADVICE r10): the scope mutates
+    the session-global conf, so a concurrent batch query in the same
+    session is planned with the derived count, and two overlapping
+    scopes on different threads can restore each other's scoped value
+    instead of the session default. The engine's sessions execute
+    queries sequentially (driver contract), which is what makes the
+    pattern sound here; a concurrent deployment would set the conf on
+    the stream's own writeStream options instead.
     """
 
     _KEY = "spark.sql.shuffle.partitions"

@@ -585,3 +585,26 @@ def test_graph_cdc_gen2_lifecycle(spark):
     assert new2
     for nid in new2:
         assert deg.get(nid, 0) == K_GRAPH, f"delta-2 node {nid} degree {deg.get(nid, 0)}"
+
+
+def test_comparison_pair_walk_matches_standalone(spark):
+    """The r11 lockstep pair walk serving ann_method_comparison's two
+    graph members (one adjacency lookup + one union scoring action per
+    hop for BOTH walks) must return exactly the standalone queries'
+    results — the heterogeneous-scorer twin of the batching-parity pins
+    above."""
+    from gpu_accelerated_vector_indexing_spark.operators.graph_ann import (
+        graph_comparison_members,
+        knn_graph_beam,
+        knn_graph_beam_bq,
+    )
+
+    fmember, bmember = graph_comparison_members(spark, SF_CORRECT, 0, 5)
+    assert [(r.vec_id, r.score) for r in fmember.collect()] == [
+        (r.vec_id, r.score)
+        for r in knn_graph_beam(spark, SF_CORRECT, query_id=0, k=5).collect()
+    ]
+    assert [(r.vec_id, r.score) for r in bmember.collect()] == [
+        (r.vec_id, r.score)
+        for r in knn_graph_beam_bq(spark, SF_CORRECT, query_id=0, k=5).collect()
+    ]

@@ -406,3 +406,44 @@ def test_cusum_changepoint_matches_python_model(spark):
         assert r["max_dev"] == round(best[3] / (n * 100.0), 6) or abs(
             r["max_dev"] - best[3] / (n * 100.0)
         ) < 1e-6, uid
+
+
+def test_lit_array_helpers_match_per_element(spark):
+    """The one-round-trip literal-array builders (r11) are BIT-identical
+    to the per-element ``F.array(*[F.lit(x), ...])`` form: repr() of a
+    finite float round-trips, and the SQL parser's Double.parseDouble is
+    correctly rounded — so the parsed Literals carry the same IEEE-754
+    bits. Longs cover both word boundaries incl. LONG_MIN (which cannot
+    parse as a negated positive literal and takes the subtraction form)."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from gpu_accelerated_vector_indexing_spark.functions.vector import (
+        lit_double_array,
+        lit_double_array2,
+        lit_long_array,
+    )
+
+    rng = random.Random(711)
+    vals = [rng.uniform(-1e3, 1e3) for _ in range(64)]
+    vals += [0.0, -0.0, 1e-300, -1.5e300, 0.1, 2.0, 1e-8, -3.5]
+    got = spark.range(1).select(lit_double_array(vals).alias("x")).first().x
+    ref = (
+        spark.range(1)
+        .select(F.array(*[F.lit(float(v)) for v in vals]).alias("x"))
+        .first()
+        .x
+    )
+    assert [struct.pack("<d", v) for v in got] == [struct.pack("<d", v) for v in ref]
+
+    rows = [vals[:8], vals[8:16], [0.25, -0.5]]
+    got2 = spark.range(1).select(lit_double_array2(rows).alias("x")).first().x
+    assert [[struct.pack("<d", v) for v in r] for r in got2] == [
+        [struct.pack("<d", float(v)) for v in r] for r in rows
+    ]
+
+    lvals = [0, 1, -1, 2**62, -(2**62), 2**63 - 1, -(2**63), 42]
+    gotl = spark.range(1).select(lit_long_array(lvals).alias("x")).first().x
+    assert gotl == lvals

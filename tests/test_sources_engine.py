@@ -563,9 +563,12 @@ def test_write_float32_bin_clustered_matches_driver_export(spark, tmp_path):
 
 
 def test_float32bin_stream_replay_uses_recorded_counts(tmp_path):
-    """Exactly-once recovery contract: readBetweenOffsets replays from
-    the row counts RECORDED at commit time, and refuses (rather than
-    silently re-bases vec_ids) when a file changed after commit."""
+    """Exactly-once recovery contract of the PARTITIONED stream reader
+    (r11 — executor-side decode): partitions(start, end) derives each
+    new file's base deterministically from the offsets alone and the
+    RECORDED row counts, decode happens per partition, and a file that
+    changed after commit is refused (rather than silently re-basing
+    vec_ids)."""
     from gpu_accelerated_vector_indexing_spark.sources.bin_datasource import (
         Float32BinStreamReader,
     )
@@ -578,19 +581,28 @@ def test_float32bin_stream_replay_uses_recorded_counts(tmp_path):
 
     reader = Float32BinStreamReader({"path": str(tmp_path), "dim": "4"})
     start = reader.initialOffset()
-    batch, end = reader.read(start)
-    assert [r[0] for r in batch] == [0, 1, 2, 3, 4]
+    end = reader.latestOffset()
     # offsets record (path, row_count) pairs — replay needs no stat()
     assert sorted(n for _, n in end["seen"]) == [2, 3]
     assert end["base"] == 5
 
-    replay = list(reader.readBetweenOffsets(start, end))
-    assert [r[0] for r in replay] == [0, 1, 2, 3, 4]
+    parts = list(reader.partitions(start, end))
+    assert [(p.base, p.n_rows) for p in parts] == [(0, 3), (3, 2)]
+    batch = [r for p in parts for r in reader.read(p)]
+    assert [r[0] for r in batch] == [0, 1, 2, 3, 4]
+
+    # a second listing with no new files plans an empty range
+    assert reader.latestOffset() == end
+    assert list(reader.partitions(end, end)) == []
+
+    # replay of the committed range is identical
+    replay = [r for p in reader.partitions(start, end) for r in reader.read(p)]
+    assert [(r[0], r[3]) for r in replay] == [(r[0], r[3]) for r in batch]
 
     # grow a committed file: replay must fail loudly, not shift ids
     np.concatenate([a, a]).tofile(str(tmp_path / "part_a.bin"))
     with pytest.raises(ValueError, match="changed since commit"):
-        list(reader.readBetweenOffsets(start, end))
+        list(reader.partitions(start, end))
 
 
 def test_write_npy_clustered_matches_reference_layout(spark, tmp_path):
